@@ -1,0 +1,104 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every registered query on Spark AND its oracle SQL on DuckDB against the
+same parquet tables, then compares row-count + sorted-column schema +
+order-insensitive value hash. Use while iterating:
+
+    python tools/parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+from fpl_data_pipeline_spark import get_spark  # noqa: E402
+from fpl_data_pipeline_spark.registry import QUERIES, ORACLE_SQL, load_all  # noqa: E402
+from fpl_data_pipeline_spark.tables import TABLE_NAMES  # noqa: E402
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, canonicalize values, sort rows."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_float_dtype(s):
+            # round to 9 significant-ish decimals to absorb last-bit noise
+            df[c] = s.round(9)
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]")
+        elif s.dtype == object:
+            df[c] = s.map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+    df = df.sort_values(by=list(df.columns), kind="mergesort", ignore_index=True)
+    return df
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    body = df.to_csv(index=False, float_format="%.9g").encode()
+    return hashlib.sha256(body).hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
+    only = [a for a in sys.argv[1:] if "/" not in a]
+
+    load_all()
+    spark = get_spark("parity")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    names = only or sorted(QUERIES)
+    n_pass = n_fail = n_rowsonly = 0
+    for name in names:
+        fn = QUERIES[name]
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in ORACLE_SQL:
+            print(f"ROWS  {name}: {len(sdf)} rows ({dt:.1f}s) [no oracle]")
+            n_rowsonly += 1
+            continue
+        try:
+            odf = con.execute(ORACLE_SQL[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        s, o = normalize(sdf), normalize(odf)
+        problems = []
+        if len(s) != len(o):
+            problems.append(f"rowcount {len(s)} vs {len(o)}")
+        if list(s.columns) != list(o.columns):
+            problems.append(f"cols {list(s.columns)} vs {list(o.columns)}")
+        elif len(s) == len(o) and value_hash(s) != value_hash(o):
+            neq = [c for c in s.columns if not s[c].equals(o[c])]
+            problems.append(f"value-hash mismatch in cols {neq}")
+            for c in neq[:2]:
+                diff = s[s[c] != o[c]] if len(s) else s
+                idx = diff.index[:3] if len(diff) else []
+                for i in idx:
+                    problems.append(f"  {c}[{i}]: spark={s[c][i]!r} oracle={o[c][i]!r}")
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"PASS  {name}: {len(s)} rows ({dt:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only of {len(names)}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
