@@ -55,6 +55,10 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     names = only or sorted(QUERIES)
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        print(f"unknown queries: {unknown}; available: {sorted(QUERIES)}")
+        return 2
     n_pass = n_fail = n_rowsonly = 0
     for name in names:
         fn = QUERIES[name]
