@@ -1,0 +1,214 @@
+"""Aggregation operators (SURVEY.md §2.4): hash aggregates, filtered
+aggregates/manual pivot, DISTINCT, COUNT, high-water-mark MAX, plus the
+approximate aggregates the 100 TB track adds.
+
+Physical notes: every groupBy below is a partial (map-side) aggregate followed
+by one shuffle on the grouping key; sums over doubles use the decimal-exact
+convention (functions/exact.py) so results hash-match DuckDB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from fpl_data_pipeline_spark.registry import register
+from fpl_data_pipeline_spark.tables import table
+from fpl_data_pipeline_spark.functions.exact import (
+    dsum,
+    dsum_sql,
+    revenue_col,
+    REVENUE_SQL,
+    charge_col,
+    CHARGE_SQL,
+    psum,
+    portable_round,
+    portable_round_sql,
+)
+
+
+# --- A1 (+TPC-H Q1 shape): multi-sum hash aggregate (sql_queries.py:129-137)
+@register(
+    "agg_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM({CHARGE_SQL}) AS DOUBLE) AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        psum(revenue_col(), "sum_disc_price"),
+        psum(charge_col(), "sum_charge"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# --- A2: ratio over filtered input with constant divisor (sql_queries.py:160-167)
+@register(
+    "agg_avg_const_divisor",
+    f"""
+    WITH ranked AS (
+      SELECT period, row_number() OVER (ORDER BY period DESC) AS rn
+      FROM (SELECT DISTINCT year(o_orderdate) * 100 + month(o_orderdate) AS period
+            FROM orders)
+    )
+    SELECT o_custkey,
+           {portable_round_sql(dsum_sql('o_totalprice') + ' / 4')} AS avg_4_periods
+    FROM (SELECT o_custkey, o_totalprice,
+                 year(o_orderdate) * 100 + month(o_orderdate) AS period
+          FROM orders) f
+    JOIN ranked USING (period)
+    WHERE rn <= 4
+    GROUP BY o_custkey
+    """,
+)
+def agg_avg_const_divisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference semantics preserved exactly: divide by constant 4 even when a
+    # customer was active in fewer of the last-4 periods.
+    from pyspark.sql import Window
+    from fpl_data_pipeline_spark.plans.flagship import period_col
+
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice", period_col())
+    ranked = (
+        o.select("period")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy(F.col("period").desc())))
+        .filter(F.col("rn") <= 4)
+    )
+    return (
+        o.join(F.broadcast(ranked), "period")
+        .groupBy("o_custkey")
+        .agg(portable_round(dsum("o_totalprice") / 4).alias("avg_4_periods"))
+    )
+
+
+# --- A3: filtered aggregate / manual pivot (sql_queries.py:152-159) ---------
+@register(
+    "agg_filtered_pivot",
+    """
+    SELECT o_custkey,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+           COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH')   AS n_high,
+           MAX(o_totalprice) FILTER (WHERE o_orderstatus = 'F') AS max_finished
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def agg_filtered_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("n_urgent"),
+        F.count(F.when(F.col("o_orderpriority") == "2-HIGH", 1)).alias("n_high"),
+        F.max(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))).alias(
+            "max_finished"
+        ),
+    )
+
+
+# --- A4: 6-sum aggregate + derived sum-of-sums (sql_queries.py:220-232) -----
+@register(
+    "agg_supplier_stats",
+    f"""
+    SELECT l_suppkey,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_price,
+           {dsum_sql('l_discount')} AS sum_disc,
+           {dsum_sql('l_tax')} AS sum_tax,
+           COUNT(*) AS n_lines,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           {dsum_sql('l_quantity')} + {dsum_sql('l_extendedprice')} AS total_xi
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+)
+def agg_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    out = li.groupBy("l_suppkey").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_price"),
+        dsum("l_discount", "sum_disc"),
+        dsum("l_tax", "sum_tax"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+    return out.withColumn("total_xi", F.col("sum_qty") + F.col("sum_price"))
+
+
+# --- A5: DISTINCT (sql_queries.py:138-143) ----------------------------------
+@register(
+    "distinct_periods",
+    """
+    SELECT DISTINCT year(o_orderdate) * 100 + month(o_orderdate) AS period
+    FROM orders
+    """,
+)
+def distinct_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fpl_data_pipeline_spark.plans.flagship import period_col
+
+    return table(spark, sf_dir, "orders").select(period_col()).distinct()
+
+
+# --- A6: COUNT + grouped counts (sql_queries.py:195) ------------------------
+@register(
+    "count_by_status",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_custs
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def count_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    )
+
+
+# --- A7/T7: high-water mark with empty-table default (sql_queries.py:275-276)
+@register(
+    "high_water_mark",
+    """
+    SELECT COALESCE(MAX(event_id), 0) AS last_id
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def high_water_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type") == "purchase")
+        .agg(F.coalesce(F.max("event_id"), F.lit(0)).alias("last_id"))
+    )
+
+
+# --- scale-track: approximate distinct (no SQL-exact oracle; rows-only) -----
+@register("approx_distinct_customers")
+def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch — the 100 TB substitute for COUNT(DISTINCT).
+
+    No oracle entry: approximate results are engine-specific; the driver
+    records a rows-only check. tests/test_operators.py bounds the error vs
+    the exact count instead.
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_custs")
+    )
+
+
+# --- scale-track: quantile sketch (rows-only; bounded in tests) -------------
+@register("approx_quantiles_price")
+def approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (GK sketch) over order totals, grouped by status."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000).alias("price_quantiles")
+    )

@@ -1,0 +1,305 @@
+"""Core relational operators: projections, predicates, scalar expressions,
+joins, and set operations (SURVEY.md §2.2, §2.3, §2.7, §2.8).
+
+Each query is the Spark-first re-expression of a reference operator (cited
+per-query), registered with a DuckDB oracle. Determinism conventions from
+fpl_data_pipeline_spark.registry apply throughout.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from fpl_data_pipeline_spark.registry import register
+from fpl_data_pipeline_spark.tables import table
+from fpl_data_pipeline_spark.functions.exact import dsum, dsum_sql
+
+
+# --- P1: column projection (reference sql_queries.py:111) -------------------
+@register(
+    "projection",
+    "SELECT c_custkey, c_name, c_acctbal FROM customer",
+)
+def projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+
+
+# --- P3/P8: derived arithmetic column + round (sql_queries.py:114,163) ------
+@register(
+    "derived_ratio",
+    """
+    SELECT p_partkey, p_name,
+           FLOOR((p_retailprice / p_size * 10) * 100 + 0.5) / 100 AS value_ratio
+    FROM part
+    """,
+)
+def derived_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # double/int division (identical IEEE ops on both engines) + portable round.
+    from fpl_data_pipeline_spark.functions.exact import portable_round
+
+    part = table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        "p_name",
+        portable_round(F.col("p_retailprice") / F.col("p_size") * 10).alias("value_ratio"),
+    )
+
+
+# --- P4: NULL-propagating string concat (sql_queries.py:122) ----------------
+@register(
+    "concat_names",
+    """
+    SELECT c_custkey, c_name || ' ' || c_mktsegment AS full_label
+    FROM customer
+    """,
+)
+def concat_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F.concat is NULL-propagating like Postgres/DuckDB ||  (concat_ws is not).
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit(" "), F.col("c_mktsegment")).alias("full_label"),
+    )
+
+
+# --- P5: dictionary decode (includes.py:36,129 element_type -> position) ----
+@register(
+    "map_decode",
+    """
+    SELECT n_nationkey, n_name,
+           CASE n_regionkey WHEN 0 THEN 'africa' WHEN 1 THEN 'america'
+                WHEN 2 THEN 'asia' WHEN 3 THEN 'europe' WHEN 4 THEN 'mideast'
+           END AS region_code
+    FROM nation
+    """,
+)
+def map_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    mapping = {0: "africa", 1: "america", 2: "asia", 3: "europe", 4: "mideast"}
+    decode = F.element_at(
+        F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv]),
+        F.col("n_regionkey"),
+    )
+    return n.select("n_nationkey", "n_name", decode.alias("region_code"))
+
+
+# --- P6/P7: coalesce + cast shorthand (sql_queries.py:174,163) --------------
+@register(
+    "coalesce_outer",
+    f"""
+    SELECT c.c_custkey,
+           COALESCE(t.total_spend, 0.0) AS total_spend
+    FROM customer c
+    LEFT JOIN (
+      SELECT o_custkey, {dsum_sql('o_totalprice')} AS total_spend
+      FROM orders GROUP BY o_custkey
+    ) t ON c.c_custkey = t.o_custkey
+    """,
+)
+def coalesce_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    t = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(dsum("o_totalprice", "total_spend"))
+    )
+    return (
+        c.join(t, c.c_custkey == t.o_custkey, "left")
+        .select("c_custkey", F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"))
+    )
+
+
+# --- P9: equality predicate (sql_queries.py:191 `surname = 'Salah'`) --------
+@register(
+    "filter_equality",
+    "SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'",
+)
+def filter_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pushed to the parquet scan: explain shows PushedFilters [EqualTo(...)].
+    c = table(spark, sf_dir, "customer")
+    return c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_name")
+
+
+# --- P10: IS NULL post-join (sql_queries.py:197) ----------------------------
+@register(
+    "filter_isnull_postjoin",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderkey IS NULL
+    """,
+)
+def filter_isnull_postjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .filter(F.col("o_orderkey").isNull())
+        .select("c_custkey", "c_name")
+    )
+
+
+# --- P11/J3: IN-subquery semi-join (sql_queries.py:150) ---------------------
+@register(
+    "semi_join",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    keys = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return o.join(keys, "o_custkey", "left_semi").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+# --- P13 + JSON: regexp extraction over a JSON string column ---------------
+# (reference includes.py:277-280 script-tag extraction; events.props here)
+@register(
+    "json_extract",
+    """
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER) AS k_value
+    FROM events
+    """,
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int").alias("k_value"),
+    )
+
+
+# --- J1: broadcast dim decorate (sql_queries.py:125-127) --------------------
+@register(
+    "dim_decorate",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation_name, r.r_name AS region_name
+    FROM customer c
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def dim_decorate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+
+
+# --- J2 + A1: multi-way join with aggregation (TPC-H Q5 shape) --------------
+# The 100 TB plan: region/nation broadcast; customer⋈orders⋈lineitem⋈supplier
+# shuffle on their keys; AQE handles skew. Revenue sum is decimal-exact.
+@register(
+    "join_multiway_revenue",
+    """
+    SELECT n.n_name AS nation_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(12,2)) AS DECIMAL(4,2)))
+                AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_multiway_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    from fpl_data_pipeline_spark.functions.exact import revenue_col
+
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.sum(revenue_col()).cast("double").alias("revenue"))
+    )
+
+
+# --- J4: integrity anti-join, intended semantics (sql_queries.py:194-198) ---
+@register(
+    "anti_join_orphans",
+    """
+    SELECT COUNT(*) AS orphan_cnt
+    FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def anti_join_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_cnt"))
+    )
+
+
+# --- J5/U1: union-all of two conformed frames (includes.py:285-293) ---------
+@register(
+    "union_all_frames",
+    """
+    SELECT c_custkey AS entity_key, c_name AS entity_name, 'customer' AS side
+    FROM customer WHERE c_mktsegment = 'MACHINERY'
+    UNION ALL
+    SELECT s_suppkey AS entity_key, s_name AS entity_name, 'supplier' AS side
+    FROM supplier
+    """,
+)
+def union_all_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "MACHINERY")
+        .select(
+            F.col("c_custkey").alias("entity_key"),
+            F.col("c_name").alias("entity_name"),
+            F.lit("customer").alias("side"),
+        )
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_name").alias("entity_name"),
+        F.lit("supplier").alias("side"),
+    )
+    return c.unionByName(s)
+
+
+# --- range predicate + between (incremental hwm shape, includes.py:173-182) -
+@register(
+    "filter_range_hwm",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2024-06-01 00:00:00'
+    """,
+)
+def filter_range_hwm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The high-water-mark predicate: pushed to parquet (partition pruning on a
+    # date-partitioned layout at scale).
+    o = table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderdate") >= F.lit("2024-06-01 00:00:00").cast("timestamp")).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )

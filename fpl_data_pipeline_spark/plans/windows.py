@@ -1,0 +1,150 @@
+"""Window functions (SURVEY.md §2.5): the reference's single row_number use
+(sql_queries.py:154-156) plus the frame/lag/lead surface a complete engine
+needs.
+
+Scale note: unpartitioned windows serialize to one task — acceptable only on
+tiny inputs (the reference ranks <=38 gameweeks). Every window here that runs
+over fact-sized data is partitioned; the unpartitioned rank runs on the
+distinct-period table (<= #months rows).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from fpl_data_pipeline_spark.registry import register
+from fpl_data_pipeline_spark.tables import table
+from fpl_data_pipeline_spark.functions.exact import dsum_sql
+
+
+# --- W1: row_number over global ordering on a tiny ranked set ---------------
+@register(
+    "window_rank_periods",
+    """
+    SELECT period, row_number() OVER (ORDER BY period DESC) AS rn
+    FROM (SELECT DISTINCT year(o_orderdate) * 100 + month(o_orderdate) AS period
+          FROM orders)
+    """,
+)
+def window_rank_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fpl_data_pipeline_spark.plans.flagship import period_col
+
+    return (
+        table(spark, sf_dir, "orders")
+        .select(period_col())
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy(F.col("period").desc())))
+    )
+
+
+# --- partitioned rank: top-3 orders per customer (deterministic tiebreak) ---
+@register(
+    "window_rank_per_customer",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_rank_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# --- lag/lead: period-over-period delta per customer ------------------------
+@register(
+    "window_lag_delta",
+    f"""
+    WITH per_period AS (
+      SELECT o_custkey, year(o_orderdate) * 100 + month(o_orderdate) AS period,
+             {dsum_sql('o_totalprice')} AS spend
+      FROM orders GROUP BY o_custkey, year(o_orderdate) * 100 + month(o_orderdate)
+    )
+    SELECT o_custkey, period, spend,
+           spend - COALESCE(lag(spend) OVER (PARTITION BY o_custkey ORDER BY period), 0.0)
+             AS spend_delta
+    FROM per_period
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fpl_data_pipeline_spark.plans.flagship import period_col
+    from fpl_data_pipeline_spark.functions.exact import dsum
+
+    per_period = (
+        table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice", period_col())
+        .groupBy("o_custkey", "period")
+        .agg(dsum("o_totalprice", "spend"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("period")
+    return per_period.withColumn(
+        "spend_delta",
+        F.col("spend") - F.coalesce(F.lag("spend").over(w), F.lit(0.0)),
+    )
+
+
+# --- sliding frame: 3-period moving sum per customer ------------------------
+@register(
+    "window_moving_sum",
+    f"""
+    WITH per_period AS (
+      SELECT o_custkey, year(o_orderdate) * 100 + month(o_orderdate) AS period,
+             {dsum_sql('o_totalprice')} AS spend
+      FROM orders GROUP BY o_custkey, year(o_orderdate) * 100 + month(o_orderdate)
+    )
+    SELECT o_custkey, period,
+           CAST(SUM(CAST(spend AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY period
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS moving_3p
+    FROM per_period
+    """,
+)
+def window_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fpl_data_pipeline_spark.plans.flagship import period_col
+    from fpl_data_pipeline_spark.functions.exact import dsum
+
+    per_period = (
+        table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice", period_col())
+        .groupBy("o_custkey", "period")
+        .agg(dsum("o_totalprice", "spend"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("period").rowsBetween(-2, 0)
+    return per_period.select(
+        "o_custkey",
+        "period",
+        F.sum(F.col("spend").cast("decimal(18,2)")).over(w).cast("double").alias("moving_3p"),
+    )
+
+
+# --- ntile + cumulative distribution over customers by balance --------------
+@register(
+    "window_ntile_cume",
+    """
+    SELECT c_custkey,
+           ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS balance_quartile,
+           rank()   OVER (ORDER BY c_acctbal DESC) AS balance_rank
+    FROM customer
+    """,
+)
+def window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    w_det = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    w_rank = Window.orderBy(F.col("c_acctbal").desc())
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w_det).alias("balance_quartile"),
+        F.rank().over(w_rank).alias("balance_rank"),
+    )

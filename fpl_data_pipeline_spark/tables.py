@@ -26,7 +26,32 @@ TABLE_NAMES = (
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return events_table(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects. Read nanos as long (legacy conf, safe to set at
+    runtime) and expose both the raw ``ts_ns`` and a microsecond-truncated
+    ``ts`` timestamp — identical to how DuckDB/pandas truncate ns->us.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.select(
+        "event_id",
+        F.col("ts").alias("ts_ns"),
+        # integer div: ns ~1.7e18 exceeds double's 53-bit mantissa, so a
+        # float division here would corrupt microseconds
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
 
 
 def load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
