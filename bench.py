@@ -1,0 +1,72 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (count() forces the full plan, including
+exchanges and final projection) after a warm-up that loads the JVM + parquet
+footers so we measure query execution, not session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fpl_data_pipeline_spark import get_spark
+from fpl_data_pipeline_spark.registry import QUERIES, load_all
+
+# Headline set: the flagship CTE pipeline, the heavy scan-agg, the 5-way join,
+# the join+agg top-k, a fact-sized window, and the scale-track extension ops.
+HEADLINE = [
+    "flagship_customer_activity",
+    "agg_pricing_summary",
+    "join_multiway_revenue",
+    "topk_order_revenue",
+    "window_moving_sum",
+    "agg_supplier_stats",
+    "dedup_minhash_pairs",
+    "text_quality_scores",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_all()
+    spark = get_spark("bench")
+
+    # Warm-up: JVM codegen + parquet footer reads, cheapest registered query.
+    QUERIES["topk_basic"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
