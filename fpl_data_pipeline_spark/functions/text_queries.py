@@ -1,0 +1,219 @@
+"""Text-analysis operators over the ``documents`` table: token counting,
+quality scoring, language identification, n-gram stats. All pure built-in
+column expressions (JVM-side, whole-stage codegen) — no Python UDFs — and all
+oracle-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from fpl_data_pipeline_spark.registry import register
+from fpl_data_pipeline_spark.tables import table
+
+_NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+
+
+def _norm_text(col):
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def _words(col):
+    return F.filter(F.split(col, " "), lambda w: w != "")
+
+
+# --- token counting: whitespace + BPE-ish regex tokens ----------------------
+@register(
+    "text_token_counts",
+    f"""
+    SELECT doc_id,
+           len(list_filter(string_split({_NORM}, ' '), w -> w <> '')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpeish_tokens,
+           length(text) AS n_chars_actual
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_words(_norm_text(F.col("text")))).alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")).alias(
+            "n_bpeish_tokens"
+        ),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+# --- quality scoring: length/punct/stopword/digit signals -------------------
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+
+@register(
+    "text_quality_scores",
+    f"""
+    WITH feat AS (
+      SELECT doc_id,
+             length(text) AS n_chars_actual,
+             len(list_filter(string_split({_NORM}, ' '), w -> w <> '')) AS n_tokens,
+             len(list_filter(string_split({_NORM}, ' '),
+                             w -> w IN {tuple(_STOPWORDS)!r})) AS n_stop,
+             len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id, n_chars_actual, n_tokens,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_digits AS DOUBLE) / n_chars_actual AS digit_ratio,
+           CAST(n_punct AS DOUBLE) / n_chars_actual AS punct_ratio,
+           CAST(n_chars_actual AS DOUBLE) / n_tokens AS avg_token_len,
+           (CASE WHEN n_tokens >= 10 THEN 0.4 ELSE 0.0 END
+            + CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens BETWEEN 0.05 AND 0.6
+                   THEN 0.3 ELSE 0.0 END
+            + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars_actual < 0.1
+                   THEN 0.2 ELSE 0.0 END
+            + CASE WHEN CAST(n_digits AS DOUBLE) / n_chars_actual < 0.2
+                   THEN 0.1 ELSE 0.0 END) AS quality_score
+    FROM feat
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    ws = _words(_norm_text(F.col("text")))
+    feat = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        F.size(ws).alias("n_tokens"),
+        F.size(F.filter(ws, lambda w: w.isin(*_STOPWORDS))).alias("n_stop"),
+        F.regexp_count("text", F.lit("[0-9]")).alias("n_digits"),
+        F.regexp_count("text", F.lit("[^a-zA-Z0-9 ]")).alias("n_punct"),
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    digit_ratio = F.col("n_digits").cast("double") / F.col("n_chars_actual")
+    punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars_actual")
+    score = (
+        F.when(F.col("n_tokens") >= 10, 0.4).otherwise(0.0)
+        + F.when((stop_ratio >= 0.05) & (stop_ratio <= 0.6), 0.3).otherwise(0.0)
+        + F.when(punct_ratio < 0.1, 0.2).otherwise(0.0)
+        + F.when(digit_ratio < 0.2, 0.1).otherwise(0.0)
+    )
+    return feat.select(
+        "doc_id",
+        "n_chars_actual",
+        "n_tokens",
+        stop_ratio.alias("stopword_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        (F.col("n_chars_actual").cast("double") / F.col("n_tokens")).alias("avg_token_len"),
+        score.alias("quality_score"),
+    )
+
+
+# --- language identification: stopword-overlap heuristic --------------------
+_LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "es": ("el", "la", "de", "y", "que", "los"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "la", "de", "et", "les", "un"),
+}
+
+
+def _marker_score(ws, markers):
+    # NB: the lambda must take exactly one arg — a second (even defaulted)
+    # parameter makes PySpark treat it as the (element, index) form.
+    return F.size(F.filter(ws, lambda w: w.isin(*markers)))
+
+
+def _lang_scores_sql() -> str:
+    cols = ",\n             ".join(
+        f"len(list_filter(ws, w -> w IN {tuple(m)!r})) AS score_{lang}"
+        for lang, m in _LANG_MARKERS.items()
+    )
+    return cols
+
+
+@register(
+    "text_lang_id",
+    f"""
+    WITH words AS (
+      SELECT doc_id, lang AS labeled_lang,
+             list_filter(string_split({_NORM}, ' '), w -> w <> '') AS ws
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, labeled_lang,
+             {_lang_scores_sql()}
+      FROM words
+    )
+    SELECT doc_id, labeled_lang,
+           CASE
+             WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr
+                  AND score_en > 0 THEN 'en'
+             WHEN score_es >= score_de AND score_es >= score_fr AND score_es > 0 THEN 'es'
+             WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
+             WHEN score_fr > 0 THEN 'fr'
+             ELSE 'unknown'
+           END AS predicted_lang
+    FROM scored
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language-ID heuristic with a deterministic argmax
+    preference order (en > es > de > fr > unknown)."""
+    d = table(spark, sf_dir, "documents")
+    ws = _words(_norm_text(F.col("text")))
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[_marker_score(ws, m).alias(f"score_{lang}") for lang, m in _LANG_MARKERS.items()],
+    )
+    s = {lang: F.col(f"score_{lang}") for lang in _LANG_MARKERS}
+    pred = (
+        F.when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] > 0),
+            "en",
+        )
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]) & (s["es"] > 0), "es")
+        .when((s["de"] >= s["fr"]) & (s["de"] > 0), "de")
+        .when(s["fr"] > 0, "fr")
+        .otherwise("unknown")
+    )
+    return scored.select("doc_id", "labeled_lang", pred.alias("predicted_lang"))
+
+
+# --- corpus-level n-gram stats: top-25 bigrams ------------------------------
+@register(
+    "text_top_bigrams",
+    f"""
+    WITH words AS (
+      SELECT doc_id, list_filter(string_split({_NORM}, ' '), w -> w <> '') AS ws
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(ws), 1)),
+                                   i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      FROM words
+    )
+    SELECT bigram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+    FROM bigrams
+    GROUP BY bigram
+    ORDER BY n DESC, bigram ASC
+    LIMIT 25
+    """,
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    ws = _words(_norm_text(F.col("text")))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+    )
+    return (
+        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(25)
+    )

@@ -1,0 +1,325 @@
+"""Deduplication operators for the training-data pipeline track.
+
+Five dedup families over the ``documents`` table, each designed for the
+100 TB path (no cross joins — candidate generation is always an equi-join on
+a derived key):
+
+- exact:       hash-groupBy on normalized text (md5 fingerprint)
+- fingerprint: winnowed-style document fingerprint (md5 of normalized text)
+- ngram-jaccard: exact Jaccard on word-3-gram shingle sets; candidate pairs
+                 come from a shared-shingle equi-join (scales with shingle
+                 document frequency, not n^2)
+- minhash+LSH: 32-permutation MinHash signature, 8 bands x 4 rows banding;
+               candidates from band-hash equi-join; deterministic xxhash64
+- simhash:     64-bit SimHash; candidates from 16-bit chunk banding
+               (pigeonhole: hamming<=3 implies >=1 of 4 chunks equal)
+
+All near-dup queries return a deterministic top-k of the most similar pairs
+(score desc, doc_id_a asc, doc_id_b asc) rather than a bare threshold filter,
+so the result is non-trivial on any corpus and stable under ties.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from fpl_data_pipeline_spark.registry import register
+from fpl_data_pipeline_spark.tables import table
+
+
+def _norm_text(col):
+    """Whitespace-collapsed, lowercased view of a text column."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def _words(col):
+    return F.filter(F.split(col, " "), lambda w: w != "")
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """doc_id -> exploded distinct word-n-gram shingles (engine operator)."""
+    ws = _words(_norm_text(F.col(text_col)))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, i + k) for k in range(n)]
+        ),
+    )
+    return df.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
+# --- exact dedup: md5-keyed group, keep lowest doc_id -----------------------
+@register(
+    "dedup_exact_groups",
+    """
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(_norm_text(F.col("text"))).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# --- document fingerprinting (reference P13 string-extraction analog) -------
+@register(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 16) AS fingerprint,
+           length(text) AS n_bytes
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.substring(F.md5(_norm_text(F.col("text"))), 1, 16).alias("fingerprint"),
+        F.length("text").alias("n_bytes"),
+    )
+
+
+# --- n-gram Jaccard near-dup (exact, oracle-checked) ------------------------
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(ws) - 1, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs
+      FROM words
+    ),
+    sizes AS (SELECT doc_id, len(gs) AS n_shingles FROM grams),
+    exploded AS (SELECT doc_id, unnest(gs) AS shingle FROM grams),
+    pair_inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_common
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id_a, doc_id_b,
+           CAST(n_common AS DOUBLE)
+             / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard
+    FROM pair_inter
+    JOIN sizes sa ON sa.doc_id = doc_id_a
+    JOIN sizes sb ON sb.doc_id = doc_id_b
+    ORDER BY jaccard DESC, doc_id_a ASC, doc_id_b ASC
+    LIMIT 20
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sh = shingles(d).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+    pair_inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_shingles").alias("nb"))
+    return (
+        pair_inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), F.col("doc_id_a").asc(), F.col("doc_id_b").asc())
+        .limit(20)
+    )
+
+
+# --- MinHash + LSH (deterministic; rows-only driver check) ------------------
+N_HASHES = 32
+N_BANDS = 8
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id -> array<long> of 32 min-hashes over word-3-gram shingles.
+
+    Permutations are simulated by seeding xxhash64 with the permutation index
+    (fully deterministic — no RNG state, reproducible across runs/clusters).
+    One explode + one groupBy: shuffle cost is O(total shingles).
+    """
+    sh = shingles(df, text_col)
+    sigs = sh.groupBy("doc_id").agg(
+        F.array(
+            *[
+                F.min(F.xxhash64(F.lit(i), F.col("shingle")))
+                for i in range(N_HASHES)
+            ]
+        ).alias("sig")
+    )
+    return sigs
+
+
+@register("dedup_minhash_pairs")
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-banded MinHash near-dup candidates, top-20 by estimated Jaccard.
+
+    Banding: 8 bands of 4 rows; band key = xxhash64(band values). Candidate
+    generation is an equi-join on (band_id, band_key) — at 100 TB this is a
+    shuffle on band keys whose fan-out tracks true duplicate density, never
+    n^2. No oracle entry: MinHash estimates are engine-specific (rows-only).
+    """
+    d = table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d)
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * ROWS_PER_BAND + r + 1)
+                                for r in range(ROWS_PER_BAND)
+                            ]
+                        ).alias("band_key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "sig", "band.band_id", "band.band_key")
+
+    a = bands.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("sig").alias("sig_a"), "band_id", "band_key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("sig").alias("sig_b"), "band_id", "band_key"
+    )
+    cands = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    est = cands.select(
+        "doc_id_a",
+        "doc_id_b",
+        (
+            F.aggregate(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ).cast("double")
+            / F.lit(float(N_HASHES))
+        ).alias("est_jaccard"),
+    )
+    return est.orderBy(
+        F.col("est_jaccard").desc(), F.col("doc_id_a").asc(), F.col("doc_id_b").asc()
+    ).limit(20)
+
+
+# --- SimHash (deterministic; rows-only driver check) ------------------------
+SIMHASH_BITS = 64
+CHUNKS = 4
+CHUNK_BITS = SIMHASH_BITS // CHUNKS
+
+
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id -> 64-bit SimHash of the word multiset.
+
+    Per bit b: sign of sum over tokens of (+1 if bit b of xxhash64(token) else
+    -1). Expressed entirely in built-ins: explode + 64 conditional sums +
+    bit assembly — one shuffle (the groupBy), JVM-side codegen throughout.
+    """
+    toks = df.select(
+        "doc_id", F.explode(_words(_norm_text(F.col(text_col)))).alias("tok")
+    )
+    h = F.xxhash64("tok")
+    agg_bits = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sim = agg_bits.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+                for b in range(SIMHASH_BITS)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return sim
+
+
+@register("dedup_simhash_pairs")
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates via 16-bit chunk banding, top-20 by
+    hamming distance ascending. Pigeonhole: pairs with hamming <= 3 always
+    share at least one of the 4 chunks, so the equi-join on (chunk_id,
+    chunk_value) finds them without n^2 work. Rows-only check (hash design is
+    engine-specific)."""
+    d = table(spark, sf_dir, "documents")
+    sim = simhash(d)
+    chunks = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright("simhash", c * CHUNK_BITS)
+                        .bitwiseAND(F.lit((1 << CHUNK_BITS) - 1))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(CHUNKS)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_val")
+
+    a = chunks.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("sh_a"), "chunk_id", "chunk_val"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("sh_b"), "chunk_id", "chunk_val"
+    )
+    pairs = (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+    )
+    return pairs.orderBy(
+        F.col("hamming").asc(), F.col("doc_id_a").asc(), F.col("doc_id_b").asc()
+    ).limit(20)

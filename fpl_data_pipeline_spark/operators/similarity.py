@@ -1,0 +1,180 @@
+"""Similarity search over the ``embeddings`` table (array<float>, dim 64).
+
+- ann_cosine_topk / ann_batch_topk: exact brute-force cosine baselines,
+  oracle-checked. Dot products are computed as a *sequential* fold
+  (F.aggregate) in array order with double accumulation — bitwise identical
+  to DuckDB's list_reduce, so no tolerance is needed in the parity check.
+- ann_lsh_bucketed / emb_neardup_pairs: the 100 TB scale path — sign-bit
+  random-hyperplane LSH with deterministic (seeded-hash) hyperplanes;
+  candidates come from bucket equi-joins, never an n^2 cross join.
+
+Scale notes: the brute-force baseline broadcasts the query vector(s) and is
+a single scan (map-side only, no shuffle except the final top-k); the LSH
+path shuffles on bucket keys whose fan-out tracks cluster density.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from fpl_data_pipeline_spark.registry import register
+from fpl_data_pipeline_spark.tables import table
+
+DIM = 64
+
+
+def _dot(a, b):
+    """Sequential double-accumulation dot product (order-deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    emb: DataFrame, query: DataFrame, k: int = 10, exclude_self: bool = True
+) -> DataFrame:
+    """Engine operator: exact top-k cosine neighbors of ``query`` (one row,
+    column qv/q_id) against ``emb`` (vec_id, embedding)."""
+    j = emb.crossJoin(F.broadcast(query))
+    cos = (_dot("embedding", "qv") / (_norm("embedding") * _norm("qv"))).alias("cosine")
+    out = j.select("vec_id", "q_id", cos)
+    if exclude_self:
+        out = out.filter(F.col("vec_id") != F.col("q_id"))
+    return out.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
+
+
+_DOT_SQL = (
+    "list_reduce(list_transform(range(1, {dim}+1), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
+)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return _DOT_SQL.format(a=a, b=b, dim=DIM)
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, q.q_id,
+           {_dot_sql('e.embedding', 'q.qv')}
+             / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                * sqrt({_dot_sql('q.qv', 'q.qv')})) AS cosine
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.q_id
+    ORDER BY cosine DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    return cosine_topk(emb, query, k=10)
+
+
+@register(
+    "ann_batch_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             {_dot_sql('e.embedding', 'q.qv')}
+               / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                  * sqrt({_dot_sql('q.qv', 'q.qv')})) AS cosine
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.q_id
+    )
+    SELECT * FROM (
+      SELECT q_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, vec_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN: top-3 neighbors for each of 5 query vectors in one plan —
+    broadcast the query block, score in one scan, rank per query."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    j = emb.crossJoin(F.broadcast(queries)).filter(F.col("vec_id") != F.col("q_id"))
+    cos = (_dot("embedding", "qv") / (_norm("embedding") * _norm("qv"))).alias("cosine")
+    scored = j.select("q_id", "vec_id", cos)
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+def _hyperplanes(n_planes: int = 8, dim: int = DIM) -> list[list[float]]:
+    """Deterministic random hyperplanes (seed 42) shared by all executors."""
+    rng = np.random.default_rng(42)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(df: DataFrame, vec_col: str = "embedding", n_planes: int = 8):
+    """Append a sign-bit LSH bucket id: bit p = sign(v . h_p). Pure column
+    expressions over literal hyperplane arrays — JVM-side, no UDF."""
+    planes = _hyperplanes(n_planes)
+    bucket = None
+    for p, plane in enumerate(planes):
+        h = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(F.col(vec_col), h) >= 0, 1).otherwise(0)
+        term = bit * (2**p)
+        bucket = term if bucket is None else bucket + term
+    return df.withColumn("bucket", bucket)
+
+
+@register("ann_lsh_bucketed")
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: restrict the cosine scan to the query's LSH bucket.
+    Deterministic hyperplanes -> stable rows-only check. At 100 TB the
+    bucketed table is written bucketBy(bucket) so probes touch one bucket."""
+    emb = lsh_bucket(table(spark, sf_dir, "embeddings"))
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    j = emb.join(
+        F.broadcast(query), emb.bucket == query.q_bucket
+    ).filter(F.col("vec_id") != F.col("q_id"))
+    cos = (_dot("embedding", "qv") / (_norm("embedding") * _norm("qv"))).alias("cosine")
+    return (
+        j.select("vec_id", "q_id", "bucket", cos)
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@register("emb_neardup_pairs")
+def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucket self-join:
+    candidates share a bucket (8 sign bits), then exact cosine, top-20 pairs.
+    Rows-only check (bucket design is engine-specific)."""
+    emb = lsh_bucket(table(spark, sf_dir, "embeddings"))
+    a = emb.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("va"), "bucket"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("vb"), "bucket"
+    )
+    cos = (_dot("va", "vb") / (_norm("va") * _norm("vb"))).alias("cosine")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b", cos)
+        .orderBy(F.col("cosine").desc(), F.col("vec_id_a").asc(), F.col("vec_id_b").asc())
+        .limit(20)
+    )
