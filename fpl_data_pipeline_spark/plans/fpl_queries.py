@@ -1,0 +1,199 @@
+"""The five analytical dashboard queries on the FPL star schema
+(SURVEY.md §2.11) — exact reference semantics, DataFrame-native.
+
+These run on the engine's canonical FPL tables (sources/schemas.py) and are
+verified in tests/test_fpl_queries.py against hand-computed fixtures plus the
+two reference data-quality checks (known-entity lookup, join integrity).
+Deterministic id tiebreakers are appended to every top-k (the reference
+relies on Postgres's arbitrary tie order; we pin it — SURVEY.md §4.3.2).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def basic_ply_data(player_dm: DataFrame, k: int = 9) -> DataFrame:
+    """Top-k players by form (reference sql_queries.py:111)."""
+    return (
+        player_dm.select("name", "surname", "form", "id")
+        .orderBy(F.col("form").desc(), F.col("id").asc())
+        .limit(k)
+        .drop("id")
+    )
+
+
+def value_per_points(player_dm: DataFrame, k: int = 9) -> DataFrame:
+    """Top-k by total_points with point_value = total_points/now_costs*10
+    cast to decimal(12,2) (reference sql_queries.py:113-116). Decimal-first
+    division for Postgres-compatible precision (SURVEY.md §4.3.3)."""
+    pv = (
+        F.col("total_points").cast("decimal(18,2)") / F.col("now_costs") * 10
+    ).cast("decimal(12,2)")
+    return (
+        player_dm.select(
+            "name",
+            "surname",
+            "total_points",
+            pv.alias("point_value"),
+            "id",
+        )
+        .orderBy(F.col("total_points").desc(), F.col("id").asc())
+        .limit(k)
+        .drop("id")
+    )
+
+
+def detailed_ply_data_per_week(
+    player_dm: DataFrame,
+    team_dm: DataFrame,
+    player_week_ft: DataFrame,
+    k: int = 15,
+) -> DataFrame:
+    """The flagship (reference sql_queries.py:118-188), CTE for CTE:
+
+    ct_gen: decorate player with team short_name (broadcast — 20 teams);
+    ct_stats_totals: sum(total_points), sum(bps) per player;
+    last_3_wk_numb + ct_last_weeks_3_final: the 3 latest DISTINCT gameweeks
+      across the whole fact table (NOT per player), pivoted to gw_1/2/3 via
+      filtered max — players missing a week get NULL (only total_points gets
+      coalesce, reference sql_queries.py:174 — SURVEY.md §7.3.4);
+    ct_avg_points_last_4: sum(points::decimal)/4 over the last 4 weeks —
+      constant divisor even for players active in fewer weeks;
+    final: 4-way left join, coalesce, top-k by total points.
+    """
+    ct_gen = player_dm.join(
+        F.broadcast(team_dm.select(F.col("id").alias("tid"), "short_name")),
+        player_dm.team_id == F.col("tid"),
+        "left",
+    ).select(
+        "id",
+        F.concat(F.col("name"), F.lit(" "), F.col("surname")).alias("ply_name"),
+        "short_name",
+        "position",
+        "now_costs",
+    )
+
+    totals = player_week_ft.groupBy("element_").agg(
+        F.sum("total_points").alias("sum_points"),
+        F.sum("bps").alias("sum_bps"),
+    )
+
+    ranked_weeks = (
+        player_week_ft.select("round_gw")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy(F.col("round_gw").desc())))
+        .filter(F.col("rn") <= 4)
+    )
+    recent = player_week_ft.join(F.broadcast(ranked_weeks), "round_gw")
+    last3 = (
+        recent.filter(F.col("rn") <= 3)
+        .groupBy("element_")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("total_points"))).alias("gw_1"),
+            F.max(F.when(F.col("rn") == 2, F.col("total_points"))).alias("gw_2"),
+            F.max(F.when(F.col("rn") == 3, F.col("total_points"))).alias("gw_3"),
+        )
+    )
+    avg4 = recent.groupBy("element_").agg(
+        F.round(F.sum(F.col("total_points").cast("decimal(18,2)")) / 4, 2).alias(
+            "avg_4_weeks"
+        )
+    )
+
+    out = (
+        ct_gen.join(totals, ct_gen.id == totals.element_, "left")
+        .drop("element_")
+        .join(last3, ct_gen.id == last3.element_, "left")
+        .drop("element_")
+        .join(avg4, ct_gen.id == avg4.element_, "left")
+        .drop("element_")
+        .select(
+            "id",
+            "ply_name",
+            "short_name",
+            "position",
+            F.coalesce(F.col("sum_points"), F.lit(0)).alias("total_points"),
+            "sum_bps",
+            "gw_1",
+            "gw_2",
+            "gw_3",
+            "avg_4_weeks",
+        )
+        .orderBy(F.col("total_points").desc(), F.col("id").asc())
+        .limit(k)
+    )
+    return out
+
+
+def _summed_stats(player_stats_dm: DataFrame) -> DataFrame:
+    """ct_summed_stats (reference sql_queries.py:220-232, duplicated at
+    :239-251 — built once here, shared by both stats queries)."""
+    return player_stats_dm.groupBy("full_name").agg(
+        F.sum("min_played").alias("min_played"),
+        F.sum("key_passes").alias("key_pass"),
+        F.sum("assists").alias("assists"),
+        F.sum("shots").alias("shots"),
+        F.sum("xg").alias("xg"),
+        F.sum("xa").alias("xa"),
+        (F.sum("xg") + F.sum("xa")).alias("total_xi"),
+    )
+
+
+def sql_stats_key_pass(player_stats_dm: DataFrame, k: int = 15) -> DataFrame:
+    """Top-k by summed key passes (reference sql_queries.py:220-237)."""
+    return (
+        _summed_stats(player_stats_dm)
+        .orderBy(F.col("key_pass").desc(), F.col("full_name").asc())
+        .limit(k)
+    )
+
+
+def sql_stats_shots(player_stats_dm: DataFrame, k: int = 15) -> DataFrame:
+    """Top-k by summed shots (reference sql_queries.py:239-256)."""
+    return (
+        _summed_stats(player_stats_dm)
+        .orderBy(F.col("shots").desc(), F.col("full_name").asc())
+        .limit(k)
+    )
+
+
+# --- reference data-quality checks (SURVEY.md §5.1) -------------------------
+
+
+def get_player_id(player_dm: DataFrame, surname: str) -> int | None:
+    """Known-entity lookup (reference sql_queries.py:190-192 /
+    includes.py:447-458): SELECT id WHERE surname = X."""
+    row = player_dm.filter(F.col("surname") == surname).select("id").first()
+    return None if row is None else int(row["id"])
+
+
+def orphan_fact_rows(player_week_ft: DataFrame, player_dm: DataFrame) -> int:
+    """Join-integrity check, *intended* semantics of the reference's
+    sql_control_of_joins (sql_queries.py:194-198 — which as written tests
+    a fact column instead of the join key; SURVEY.md J4): count fact rows
+    with no matching player. Must be 0 on clean data."""
+    return (
+        player_week_ft.join(
+            player_dm.select(F.col("id").alias("element_")), "element_", "left_anti"
+        ).count()
+    )
+
+
+def dashboard_payload(
+    player_dm: DataFrame, team_dm: DataFrame, player_week_ft: DataFrame
+) -> dict:
+    """Presentation shim proving API-surface parity with the Flask routes
+    (reference routes.py:34-50): chart arrays from queries 1-2 + the detail
+    table from query 3, as plain dicts/lists."""
+    basic = basic_ply_data(player_dm).toPandas()
+    value = value_per_points(player_dm).toPandas()
+    detail = detailed_ply_data_per_week(player_dm, team_dm, player_week_ft).toPandas()
+    return {
+        "graph_lab": [f"{r.name} {r.surname}" for r in basic.itertuples()],
+        "graph_val": [float(r.form) for r in basic.itertuples()],
+        "graph_lab_val": [f"{r.name} {r.surname}" for r in value.itertuples()],
+        "graph_val_val": [float(r.point_value) for r in value.itertuples()],
+        "ply_data_detail": detail.to_dict("records"),
+    }

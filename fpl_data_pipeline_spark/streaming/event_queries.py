@@ -1,0 +1,131 @@
+"""Event-stream analytics (SURVEY.md §2.10 scale track).
+
+The reference's "streaming" is a manually-implemented incremental batch
+(high-water mark + idempotent upsert). The engine productizes the semantics
+two ways:
+
+- here: the *batch view* of the streaming computations (tumbling-window
+  aggregation, sessionization, late-data-tolerant stats) — oracle-checked;
+- streaming/incremental.py: the same pipeline as real Structured Streaming
+  (readStream + watermark + foreachBatch upsert), exercised in tests.
+
+Keeping both views identical is the point: a Trigger.AvailableNow run of the
+streaming pipeline must produce exactly these tables.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from fpl_data_pipeline_spark.registry import register
+from fpl_data_pipeline_spark.tables import table
+from fpl_data_pipeline_spark.functions.exact import dsum, dsum_sql
+
+
+# --- tumbling-window aggregation (event-time, 1 hour) -----------------------
+@register(
+    "events_hourly_stats",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           {dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value", "total_value"),
+        )
+    )
+
+
+# --- sessionization: 30-minute inactivity gap per user ----------------------
+@register(
+    "events_sessions",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessioned AS (
+      SELECT user_id, ts, event_id,
+             SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end
+    FROM sessioned
+    GROUP BY user_id, session_id
+    """,
+)
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: gap > 30 min starts a new session. The streaming
+    twin is session_window(ts, '30 minutes') in incremental.py."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    ordered = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_us > 1_800_000_000, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0)
+        .alias("is_new_session"),
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessioned = ordered.withColumn("session_id", F.sum("is_new_session").over(wcum))
+    return sessioned.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# --- incremental view: events after a high-water mark, per-user rollup ------
+@register(
+    "events_incremental_rollup",
+    f"""
+    SELECT user_id, COUNT(*) AS n_events, {dsum_sql('value')} AS total_value,
+           MAX(event_id) AS new_hwm
+    FROM events
+    WHERE event_id > 500
+    GROUP BY user_id
+    """,
+)
+def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's week-loader shape (includes.py:173-182): filter past
+    the stored high-water mark, aggregate, emit the new mark."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_id") > 500)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value"),
+            F.max("event_id").alias("new_hwm"),
+        )
+    )

@@ -1,0 +1,79 @@
+"""Structured Streaming ingestion: the productized version of the reference's
+incremental week loader (SURVEY.md §2.10).
+
+Reference semantics -> streaming equivalents:
+- high-water mark in week_info_dm (sql_queries.py:275-276)  -> checkpoint dir
+- Airflow `data_flow` override / re-land of a week           -> late data,
+  absorbed by watermark + idempotent foreachBatch upsert
+- per-week idempotent INSERT..ON CONFLICT loop               -> merge of each
+  micro-batch via operators.upsert
+
+``run_available_now`` processes whatever files exist and stops — the exact
+batch-incremental contract of the reference DAG, with exactly-once results
+guaranteed by checkpoint + idempotent merge.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+
+from fpl_data_pipeline_spark.operators.upsert import upsert
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def windowed_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour event-time window with late-data watermark."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def run_available_now(
+    spark: SparkSession,
+    source_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Stream source_dir (parquet event files) -> hourly aggregate table at
+    target_path, merging each micro-batch idempotently (upsert on window key).
+    Trigger.AvailableNow: drain everything currently available, then stop.
+    """
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(source_dir)
+    agg = windowed_counts(stream)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        keys = ["window_start", "event_type"]
+        if os.path.exists(target_path):
+            base = batch_df.sparkSession.read.parquet(target_path)
+            merged = upsert(base, batch_df, keys)
+        else:
+            merged = batch_df
+        merged.write.mode("overwrite").parquet(target_path + ".tmp")
+        out = batch_df.sparkSession.read.parquet(target_path + ".tmp")
+        out.write.mode("overwrite").parquet(target_path)
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
