@@ -1,0 +1,125 @@
+"""Operator unit tests: dedup families on planted duplicates, similarity on
+planted neighbors, fuzzy name join on spelling variants, approximate
+aggregate error bounds (SURVEY.md §5.2.4)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from fpl_data_pipeline_spark.operators.dedup import (
+    minhash_signatures,
+    simhash,
+    shingles,
+)
+from fpl_data_pipeline_spark.operators.fuzzy_join import fuzzy_name_join, normalize_name
+from fpl_data_pipeline_spark.operators.similarity import cosine_topk, lsh_bucket
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches the "
+    "bird and the fish swim in the pond near the old mill by the river"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    near = BASE.replace("lazy", "sleepy").replace("old", "ancient")
+    far = "completely different content about spark engines and parquet files only"
+    return spark.createDataFrame(
+        [(1, BASE), (2, BASE), (3, near), (4, far)], ["doc_id", "text"]
+    ).cache()
+
+
+def test_shingles_distinct_per_doc(docs):
+    sh = shingles(docs.filter("doc_id = 1"))
+    grams = [r["shingle"] for r in sh.collect()]
+    assert len(grams) == len(set(grams))
+    assert all(len(g.split(" ")) == 3 for g in grams)
+
+
+def test_minhash_identical_docs_identical_sigs(docs):
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]  # exact dup -> identical signature
+    sim_12_3 = sum(a == b for a, b in zip(sigs[1], sigs[3])) / len(sigs[1])
+    sim_12_4 = sum(a == b for a, b in zip(sigs[1], sigs[4])) / len(sigs[1])
+    assert sim_12_3 > sim_12_4  # near-dup scores above unrelated
+    assert sim_12_3 > 0.5
+
+
+def test_simhash_hamming_orders_similarity(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sh[1] == sh[2]
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert ham(sh[1], sh[3]) < ham(sh[1], sh[4])
+
+
+def test_cosine_topk_finds_planted_neighbor(spark):
+    import math
+
+    base = [1.0, 0.0, 0.5, 0.2] * 16
+    near = [v + (0.01 if i % 7 == 0 else 0.0) for i, v in enumerate(base)]
+    orth = [(1.0 if i % 2 else -1.0) * v for i, v in enumerate(base, 1)]
+    emb = spark.createDataFrame(
+        [(0, base), (1, near), (2, orth), (3, [0.001] * 64)],
+        ["vec_id", "embedding"],
+    )
+    q = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    out = cosine_topk(emb, q, k=2).collect()
+    assert out[0]["vec_id"] == 1  # planted neighbor ranks first
+    assert out[0]["cosine"] > 0.999
+
+
+def test_lsh_bucket_groups_neighbors(spark):
+    base = [1.0, -0.5, 0.25, 0.8] * 16
+    near = [v * 1.01 for v in base]
+    anti = [-v for v in base]
+    emb = spark.createDataFrame(
+        [(0, base), (1, near), (2, anti)], ["vec_id", "embedding"]
+    )
+    b = {r["vec_id"]: r["bucket"] for r in lsh_bucket(emb).collect()}
+    assert b[0] == b[1]  # near-identical vectors share every sign bit
+    assert b[0] != b[2]  # antipode flips every sign bit
+
+
+def test_fuzzy_join_variants_and_overrides(spark):
+    fpl = spark.createDataFrame(
+        [(1, "Mo Salah"), (2, "Virgil van Dijk"), (3, "Son Heung-min")],
+        ["id", "full"],
+    )
+    scraped = spark.createDataFrame(
+        [("Mo Saláh",), ("Virgil van Dyk",), ("Weird Name",), ("S. Heung-min",)],
+        ["player"],
+    )
+    out = fuzzy_name_join(
+        scraped, fpl, "player", "full", overrides={"Weird Name": 3}
+    )
+    got = {r["player"]: r["matched_id"] for r in out.collect()}
+    assert got["Mo Saláh"] == 1          # accent-folded exact match
+    assert got["Virgil van Dyk"] == 2    # 1-char misspelling
+    assert got["Weird Name"] == 3        # manual override wins
+    # initials variant: blocking key differs ('s he' vs 's he'): same first
+    # initial + surname prefix, so it should still match
+    assert got["S. Heung-min"] == 3
+
+
+def test_normalize_name(spark):
+    df = spark.createDataFrame([("  Érik   ten-Hag ",)], ["n"])
+    assert df.select(normalize_name(F.col("n")).alias("x")).first()["x"] == "erik ten hag"
+
+
+def test_approx_count_distinct_bound(spark, player_week_ft):
+    exact = player_week_ft.select("element_").distinct().count()
+    approx = player_week_ft.agg(
+        F.approx_count_distinct("element_", 0.02).alias("a")
+    ).first()["a"]
+    assert abs(approx - exact) / exact < 0.05
+
+
+def test_percentile_approx_bound(spark, player_week_ft):
+    exact = player_week_ft.approxQuantile("total_points", [0.5], 0.0)[0]
+    approx = player_week_ft.agg(
+        F.percentile_approx("total_points", 0.5, 10_000).alias("p")
+    ).first()["p"]
+    assert abs(approx - exact) <= 1

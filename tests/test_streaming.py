@@ -1,0 +1,109 @@
+"""Structured Streaming pipeline tests: availableNow drain equals the batch
+computation; re-running with the same checkpoint is a no-op (exactly-once);
+multimodal mapInPandas is batch-shape independent (SURVEY.md §2.10, M4)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from fpl_data_pipeline_spark.streaming.incremental import run_available_now, EVENT_SCHEMA
+from fpl_data_pipeline_spark.tables import events_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def event_files(spark, tmp_path_factory):
+    """Re-land events as microsecond parquet (streaming source files)."""
+    root = tmp_path_factory.mktemp("stream")
+    src = root / "source"
+    events_table(spark, SF).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).repartition(4).write.parquet(str(src))
+    return root
+
+
+def _agg_state(spark, path):
+    df = spark.read.parquet(path)
+    return {
+        (r["window_start"], r["event_type"]): r["n_events"] for r in df.collect()
+    }
+
+
+def test_available_now_matches_batch(spark, event_files):
+    target = str(event_files / "hourly")
+    ckpt = str(event_files / "ckpt")
+    run_available_now(spark, str(event_files / "source"), target, ckpt)
+
+    batch = (
+        spark.read.schema(EVENT_SCHEMA)
+        .parquet(str(event_files / "source"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    expected = {
+        (r["window_start"], r["event_type"]): r["n_events"] for r in batch.collect()
+    }
+    assert _agg_state(spark, target) == expected
+
+
+def test_rerun_same_checkpoint_is_noop(spark, event_files):
+    target = str(event_files / "hourly")
+    ckpt = str(event_files / "ckpt")
+    before = _agg_state(spark, target)
+    run_available_now(spark, str(event_files / "source"), target, ckpt)  # no new files
+    assert _agg_state(spark, target) == before
+
+
+def test_new_files_incrementally_merged(spark, event_files):
+    """Land a new file beyond the watermark -> rerun -> its window appears;
+    an event 9 days behind the watermark is dropped (correct late-data
+    semantics under withWatermark('ts', '1 hour'))."""
+    import datetime as dt
+
+    target = str(event_files / "hourly")
+    ckpt = str(event_files / "ckpt")
+    before = _agg_state(spark, target)
+    max_ts = max(k[0] for k in before)
+
+    fresh_ts = max_ts + dt.timedelta(hours=2)
+    too_late_ts = max_ts - dt.timedelta(days=9)
+    new = spark.createDataFrame(
+        [
+            (999_999, fresh_ts, 1, "fresh_type", 1.0, "{}"),
+            (999_998, too_late_ts, 1, "dropped_type", 1.0, "{}"),
+        ],
+        EVENT_SCHEMA,
+    )
+    new.write.mode("append").parquet(str(event_files / "source"))
+    run_available_now(spark, str(event_files / "source"), target, ckpt)
+    after = _agg_state(spark, target)
+    assert after[(fresh_ts, "fresh_type")] == 1
+    assert (too_late_ts, "dropped_type") not in after  # watermark drop
+    # untouched windows unchanged
+    assert all(after[k] == v for k, v in before.items())
+
+
+def test_multimodal_batch_shape_independence(spark):
+    from fpl_data_pipeline_spark.operators.multimodal import (
+        extract_features,
+        media_table,
+    )
+
+    media = media_table(spark, SF)
+    small = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    out1 = extract_features(media.repartition(1)).orderBy("asset_id").collect()
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        out2 = extract_features(media.repartition(13)).orderBy("asset_id").collect()
+    finally:
+        if small:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", small)
+        else:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    assert out1 == out2  # identical regardless of partitioning / Arrow batch size
+    assert out1[0]["magic_hex"] is not None and len(out1[0]["features"]) == 8
