@@ -38,15 +38,24 @@ def _words(col):
 
 
 def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """doc_id -> exploded distinct word-n-gram shingles (engine operator)."""
-    ws = _words(_norm_text(F.col(text_col)))
+    """doc_id -> exploded distinct word-n-gram shingles (engine operator).
+
+    Perf notes: the tokenization is projected into a real column first —
+    inlining it would re-run the regex split once per element_at reference
+    (~150x per doc). The repartition spreads the gram/hash work across all
+    cores even when the source is a single parquet file (at 100 TB the scan
+    itself provides the parallelism and AQE elides the extra shuffle)."""
+    sp = df.sparkSession
+    words = df.repartition(sp.sparkContext.defaultParallelism).select(
+        "doc_id", _words(_norm_text(F.col(text_col))).alias("ws")
+    )
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(0))),
+        F.sequence(F.lit(1), F.greatest(F.size("ws") - (n - 1), F.lit(0))),
         lambda i: F.concat_ws(
-            " ", *[F.element_at(ws, i + k) for k in range(n)]
+            " ", *[F.element_at(F.col("ws"), i + k) for k in range(n)]
         ),
     )
-    return df.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    return words.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
 # --- exact dedup: md5-keyed group, keep lowest doc_id -----------------------
@@ -208,6 +217,9 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "sig", "band.band_id", "band.band_key")
+    # both join sides derive from this subtree — cache it or the explode +
+    # 32-way min-agg pipeline executes twice
+    bands = bands.cache()
 
     a = bands.select(
         F.col("doc_id").alias("doc_id_a"), F.col("sig").alias("sig_a"), "band_id", "band_key"
@@ -251,7 +263,8 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     -1). Expressed entirely in built-ins: explode + 64 conditional sums +
     bit assembly — one shuffle (the groupBy), JVM-side codegen throughout.
     """
-    toks = df.select(
+    sp = df.sparkSession
+    toks = df.repartition(sp.sparkContext.defaultParallelism).select(
         "doc_id", F.explode(_words(_norm_text(F.col(text_col)))).alias("tok")
     )
     h = F.xxhash64("tok")
@@ -302,6 +315,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ch"),
     ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_val")
+    chunks = chunks.cache()  # self-joined below: avoid recomputing the 64 sums
 
     a = chunks.select(
         F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("sh_a"), "chunk_id", "chunk_val"
