@@ -178,3 +178,64 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id_a").asc(), F.col("vec_id_b").asc())
         .limit(20)
     )
+
+
+# --- IVF (inverted-file) ANN: coarse quantize -> probe nearest lists --------
+N_CENTROIDS = 16
+N_PROBE = 2
+
+
+def _centroids(emb: DataFrame) -> DataFrame:
+    """Deterministic coarse centroids: the first N_CENTROIDS vectors by
+    vec_id (the standard 'seed from sampled vectors' IVF bootstrap, made
+    reproducible). At scale this would be a k-means refinement of the same
+    sample; assignment below is unchanged either way."""
+    return emb.orderBy("vec_id").limit(N_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv")
+    )
+
+
+def ivf_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid (max cosine): broadcast
+    the centroid block, score in one scan, keep argmax per vector."""
+    j = emb.crossJoin(F.broadcast(cents))
+    cos = (_dot("embedding", "cv") / (_norm("embedding") * _norm("cv"))).alias("ccos")
+    scored = j.select("vec_id", "embedding", "c_id", cos)
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("c_id").alias("list_id"))
+    )
+
+
+@register("ann_ivf_probe")
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search for query vec_id=0: probe the N_PROBE nearest inverted
+    lists only, exact cosine within them, top-10. At 100 TB the assignment
+    table is written partitioned by list_id so a probe reads ~N_PROBE/N of
+    the data. Rows-only check (centroid seeding is engine-specific)."""
+    emb = table(spark, sf_dir, "embeddings")
+    cents = _centroids(emb).cache()
+    assigned = ivf_assign(emb, cents)
+
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    qcos = (_dot("qv", "cv") / (_norm("qv") * _norm("cv"))).alias("qcos")
+    probe_lists = (
+        query.crossJoin(F.broadcast(cents))
+        .select("q_id", "qv", "c_id", qcos)
+        .orderBy(F.col("qcos").desc(), F.col("c_id").asc())
+        .limit(N_PROBE)
+        .select("q_id", "qv", F.col("c_id").alias("list_id"))
+    )
+    j = assigned.join(F.broadcast(probe_lists), "list_id").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    cos = (_dot("embedding", "qv") / (_norm("embedding") * _norm("qv"))).alias("cosine")
+    return (
+        j.select("vec_id", "q_id", "list_id", cos)
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )

@@ -303,3 +303,26 @@ def filter_range_hwm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.filter(F.col("o_orderdate") >= F.lit("2024-06-01 00:00:00").cast("timestamp")).select(
         "o_orderkey", "o_custkey", "o_orderdate"
     )
+
+
+# --- S7/JSON: schema-on-read parse of a JSON column (from_json) -------------
+@register(
+    "json_parse_aggregate",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_parse_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # from_json with a declared schema (the engine's JSON-landing idiom,
+    # reference includes.py json.load + key indexing) then aggregate.
+    e = table(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type", F.from_json("props", "k INT").alias("p")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("p.k").alias("sum_k")
+    )

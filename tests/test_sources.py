@@ -1,0 +1,111 @@
+"""Scrape extraction (S4/P13), incremental week loader protocol, catalog DDL
+and layout writers (S12/M5)."""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+from fpl_data_pipeline_spark.sources import incremental_load as IL
+from fpl_data_pipeline_spark.sources import io as EIO
+from fpl_data_pipeline_spark.sources.scrape import extract_embedded_json, shots_to_stats
+
+
+@pytest.fixture(scope="module")
+def scraped_pages(spark):
+    shots = [
+        {"id": "1", "player": "Mo Salah", "player_id": "501", "minute": "12",
+         "xG": "0.76", "result": "Goal", "h_a": "h"},
+        {"id": "2", "player": "Mo Salah", "player_id": "501", "minute": "55",
+         "xG": "0.12", "result": "Miss", "h_a": "h"},
+        {"id": "3", "player": "Luis Díaz", "player_id": "502", "minute": "70",
+         "xG": "0.33", "result": "Goal", "h_a": "a"},
+    ]
+    # payload as understat embeds it: ASCII JSON with \uNNNN escapes inside
+    # JSON.parse('...') — json.dumps(ensure_ascii=True) produces exactly that
+    payload = json.dumps(shots)
+    html = (
+        "<html><script>var x=1</script>"
+        f"<script>var shotsData = JSON.parse('{payload}');</script></html>"
+    )
+    return spark.createDataFrame([(100, html)], ["match_id", "html"])
+
+
+def test_extract_embedded_json(scraped_pages):
+    out = extract_embedded_json(scraped_pages).collect()
+    assert len(out) == 3
+    diaz = next(r for r in out if r["player_id"] == "502")
+    assert diaz["player"] == "Luis Díaz"  # \\u00ed unescaped by the UDF
+    assert diaz["xG"] == "0.33"
+
+
+def test_shots_to_stats(scraped_pages):
+    stats = shots_to_stats(extract_embedded_json(scraped_pages)).collect()
+    salah = next(r for r in stats if r["id"] == 501)
+    assert salah["shots"] == 2
+    assert abs(float(salah["xg"]) - 0.88) < 1e-9
+    assert salah["last_shot_minute"] == 55
+
+
+def test_high_water_mark(week_info_dm, spark):
+    from tests.conftest import N_WEEKS
+
+    assert IL.high_water_mark(week_info_dm) == N_WEEKS - 1  # last checked week
+    empty = week_info_dm.limit(0)
+    assert IL.high_water_mark(empty) == 0
+
+
+def test_select_weeks_protocol(player_week_ft):
+    total = player_week_ft.count()
+    hwm = 6
+    inc = IL.select_weeks(player_week_ft, hwm)
+    assert inc.select(F.min("round_gw")).first()[0] == 7
+    assert IL.select_weeks(player_week_ft, hwm, "All").count() == total
+    assert IL.select_weeks(player_week_ft, hwm, "Skip").count() == 0
+    only3 = IL.select_weeks(player_week_ft, hwm, 3)
+    assert only3.select("round_gw").distinct().collect() == [
+        type(only3.first())(round_gw=3)
+    ] or only3.select("round_gw").distinct().first()[0] == 3
+
+
+def test_incremental_load_idempotent(player_week_ft, week_info_dm):
+    base = player_week_ft.filter(F.col("round_gw") <= 7)
+    once = IL.incremental_load(base, player_week_ft, week_info_dm)
+    twice = IL.incremental_load(once, player_week_ft, week_info_dm)
+    assert once.count() == player_week_ft.count()
+    assert twice.count() == player_week_ft.count()
+
+
+def test_partitioned_write_and_pruning(spark, player_week_ft, tmp_path):
+    path = str(tmp_path / "fact")
+    EIO.write_partitioned(player_week_ft, path, ["round_gw"])
+    back = spark.read.parquet(path)
+    assert back.count() == player_week_ft.count()
+    # partition pruning: the week filter must reach the scan as a
+    # PartitionFilters entry, not a post-scan Filter
+    plan = back.filter(F.col("round_gw") == 3)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(round_gw" in plan
+
+    # dynamic overwrite of one week leaves others intact
+    week3 = player_week_ft.filter(F.col("round_gw") == 3).withColumn(
+        "total_points", F.lit(0)
+    )
+    EIO.write_partitioned(week3, path, ["round_gw"])
+    back2 = spark.read.parquet(path)
+    assert back2.count() == player_week_ft.count()
+    assert back2.filter("round_gw = 3").agg(F.max("total_points")).first()[0] == 0
+    assert back2.filter("round_gw = 4").agg(F.max("total_points")).first()[0] > 0
+
+
+def test_catalog_ddl(spark, player_dm, tmp_path):
+    EIO.create_schema(spark, "mylo")
+    EIO.create_schema(spark, "mylo")  # idempotent
+    path = str(tmp_path / "player_dm")
+    player_dm.write.parquet(path)
+    EIO.register_table(spark, "mylo.player_dm", path)
+    EIO.register_table(spark, "mylo.player_dm", path)  # idempotent
+    assert spark.sql("SELECT COUNT(*) FROM mylo.player_dm").first()[0] == player_dm.count()
+    spark.sql("DROP TABLE mylo.player_dm")
+    spark.sql("DROP DATABASE mylo")
