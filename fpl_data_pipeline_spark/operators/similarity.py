@@ -209,6 +209,37 @@ def ivf_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+@register(
+    "emb_cluster_centroids",
+    """
+    SELECT cluster_id, pos, round(avg(val), 6) AS c_val
+    FROM (
+      SELECT vec_id % 8 AS cluster_id,
+             UNNEST(embedding) AS val,
+             UNNEST(range(1, len(embedding) + 1)) AS pos
+      FROM embeddings
+    )
+    GROUP BY cluster_id, pos
+    """,
+)
+def emb_cluster_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise centroid of embedding vectors per cluster (here cluster =
+    vec_id % 8 as a deterministic stand-in for a k-means assignment): the
+    reduction step of any IVF/k-means build. posexplode flattens to
+    (cluster, pos, val) so the mean is an ordinary partial-agg + one shuffle
+    on (cluster, pos) — fully distributed in the vector dimension too, vs. a
+    driver-side numpy mean that caps at driver memory."""
+    emb = table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        (F.col("vec_id") % 8).alias("cluster_id"),
+        F.posexplode("embedding").alias("pos0", "val"),
+    )
+    return (
+        flat.groupBy("cluster_id", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.avg("val"), 6).alias("c_val"))
+    )
+
+
 @register("ann_ivf_probe")
 def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search for query vec_id=0: probe the N_PROBE nearest inverted

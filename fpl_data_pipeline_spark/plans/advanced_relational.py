@@ -1,0 +1,351 @@
+"""Advanced relational operators beyond the reference's SQL surface: as-of
+join, range join, rollup/cube/grouping sets, set operations, exact
+percentiles, and a salted two-phase aggregate for skewed keys.
+
+The reference delegates all relational work to Postgres (SURVEY.md §3); none
+of these shapes appear there, but they are table stakes for an analytics
+engine feeding a 100 TB training-data pipeline (sessionized event streams,
+time-aligned feature joins, skew-resistant rollups). Each operator is
+expressed with built-in DataFrame ops so Catalyst plans the physical
+strategy; scale notes are inline per operator.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from fpl_data_pipeline_spark.registry import register
+from fpl_data_pipeline_spark.tables import table, views
+
+
+# --- as-of join: latest click at-or-before each purchase --------------------
+ASOF_ORACLE = """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    j AS (
+      SELECT p.event_id, p.user_id, p.ts,
+             c.event_id AS click_event_id, c.ts AS click_ts,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM p LEFT JOIN c
+        ON c.user_id = p.user_id AND c.ts <= p.ts
+    )
+    SELECT event_id, user_id, ts, click_event_id, click_ts
+    FROM j WHERE rn = 1 OR rn IS NULL
+    """
+
+
+def _purchases_clicks(spark: SparkSession, sf_dir: str):
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return p, c
+
+
+@register("asof_join_purchase_click", ASOF_ORACLE)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left as-of join (backward): for every purchase event, the latest click
+    by the same user at-or-before the purchase timestamp.
+
+    Plan: equi-join on user_id + range predicate, then keep the max-ts match
+    per left row (row_number with a deterministic tiebreak). The fan-out is
+    bounded by per-user click counts; at 100 TB both sides are bucketed by
+    user_id so the join is a co-located sort-merge with no shuffle, and the
+    per-key fan-out stays distributed. See asof_join_cogrouped for the
+    merge_asof formulation that avoids the fan-out entirely.
+    """
+    p, c = _purchases_clicks(spark, sf_dir)
+    j = p.join(c, (F.col("c_user_id") == F.col("user_id")) & (F.col("click_ts") <= F.col("ts")), "left")
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("click_ts").desc_nulls_last(), F.col("click_event_id").desc_nulls_last()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts", "click_event_id", "click_ts")
+    )
+
+
+@register("asof_join_cogrouped", ASOF_ORACLE)
+def asof_join_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same as-of join as a cogrouped ``applyInPandas`` merge_asof — the
+    scale path when per-key fan-out would explode: each user's purchases and
+    clicks meet in one Arrow batch, pandas does the sorted backward search in
+    O(n+m) per key, and no join fan-out ever materializes. One shuffle per
+    side (on user_id); keys are the natural partitioning so skew follows user
+    activity (salt-able if one user dominates)."""
+    p, c = _purchases_clicks(spark, sf_dir)
+    c = c.withColumnRenamed("c_user_id", "user_id")
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values(["ts", "event_id"], kind="mergesort")
+        # sort clicks so that among equal ts the highest event_id is last —
+        # merge_asof backward takes the last row <= key, matching the
+        # (ts DESC, event_id DESC) tiebreak of the join formulation
+        right = right.sort_values(["click_ts", "click_event_id"], kind="mergesort")
+        if right.empty:
+            out = left.copy()
+            out["click_event_id"] = pd.Series(dtype="Int64")
+            out["click_ts"] = pd.Series(dtype="datetime64[us]")
+            return out[["event_id", "user_id", "ts", "click_event_id", "click_ts"]]
+        out = pd.merge_asof(
+            left, right.drop(columns=["user_id"]),
+            left_on="ts", right_on="click_ts", direction="backward",
+        )
+        return out[["event_id", "user_id", "ts", "click_event_id", "click_ts"]]
+
+    schema = (
+        "event_id bigint, user_id bigint, ts timestamp, "
+        "click_event_id bigint, click_ts timestamp"
+    )
+    return p.groupBy("user_id").cogroup(c.groupBy("user_id")).applyInPandas(merge, schema)
+
+
+# --- range (interval) join: activity burst after signup ---------------------
+@register(
+    "range_join_signup_activity",
+    """
+    SELECT s.event_id, s.user_id,
+           COUNT(e.event_id) AS events_within_1h,
+           COALESCE(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS value_within_1h
+    FROM events s
+    LEFT JOIN events e
+      ON e.user_id = s.user_id
+     AND e.ts > s.ts
+     AND e.ts <= s.ts + INTERVAL 1 HOUR
+    WHERE s.event_type = 'signup'
+    GROUP BY s.event_id, s.user_id
+    """,
+)
+def range_join_signup_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: events landing in (signup_ts, signup_ts + 1h] for the
+    same user, aggregated per signup. Equi on user_id + band predicate —
+    Catalyst plans the equi part as the join key and evaluates the band as a
+    join filter, so cost is per-user fan-out, not a cartesian. At scale the
+    canonical trick is bucketing both sides on the key + coarse time-bucket
+    equi keys (floor(ts/1h)) joined on adjacency to bound the fan-out."""
+    e = table(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", F.col("ts").alias("s_ts")
+    )
+    o = e.select(
+        F.col("user_id").alias("o_user_id"),
+        F.col("ts").alias("o_ts"),
+        F.col("value").alias("o_value"),
+    )
+    j = s.join(
+        o,
+        (F.col("o_user_id") == F.col("user_id"))
+        & (F.col("o_ts") > F.col("s_ts"))
+        & (F.col("o_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return j.groupBy("event_id", "user_id").agg(
+        F.count("o_ts").alias("events_within_1h"),
+        F.coalesce(
+            F.sum(F.col("o_value").cast("decimal(18,2)")).cast("double"), F.lit(0.0)
+        ).alias("value_within_1h"),
+    )
+
+
+# --- rollup / cube / grouping sets ------------------------------------------
+@register(
+    "rollup_lineitem_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def rollup_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: (flag,status) -> (flag) -> () subtotals in one pass. Spark
+    executes this as an Expand (one input row emitted per grouping set) + a
+    single hash aggregate — the partial-agg/shuffle structure is identical to
+    a plain groupBy, so it scales the same way."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+    )
+
+
+@register(
+    "cube_order_priority_status",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+    FROM orders
+    GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    """,
+)
+def cube_order_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all four grouping sets of (priority, status) in one Expand+agg."""
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.grouping("o_orderpriority").cast("int").alias("g_pri"),
+        F.grouping("o_orderstatus").cast("int").alias("g_st"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_total"),
+    )
+
+
+@register(
+    "grouping_sets_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via spark.sql (the DataFrame API exposes only
+    rollup/cube; SQL is the idiomatic spelling — SURVEY.md §7.0 allows
+    spark.sql at the edges). Same Expand+single-agg physical plan."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# --- set operations ---------------------------------------------------------
+@register(
+    "intersect_repeat_customers",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def intersect_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics): customers active in both 1995 and 1996.
+    Plans as an aggregate + join on the full row — one shuffle each side."""
+    o = table(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersect(y96)
+
+
+@register(
+    "except_lapsed_customers",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def except_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics): customers active in 1995 but not 1996 —
+    the left-anti counterpart of the intersect above. ``subtract`` is
+    EXCEPT DISTINCT (``exceptAll`` would keep multiplicity: a customer with
+    3 orders in '95 and 1 in '96 must still be excluded)."""
+    o = table(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.subtract(y96)
+
+
+# --- lateral explode / unnest ----------------------------------------------
+@register(
+    "explode_part_words",
+    """
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n DESC, word ASC
+    LIMIT 20
+    """,
+)
+def explode_part_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNNEST/LATERAL VIEW: explode the words of p_name, top-20 by frequency.
+    Generate (explode) runs inside whole-stage codegen; the count is a
+    partial-agg + one shuffle on the word key."""
+    p = table(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split("p_name", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
+# --- exact percentiles ------------------------------------------------------
+@register(
+    "percentile_prices_by_flag",
+    """
+    SELECT l_returnflag,
+           round(CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE), 3) AS p25,
+           round(CAST(percentile_cont(0.50) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE), 3) AS p50,
+           round(CAST(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE), 3) AS p75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def percentile_prices_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (the exact counterpart of the
+    approx_quantiles_price sketch query). Exact percentile requires a
+    per-group sort — fine at dashboard granularity (3 groups); the 100 TB
+    path is approx_percentile (KLL-style mergeable sketch, no global sort),
+    registered separately. Rounded to 3 dp on both sides: the linear
+    interpolation arithmetic differs in the last float bit between engines."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.percentile("l_extendedprice", F.lit(q)), 3).alias(f"p{int(q * 100)}")
+            for q in (0.25, 0.50, 0.75)
+        ]
+    )
+
+
+# --- skew-resistant two-phase (salted) aggregate ----------------------------
+N_SALTS = 16
+
+
+@register(
+    "salted_agg_user_activity",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def salted_agg_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation: phase 1 groups by (user_id, salt) so a
+    hot user's rows spread over N_SALTS reducers; phase 2 merges the partial
+    sums per user. Result is identical to the plain groupBy (the oracle IS
+    the plain groupBy) — only the shuffle distribution changes. This is the
+    manual fallback when AQE skew handling can't help (single giant group,
+    not a skewed join). Decimal partials keep the two-phase sum exact."""
+    e = table(spark, sf_dir, "events")
+    salted = e.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALTS)))
+    partial = salted.groupBy("user_id", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("pv"),
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("pn").alias("n_events"),
+        F.sum("pv").cast("double").alias("total_value"),
+    )

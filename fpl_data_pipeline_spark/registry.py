@@ -52,12 +52,13 @@ def load_all() -> None:
         aggregates,
         windows,
         topk,
+        advanced_relational,
     )
     from fpl_data_pipeline_spark.operators import (  # noqa: F401
         dedup,
         similarity,
         upsert_queries,
     )
-    from fpl_data_pipeline_spark.functions import text_queries  # noqa: F401
+    from fpl_data_pipeline_spark.functions import text_queries, scalar_queries  # noqa: F401
     from fpl_data_pipeline_spark.streaming import event_queries  # noqa: F401
     from fpl_data_pipeline_spark.operators import multimodal  # noqa: F401
