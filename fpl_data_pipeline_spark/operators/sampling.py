@@ -1,0 +1,206 @@
+"""Deterministic sampling, splitting, reshaping, and profiling operators for
+the training-data pipeline track.
+
+Random sampling (``df.sample``) is engine- and partition-order-dependent, so
+none of it is reproducible across engines or cluster layouts. Every sampler
+here derives its decision from a *content hash* (md5 of the stable key), which
+makes the sample (a) deterministic, (b) identical on any engine that has md5
+— hence fully oracle-checkable — and (c) stable under repartitioning, the
+property a 100 TB pipeline actually needs (re-running a sample stage on a
+re-bucketed copy of the corpus must select the same documents)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from fpl_data_pipeline_spark.registry import register
+from fpl_data_pipeline_spark.tables import table
+
+LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def _bucket(col):
+    """First two hex chars of md5(key) — a uniform 0..255 bucket, identical
+    in every md5 implementation. Pure projection, codegen'd, no shuffle."""
+    return F.substring(F.md5(col.cast("string")), 1, 2)
+
+
+_BUCKET_SQL = "substr(md5(CAST({key} AS VARCHAR)), 1, 2)"
+
+
+@register(
+    "sample_hash_bucket",
+    f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE {_BUCKET_SQL.format(key='doc_id')} < '20'
+    """,
+)
+def sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~12.5% Bernoulli sample (md5 bucket < 0x20 = 32/256).
+    Content-hash sampling is repartition-stable and join-stable: the same
+    doc_id is always in or always out, so downstream joins between sampled
+    tables stay consistent."""
+    d = table(spark, sf_dir, "documents")
+    return d.filter(_bucket(F.col("doc_id")) < "20").select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "split_train_test",
+    f"""
+    SELECT CASE WHEN {_BUCKET_SQL.format(key='doc_id')} < 'cc' THEN 'train' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/20 train/test split (bucket < 0xcc = 204/256). The
+    split column is a pure projection — at 100 TB this is the write-side
+    partition key (``partitionBy('split')``), so training reads never scan
+    eval data."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.withColumn(
+            "split",
+            F.when(_bucket(F.col("doc_id")) < "cc", "train").otherwise("test"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("decimal(18,2)")).cast("double").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "stratified_sample_counts",
+    f"""
+    SELECT lang, COUNT(*) AS n_sampled
+    FROM documents
+    WHERE {_BUCKET_SQL.format(key='doc_id')} <
+          CASE WHEN lang = 'en' THEN '20' ELSE '80' END
+    GROUP BY lang
+    """,
+)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-class rate) deterministic sample: downsample the
+    majority class (en at ~12.5%) while keeping half of every minority
+    class (~50%) — the standard class-rebalancing step before training.
+    Same single-scan projection + one count shuffle as any sampler here."""
+    d = table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit("20")).otherwise(F.lit("80"))
+    return (
+        d.filter(_bucket(F.col("doc_id")) < rate)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
+@register(
+    "profile_documents",
+    """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(DISTINCT source) AS n_sources,
+           SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_texts,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents
+    """,
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass corpus profile (the data-quality gate before any training
+    run): row count, class cardinalities, null counts, length stats. One scan
+    + one global agg; the distinct-counts become approx_count_distinct on the
+    100 TB path (see approx_distinct_customers)."""
+    d = table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.col("text").isNull().cast("int")).alias("null_texts"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (
+            F.sum(F.col("n_chars").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_chars"),
+    )
+
+
+@register(
+    "pivot_docs_source_lang",
+    """
+    SELECT source,
+           SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS de,
+           SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS en,
+           SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS es,
+           SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS fr,
+           SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS zh
+    FROM documents
+    GROUP BY source
+    """,
+)
+def pivot_docs_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: doc counts by source x lang. The pivot value list is explicit —
+    without it Spark runs an extra distinct-collect job to discover values,
+    a driver round-trip you never want at 100 TB. Missing cells coalesce to 0
+    (Spark pivot yields NULL, the conditional-sum oracle yields 0)."""
+    d = table(spark, sf_dir, "documents")
+    piv = d.groupBy("source").pivot("lang", list(LANGS)).count()
+    return piv.select(
+        "source", *[F.coalesce(F.col(l), F.lit(0)).alias(l) for l in LANGS]
+    )
+
+
+@register(
+    "unpivot_part_measures",
+    """
+    SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS measure, CAST(p_retailprice AS DOUBLE) AS value FROM part
+    """,
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide measures -> long (key, measure, value) — the
+    feature-store normalization shape. Spark's ``unpivot`` plans as Expand
+    (one output row per measure per input row), no shuffle at all."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "measure", "value")
+
+
+@register(
+    "emb_vector_stats",
+    """
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding, x -> x * x))), 6) AS l2_norm,
+           round(list_sum(embedding) / len(embedding), 6) AS vmean,
+           round(list_aggregate(embedding, 'min'), 6) AS vmin,
+           round(list_aggregate(embedding, 'max'), 6) AS vmax
+    FROM embeddings
+    """,
+)
+def emb_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order function surface over the embedding column: per-row
+    L2 norm, mean, min, max via aggregate/array_min/array_max — all JVM
+    built-ins, pure projection (the vector never leaves the row)."""
+    e = table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    el_sum = F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x)
+    return e.select(
+        "vec_id",
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.round(el_sum / F.size("embedding"), 6).alias("vmean"),
+        F.round(F.array_min("embedding"), 6).alias("vmin"),
+        F.round(F.array_max("embedding"), 6).alias("vmax"),
+    )

@@ -58,6 +58,7 @@ def load_all() -> None:
         dedup,
         similarity,
         upsert_queries,
+        sampling,
     )
     from fpl_data_pipeline_spark.functions import text_queries, scalar_queries  # noqa: F401
     from fpl_data_pipeline_spark.streaming import event_queries  # noqa: F401
