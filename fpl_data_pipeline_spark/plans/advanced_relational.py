@@ -349,3 +349,118 @@ def salted_agg_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_events"),
         F.sum("pv").cast("double").alias("total_value"),
     )
+
+
+# --- time-series gap fill: month spine x status -----------------------------
+@register(
+    "gap_fill_monthly_revenue",
+    """
+    WITH bounds AS (
+      SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+             date_trunc('month', MAX(o_orderdate)) AS hi
+      FROM orders
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month FROM bounds
+    ),
+    statuses AS (SELECT DISTINCT o_orderstatus FROM orders),
+    actual AS (
+      SELECT date_trunc('month', o_orderdate) AS month, o_orderstatus,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT s.month, st.o_orderstatus,
+           COALESCE(a.revenue, 0.0) AS revenue,
+           COALESCE(a.n_orders, 0) AS n_orders
+    FROM spine s CROSS JOIN statuses st
+    LEFT JOIN actual a ON a.month = s.month AND a.o_orderstatus = st.o_orderstatus
+    """,
+)
+def gap_fill_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a complete month spine x status grid with
+    zero-filled holes — the densification step before any trend model or
+    window function that assumes contiguous periods. The spine comes from
+    one global agg (2 scalars) exploded via sequence(); the grid is a
+    broadcast cross join (months x statuses is tiny by construction even
+    when the fact table is 100 TB), then one left join against the
+    aggregated actuals."""
+    o = table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))).alias("month")
+    )
+    statuses = o.select("o_orderstatus").distinct()
+    actual = (
+        o.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month"),
+            "o_orderstatus",
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    grid = spine.crossJoin(F.broadcast(statuses))
+    return (
+        grid.join(actual, ["month", "o_orderstatus"], "left")
+        .select(
+            "month",
+            "o_orderstatus",
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+# --- correlated EXISTS (Catalyst decorrelation) ------------------------------
+EXISTS_SQL = """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    """
+
+
+@register("exists_high_value_customers", EXISTS_SQL)
+def exists_high_value_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery, submitted as SQL so Catalyst's
+    decorrelation rewrites it — the physical plan is the same left-semi hash
+    join the DataFrame `left_semi` spelling produces (verify with
+    .explain()): one filter pushed to the orders scan, one shuffle per side."""
+    views(spark, sf_dir)
+    return spark.sql(EXISTS_SQL)
+
+
+# --- deterministic array aggregation -----------------------------------------
+@register(
+    "collect_sorted_orderkeys",
+    """
+    SELECT o_custkey,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS orderkeys_csv
+    FROM orders
+    WHERE o_custkey < 50
+    GROUP BY o_custkey
+    """,
+)
+def collect_sorted_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation made deterministic: collect_list's element order is
+    partition-arrival order (nondeterministic under any parallel plan), so
+    the engine's convention is sort_array(collect_list(...)) — stable on any
+    cluster layout. Surfaced as a canonical CSV string so the value-hash
+    comparison is representation-independent across engines."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_custkey") < 50)
+        .groupBy("o_custkey")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("o_orderkey"))).alias(
+                "orderkeys_csv"
+            )
+        )
+    )

@@ -148,3 +148,70 @@ def window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w_det).alias("balance_quartile"),
         F.rank().over(w_rank).alias("balance_rank"),
     )
+
+
+# --- value window functions: first_value / nth_value / percent_rank ---------
+@register(
+    "window_value_functions",
+    """
+    SELECT o_orderkey, o_custkey,
+           first_value(o_totalprice) OVER w2 AS first_price,
+           nth_value(o_totalprice, 2) OVER w2 AS second_price,
+           round(percent_rank() OVER w1, 6) AS pr
+    FROM orders
+    WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-addressing window functions over each customer's order history.
+    The frame is spelled as explicit ROWS (not the default RANGE) and the
+    ordering carries a key tiebreaker — with RANGE, orders sharing a date are
+    peers and nth_value becomes engine-order-dependent."""
+    o = table(spark, sf_dir, "orders")
+    wf = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wr = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(wf).alias("first_price"),
+        F.nth_value("o_totalprice", 2).over(wf).alias("second_price"),
+        F.round(F.percent_rank().over(wr), 6).alias("pr"),
+    )
+
+
+# --- RANGE frame keyed by time: trailing 30-day spend ------------------------
+@register(
+    "window_range_30d_spend",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS spend_30d
+    FROM orders
+    """,
+)
+def window_range_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-keyed RANGE frame: each order's trailing-30-day customer spend.
+    Spark expresses interval ranges over the epoch-seconds ordering key with
+    rangeBetween — peers at the same timestamp are all in-frame on both
+    engines (unlike a ROWS spelling). One shuffle on the partition key; the
+    in-partition sliding sum is a single sort + linear pass."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("spend_30d"),
+    )

@@ -34,7 +34,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_datetime64_any_dtype(s):
             df[c] = s.astype("datetime64[us]")
         elif s.dtype == object:
-            df[c] = s.map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+            df[c] = s.map(
+                lambda v: tuple(v)
+                if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray"
+                else v
+            )
     df = df.sort_values(by=list(df.columns), kind="mergesort", ignore_index=True)
     return df
 
