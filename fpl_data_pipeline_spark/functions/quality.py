@@ -1,0 +1,151 @@
+"""Data-quality operators: the engine-grade generalization of the
+reference's two data-quality tests (SURVEY.md §5.1 — known-entity lookup and
+join-integrity count).
+
+The reference hard-codes one FK check as SQL (`sql_control_of_joins`,
+reference sql_queries.py:194-198, with its latent column bug documented at
+SURVEY.md J4 — we implement the intent, a true anti-join). Here the same
+idea becomes a reusable suite over any star schema: referential integrity
+across every declared FK edge, primary-key uniqueness per declared key, and
+per-column null profiling — each a single scan + one aggregate, emitted as
+one small summary relation suitable for a quality gate in a 100 TB pipeline
+(the summaries are bytes, whatever the input size)."""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from fpl_data_pipeline_spark.registry import register
+from fpl_data_pipeline_spark.tables import table
+
+
+def fk_orphans(child: DataFrame, child_key, parent: DataFrame, parent_key) -> DataFrame:
+    """One-row relation counting ``child`` rows whose key has no match in
+    ``parent`` (left_anti). Stays lazy — callers union the edge summaries
+    into one plan, so the whole gate is a single Spark job with no driver
+    round-trips."""
+    return (
+        child.select(F.col(child_key).alias("k"))
+        .join(parent.select(F.col(parent_key).alias("k")), "k", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+
+
+@register(
+    "fk_integrity_summary",
+    """
+    SELECT 'lineitem->orders' AS edge,
+           (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderkey IS NULL) AS n_orphans
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT COUNT(*) FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE c.c_custkey IS NULL)
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT COUNT(*) FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+            WHERE n.n_nationkey IS NULL)
+    UNION ALL
+    SELECT 'supplier->nation',
+           (SELECT COUNT(*) FROM supplier s LEFT JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE n.n_nationkey IS NULL)
+    """,
+)
+def fk_integrity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential integrity across every FK edge of the star schema, one
+    anti-join per edge, surfaced as (edge, n_orphans). Every parent side is
+    dimension-sized -> broadcast anti-joins; the whole gate costs one scan
+    per child table regardless of total size."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    edges = [
+        ("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+        ("orders->customer", o, "o_custkey", c, "c_custkey"),
+        ("customer->nation", c, "c_nationkey", n, "n_nationkey"),
+        ("supplier->nation", s, "s_nationkey", n, "n_nationkey"),
+    ]
+    rows = [
+        fk_orphans(child, ck, parent, pk).select(
+            F.lit(name).alias("edge"), "n_orphans"
+        )
+        for name, child, ck, parent, pk in edges
+    ]
+    return reduce(lambda a, b: a.unionByName(b), rows)
+
+
+@register(
+    "pk_uniqueness_summary",
+    """
+    SELECT 'lineitem(l_orderkey,l_linenumber)' AS pk,
+           (SELECT COUNT(*) FROM (
+              SELECT l_orderkey, l_linenumber FROM lineitem
+              GROUP BY 1, 2 HAVING COUNT(*) > 1)) AS n_duplicate_keys
+    UNION ALL
+    SELECT 'orders(o_orderkey)',
+           (SELECT COUNT(*) FROM (
+              SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1))
+    UNION ALL
+    SELECT 'customer(c_custkey)',
+           (SELECT COUNT(*) FROM (
+              SELECT c_custkey FROM customer GROUP BY 1 HAVING COUNT(*) > 1))
+    """,
+)
+def pk_uniqueness_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness per declared key: group by the key, count
+    groups with multiplicity > 1. The reference enforces this with Postgres
+    PK constraints + ON CONFLICT; a file-based engine must assert it (and
+    the upsert operator restores it, operators/upsert.py)."""
+
+    def dup_keys(name: str, df: DataFrame, cols: list[str]) -> DataFrame:
+        return (
+            df.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .agg(F.count(F.lit(1)).alias("n_duplicate_keys"))
+            .select(F.lit(name).alias("pk"), "n_duplicate_keys")
+        )
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    parts = [
+        dup_keys("lineitem(l_orderkey,l_linenumber)", li, ["l_orderkey", "l_linenumber"]),
+        dup_keys("orders(o_orderkey)", o, ["o_orderkey"]),
+        dup_keys("customer(c_custkey)", c, ["c_custkey"]),
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+@register(
+    "null_profile_orders",
+    """
+    SELECT COUNT(*) AS n_rows,
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
+           SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS null_status,
+           SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_totalprice,
+           SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS null_orderdate
+    FROM orders
+    """,
+)
+def null_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-count profile in one scan + one agg — the completeness half of a
+    quality gate (the reference's NOT NULL DDL constraints, as assertions)."""
+    o = table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.sum(F.col(col).isNull().cast("int")).alias(alias)
+            for col, alias in [
+                ("o_custkey", "null_custkey"),
+                ("o_orderstatus", "null_status"),
+                ("o_totalprice", "null_totalprice"),
+                ("o_orderdate", "null_orderdate"),
+            ]
+        ],
+    )

@@ -60,6 +60,10 @@ def load_all() -> None:
         upsert_queries,
         sampling,
     )
-    from fpl_data_pipeline_spark.functions import text_queries, scalar_queries  # noqa: F401
+    from fpl_data_pipeline_spark.functions import (  # noqa: F401
+        text_queries,
+        scalar_queries,
+        quality,
+    )
     from fpl_data_pipeline_spark.streaming import event_queries  # noqa: F401
     from fpl_data_pipeline_spark.operators import multimodal  # noqa: F401
