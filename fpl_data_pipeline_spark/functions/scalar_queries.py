@@ -125,3 +125,28 @@ def conditional_funcs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("l_tax", "l_discount").alias("min_rate"),
         F.nullif(F.col("l_discount"), F.lit(0.0)).isNull().cast("int").alias("zero_discount"),
     )
+
+
+@register(
+    "regex_funcs_part",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels,
+           CAST(regexp_matches(p_name, '[0-9]') AS INT) AS has_digit,
+           length(regexp_replace(p_name, '[^ ]', '', 'g')) AS n_spaces
+    FROM part
+    """,
+)
+def regex_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex catalog: extract / global replace / match-test / occurrence
+    count — JVM regexp expressions (the oracle spells global replace with the
+    'g' flag; Spark's regexp_replace is global by default)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("no_vowels"),
+        F.col("p_name").rlike("[0-9]").cast("int").alias("has_digit"),
+        F.length(F.regexp_replace("p_name", "[^ ]", "")).alias("n_spaces"),
+    )

@@ -270,3 +270,89 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+# --- iterative k-means (Lloyd) over the embedding column --------------------
+KM_K = 8
+KM_ITERS = 3
+
+
+def _sq_dist(a, b):
+    """Squared euclidean distance between two array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_fit(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS) -> DataFrame:
+    """Lloyd's k-means: the engine's representative *iterative* algorithm
+    (SURVEY.md driver contract: genuinely non-SQL-expressible, rows-only).
+
+    Driver/executor split per iteration — the canonical Spark formulation:
+    the centroid block (k x dim floats, bytes) is collected to the driver and
+    re-broadcast; assignments and the per-(cluster, dimension) means stay
+    fully distributed (posexplode + one shuffle on (cluster, pos)). Nothing
+    driver-side ever scales with the data. Deterministic: seeded from the
+    first k vectors by vec_id, ties broken by cluster id, no RNG.
+    """
+    emb = emb.select("vec_id", "embedding").cache()
+    cents = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.orderBy("vec_id").limit(k).collect()
+    ]
+    spark = emb.sparkSession
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [(i, v) for i, (_, v) in enumerate(cents)], "c_id int, cv array<double>"
+        )
+        scored = emb.crossJoin(F.broadcast(cdf)).select(
+            "vec_id", "embedding", "c_id", _sq_dist("embedding", "cv").alias("d2")
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("c_id").asc())
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", "c_id")
+        )
+        means = (
+            assigned.select("c_id", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("c_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("c_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("c_id", F.transform("pm", lambda s: s["m"]).alias("cv"))
+            .collect()
+        )
+        new = {int(r["c_id"]): list(r["cv"]) for r in means}
+        cents = [(i, new.get(i, v)) for i, (_, v) in enumerate(cents)]
+    cdf = spark.createDataFrame(
+        [(i, v) for i, (_, v) in enumerate(cents)], "c_id int, cv array<double>"
+    )
+    scored = emb.crossJoin(F.broadcast(cdf)).select(
+        "vec_id", "c_id", _sq_dist("embedding", "cv").alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c_id").alias("cluster_id"), F.col("d2").alias("sq_dist"))
+    )
+
+
+@register("kmeans_embeddings")
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster summary after KM_ITERS Lloyd iterations: per-cluster size and
+    inertia (sum of squared distances). Rows-only driver check — iterative
+    fixpoint computation has no single-statement SQL equivalent."""
+    emb = table(spark, sf_dir, "embeddings")
+    assigned = kmeans_fit(emb)
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.sum("sq_dist"), 6).alias("inertia"),
+        )
+        .orderBy("cluster_id")
+    )

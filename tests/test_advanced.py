@@ -78,3 +78,15 @@ def test_salted_agg_matches_plain_groupby(spark):
         for r in salted_agg_user_activity(spark, SF).collect()
     }
     assert plain == salted
+
+
+def test_kmeans_inertia_decreases(spark):
+    from fpl_data_pipeline_spark.operators.similarity import kmeans_fit
+    import pyspark.sql.functions as F2
+
+    emb = table(spark, SF, "embeddings")
+    inertia = []
+    for iters in (1, 3):
+        assigned = kmeans_fit(emb, k=4, iters=iters)
+        inertia.append(assigned.agg(F2.sum("sq_dist")).first()[0])
+    assert inertia[1] <= inertia[0] + 1e-9
