@@ -120,3 +120,67 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+# --- frame sampling (video) and fixed-size chunking (audio) -----------------
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+        T.StructField("frame_len", T.LongType()),
+    ]
+)
+
+FRAME_SIZE = 256  # stub "frame" stride in bytes
+MAX_FRAMES = 8
+
+
+def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
+    """Video frame sampling plumbing: one input asset row -> N frame rows
+    (every_nth-th frame up to MAX_FRAMES). The decode is the STUB byte
+    slicer (a real build points this at ffmpeg/pyav over the same iterator);
+    the Spark contract is the real thing: mapInPandas row-expansion with an
+    explicit schema, Arrow both ways, output cardinality independent of
+    batch boundaries. At 100 TB the expansion factor (frames per asset) is
+    the operator's cost model — it multiplies shuffle volume downstream, so
+    sampling BEFORE any shuffle (as here, map-side) is the scale-correct
+    order."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, blob in zip(pdf["asset_id"], pdf["media"]):
+                if blob is None:
+                    continue
+                b = bytes(blob)
+                n_frames = min(max(len(b) // FRAME_SIZE, 1), MAX_FRAMES)
+                for i in range(0, n_frames, every_nth):
+                    chunk = b[i * FRAME_SIZE : (i + 1) * FRAME_SIZE]
+                    rows.append((asset_id, i, chunk, len(chunk)))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "frame_idx", "frame_bytes", "frame_len"]
+            )
+
+    return media.mapInPandas(run, FRAMES_SCHEMA)
+
+
+@register("multimodal_frame_sample")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling summary per media_type: frames emitted, distinct
+    assets, total sampled bytes. Deterministic stub -> stable rows-only
+    check."""
+    media = media_table(spark, sf_dir)
+    frames = sample_frames(media.filter(F.col("media_type") == "video/mp4"))
+    joined = frames.join(
+        media.select("asset_id", "media_type"), "asset_id"
+    )
+    return (
+        joined.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.countDistinct("asset_id").alias("n_assets"),
+            F.sum("frame_len").alias("sampled_bytes"),
+        )
+        .orderBy("media_type")
+    )

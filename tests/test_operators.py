@@ -123,3 +123,23 @@ def test_percentile_approx_bound(spark, player_week_ft):
         F.percentile_approx("total_points", 0.5, 10_000).alias("p")
     ).first()["p"]
     assert abs(approx - exact) <= 1
+
+
+def test_frame_sampling_batch_shape_independent(spark):
+    """Frame expansion must not depend on Arrow batch boundaries or
+    partitioning (operators/multimodal.py::sample_frames)."""
+    from fpl_data_pipeline_spark.operators.multimodal import media_table, sample_frames
+
+    media = media_table(spark, "/root/testdata/sf0.001")
+    base = {
+        (r["asset_id"], r["frame_idx"], r["frame_len"])
+        for r in sample_frames(media).collect()
+    }
+    assert base, "sampler emitted nothing"
+    repart = {
+        (r["asset_id"], r["frame_idx"], r["frame_len"])
+        for r in sample_frames(media.repartition(13)).collect()
+    }
+    assert base == repart
+    # every-2nd sampling: frame indices are even
+    assert all(idx % 2 == 0 for _, idx, _ in base)
