@@ -338,3 +338,124 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(
         F.col("hamming").asc(), F.col("doc_id_a").asc(), F.col("doc_id_b").asc()
     ).limit(20)
+
+
+# --- duplicate-cluster formation: connected components over near-dup pairs --
+CC_MAX_ITERS = 10
+
+
+def connected_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
+    """(doc_id_a, doc_id_b) near-dup edges -> (doc_id, cluster_id) where
+    cluster_id is the minimum doc_id reachable in the duplicate graph — the
+    canonical-representative rule every large-scale dedup pipeline applies
+    after candidate scoring.
+
+    Algorithm: iterative label propagation (min-label) to fixpoint —
+    per iteration one groupBy over the edge list, convergence checked with a
+    cheap count. Duplicate clusters are near-cliques of small diameter, so
+    this converges in 2-3 rounds regardless of corpus size; each round is
+    one shuffle on doc_id. The label frontier is the only iteration state
+    and lives entirely in DataFrames (nothing driver-side but the
+    convergence flag)."""
+    edges = (
+        pairs.select(F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("doc_id_b").alias("u"), F.col("doc_id_a").alias("v"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("label"))
+        .select(F.col("u").alias("doc_id"), "label")
+        .cache()
+    )
+    for _ in range(max_iters):
+        # propagate: my new label = min(my label, neighbors' labels)
+        neighbor_labels = (
+            edges.join(labels.withColumnRenamed("doc_id", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+            .select(F.col("u").alias("doc_id"), "nbr_label")
+        )
+        new_labels = (
+            labels.join(neighbor_labels, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+@register("dedup_clusters")
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: MinHash-LSH candidate pairs above 0.5 estimated
+    Jaccard -> connected components -> cluster summary (size + canonical
+    keeper = min doc_id). Rows-only check (MinHash estimates are
+    engine-specific); the component operator itself is unit-tested on
+    planted graphs (tests/test_operators.py)."""
+    d = table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d)
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * ROWS_PER_BAND + r + 1)
+                                for r in range(ROWS_PER_BAND)
+                            ]
+                        ).alias("band_key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "sig", "band.band_id", "band.band_key").cache()
+    a = bands.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("sig").alias("sig_a"), "band_id", "band_key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("sig").alias("sig_b"), "band_id", "band_key"
+    )
+    est = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (
+                F.aggregate(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                ).cast("double")
+                / F.lit(float(N_HASHES))
+            ).alias("est_jaccard"),
+        )
+    )
+    pairs = est.filter(F.col("est_jaccard") >= 0.5)
+    comps = connected_components(pairs)
+    return (
+        comps.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .orderBy(F.col("cluster_size").desc(), F.col("cluster_id").asc())
+        .limit(20)
+    )

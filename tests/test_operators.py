@@ -143,3 +143,17 @@ def test_frame_sampling_batch_shape_independent(spark):
     assert base == repart
     # every-2nd sampling: frame indices are even
     assert all(idx % 2 == 0 for _, idx, _ in base)
+
+
+def test_connected_components_planted_graph(spark):
+    """Two planted components ({1,2,3,9} via chain, {5,6}) + the min-label
+    canonical rule (operators/dedup.py::connected_components)."""
+    from fpl_data_pipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (5, 6)], "doc_id_a long, doc_id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
