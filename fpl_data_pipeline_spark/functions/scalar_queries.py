@@ -150,3 +150,40 @@ def regex_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").rlike("[0-9]").cast("int").alias("has_digit"),
         F.length(F.regexp_replace("p_name", "[^ ]", "")).alias("n_spaces"),
     )
+
+
+@register(
+    "math_funcs_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS abs_dev,
+           ceil(l_extendedprice) AS price_ceil,
+           floor(l_extendedprice) AS price_floor,
+           round(sqrt(l_quantity), 9) AS qty_sqrt,
+           round(ln(l_extendedprice), 9) AS price_ln,
+           round(exp(l_discount), 9) AS disc_exp,
+           power(l_quantity, 2) AS qty_sq,
+           mod(l_orderkey, 7) AS key_mod7,
+           sign(l_discount - 0.05) AS disc_sign
+    FROM lineitem
+    """,
+)
+def math_funcs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math catalog: abs/ceil/floor/sqrt/ln/exp/power/mod/sign — pure
+    codegen'd projections. Transcendentals (ln/exp) are rounded to 9 dp:
+    java.lang.Math and libm agree to well under 1e-9 but not to the last
+    ulp."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_dev"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.round(F.sqrt("l_quantity"), 9).alias("qty_sqrt"),
+        F.round(F.log("l_extendedprice"), 9).alias("price_ln"),
+        F.round(F.exp("l_discount"), 9).alias("disc_exp"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )
