@@ -79,3 +79,52 @@ def user_running_profile(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- streaming exact dedup: emit each fingerprint's first occurrence only ---
+DEDUP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("fp", T.StringType()),
+        T.StructField("first_event_id", T.LongType()),
+        T.StructField("n_new", T.LongType()),
+    ]
+)
+
+DEDUP_STATE_SCHEMA = T.StructType([T.StructField("seen", T.BooleanType())])
+
+
+def _emit_first(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Emit one row the FIRST time this fingerprint appears on the stream;
+    afterwards the state marks it seen and later occurrences are dropped —
+    exactly the semantics of streaming exact dedup over an unbounded corpus."""
+    (fp,) = key
+    if state.exists:
+        return
+    first_id = None
+    n = 0
+    for pdf in pdfs:
+        n += len(pdf)
+        if len(pdf):
+            m = int(pdf["event_id"].min())
+            first_id = m if first_id is None else min(first_id, m)
+    if n == 0:
+        return
+    state.update((True,))
+    yield pd.DataFrame({"fp": [fp], "first_event_id": [first_id], "n_new": [n]})
+
+
+def streaming_dedup(stream: DataFrame, fp_col: str = "fp") -> DataFrame:
+    """Streaming exact dedup keyed by content fingerprint: the state store
+    holds one boolean per fingerprint ever seen (partitioned across
+    executors with the key — at 100 TB this is the canonical 'have I seen
+    this document' set, sharded and checkpointed for free). First
+    occurrence wins; re-lands and cross-batch duplicates never re-emit."""
+    return stream.groupBy(fp_col).applyInPandasWithState(
+        _emit_first,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
