@@ -217,3 +217,75 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
         .limit(25)
     )
+
+
+# --- feature hashing: text -> fixed-dim count vector (HashingTF semantics) --
+FH_DIM = 64
+
+
+def feature_vectors(df: DataFrame, text_col: str = "text", dim: int = FH_DIM) -> DataFrame:
+    """doc_id -> dense int count vector of hashed tokens (the HashingTF
+    trick, built-ins only): token -> bucket = xxhash64 mod dim, count per
+    bucket, then densify via map_from_entries + per-index lookup. One
+    explode + one shuffle on doc_id; the dense array is dim ints per doc —
+    the embedding-generation step for corpora too large to train a real
+    encoder over every row."""
+    toks = df.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " "),
+                lambda w: w != "",
+            )
+        ).alias("tok"),
+    )
+    counts = (
+        toks.select("doc_id", F.pmod(F.xxhash64("tok"), F.lit(dim)).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sparse = counts.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("bucket", "n")))
+        ).alias("m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at("m", i), F.lit(0)).cast("double"),
+    )
+    return sparse.select("doc_id", dense.alias("fv"))
+
+
+@register("text_hash_vector_dups")
+def text_hash_vector_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection in hashed-feature space: cosine over the
+    feature-hashed count vectors, candidates blocked on the vector's
+    dominant bucket (argmax index — identical/near-identical token
+    distributions share it), top-20 pairs. Blocking on a derived key keeps
+    candidate generation an equi-join (fan-out ~ n/dim per block), the same
+    no-n² discipline as every dedup operator here. Rows-only check (hash
+    family is engine-specific); planted-dup behavior is unit-tested."""
+    d = table(spark, sf_dir, "documents")
+    fv = feature_vectors(d).withColumn(
+        "vh", F.array_position(F.col("fv"), F.array_max("fv"))
+    )
+    a = fv.select(F.col("doc_id").alias("doc_id_a"), F.col("fv").alias("fa"), "vh")
+    b = fv.select(F.col("doc_id").alias("doc_id_b"), F.col("fv").alias("fb"), "vh")
+    dot = F.aggregate(
+        F.zip_with("fa", "fb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform("fa", lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform("fb", lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+    return (
+        a.join(b, "vh")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select(
+            "doc_id_a", "doc_id_b", F.round(dot / (na * nb), 6).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col("doc_id_a").asc(), F.col("doc_id_b").asc())
+        .limit(20)
+    )

@@ -157,3 +157,22 @@ def test_connected_components_planted_graph(spark):
         r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_feature_vectors_identical_docs_collide(spark):
+    """Identical texts -> identical hashed feature vectors; different texts
+    -> (almost surely) different (functions/text_queries.py::feature_vectors)."""
+    from fpl_data_pipeline_spark.functions.text_queries import feature_vectors
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown fox jumps"),
+            (3, "an entirely different sentence here"),
+        ],
+        "doc_id long, text string",
+    )
+    fvs = {r["doc_id"]: tuple(r["fv"]) for r in feature_vectors(docs).collect()}
+    assert fvs[1] == fvs[2]
+    assert fvs[1] != fvs[3]
+    assert sum(fvs[1]) == 5.0  # token count preserved
