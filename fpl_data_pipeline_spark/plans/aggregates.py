@@ -212,3 +212,34 @@ def approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderstatus").agg(
         F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000).alias("price_quantiles")
     )
+
+
+# --- statistical aggregate catalog ------------------------------------------
+@register(
+    "stats_agg_lineitem",
+    """
+    SELECT l_returnflag,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(var_samp(l_quantity), 6) AS var_qty,
+           round(corr(l_quantity, l_discount), 6) AS corr_qd,
+           round(covar_samp(l_quantity, l_discount), 6) AS covar_qd
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def stats_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/correlation/covariance)
+    per group — single-pass numerically-stable accumulators on
+    both engines, partial-agg + one shuffle like any hash aggregate. Kept
+    on small-magnitude columns (quantity 1-50, discount 0-0.1) and rounded
+    to 6 dp so the engines' accumulation-order difference (~1e-12 relative)
+    stays below the hash tolerance."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("corr_qd"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qd"),
+    )
