@@ -157,14 +157,14 @@ def regex_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_orderkey, l_linenumber,
            abs(l_discount - 0.05) AS abs_dev,
-           ceil(l_extendedprice) AS price_ceil,
-           floor(l_extendedprice) AS price_floor,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
            round(sqrt(l_quantity), 9) AS qty_sqrt,
            round(ln(l_extendedprice), 9) AS price_ln,
            round(exp(l_discount), 9) AS disc_exp,
            power(l_quantity, 2) AS qty_sq,
            mod(l_orderkey, 7) AS key_mod7,
-           sign(l_discount - 0.05) AS disc_sign
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
     FROM lineitem
     """,
 )

@@ -183,6 +183,22 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- corpus-level n-gram stats: top-25 bigrams ------------------------------
+def doc_bigrams(d: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id -> exploded word bigrams (engine operator). sequence(1, 0) is
+    descending in Spark — guard docs with <2 words or element_at(ws, 0)
+    aborts the job (explode(NULL) emits no rows, matching the oracle's
+    end-exclusive range)."""
+    ws = _words(_norm_text(F.col(text_col)))
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+        ),
+    )
+    return d.select("doc_id", F.explode(bigrams).alias("bigram"))
+
+
 @register(
     "text_top_bigrams",
     f"""
@@ -205,13 +221,8 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    ws = _words(_norm_text(F.col("text")))
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(ws) - 1, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
-    )
     return (
-        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        doc_bigrams(d)
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_docs"))
         .orderBy(F.col("n").desc(), F.col("bigram").asc())

@@ -49,13 +49,37 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     words = df.repartition(sp.sparkContext.defaultParallelism).select(
         "doc_id", _words(_norm_text(F.col(text_col))).alias("ws")
     )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("ws") - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(F.col("ws"), i + k) for k in range(n)]
+    # Guard short docs: Spark's sequence(1, 0) is DESCENDING ([1, 0]), so an
+    # unguarded transform would evaluate element_at(ws, 0) and abort the job
+    # for any doc with fewer than n words. CASE WHEN short-circuits per row,
+    # and explode(NULL) emits no rows — matching the oracle's end-exclusive
+    # range semantics (short docs contribute zero shingles).
+    grams = F.when(
+        F.size("ws") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("ws"), i + k) for k in range(n)]
+            ),
         ),
     )
     return words.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
+def capped_shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3, df_cap: int = 0
+) -> DataFrame:
+    """Shingles with document-frequency capping: drop shingles appearing in
+    more than ``df_cap`` documents (default SHINGLE_DF_CAP) BEFORE any
+    self-join — the anti-skew guard for exact-Jaccard candidate generation.
+    One extra groupBy on the shingle key; the filter join shuffles on the
+    same key as the downstream self-join, so AQE coalesces the exchanges."""
+    cap = df_cap or SHINGLE_DF_CAP
+    sh = shingles(df, text_col, n)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return sh.join(freq.filter(F.col("df") <= cap).select("shingle"), "shingle").select(
+        "doc_id", "shingle"
+    )
 
 
 # --- exact dedup: md5-keyed group, keep lowest doc_id -----------------------
@@ -98,9 +122,22 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- n-gram Jaccard near-dup (exact, oracle-checked) ------------------------
+# Document-frequency cap: shingles appearing in more than SHINGLE_DF_CAP
+# documents are dropped from the shingle universe before the self-join (the
+# stopword-removal convention of large-scale dedup). Without it one
+# boilerplate shingle shared by k documents produces k^2/2 join rows — at
+# 100 TB a single hot shingle is a quadratic, maximally-skewed straggler.
+# With it the join fan-out is bounded by cap * df-distribution mass, linear
+# in corpus size. Jaccard is then defined over the capped universe on BOTH
+# engines (hot shingles carry ~no near-dup signal; test corpora have max
+# df = 7, so results are unchanged there — tests/test_operators.py proves
+# the bound with a planted hot shingle).
+SHINGLE_DF_CAP = 1000
+
+
 @register(
     "dedup_ngram_jaccard",
-    """
+    f"""
     WITH norm AS (
       SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
       FROM documents
@@ -113,8 +150,14 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs
       FROM words
     ),
-    sizes AS (SELECT doc_id, len(gs) AS n_shingles FROM grams),
-    exploded AS (SELECT doc_id, unnest(gs) AS shingle FROM grams),
+    exploded0 AS (SELECT doc_id, unnest(gs) AS shingle FROM grams),
+    freq AS (SELECT shingle, COUNT(*) AS df FROM exploded0 GROUP BY shingle),
+    exploded AS (
+      SELECT e.doc_id, e.shingle
+      FROM exploded0 e JOIN freq USING (shingle)
+      WHERE df <= {SHINGLE_DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM exploded GROUP BY doc_id),
     pair_inter AS (
       SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_common
       FROM exploded a JOIN exploded b
@@ -133,7 +176,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    sh = shingles(d).cache()
+    sh = capped_shingles(d).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
@@ -356,7 +399,9 @@ def connected_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
     this converges in 2-3 rounds regardless of corpus size; each round is
     one shuffle on doc_id. The label frontier is the only iteration state
     and lives entirely in DataFrames (nothing driver-side but the
-    convergence flag)."""
+    convergence flag). If the fixpoint is NOT reached within ``max_iters``
+    (duplicate chain with graph diameter > max_iters), raises RuntimeError
+    rather than silently returning split clusters with wrong cluster_ids."""
     edges = (
         pairs.select(F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v"))
         .unionByName(
@@ -370,6 +415,7 @@ def connected_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
         .select(F.col("u").alias("doc_id"), "label")
         .cache()
     )
+    converged = False
     for _ in range(max_iters):
         # propagate: my new label = min(my label, neighbors' labels)
         neighbor_labels = (
@@ -395,7 +441,14 @@ def connected_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iters} "
+            "iterations (duplicate-graph diameter exceeds max_iters); "
+            "raise max_iters — results would be split clusters, not returned"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 

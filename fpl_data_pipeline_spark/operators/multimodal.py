@@ -105,11 +105,33 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, FEATURES_SCHEMA)
 
 
-@register("multimodal_features")
+@register(
+    "multimodal_features",
+    """
+    WITH media AS (
+      SELECT CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 'image/png'
+               WHEN 1 THEN 'audio/wav'
+               ELSE 'video/mp4' END AS media_type,
+             octet_length(encode(text)) AS byte_len
+      FROM documents
+    )
+    SELECT media_type,
+           COUNT(*) AS n_assets,
+           CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+           SUM(CAST(byte_len % 251 AS DOUBLE)) AS sum_feat0
+    FROM media
+    GROUP BY media_type
+    ORDER BY media_type
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column feature extraction, aggregated per media_type so the
-    rows-only check is tiny and stable: count, total bytes, mean first
-    feature. Deterministic stub -> stable across runs."""
+    check is tiny and stable: count, total bytes, sum of the first stub
+    feature (byte_len % 251 — exactly integer-valued doubles, so the sum is
+    order-independent). The deterministic stub is byte arithmetic the oracle
+    reproduces over encode(text), giving the mapInPandas plumbing a real
+    value-level parity check rather than rows-only."""
     feats = extract_features(media_table(spark, sf_dir))
     return (
         feats.groupBy("media_type")
@@ -165,11 +187,35 @@ def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
     return media.mapInPandas(run, FRAMES_SCHEMA)
 
 
-@register("multimodal_frame_sample")
+@register(
+    "multimodal_frame_sample",
+    f"""
+    WITH media AS (
+      SELECT doc_id AS asset_id, octet_length(encode(text)) AS len
+      FROM documents
+      WHERE CAST(doc_id % 3 AS INT) = 2
+    ),
+    frames AS (
+      SELECT asset_id, len,
+             UNNEST(range(0, least(greatest(len // {FRAME_SIZE}, 1), {MAX_FRAMES}), 2)) AS i
+      FROM media
+    )
+    SELECT 'video/mp4' AS media_type,
+           COUNT(*) AS n_frames,
+           COUNT(DISTINCT asset_id) AS n_assets,
+           CAST(SUM(least({FRAME_SIZE}, len - i * {FRAME_SIZE})) AS BIGINT) AS sampled_bytes
+    FROM frames
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling summary per media_type: frames emitted, distinct
-    assets, total sampled bytes. Deterministic stub -> stable rows-only
-    check."""
+    assets, total sampled bytes. The stub frame slicer is pure byte
+    arithmetic (min(max(len // FRAME_SIZE, 1), MAX_FRAMES) frames, every 2nd
+    sampled, last chunk truncated at the payload end), which the oracle
+    reproduces exactly — a value-level check of the mapInPandas row-expansion
+    contract."""
     media = media_table(spark, sf_dir)
     frames = sample_frames(media.filter(F.col("media_type") == "video/mp4"))
     joined = frames.join(

@@ -105,7 +105,7 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(*) AS n_rows,
            COUNT(DISTINCT lang) AS n_langs,
            COUNT(DISTINCT source) AS n_sources,
-           SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_texts,
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_texts,
            MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars,
            CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_chars
@@ -136,11 +136,11 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_docs_source_lang",
     """
     SELECT source,
-           SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS de,
-           SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS en,
-           SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS es,
-           SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS fr,
-           SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS zh
+           CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+           CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+           CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+           CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
     FROM documents
     GROUP BY source
     """,

@@ -123,24 +123,63 @@ def _hyperplanes(n_planes: int = 8, dim: int = DIM) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def _plane_bit(vec_col, plane: list[float]):
+    """Spark sign-bit of v . plane (plane as literal doubles, JVM-side)."""
+    h = F.array(*[F.lit(float(x)) for x in plane])
+    return F.when(_dot(F.col(vec_col) if isinstance(vec_col, str) else vec_col, h) >= 0, 1).otherwise(0)
+
+
+def _plane_dot_sql(col: str, plane: list[float]) -> str:
+    """DuckDB dot product of ``col`` with a literal plane as an explicit
+    left-associated sum — the same accumulation order as the Spark fold, so
+    the doubles are bitwise identical (repr round-trips every float64)."""
+    return "(" + " + ".join(f"{col}[{i + 1}]::DOUBLE * ({x!r})" for i, x in enumerate(plane)) + ")"
+
+
+def _bucket_sql(col: str, planes: list[list[float]]) -> str:
+    """DuckDB mirror of the sign-bit bucket id over literal planes."""
+    terms = [
+        f"(CASE WHEN {_plane_dot_sql(col, p)} >= 0 THEN 1 ELSE 0 END) * {2 ** i}"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def lsh_bucket(df: DataFrame, vec_col: str = "embedding", n_planes: int = 8):
     """Append a sign-bit LSH bucket id: bit p = sign(v . h_p). Pure column
     expressions over literal hyperplane arrays — JVM-side, no UDF."""
     planes = _hyperplanes(n_planes)
     bucket = None
     for p, plane in enumerate(planes):
-        h = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(_dot(F.col(vec_col), h) >= 0, 1).otherwise(0)
-        term = bit * (2**p)
+        term = _plane_bit(vec_col, plane) * (2**p)
         bucket = term if bucket is None else bucket + term
     return df.withColumn("bucket", bucket)
 
 
-@register("ann_lsh_bucketed")
+@register(
+    "ann_lsh_bucketed",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding', _hyperplanes(8))} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS qv, bucket AS q_bucket FROM b WHERE vec_id = 0)
+    SELECT e.vec_id, q.q_id, e.bucket,
+           {_dot_sql('e.embedding', 'q.qv')}
+             / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                * sqrt({_dot_sql('q.qv', 'q.qv')})) AS cosine
+    FROM b e, q
+    WHERE e.bucket = q.q_bucket AND e.vec_id <> q.q_id
+    ORDER BY cosine DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: restrict the cosine scan to the query's LSH bucket.
-    Deterministic hyperplanes -> stable rows-only check. At 100 TB the
-    bucketed table is written bucketBy(bucket) so probes touch one bucket."""
+    The hyperplanes are literal seeded doubles shared by both engines, and
+    dot products fold in identical order, so the oracle reproduces the
+    buckets exactly. At 100 TB the bucketed table is written bucketBy(bucket)
+    so probes touch one bucket."""
     emb = lsh_bucket(table(spark, sf_dir, "embeddings"))
     query = emb.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("q_id"),
@@ -158,22 +197,92 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("emb_neardup_pairs")
-def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH bucket self-join:
-    candidates share a bucket (8 sign bits), then exact cosine, top-20 pairs.
-    Rows-only check (bucket design is engine-specific)."""
-    emb = lsh_bucket(table(spark, sf_dir, "embeddings"))
-    a = emb.select(
-        F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("va"), "bucket"
+# Banded sign-bit LSH for the near-dup self-join: N_ND_PLANES sign bits split
+# into N_ND_BANDS band keys; candidates share ANY band (AND within a band, OR
+# across bands — the minhash-style composition). Each band partitions the
+# corpus into 2^bits_per_band buckets, so expected bucket size is
+# n / 2^bits_per_band; at scale you grow bits_per_band ~ log2(n / target
+# bucket size) and add bands to recover recall, keeping the join linear in n
+# instead of the fixed-256-bucket ~n^2/256 of a single coarse bucket.
+N_ND_PLANES = 16
+N_ND_BANDS = 2
+ND_BITS_PER_BAND = N_ND_PLANES // N_ND_BANDS
+
+
+def lsh_band_keys(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, embedding) -> exploded (vec_id, embedding, band_id, band_key):
+    one row per band, band_key = the band's sign bits packed into an int."""
+    planes = _hyperplanes(N_ND_PLANES)
+    band_cols = []
+    for band in range(N_ND_BANDS):
+        key = None
+        for j in range(ND_BITS_PER_BAND):
+            term = _plane_bit(vec_col, planes[band * ND_BITS_PER_BAND + j]) * (2**j)
+            key = term if key is None else key + term
+        band_cols.append(
+            F.struct(F.lit(band).alias("band_id"), key.alias("band_key"))
+        )
+    return df.select(
+        "vec_id", F.col(vec_col).alias("embedding"), F.explode(F.array(*band_cols)).alias("b")
+    ).select("vec_id", "embedding", "b.band_id", "b.band_key")
+
+
+def _nd_band_sql(col: str, band: int) -> str:
+    planes = _hyperplanes(N_ND_PLANES)
+    terms = [
+        f"(CASE WHEN {_plane_dot_sql(col, planes[band * ND_BITS_PER_BAND + j])} >= 0"
+        f" THEN 1 ELSE 0 END) * {2 ** j}"
+        for j in range(ND_BITS_PER_BAND)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "emb_neardup_pairs",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_nd_band_sql('embedding', 0)} AS k0,
+             {_nd_band_sql('embedding', 1)} AS k1
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT x.vec_id AS vec_id_a, y.vec_id AS vec_id_b
+      FROM b x JOIN b y ON x.k0 = y.k0 AND x.vec_id < y.vec_id
+      UNION
+      SELECT x.vec_id, y.vec_id
+      FROM b x JOIN b y ON x.k1 = y.k1 AND x.vec_id < y.vec_id
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("vb"), "bucket"
+    SELECT c.vec_id_a, c.vec_id_b,
+           {_dot_sql('ea.embedding', 'eb.embedding')}
+             / (sqrt({_dot_sql('ea.embedding', 'ea.embedding')})
+                * sqrt({_dot_sql('eb.embedding', 'eb.embedding')})) AS cosine
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.vec_id_a
+    JOIN embeddings eb ON eb.vec_id = c.vec_id_b
+    ORDER BY cosine DESC, c.vec_id_a ASC, c.vec_id_b ASC
+    LIMIT 20
+    """,
+)
+def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded sign-bit LSH
+    (16 planes, 2 bands x 8 bits): candidates share at least one band key,
+    then exact cosine, top-20 pairs. The seeded literal hyperplanes and
+    order-identical dot folds make the bucket assignment — and therefore the
+    candidate set — exactly reproducible in the DuckDB oracle."""
+    emb = table(spark, sf_dir, "embeddings")
+    keys = lsh_band_keys(emb).cache()
+    a = keys.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("va"), "band_id", "band_key"
+    )
+    b = keys.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("vb"), "band_id", "band_key"
     )
     cos = (_dot("va", "vb") / (_norm("va") * _norm("vb"))).alias("cosine")
     return (
-        a.join(b, "bucket")
+        a.join(b, ["band_id", "band_key"])
         .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
         .select("vec_id_a", "vec_id_b", cos)
         .orderBy(F.col("cosine").desc(), F.col("vec_id_a").asc(), F.col("vec_id_b").asc())
         .limit(20)
@@ -240,12 +349,54 @@ def emb_cluster_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_probe")
+@register(
+    "ann_ivf_probe",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS c_id, embedding AS cv
+      FROM embeddings ORDER BY vec_id LIMIT {N_CENTROIDS}
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, c_id AS list_id FROM (
+        SELECT e.vec_id, e.embedding, c.c_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_dot_sql('e.embedding', 'c.cv')}
+                            / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                               * sqrt({_dot_sql('c.cv', 'c.cv')})) DESC,
+                          c.c_id ASC) AS rn
+        FROM embeddings e, cents c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT q_id, qv, c_id AS list_id FROM (
+        SELECT q.q_id, q.qv, c.c_id
+        FROM q, cents c
+        ORDER BY {_dot_sql('q.qv', 'c.cv')}
+                   / (sqrt({_dot_sql('q.qv', 'q.qv')})
+                      * sqrt({_dot_sql('c.cv', 'c.cv')})) DESC,
+                 c.c_id ASC
+        LIMIT {N_PROBE}
+      )
+    )
+    SELECT a.vec_id, p.q_id, a.list_id,
+           {_dot_sql('a.embedding', 'p.qv')}
+             / (sqrt({_dot_sql('a.embedding', 'a.embedding')})
+                * sqrt({_dot_sql('p.qv', 'p.qv')})) AS cosine
+    FROM assigned a JOIN probe p ON a.list_id = p.list_id
+    WHERE a.vec_id <> p.q_id
+    ORDER BY cosine DESC, a.vec_id ASC
+    LIMIT 10
+    """,
+)
 def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search for query vec_id=0: probe the N_PROBE nearest inverted
     lists only, exact cosine within them, top-10. At 100 TB the assignment
     table is written partitioned by list_id so a probe reads ~N_PROBE/N of
-    the data. Rows-only check (centroid seeding is engine-specific)."""
+    the data. Oracle-checked: the centroid seeding (first N_CENTROIDS by
+    vec_id), argmax assignment and probe selection are deterministic SQL
+    with order-identical dot folds on both engines."""
     emb = table(spark, sf_dir, "embeddings")
     cents = _centroids(emb).cache()
     assigned = ivf_assign(emb, cents)

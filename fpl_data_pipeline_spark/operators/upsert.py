@@ -30,21 +30,28 @@ from pyspark.sql import DataFrame, Window
 
 
 def dedup_last_wins(batch: DataFrame, keys: Sequence[str], order_by: str | None = None) -> DataFrame:
-    """Keep one row per key: the last by ``order_by`` (or an explicit batch
-    sequence column) — reference semantics where the later row of a batch
-    overwrites the earlier."""
+    """Keep one row per key: the last by ``order_by`` — reference semantics
+    where the later row of a batch overwrites the earlier.
+
+    "Last in batch order" is only well-defined when the batch carries an
+    order column, so callers that need the reference's loop-order semantics
+    MUST pass ``order_by`` (a monotone sequence/timestamp column).  With
+    ``order_by=None`` the survivor is instead chosen by a deterministic
+    total order over the non-key columns (greatest tuple wins) — stable
+    under any physical partitioning or shuffle layout, unlike
+    monotonically_increasing_id, which is partition-major and plan-dependent.
+    """
     if order_by is None:
-        batch = batch.withColumn("__seq", F.monotonically_increasing_id())
-        order_col, drop_seq = F.col("__seq"), True
+        rest = [c for c in batch.columns if c not in set(keys)]
+        order_col = F.struct(*[F.col(c) for c in rest]) if rest else F.lit(1)
     else:
-        order_col, drop_seq = F.col(order_by), False
+        order_col = F.col(order_by)
     w = Window.partitionBy(*keys).orderBy(order_col.desc())
-    out = (
+    return (
         batch.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    return out.drop("__seq") if drop_seq else out
 
 
 def upsert(

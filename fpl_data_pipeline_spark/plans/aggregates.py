@@ -189,28 +189,68 @@ def high_water_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- scale-track: approximate distinct (no SQL-exact oracle; rows-only) -----
-@register("approx_distinct_customers")
+# --- scale-track: approximate distinct (sketch-contract oracle) -------------
+@register(
+    "approx_distinct_customers",
+    """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS exact_custs,
+           TRUE AS sketch_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
 def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ sketch — the 100 TB substitute for COUNT(DISTINCT).
 
-    No oracle entry: approximate results are engine-specific; the driver
-    records a rows-only check. tests/test_operators.py bounds the error vs
-    the exact count instead.
-    """
+    Sketch values are engine-specific, so the oracle checks the sketch's
+    CONTRACT instead: ``sketch_ok`` asserts |approx - exact| <= 5% * exact
+    (2.5 sigma at rsd=0.02) Spark-side; the oracle emits the exact count and
+    literal TRUE. HLL register merge is max-based, so the approx value is
+    deterministic under any partitioning and the boolean is stable. A
+    misbehaving sketch flips the boolean and fails the hash."""
     o = table(spark, sf_dir, "orders")
+    exact = F.countDistinct("o_custkey")
+    approx = F.approx_count_distinct("o_custkey", 0.02)
     return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", 0.02).alias("approx_custs")
+        exact.alias("exact_custs"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= F.lit(0.05) * exact.cast("double")
+        ).alias("sketch_ok"),
     )
 
 
-# --- scale-track: quantile sketch (rows-only; bounded in tests) -------------
-@register("approx_quantiles_price")
+# --- scale-track: quantile sketch (sketch-contract oracle) ------------------
+@register(
+    "approx_quantiles_price",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+           round(quantile_cont(o_totalprice, 0.95), 6) AS p95,
+           TRUE AS p50_in_band,
+           TRUE AS p95_in_band
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
 def approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx (GK sketch) over order totals, grouped by status."""
+    """percentile_approx (GK sketch) — the 100 TB substitute for exact
+    percentiles — oracle-checked via its contract: scalar columns only (the
+    driver's canonicalizer can't sort array cells), exact interpolated
+    percentiles (match DuckDB quantile_cont bit-for-bit after 6-dp rounding)
+    plus booleans asserting the sketch value lands inside a generous rank
+    band (accuracy=10000 guarantees rank error <= n/10000; the band allows
+    n/100). The oracle emits the exact values and literal TRUE."""
     o = table(spark, sf_dir, "orders")
+    q = F.percentile_approx("o_totalprice", [0.5, 0.95], 10000)
+    a50, a95 = F.element_at(q, 1), F.element_at(q, 2)
+    pct = lambda p: F.percentile("o_totalprice", F.lit(p))  # noqa: E731
     return o.groupBy("o_orderstatus").agg(
-        F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000).alias("price_quantiles")
+        F.round(pct(0.5), 6).alias("p50"),
+        F.round(pct(0.95), 6).alias("p95"),
+        a50.between(pct(0.49), pct(0.51)).alias("p50_in_band"),
+        a95.between(pct(0.94), pct(0.96)).alias("p95_in_band"),
     )
 
 

@@ -311,7 +311,7 @@ def filter_range_hwm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
     FROM events
     GROUP BY event_type
     """,

@@ -65,8 +65,8 @@ def events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessioned AS (
       SELECT user_id, ts, event_id,
-             SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                       ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM ordered
     )
     SELECT user_id, session_id,

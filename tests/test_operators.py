@@ -176,3 +176,80 @@ def test_feature_vectors_identical_docs_collide(spark):
     assert fvs[1] == fvs[2]
     assert fvs[1] != fvs[3]
     assert sum(fvs[1]) == 5.0  # token count preserved
+
+
+def test_shingles_and_bigrams_short_docs(spark):
+    """Docs with <n words must contribute zero grams, not abort the job:
+    Spark's sequence(1, 0) is DESCENDING, so the unguarded transform
+    evaluated element_at(ws, 0) (operators/dedup.py::shingles,
+    functions/text_queries.py::doc_bigrams regression)."""
+    from fpl_data_pipeline_spark.functions.text_queries import doc_bigrams
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "two words"), (4, "now three words"),
+         (5, "a fuller sentence with many words")],
+        "doc_id long, text string",
+    )
+    sh = shingles(docs).collect()  # must not raise INVALID_ARRAY_INDEX
+    by_doc = {}
+    for r in sh:
+        by_doc.setdefault(r["doc_id"], []).append(r["shingle"])
+    assert set(by_doc) == {4, 5}  # <3-word docs emit nothing
+    assert by_doc[4] == ["now three words"]
+
+    bg = doc_bigrams(docs).collect()
+    bg_docs = {r["doc_id"] for r in bg}
+    assert bg_docs == {3, 4, 5}  # <2-word docs emit nothing
+    # minhash over a corpus containing short docs must also survive
+    sigs = minhash_signatures(docs).collect()
+    assert {r["doc_id"] for r in sigs} == {4, 5}
+
+
+def test_capped_shingles_drops_hot_shingle(spark):
+    """A shingle planted across many docs is excluded by the document-
+    frequency cap, bounding the candidate join (operators/dedup.py::
+    capped_shingles anti-skew guard)."""
+    from fpl_data_pipeline_spark.operators.dedup import capped_shingles
+
+    hot = "common boiler plate"
+    rows = [(i, f"{hot} unique{i} tail{i} words{i}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = capped_shingles(docs, df_cap=5).collect()
+    grams = {r["shingle"] for r in capped}
+    assert hot not in grams  # df=10 > cap=5: dropped
+    assert any("unique3" in g for g in grams)  # rare shingles survive
+    # uncapped keeps it
+    assert hot in {r["shingle"] for r in shingles(docs).collect()}
+
+
+def test_dedup_last_wins_partition_independent(spark):
+    """With order_by=None the survivor must not depend on physical layout
+    (operators/upsert.py regression: monotonically_increasing_id was
+    partition-major)."""
+    from fpl_data_pipeline_spark.operators.upsert import dedup_last_wins
+
+    rows = [(k, v, f"s{v}") for k in range(20) for v in (3, 1, 2)]
+    batch = spark.createDataFrame(rows, "k long, v long, s string")
+    pick = lambda df: {r["k"]: (r["v"], r["s"]) for r in df.collect()}
+    a = pick(dedup_last_wins(batch.repartition(1), ["k"]))
+    b = pick(dedup_last_wins(batch.repartition(13), ["k"]))
+    c = pick(dedup_last_wins(batch.orderBy(F.rand(7)).repartition(5), ["k"]))
+    assert a == b == c
+    assert a[0] == (3, "s3")  # greatest non-key tuple wins, deterministically
+    # explicit order_by still honored
+    d = dedup_last_wins(batch.withColumn("seq", F.col("v")), ["k"], order_by="seq")
+    assert {r["k"]: r["v"] for r in d.collect()}[0] == 3
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """Diameter > max_iters must raise, not silently split clusters
+    (operators/dedup.py::connected_components regression)."""
+    from fpl_data_pipeline_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "doc_id_a long, doc_id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=1)
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(chain).collect()}
+    assert set(got.values()) == {1}

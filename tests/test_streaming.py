@@ -107,3 +107,28 @@ def test_multimodal_batch_shape_independence(spark):
             spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
     assert out1 == out2  # identical regardless of partitioning / Arrow batch size
     assert out1[0]["magic_hex"] is not None and len(out1[0]["features"]) == 8
+
+
+def test_merge_recovers_from_crashed_swap(spark, event_files, tmp_path):
+    """Crash-mid-swap recovery (streaming/incremental.py::merge_batch): a
+    leftover .bak with the real table and a half-written .stage must be
+    recovered/cleaned, and the merge must land on a consistent base."""
+    import os
+
+    src = str(event_files / "source")
+    target = str(tmp_path / "hourly")
+    ckpt1 = str(tmp_path / "ckpt1")
+    run_available_now(spark, src, target, ckpt1)
+    good = _agg_state(spark, target)
+
+    # simulate a crash between the two renames: table moved to .bak,
+    # .stage half-written garbage, target missing
+    os.rename(target, target + ".bak")
+    os.makedirs(target + ".stage")
+    with open(target + ".stage/part-junk.parquet", "w") as f:
+        f.write("not parquet")
+
+    run_available_now(spark, src, target, str(tmp_path / "ckpt2"))
+    assert _agg_state(spark, target) == good  # recovered, re-merged idempotently
+    assert not os.path.exists(target + ".bak")
+    assert not os.path.exists(target + ".stage")

@@ -23,8 +23,27 @@ from fpl_data_pipeline_spark.registry import QUERIES, ORACLE_SQL, load_all  # no
 from fpl_data_pipeline_spark.tables import TABLE_NAMES  # noqa: E402
 
 
+def array_columns(df: pd.DataFrame) -> list[str]:
+    """Columns containing list/array cells — the driver's canonicalizer
+    cannot sort these (round-1 crash on approx_quantiles_price), so the
+    local gate rejects them outright."""
+    bad = []
+    for c in df.columns:
+        if df[c].dtype == object and df[c].map(
+            lambda v: isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray"
+        ).any():
+            bad.append(c)
+    return bad
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    """Sort columns by name, canonicalize values, sort rows."""
+    """Sort columns by name, canonicalize values, sort rows.
+
+    Deliberately does NOT coerce dtypes: the driver's hash sees int64 vs
+    float64 as different text (99111 vs 99111.0), so dtype mismatches must
+    surface here too (round-1 json_parse_aggregate failure). Only float
+    rounding (last-bit noise) and timestamp-precision canonicalization are
+    applied."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         s = df[c]
@@ -33,14 +52,23 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = s.round(9)
         elif pd.api.types.is_datetime64_any_dtype(s):
             df[c] = s.astype("datetime64[us]")
-        elif s.dtype == object:
-            df[c] = s.map(
-                lambda v: tuple(v)
-                if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray"
-                else v
-            )
     df = df.sort_values(by=list(df.columns), kind="mergesort", ignore_index=True)
     return df
+
+
+def dtype_key(s: pd.Series) -> str:
+    """Coarse dtype class that distinguishes int/float/bool/string/timestamp
+    but not width (the driver compares rendered values, and int32 vs int64
+    render identically while int64 vs float64 do not)."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "timestamp"
+    return "object"
 
 
 def value_hash(df: pd.DataFrame) -> str:
@@ -74,6 +102,11 @@ def main() -> int:
             n_fail += 1
             continue
         dt = time.time() - t0
+        arr_cols = array_columns(sdf)
+        if arr_cols:
+            print(f"FAIL  {name}: array-typed output columns {arr_cols} (driver canonicalizer crashes on these)")
+            n_fail += 1
+            continue
         if name not in ORACLE_SQL:
             print(f"ROWS  {name}: {len(sdf)} rows ({dt:.1f}s) [no oracle]")
             n_rowsonly += 1
@@ -90,6 +123,13 @@ def main() -> int:
             problems.append(f"rowcount {len(s)} vs {len(o)}")
         if list(s.columns) != list(o.columns):
             problems.append(f"cols {list(s.columns)} vs {list(o.columns)}")
+        elif [dtype_key(s[c]) for c in s.columns] != [dtype_key(o[c]) for c in o.columns]:
+            mism = {
+                c: (dtype_key(s[c]), dtype_key(o[c]))
+                for c in s.columns
+                if dtype_key(s[c]) != dtype_key(o[c])
+            }
+            problems.append(f"dtype mismatch {mism}")
         elif len(s) == len(o) and value_hash(s) != value_hash(o):
             neq = [c for c in s.columns if not s[c].equals(o[c])]
             problems.append(f"value-hash mismatch in cols {neq}")
