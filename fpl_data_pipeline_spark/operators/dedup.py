@@ -452,6 +452,97 @@ def connected_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
+@register(
+    "dedup_clusters_exact",
+    f"""
+    WITH RECURSIVE norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(ws) - 1, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs
+      FROM words
+    ),
+    exploded0 AS (SELECT doc_id, unnest(gs) AS shingle FROM grams),
+    freq AS (SELECT shingle, COUNT(*) AS df FROM exploded0 GROUP BY shingle),
+    exploded AS (
+      SELECT e.doc_id, e.shingle
+      FROM exploded0 e JOIN freq USING (shingle)
+      WHERE df <= {SHINGLE_DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM exploded GROUP BY doc_id),
+    pair_inter AS (
+      SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS n_common
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT u, v
+      FROM pair_inter
+      JOIN sizes sa ON sa.doc_id = u
+      JOIN sizes sb ON sb.doc_id = v
+      WHERE CAST(n_common AS DOUBLE)
+              / (sa.n_shingles + sb.n_shingles - n_common) >= 0.5
+    ),
+    edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+    reach AS (
+      SELECT u AS a, v AS b FROM edges
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+    ),
+    labels AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT cluster_id, COUNT(*) AS cluster_size
+    FROM labels
+    GROUP BY cluster_id
+    ORDER BY cluster_size DESC, cluster_id ASC
+    LIMIT 20
+    """,
+)
+def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked duplicate clustering: exact capped-shingle Jaccard
+    edges (>= 0.5) -> connected components -> cluster summary. The DuckDB
+    oracle replays the min-label fixpoint as a recursive transitive-closure
+    CTE, giving the connected-components operator a value-level parity row
+    (dedup_clusters keeps the MinHash candidate step as the 100 TB path)."""
+    d = table(spark, sf_dir, "documents")
+    sh = capped_shingles(d).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+    pair_inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_shingles").alias("nb"))
+    pairs = (
+        pair_inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .filter(
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common"))
+            >= 0.5
+        )
+        .select("doc_id_a", "doc_id_b")
+    )
+    comps = connected_components(pairs)
+    return (
+        comps.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .orderBy(F.col("cluster_size").desc(), F.col("cluster_id").asc())
+        .limit(20)
+    )
+
+
 @register("dedup_clusters")
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup: MinHash-LSH candidate pairs above 0.5 estimated

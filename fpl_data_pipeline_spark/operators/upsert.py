@@ -64,4 +64,6 @@ def upsert(
     MATCHED INSERT * — as a pure DataFrame expression."""
     deduped = dedup_last_wins(batch.select(*base.columns), keys, order_by)
     kept = base.join(deduped.select(*keys), list(keys), "left_anti")
-    return kept.unionByName(deduped)
+    # the USING join floats key columns to the front: restore base order so
+    # the merged schema is stable across bootstrap and incremental runs
+    return kept.unionByName(deduped).select(*base.columns)
