@@ -197,3 +197,170 @@ def dashboard_payload(
         "graph_val_val": [float(r.point_value) for r in value.itertuples()],
         "ply_data_detail": detail.to_dict("records"),
     }
+
+
+# --- oracle-registered §2.11 queries over the committed fixture parquet ------
+# The driver's DuckDB views cover only the TPC-H-ish tables, so these oracles
+# read the deterministic fixture parquet (tools/make_fixtures.py, seed 42)
+# by absolute path on both engines. Output decimals are surfaced as DOUBLE
+# (pandas object-Decimal vs DuckDB float64 would dtype-mismatch otherwise);
+# the decimal-native API path stays covered by tests/test_fpl_queries.py.
+
+import os as _os
+
+from fpl_data_pipeline_spark.registry import register
+from pyspark.sql import SparkSession
+
+FIXTURES_DIR = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "fixtures",
+)
+
+
+def _fx(spark: SparkSession, name: str) -> DataFrame:
+    return spark.read.parquet(_os.path.join(FIXTURES_DIR, name))
+
+
+def _fx_sql(name: str) -> str:
+    return f"'{FIXTURES_DIR}/{name}/*.parquet'"
+
+
+@register(
+    "fpl_basic_ply_data",
+    f"""
+    SELECT name, surname, CAST(form AS DOUBLE) AS form
+    FROM {_fx_sql('player_dm')}
+    ORDER BY form DESC, id ASC
+    LIMIT 9
+    """,
+)
+def fpl_basic_ply_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 (reference sql_queries.py:111) on the fixture star schema."""
+    out = basic_ply_data(_fx(spark, "player_dm"))
+    return out.withColumn("form", F.col("form").cast("double"))
+
+
+@register(
+    "fpl_value_per_points",
+    f"""
+    SELECT name, surname, total_points,
+           round(CAST(total_points AS DOUBLE) / CAST(now_costs AS DOUBLE) * 10, 2)
+             AS point_value
+    FROM {_fx_sql('player_dm')}
+    ORDER BY total_points DESC, id ASC
+    LIMIT 9
+    """,
+)
+def fpl_value_per_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 (reference sql_queries.py:113-116); point_value computed in double
+    on both engines (tp/now_costs*10 is never a dyadic rational, so 2-dp
+    rounding can't tie-break differently)."""
+    p = _fx(spark, "player_dm")
+    pv = F.round(
+        F.col("total_points").cast("double") / F.col("now_costs").cast("double") * 10, 2
+    )
+    return (
+        p.select("name", "surname", "total_points", pv.alias("point_value"), "id")
+        .orderBy(F.col("total_points").desc(), F.col("id").asc())
+        .limit(9)
+        .drop("id")
+    )
+
+
+@register(
+    "fpl_detailed_week",
+    f"""
+    WITH ct_gen AS (
+      SELECT p.id, p.name || ' ' || p.surname AS ply_name, t.short_name,
+             p.position
+      FROM {_fx_sql('player_dm')} p
+      LEFT JOIN {_fx_sql('team_dm')} t ON p.team_id = t.id
+    ),
+    totals AS (
+      SELECT element_, CAST(SUM(total_points) AS BIGINT) AS sum_points,
+             CAST(SUM(bps) AS BIGINT) AS sum_bps
+      FROM {_fx_sql('player_week_ft')}
+      GROUP BY element_
+    ),
+    ranked_weeks AS (
+      SELECT round_gw, row_number() OVER (ORDER BY round_gw DESC) AS rn
+      FROM (SELECT DISTINCT round_gw FROM {_fx_sql('player_week_ft')})
+    ),
+    recent AS (
+      SELECT f.*, r.rn
+      FROM {_fx_sql('player_week_ft')} f JOIN ranked_weeks r USING (round_gw)
+    ),
+    last3 AS (
+      SELECT element_,
+             MAX(CASE WHEN rn = 1 THEN total_points END) AS gw_1,
+             MAX(CASE WHEN rn = 2 THEN total_points END) AS gw_2,
+             MAX(CASE WHEN rn = 3 THEN total_points END) AS gw_3
+      FROM recent WHERE rn <= 3
+      GROUP BY element_
+    ),
+    avg4 AS (
+      SELECT element_,
+             round(CAST(SUM(total_points) AS DOUBLE) / 4, 2) AS avg_4_weeks
+      FROM recent WHERE rn <= 4
+      GROUP BY element_
+    )
+    SELECT g.id, g.ply_name, g.short_name, g.position,
+           COALESCE(t.sum_points, 0) AS total_points,
+           t.sum_bps, l.gw_1, l.gw_2, l.gw_3, a.avg_4_weeks
+    FROM ct_gen g
+    LEFT JOIN totals t ON g.id = t.element_
+    LEFT JOIN last3 l ON g.id = l.element_
+    LEFT JOIN avg4 a ON g.id = a.element_
+    ORDER BY total_points DESC, g.id ASC
+    LIMIT 15
+    """,
+)
+def fpl_detailed_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3, the flagship dashboard CTE pipeline (reference sql_queries.py:
+    118-188), on the fixture star schema; avg_4_weeks surfaced as double
+    (sums of ints / 4 = exact quarters on both engines)."""
+    out = detailed_ply_data_per_week(
+        _fx(spark, "player_dm"),
+        _fx(spark, "team_dm"),
+        _fx(spark, "player_week_ft"),
+    )
+    return out.withColumn(
+        "avg_4_weeks", F.col("avg_4_weeks").cast("double")
+    )
+
+
+def _stats_oracle(order_col: str) -> str:
+    return f"""
+    SELECT full_name,
+           CAST(SUM(min_played) AS BIGINT) AS min_played,
+           CAST(SUM(key_passes) AS BIGINT) AS key_pass,
+           CAST(SUM(assists) AS BIGINT) AS assists,
+           CAST(SUM(shots) AS BIGINT) AS shots,
+           CAST(SUM(xg) AS DOUBLE) AS xg,
+           CAST(SUM(xa) AS DOUBLE) AS xa,
+           CAST(SUM(xg) + SUM(xa) AS DOUBLE) AS total_xi
+    FROM {_fx_sql('player_stats_dm')}
+    GROUP BY full_name
+    ORDER BY {order_col} DESC, full_name ASC
+    LIMIT 15
+    """
+
+
+def _stats_double(df: DataFrame) -> DataFrame:
+    return (
+        df.withColumn("xg", F.col("xg").cast("double"))
+        .withColumn("xa", F.col("xa").cast("double"))
+        .withColumn("total_xi", F.col("total_xi").cast("double"))
+    )
+
+
+@register("fpl_stats_key_pass", _stats_oracle("key_pass"))
+def fpl_stats_key_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 (reference sql_queries.py:220-237) on the fixture understat table."""
+    return _stats_double(sql_stats_key_pass(_fx(spark, "player_stats_dm")))
+
+
+@register("fpl_stats_shots", _stats_oracle("shots"))
+def fpl_stats_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 (reference sql_queries.py:239-256) on the fixture understat table."""
+    return _stats_double(sql_stats_shots(_fx(spark, "player_stats_dm")))

@@ -253,3 +253,25 @@ def test_connected_components_raises_on_nonconvergence(spark):
         connected_components(chain, max_iters=1)
     got = {r["doc_id"]: r["cluster_id"] for r in connected_components(chain).collect()}
     assert set(got.values()) == {1}
+
+
+def test_banded_lsh_16_planes_finds_planted_neighbor(spark):
+    """Banded sign-bit LSH (16 planes, 2 bands x 8 bits): a planted
+    near-identical pair must share at least one band key; an antipodal pair
+    must share none (operators/similarity.py::lsh_band_keys)."""
+    from fpl_data_pipeline_spark.operators.similarity import lsh_band_keys
+
+    base = [1.0, -0.5, 0.25, 0.8] * 16
+    near = [v * 1.01 for v in base]
+    anti = [-v for v in base]
+    emb = spark.createDataFrame(
+        [(0, base), (1, near), (2, anti)], ["vec_id", "embedding"]
+    )
+    keys = {}
+    for r in lsh_band_keys(emb).collect():
+        keys.setdefault(r["vec_id"], {})[r["band_id"]] = r["band_key"]
+    assert all(len(v) == 2 for v in keys.values())  # 2 bands per vector
+    shared_near = [b for b in keys[0] if keys[0][b] == keys[1][b]]
+    shared_anti = [b for b in keys[0] if keys[0][b] == keys[2][b]]
+    assert shared_near  # scaled copy: every sign bit equal -> all bands match
+    assert not shared_anti  # antipode flips every bit -> no band matches
