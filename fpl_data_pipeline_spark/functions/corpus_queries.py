@@ -1,0 +1,252 @@
+"""Corpus-preparation operators for LLM training-data pipelines, beyond the
+basic text catalog (functions/text_queries.py): repetition-based quality
+signals (the Gopher/MassiveText rules adapted to line-less word streams),
+context-window packing, TF-IDF term scoring, and benchmark-contamination
+measurement. All pure built-in expressions — one explode + hash aggregates,
+no UDFs; every query oracle-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from fpl_data_pipeline_spark.functions.text_queries import doc_bigrams
+from fpl_data_pipeline_spark.operators.dedup import shingles
+from fpl_data_pipeline_spark.registry import register
+from fpl_data_pipeline_spark.tables import table
+
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_WORDS_SQL = f"list_filter(string_split({_NORM}, ' '), w -> w <> '')"
+
+
+def _toks(df: DataFrame) -> DataFrame:
+    return df.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "),
+                lambda w: w != "",
+            )
+        ).alias("tok"),
+    )
+
+
+# --- repetition signals (Gopher quality rules, §MassiveText C.2 analog) -----
+@register(
+    "quality_repetition_signals",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_WORDS_SQL}) AS tok FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS DOUBLE) / SUM(c) AS distinct_ratio,
+             CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_word_frac
+      FROM wc GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(ws), 1)),
+                                   i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      FROM (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents)
+    ),
+    bgc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram),
+    bg_doc AS (
+      SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac
+      FROM bgc GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_tokens, p.distinct_ratio, p.top_word_frac,
+           b.top_bigram_frac
+    FROM per_doc p LEFT JOIN bg_doc b ON p.doc_id = b.doc_id
+    """,
+)
+def quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals — the filters that catch boilerplate
+    and degenerate (stuck-token) documents before training: distinct-token
+    ratio, most-frequent-word fraction, most-frequent-bigram fraction.
+    Two explodes + hash aggregates on (doc_id, gram); fractions are exact
+    int/int double divisions (identical on both engines). At 100 TB this is
+    the same one-pass shape as any token-level aggregate: shuffle bytes
+    track token count, never document-pair count."""
+    d = table(spark, sf_dir, "documents")
+    wc = _toks(d).groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        (F.count(F.lit(1)).cast("double") / F.sum("c")).alias("distinct_ratio"),
+        (F.max("c").cast("double") / F.sum("c")).alias("top_word_frac"),
+    )
+    bgc = doc_bigrams(d).groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    bg_doc = bgc.groupBy("doc_id").agg(
+        (F.max("c").cast("double") / F.sum("c")).alias("top_bigram_frac")
+    )
+    return per_doc.join(bg_doc, "doc_id", "left")
+
+
+# --- context-window packing (concat-and-chunk) ------------------------------
+SEQ_LEN = 2048
+
+
+@register(
+    "doc_packing_summary",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, len({_WORDS_SQL}) AS n_tokens FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, n_tokens,
+             CAST((SUM(n_tokens) OVER (ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - n_tokens)
+                  // {SEQ_LEN} AS BIGINT) AS seq_id
+      FROM toks
+    )
+    SELECT seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM packed
+    GROUP BY seq_id
+    """,
+)
+def doc_packing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing: documents in doc_id order are assigned to
+    fixed-budget context windows (seq_id = floor(cumulative tokens before me
+    / SEQ_LEN)) — the standard sequence-packing step between corpus and
+    training loader. The summary proves assignment + budget accounting.
+
+    Scale note: the global running sum is a single range-partitioned window
+    at 100 TB; production packers run the identical expression per shard
+    (partition key prepended to the ORDER BY) and offset seq_ids by shard
+    base, which removes the global sort entirely."""
+    d = table(spark, sf_dir, "documents")
+    ntok = d.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "),
+                lambda w: w != "",
+            )
+        ).alias("n_tokens"),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = ntok.withColumn(
+        "seq_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / SEQ_LEN),
+    )
+    return packed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+# --- TF-IDF: most distinctive term per document -----------------------------
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_WORDS_SQL}) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok AS top_term, tfidf FROM (
+      SELECT doc_id, tok, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, tok ASC) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most distinctive term per document by TF-IDF — the classic relevance
+    scorer as a corpus operator: token counts (one shuffle on (doc, tok)),
+    document frequencies (one shuffle on tok, broadcast back), argmax per
+    doc. ln() rounded to 6 dp (libm vs JVM last-ulp) with a total-order
+    tiebreak so the argmax is engine-stable."""
+    d = table(spark, sf_dir, "documents")
+    tf = _toks(d).groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.count()  # O(1) driver scalar, embedded as a literal
+    scored = tf.join(df_, "tok").select(
+        "doc_id",
+        "tok",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("tok").alias("top_term"), "tfidf")
+    )
+
+
+# --- benchmark-contamination measurement ------------------------------------
+CONTAM_NGRAM = 8
+BENCH_MOD = 97  # docs with doc_id % 97 == 0 stand in for the eval benchmark
+
+
+@register(
+    "contamination_overlap",
+    f"""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(ws) - {CONTAM_NGRAM - 2}, 1)),
+               i -> list_aggregate(ws[i:i+{CONTAM_NGRAM - 1}], 'string_agg', ' ')
+             ))) AS g
+      FROM (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents)
+      WHERE len(ws) >= {CONTAM_NGRAM}
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {BENCH_MOD} = 0),
+    corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % {BENCH_MOD} <> 0),
+    hits AS (
+      SELECT DISTINCT c.doc_id FROM corpus c JOIN bench b ON c.g = b.g
+    ),
+    eligible AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs FROM corpus
+    )
+    SELECT (SELECT COUNT(*) FROM hits) AS n_contaminated,
+           n_docs AS n_eligible,
+           CAST((SELECT COUNT(*) FROM hits) AS DOUBLE) / n_docs
+             AS contamination_rate
+    FROM eligible
+    """,
+)
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: fraction of corpus documents sharing
+    at least one 8-gram with the held-out benchmark slice (doc_id % 97 == 0
+    as the stand-in eval set). The decontamination step every training
+    pipeline runs before a data release. Candidate generation is a semi-join
+    on the shingle key (benchmark gram set is small -> broadcast at any
+    corpus size); never n^2."""
+    d = table(spark, sf_dir, "documents")
+    grams = shingles(d, n=CONTAM_NGRAM)
+    bench = (
+        grams.filter(F.col("doc_id") % BENCH_MOD == 0).select("shingle").distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+    hits = corpus.join(F.broadcast(bench), "shingle").select("doc_id").distinct()
+    eligible = corpus.select("doc_id").distinct()
+    return eligible.agg(F.count(F.lit(1)).alias("n_eligible")).crossJoin(
+        hits.agg(F.count(F.lit(1)).alias("n_contaminated"))
+    ).select(
+        "n_contaminated",
+        F.col("n_eligible"),
+        (F.col("n_contaminated").cast("double") / F.col("n_eligible")).alias(
+            "contamination_rate"
+        ),
+    )

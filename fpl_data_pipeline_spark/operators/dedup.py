@@ -410,10 +410,15 @@ def connected_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
         .distinct()
         .cache()
     )
+    # localCheckpoint (eager) after every round: each iteration's plan embeds
+    # the previous labels plan TWICE (propagate join + convergence probe), so
+    # cache()-only iteration grows the lineage exponentially — the audit saw
+    # a 442-join physical plan before this truncation. Checkpointing pins the
+    # round's result on executors and restarts the lineage at O(1) per round.
     labels = (
         edges.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("label"))
         .select(F.col("u").alias("doc_id"), "label")
-        .cache()
+        .localCheckpoint()
     )
     converged = False
     for _ in range(max_iters):
@@ -430,7 +435,7 @@ def connected_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
                 "doc_id",
                 F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
             )
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

@@ -129,3 +129,49 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").alias("new_hwm"),
         )
     )
+
+
+# --- built-in session windows (F.session_window, batch view) ----------------
+@register(
+    "events_session_window",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessioned AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sessioned
+    GROUP BY user_id, sid
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via the BUILT-IN session_window (30-minute inactivity
+    gap) — the native form of the manual gaps-and-islands in events_sessions,
+    and the exact expression a streaming job would use (session_window is
+    Structured-Streaming-native state). One shuffle on (user_id, window);
+    the oracle replays the islands manually and reproduces Spark's window
+    bounds [first event, last event + gap)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

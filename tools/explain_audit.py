@@ -27,6 +27,8 @@ INTENTIONAL_CROSS = {
     "ann_cosine_topk",
     "ann_batch_topk",
     "kmeans_embeddings",
+    # final 1-row x 1-row summary combine
+    "contamination_overlap",
 }
 
 
