@@ -250,3 +250,88 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contamination_rate"
         ),
     )
+
+
+# --- C4-style filter funnel: first-failing-rule attribution ------------------
+_STOP = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+
+@register(
+    "quality_filter_funnel",
+    f"""
+    WITH feat AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len({_WORDS_SQL}) AS n_tokens,
+             len(list_filter({_WORDS_SQL}, w -> w IN {_STOP!r})) AS n_stop,
+             len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct
+      FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, MAX(c) AS max_wc, SUM(c) AS sum_wc FROM (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest({_WORDS_SQL}) AS tok FROM documents)
+        GROUP BY doc_id, tok
+      ) GROUP BY doc_id
+    ),
+    labeled AS (
+      SELECT f.doc_id,
+             CASE
+               WHEN f.n_tokens < 10 THEN 'too_short'
+               WHEN CAST(f.n_stop AS DOUBLE) / f.n_tokens NOT BETWEEN 0.05 AND 0.6
+                 THEN 'stopword_band'
+               WHEN CAST(f.n_punct AS DOUBLE) / f.n_chars >= 0.1 THEN 'high_punct'
+               WHEN CAST(f.n_digits AS DOUBLE) / f.n_chars >= 0.2 THEN 'high_digit'
+               WHEN CAST(w.max_wc AS DOUBLE) / w.sum_wc > 0.2 THEN 'repetitive'
+               ELSE 'kept'
+             END AS verdict
+      FROM feat f JOIN wc w ON f.doc_id = w.doc_id
+    )
+    SELECT verdict, COUNT(*) AS n_docs
+    FROM labeled
+    GROUP BY verdict
+    """,
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style pre-training filter funnel: every document is
+    attributed to its FIRST failing rule (too short -> stopword band ->
+    punctuation -> digits -> repetition) or 'kept' — the go/no-go summary a
+    data pipeline emits before a training run. Two aggregates (doc features
+    + word-frequency stats) joined on doc_id; one scan each; all fractions
+    exact int/int doubles."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "),
+        lambda w: w != "",
+    )
+    feat = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(ws).alias("n_tokens"),
+        F.size(F.filter(ws, lambda w: w.isin(*_STOP))).alias("n_stop"),
+        F.regexp_count("text", F.lit("[0-9]")).alias("n_digits"),
+        F.regexp_count("text", F.lit("[^a-zA-Z0-9 ]")).alias("n_punct"),
+    )
+    wc = (
+        _toks(d)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_wc"), F.sum("c").alias("sum_wc"))
+    )
+    stop_r = F.col("n_stop").cast("double") / F.col("n_tokens")
+    verdict = (
+        F.when(F.col("n_tokens") < 10, "too_short")
+        .when((stop_r < 0.05) | (stop_r > 0.6), "stopword_band")
+        .when(F.col("n_punct").cast("double") / F.col("n_chars") >= 0.1, "high_punct")
+        .when(F.col("n_digits").cast("double") / F.col("n_chars") >= 0.2, "high_digit")
+        .when(F.col("max_wc").cast("double") / F.col("sum_wc") > 0.2, "repetitive")
+        .otherwise("kept")
+    )
+    return (
+        feat.join(wc, "doc_id")
+        .select(verdict.alias("verdict"))
+        .groupBy("verdict")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -22,7 +22,7 @@ so the result is non-trivial on any corpus and stable under ties.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from fpl_data_pipeline_spark.registry import register
 from fpl_data_pipeline_spark.tables import table
@@ -608,3 +608,103 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cluster_size").desc(), F.col("cluster_id").asc())
         .limit(20)
     )
+
+
+# --- winnowing fingerprints (Schleimer/Wilkerson/Aiken local sampling) ------
+WINNOW_W = 4  # window size: guarantees detection of matches >= w+n-1 tokens
+
+
+def ordered_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """doc_id -> (pos, shingle) keeping ORDER and DUPLICATES — winnowing
+    samples positionally, unlike the set-semantics shingles()."""
+    sp = df.sparkSession
+    words = df.repartition(sp.sparkContext.defaultParallelism).select(
+        "doc_id", _words(_norm_text(F.col(text_col))).alias("ws")
+    )
+    grams = F.when(
+        F.size("ws") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("ws"), i + k) for k in range(n)]
+            ),
+        ),
+    )
+    return words.select("doc_id", F.posexplode(grams).alias("pos", "shingle"))
+
+
+@register(
+    "dedup_winnowing_pairs",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(ws) - 1, 1)),
+               i -> {{'pos': i - 1, 'h': substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 16)}}
+             )) AS u
+      FROM words
+      WHERE len(ws) >= 3
+    ),
+    hashed AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM grams),
+    winmin AS (
+      SELECT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+               AS fp
+      FROM hashed
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM winmin),
+    pairs AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             COUNT(*) AS shared_fps
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id_a, doc_id_b, shared_fps
+    FROM pairs
+    ORDER BY shared_fps DESC, doc_id_a ASC, doc_id_b ASC
+    LIMIT 20
+    """,
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (Schleimer/Wilkerson/Aiken '03, the MOSS fingerprinter):
+    hash every ordered word-3-gram, keep the minimum hash of each sliding
+    w-window, dedupe -> a position-sampled fingerprint set ~1/w the gram
+    count that GUARANTEES any shared run of >= w+2 tokens shares a
+    fingerprint. Candidate pairs then come from an equi-join on the
+    fingerprint key — the same linear-shuffle shape as the other dedup
+    families, with a provable-recall sampling step in front.
+
+    Engine-portable hashing: the fingerprint is the LEXICOGRAPHIC min of
+    md5-hex prefixes (md5 identical on both engines; varchar MIN identical),
+    so the oracle reproduces the sample exactly."""
+    d = table(spark, sf_dir, "documents")
+    hashed = ordered_shingles(d).select(
+        "doc_id", "pos", F.substring(F.md5("shingle"), 1, 16).alias("h")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    fps = (
+        hashed.select("doc_id", F.min("h").over(w).alias("fp"))
+        .distinct()
+        .cache()
+    )
+    a = fps.select(F.col("doc_id").alias("doc_id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_id_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
+    return pairs.orderBy(
+        F.col("shared_fps").desc(), F.col("doc_id_a").asc(), F.col("doc_id_b").asc()
+    ).limit(20)

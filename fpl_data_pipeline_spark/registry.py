@@ -109,10 +109,11 @@ DRIVER_WINDOW_PRIORITY = [
     "gap_fill_monthly_revenue",
     "exists_high_value_customers",
     "collect_sorted_orderkeys",
-    # core-family anchors (driver-green in round 1; keep one per family green)
-    "agg_pricing_summary",
-    "window_moving_sum",
-    "topk_order_revenue",
+    # round-2 additions (flagship_customer_activity is the continuity anchor
+    # for the round-1-green relational core)
+    "dedup_winnowing_pairs",
+    "quality_filter_funnel",
+    "events_session_window",
 ]
 
 
