@@ -335,3 +335,54 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("verdict")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# --- document chunking for retrieval ingestion (Python UDTF surface) --------
+CHUNK_TOKENS = 32
+
+
+@register(
+    "doc_chunking",
+    f"""
+    WITH words AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             unnest(range(0, CAST(ceil(len(ws) / {CHUNK_TOKENS}.0) AS INT))) AS chunk_idx,
+             ws
+      FROM words
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INT) AS chunk_idx,
+           list_aggregate(ws[chunk_idx * {CHUNK_TOKENS} + 1 : (chunk_idx + 1) * {CHUNK_TOKENS}],
+                          'string_agg', ' ') AS chunk,
+           CAST(len(ws[chunk_idx * {CHUNK_TOKENS} + 1 : (chunk_idx + 1) * {CHUNK_TOKENS}]) AS INT)
+             AS n_tokens
+    FROM chunks
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget document chunking (the RAG/embedding-ingestion splitter)
+    implemented as a Python UDTF — the one row-expanding UDF shape the rest
+    of the engine doesn't exercise (scalar pandas UDF, mapInPandas, cogrouped
+    applyInPandas, applyInPandasWithState are covered elsewhere). The UDTF
+    runs LATERAL per document, so chunk expansion happens map-side before
+    any shuffle — the same placement rule as frame sampling. Oracle replays
+    the chunking with list slicing in SQL."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, chunk_idx: int, chunk: string, n_tokens: int")
+    class ChunkDoc:
+        def eval(self, doc_id, text):
+            if text is None:
+                return
+            toks = [w for w in text.strip().lower().split() if w]
+            for i in range(0, len(toks), CHUNK_TOKENS):
+                c = toks[i : i + CHUNK_TOKENS]
+                yield doc_id, i // CHUNK_TOKENS, " ".join(c), len(c)
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    d = table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("__docs_for_chunking")
+    return spark.sql(
+        "SELECT c.* FROM __docs_for_chunking d, LATERAL chunk_doc(d.doc_id, d.text) c"
+    )

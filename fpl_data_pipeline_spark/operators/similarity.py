@@ -507,3 +507,69 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# --- int8 embedding quantization (storage/serving compression path) ---------
+@register(
+    "emb_quantize_stats",
+    f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127 AS scale,
+             embedding
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(scale, 9) AS scale,
+           round(list_max(list_transform(embedding,
+                 x -> abs(least(greatest(floor(x::DOUBLE / scale + 0.5), -127), 127) * scale
+                          - x::DOUBLE))), 9) AS max_abs_err,
+           round({_DOT_SQL.format(a='embedding', b='embedding', dim=DIM)}, 6) AS sq_norm
+    FROM q
+    """,
+)
+def emb_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the compression
+    step a 100 TB vector store applies before serving (4x smaller, SIMD
+    dot products): per-vector scale = max|x|/127, q = clamp(round(x/scale)),
+    reconstruction error reported per vector. Pure array expressions (no
+    UDF); the oracle replays the same clamp/round pipeline — both engines
+    round identical doubles, so the error surface matches bit-for-bit after
+    9-dp rounding. The original squared norm rides along for a sanity ratio.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    scale = (
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))) / 127
+    )
+    q = emb.select("vec_id", "embedding", scale.alias("scale"))
+    deq_err = F.array_max(
+        F.transform(
+            "embedding",
+            lambda x: F.abs(
+                F.least(
+                    F.greatest(
+                        F.floor(x.cast("double") / F.col("scale") + 0.5).cast("double"),
+                        F.lit(-127.0),
+                    ),
+                    F.lit(127.0),
+                )
+                * F.col("scale")
+                - x.cast("double")
+            ),
+        )
+    )
+    # compute BEFORE rounding in a separate projection: Spark's lateral
+    # column alias resolution would otherwise rebind deq_err's scale
+    # reference to the rounded alias defined earlier in the same SELECT
+    computed = q.select(
+        "vec_id",
+        "scale",
+        deq_err.alias("raw_err"),
+        _dot("embedding", "embedding").alias("raw_norm"),
+    )
+    return computed.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.round("raw_err", 9).alias("max_abs_err"),
+        F.round("raw_norm", 6).alias("sq_norm"),
+    )

@@ -175,3 +175,54 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# --- incremental aggregate-state maintenance (materialized-view merge) ------
+STATE_HWM = 5000  # event_id split: state = everything at-or-before, batch = after
+
+
+@register(
+    "incremental_state_merge",
+    f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS total_value,
+           CAST({dsum_sql('value')} / COUNT(*) AS DOUBLE) AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def incremental_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the stored aggregate STATE
+    (count + exact sum per group, computed over events at-or-below the
+    high-water mark) is merged with a new batch's partial state by ADDING
+    the partials — never rescanning history — and derived measures (avg)
+    are recomputed from the merged state. The oracle is the full recompute
+    over all events: merge(state, batch) == recompute is exactly the
+    invariant that lets a 100 TB pipeline maintain dashboards in O(batch)
+    instead of O(history). Sums use the DECIMAL(18,2) exact convention so
+    partial-aggregation order can't perturb the result."""
+    e = table(spark, sf_dir, "events")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_dec"),
+        )
+
+    state = partial(e.filter(F.col("event_id") <= STATE_HWM))
+    batch = partial(e.filter(F.col("event_id") > STATE_HWM))
+    merged = (
+        state.unionByName(batch)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").alias("sum_dec"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "n_events",
+        F.col("sum_dec").cast("double").alias("total_value"),
+        (F.col("sum_dec").cast("double") / F.col("n_events")).alias("avg_value"),
+    )

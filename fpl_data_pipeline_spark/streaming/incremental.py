@@ -100,3 +100,61 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def run_stream_stream_join(
+    spark: SparkSession,
+    source_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+    gap: str = "1 hour",
+) -> None:
+    """Stream-stream interval join: click events joined to the SAME user's
+    purchase events that occur within ``gap`` after the click — the
+    attribution join every event pipeline runs. Both sides are real streams:
+    watermarks bound the buffered state (Spark retains only rows inside the
+    watermark window, so state is O(rate x gap), not O(history)) and the
+    time-range predicate makes the join an interval join the engine can
+    prune. Trigger.AvailableNow + append sink: each matched pair is emitted
+    exactly once."""
+    clicks = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(source_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", gap)
+    )
+    purchases = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(source_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", gap)
+    )
+    joined = clicks.join(
+        purchases,
+        (clicks.user_id == purchases.user_id)
+        & (purchases.purchase_ts >= clicks.click_ts)
+        & (purchases.purchase_ts <= clicks.click_ts + F.expr(f"INTERVAL {gap}")),
+    ).select(
+        "click_id", clicks.user_id, "click_ts", "purchase_id", "purchase_ts",
+        "purchase_value",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", target_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

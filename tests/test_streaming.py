@@ -132,3 +132,38 @@ def test_merge_recovers_from_crashed_swap(spark, event_files, tmp_path):
     assert _agg_state(spark, target) == good  # recovered, re-merged idempotently
     assert not os.path.exists(target + ".bak")
     assert not os.path.exists(target + ".stage")
+
+
+def test_stream_stream_interval_join_matches_batch(spark, event_files, tmp_path):
+    """Stream-stream interval join (click -> purchase within 1h, same user)
+    under availableNow equals the batch interval join
+    (streaming/incremental.py::run_stream_stream_join)."""
+    from fpl_data_pipeline_spark.streaming.incremental import run_stream_stream_join
+
+    src = str(event_files / "source")
+    target = str(tmp_path / "attributed")
+    run_stream_stream_join(spark, src, target, str(tmp_path / "ckpt"))
+
+    ev = spark.read.schema(EVENT_SCHEMA).parquet(src)
+    clicks = ev.filter("event_type = 'click'").selectExpr(
+        "event_id AS click_id", "user_id", "ts AS click_ts"
+    )
+    purchases = ev.filter("event_type = 'purchase'").selectExpr(
+        "event_id AS purchase_id", "user_id AS p_user", "ts AS purchase_ts",
+        "value AS purchase_value"
+    )
+    batch = clicks.join(
+        purchases,
+        (clicks.user_id == purchases.p_user)
+        & (purchases.purchase_ts >= clicks.click_ts)
+        & (purchases.purchase_ts <= F.expr("click_ts + INTERVAL 1 HOUR")),
+    )
+    expected = {
+        (r["click_id"], r["purchase_id"]) for r in batch.collect()
+    }
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == expected
+    assert expected  # non-trivial: fixture actually contains matched pairs
