@@ -62,3 +62,83 @@ def test_union_all_additivity(a, b):
     da = SPARK.createDataFrame(a, ["id", "v"])
     db = SPARK.createDataFrame(b, ["id", "v"])
     assert da.unionByName(db).count() == len(a) + len(b)
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(1, 12), st.integers(1, 12)).filter(lambda t: t[0] != t[1]),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(edges=edge_lists)
+def test_connected_components_matches_union_find(edges):
+    """Distributed min-label propagation == driver-side union-find reference
+    on arbitrary graphs (operators/dedup.py::connected_components)."""
+    from fpl_data_pipeline_spark.operators.dedup import connected_components
+
+    pairs = SPARK.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "doc_id_a long, doc_id_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs, 30).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+    assert got == expected
+
+
+words = st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=3).map("".join)
+docs_text = st.lists(words, min_size=0, max_size=25).map(" ".join)
+
+
+@settings(max_examples=6, deadline=None)
+@given(shared=st.lists(words, min_size=6, max_size=10).map(" ".join),
+       pre=docs_text, post=docs_text)
+def test_winnowing_guarantee_property(shared, pre, post):
+    """Any two docs sharing a run of >= WINNOW_W + 2 tokens share a
+    fingerprint, for arbitrary surrounding text."""
+    from pyspark.sql import Window as W
+
+    from fpl_data_pipeline_spark.operators.dedup import WINNOW_W, ordered_shingles
+
+    d1 = f"{pre} {shared} {post}".strip()
+    d2 = f"{post} {shared} {pre}".strip()
+    docs = SPARK.createDataFrame([(1, d1), (2, d2)], "doc_id long, text string")
+    hashed = ordered_shingles(docs).select(
+        "doc_id", "pos", F.substring(F.md5("shingle"), 1, 16).alias("h")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    fps: dict[int, set] = {1: set(), 2: set()}
+    for r in hashed.select("doc_id", F.min("h").over(w).alias("fp")).distinct().collect():
+        fps[r["doc_id"]].add(r["fp"])
+    assert fps[1] & fps[2]
+
+
+@settings(max_examples=6, deadline=None)
+@given(ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=40, unique=True))
+def test_hash_split_disjoint_exhaustive_stable(ids):
+    """Content-hash train/test split: disjoint, exhaustive, and stable under
+    repartitioning, for arbitrary key sets (operators/sampling.py)."""
+    df = SPARK.createDataFrame([(i,) for i in ids], "doc_id long")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(bucket < "cc", "train").otherwise("test")
+    one = {r["doc_id"]: r["s"] for r in df.select("doc_id", split.alias("s")).collect()}
+    two = {
+        r["doc_id"]: r["s"]
+        for r in df.repartition(7).select("doc_id", split.alias("s")).collect()
+    }
+    assert one == two  # repartition-stable
+    assert set(one) == set(ids)  # exhaustive
