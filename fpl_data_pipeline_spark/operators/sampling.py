@@ -204,3 +204,59 @@ def emb_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_min("embedding"), 6).alias("vmin"),
         F.round(F.array_max("embedding"), 6).alias("vmax"),
     )
+
+
+# --- per-dimension z-normalization (corpus-wide feature scaling) ------------
+@register(
+    "emb_dimension_znorm",
+    """
+    WITH flat AS (
+      SELECT vec_id, UNNEST(embedding) AS val,
+             UNNEST(range(1, len(embedding) + 1)) AS pos
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT pos, avg(val) AS mu, stddev_samp(val) AS sigma FROM flat GROUP BY pos
+    )
+    SELECT f.pos,
+           round(s.mu, 6) AS mean_val,
+           round(s.sigma, 6) AS std_val,
+           round(avg((f.val - s.mu) / s.sigma), 6) + 0.0 AS z_mean,
+           round(stddev_samp((f.val - s.mu) / s.sigma), 6) AS z_std
+    FROM flat f JOIN stats s ON f.pos = s.pos
+    GROUP BY f.pos, s.mu, s.sigma
+    """,
+)
+def emb_dimension_znorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide per-DIMENSION feature scaling (the training-prep
+    normalizer): posexplode to (pos, val), one shuffle for per-dimension
+    mean/std, broadcast the 64-row stats table back, and verify the
+    normalized column has mean 0 / std 1 per dimension. Complements
+    emb_vector_stats (per-row) and emb_cluster_centroids (per-cluster):
+    this is the reduction that distributes over the VECTOR dimension, so
+    no single executor ever holds a full feature matrix. (+ 0.0 on z_mean:
+    IEEE -0.0 vs +0.0 differ between engines' rounding and would flip the
+    hash and the row sort.)"""
+    e = table(spark, sf_dir, "embeddings")
+    flat = e.select("vec_id", F.posexplode("embedding").alias("pos0", "val")).select(
+        "vec_id", (F.col("pos0") + 1).alias("pos"), "val"
+    )
+    stats = flat.groupBy("pos").agg(
+        F.avg("val").alias("mu"), F.stddev_samp("val").alias("sigma")
+    )
+    z = (F.col("val") - F.col("mu")) / F.col("sigma")
+    return (
+        flat.join(F.broadcast(stats), "pos")
+        .groupBy("pos", "mu", "sigma")
+        .agg(
+            (F.round(F.avg(z), 6) + F.lit(0.0)).alias("z_mean"),
+            F.round(F.stddev_samp(z), 6).alias("z_std"),
+        )
+        .select(
+            "pos",
+            F.round("mu", 6).alias("mean_val"),
+            F.round("sigma", 6).alias("std_val"),
+            "z_mean",
+            "z_std",
+        )
+    )

@@ -150,3 +150,17 @@ LIMIT 15
 """
 
 register("flagship_customer_activity", FLAGSHIP_ORACLE)(customer_activity)
+
+
+def flagship_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-front-end parity: the flagship as ONE ANSI SQL text executed
+    verbatim by spark.sql(...) — the IDENTICAL string is the DuckDB oracle,
+    so this query proves a reference user can bring their SQL unchanged and
+    Catalyst plans it (broadcast joins + TakeOrderedAndProject, same as the
+    DataFrame build — both front-ends converge to one logical plan)."""
+    for t in ("customer", "nation", "orders"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(FLAGSHIP_ORACLE)
+
+
+register("flagship_sql", FLAGSHIP_ORACLE)(flagship_sql)

@@ -67,3 +67,39 @@ def register_table(
     spark.sql(
         f"CREATE TABLE IF NOT EXISTS {name} USING parquet LOCATION '{parquet_path}'"
     )
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_bytes_per_file: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files. Streaming sinks and per-batch
+    incremental merges accumulate thousands of tiny files; at 100 TB the
+    scan cost is dominated by file-open overhead and the NameNode/listing
+    pressure, so periodic compaction to ~128 MB files is part of the
+    engine's storage contract (same reason maxPartitionBytes is 128 MB:
+    one task per file). Returns the new file count. Rewrite is staged +
+    atomic-renamed like every other publish."""
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_bytes_per_file))
+    df = spark.read.parquet(path)
+    stage, backup = path + ".stage", path + ".bak"
+    for leftover in (stage, backup):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+    df.repartition(n_files).write.mode("overwrite").parquet(stage)
+    os.rename(path, backup)
+    os.rename(stage, path)
+    shutil.rmtree(backup)
+    return n_files

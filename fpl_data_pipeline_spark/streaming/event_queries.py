@@ -226,3 +226,52 @@ def incremental_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_dec").cast("double").alias("total_value"),
         (F.col("sum_dec").cast("double") / F.col("n_events")).alias("avg_value"),
     )
+
+
+# --- exponentially-weighted moving average per user -------------------------
+EWMA_ALPHA = 0.3
+
+
+@register(
+    "events_user_ewma",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS INT) AS n_events,
+           round(list_reduce(vals, (acc, x) -> acc + {EWMA_ALPHA} * (x - acc)), 6)
+             AS ewma_value
+    FROM ordered
+    """,
+)
+def events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of event values per user —
+    the time-decayed profile feature of any activity model. Expressed as a
+    deterministic fold over the time-ordered value list (array_sort on a
+    (ts, event_id, value) struct pins the order; F.aggregate folds left, the
+    same order DuckDB's list_reduce uses, so the doubles agree bitwise
+    before rounding).
+
+    Scale note: a fold over collect_list bounds state at one user's events —
+    fine for per-entity series (thousands of events). For unbounded series,
+    EWMA is a linear recurrence: each partition reduces to (decay, weighted
+    sum) and partials merge associatively, so the same feature is computable
+    as a partial-agg + merge without ever materializing the list."""
+    e = table(spark, sf_dir, "events")
+    ordered = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))).alias("evs")
+    )
+    vals = F.transform("evs", lambda s: s["value"])
+    ewma = F.aggregate(
+        vals,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.coalesce(acc + F.lit(EWMA_ALPHA) * (x - acc), x),
+    )
+    return ordered.select(
+        "user_id",
+        F.size("evs").alias("n_events"),
+        F.round(ewma, 6).alias("ewma_value"),
+    )

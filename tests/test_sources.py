@@ -133,3 +133,82 @@ def test_bucketed_join_avoids_exchange(spark, player_week_ft, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_json_corrupt_record_handling(spark, tmp_path):
+    """Schema-on-read resilience (S7): malformed JSON docs land in
+    _corrupt_record under PERMISSIVE mode instead of failing the job, and
+    DROPMALFORMED keeps only the clean rows — the landing-zone contract for
+    third-party feeds at scale."""
+    import pyspark.sql.types as T
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "v": "ok"}\n'
+        '{"id": 2, "v": "also ok"}\n'
+        '{"id": 3, "v": broken!!}\n'
+        'not json at all\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+        .cache()
+    )
+    good = df.filter("_corrupt_record IS NULL")
+    bad = df.filter("_corrupt_record IS NOT NULL")
+    assert good.count() == 2 and bad.count() == 2
+    assert {r["id"] for r in good.collect()} == {1, 2}
+
+    dropped = (
+        spark.read.schema(T.StructType(schema.fields[:2]))
+        .option("mode", "DROPMALFORMED")
+        .json(str(p))
+    )
+    assert {r["id"] for r in dropped.collect()} == {1, 2}
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    """sources/io.py::compact — many tiny files rewritten into few, bytes
+    and rows identical, publish atomic."""
+    import glob
+
+    from fpl_data_pipeline_spark.sources.io import compact
+
+    p = str(tmp_path / "tiny")
+    spark.range(10_000).selectExpr("id", "id * 2 AS v").repartition(64).write.parquet(p)
+    before_files = glob.glob(f"{p}/*.parquet")
+    assert len(before_files) == 64
+    before = spark.read.parquet(p).selectExpr("sum(id)", "sum(v)", "count(*)").first()
+
+    n = compact(spark, p, target_bytes_per_file=10 * 1024 * 1024)
+    after_files = glob.glob(f"{p}/*.parquet")
+    assert len(after_files) == n and n < 64
+    after = spark.read.parquet(p).selectExpr("sum(id)", "sum(v)", "count(*)").first()
+    assert before == after
+    import os
+    assert not os.path.exists(p + ".stage") and not os.path.exists(p + ".bak")
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Landing zones evolve: later batches add columns. mergeSchema unions
+    the footers so old rows read as NULL in new columns — the append-only
+    evolution contract (an incompatible type change still fails loudly)."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.mode("append").parquet(p)
+
+    df = spark.read.option("mergeSchema", True).parquet(p)
+    assert set(df.columns) == {"id", "v", "score"}
+    rows = {r["id"]: (r["v"], r["score"]) for r in df.collect()}
+    assert rows[1] == ("a", None) and rows[2] == ("b", 9.5)
