@@ -386,3 +386,169 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT c.* FROM __docs_for_chunking d, LATERAL chunk_doc(d.doc_id, d.text) c"
     )
+
+
+# --- unigram-LM surprisal scoring (perplexity-proxy quality filter) ---------
+@register(
+    "quality_unigram_surprisal",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_WORDS_SQL}) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    total AS (SELECT SUM(c) AS n FROM freq),
+    scored AS (
+      SELECT t.doc_id, ln(CAST(n AS DOUBLE) / c) AS surprisal
+      FROM toks t JOIN freq USING (tok) CROSS JOIN total
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           round(SUM(surprisal) / COUNT(*), 6) AS avg_surprisal
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def quality_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring (the CCNet-style LM filter with a
+    unigram LM trained on the corpus itself): per-token surprisal
+    -ln p(tok) from corpus frequencies, averaged per document. Documents
+    full of corpus-typical words score low; gibberish and boilerplate-free
+    outliers score high — the cheap first-pass proxy before a real LM pass.
+    Two shuffles (corpus freq on tok, per-doc mean on doc_id); the token
+    count (a bigint ratio inside ln) is identical on both engines and the
+    final mean is rounded past last-ulp libm noise.
+
+    Note the SUM(surprisal) accumulation: doubles, order-dependent at
+    ~1e-15 relative — absorbed by the 6-dp rounding (values are O(1-10))."""
+    d = table(spark, sf_dir, "documents")
+    toks = _toks(d)
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = int(freq.agg(F.sum("c")).first()[0])  # one scalar to the driver
+    scored = toks.join(freq, "tok").select(
+        "doc_id", F.log(F.lit(float(total)) / F.col("c")).alias("surprisal")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum("surprisal") / F.count(F.lit(1)), 6).alias("avg_surprisal"),
+    )
+
+
+# --- incremental snapshot dedup: new batch vs existing corpus ---------------
+SNAPSHOT_MOD = 5  # docs with doc_id % 5 < 4 stand in for the existing corpus
+
+
+@register(
+    "dedup_incremental_batch",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+      FROM documents
+    ),
+    existing AS (SELECT DISTINCT fp FROM fp WHERE doc_id % {SNAPSHOT_MOD} < {SNAPSHOT_MOD - 1}),
+    batch AS (SELECT doc_id, fp FROM fp WHERE doc_id % {SNAPSHOT_MOD} = {SNAPSHOT_MOD - 1}),
+    labeled AS (
+      SELECT b.doc_id,
+             CASE WHEN e.fp IS NOT NULL THEN 'dup_of_corpus' ELSE 'new' END AS status
+      FROM batch b LEFT JOIN existing e ON b.fp = e.fp
+    )
+    SELECT status, COUNT(*) AS n_docs
+    FROM labeled
+    GROUP BY status
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: an incoming batch (stand-in: doc_id %
+    5 == 4) is checked against the EXISTING corpus's fingerprint set with
+    one join — never rescanning the corpus pair space. This is how a 100 TB
+    pipeline dedups daily increments: the fingerprint table is the persisted
+    state (bucketed on fp), the batch joins against it in O(batch), and only
+    'new' docs proceed to the expensive near-dup stages."""
+    d = table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("fp"),
+    )
+    existing = (
+        fp.filter(F.col("doc_id") % SNAPSHOT_MOD < SNAPSHOT_MOD - 1)
+        .select("fp")
+        .distinct()
+    )
+    batch = fp.filter(F.col("doc_id") % SNAPSHOT_MOD == SNAPSHOT_MOD - 1)
+    labeled = batch.join(
+        existing.withColumn("hit", F.lit(1)), "fp", "left"
+    ).select(
+        F.when(F.col("hit").isNotNull(), "dup_of_corpus").otherwise("new").alias("status")
+    )
+    return labeled.groupBy("status").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# --- doc-length histogram (profiling) ---------------------------------------
+@register(
+    "doc_length_histogram",
+    """
+    SELECT CAST(least(n_chars // 100, 9) AS INT) AS bucket,
+           COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY bucket
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (100-char buckets, top-coded at 900+) —
+    the profiling chart every corpus audit starts with; a pure
+    bucket-projection + count shuffle."""
+    d = table(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / 100), F.lit(9)).cast("int")
+    return d.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# --- grouped-map applyInPandas (per-language batch statistics) --------------
+@register(
+    "lang_stats_grouped_map",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS mean_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def lang_stats_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: each language's documents arrive as ONE
+    pandas DataFrame and a vectorized summary comes back — the escape hatch
+    for per-group logic Spark expressions can't say (sklearn fits, scipy
+    tests, custom models per group). Completes the pandas API matrix
+    (scalar pandas UDF / mapInPandas / cogrouped / WithState / UDTF are
+    exercised elsewhere). Here the body is arithmetic the oracle replays,
+    so the Arrow round-trip itself is value-checked. Scale: one shuffle on
+    the group key; each group must fit one executor's memory — the operator
+    contract for grouped-map everywhere."""
+    import pandas as pd
+
+    def stats(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = pdf["n_chars"].astype("int64")
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "total_chars": [int(n.sum())],
+                "mean_chars": [round(int(n.sum()) / len(pdf), 6)],
+                "min_chars": [int(n.min())],
+                "max_chars": [int(n.max())],
+            }
+        )
+
+    d = table(spark, sf_dir, "documents")
+    return d.select("lang", "n_chars").groupBy("lang").applyInPandas(
+        stats,
+        "lang string, n_docs long, total_chars long, mean_chars double, "
+        "min_chars long, max_chars long",
+    )
