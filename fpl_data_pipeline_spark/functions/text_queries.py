@@ -13,6 +13,7 @@ from fpl_data_pipeline_spark.registry import register
 from fpl_data_pipeline_spark.tables import table
 
 _NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+_NORM_WORDS_SQL = f"list_filter(string_split({_NORM}, ' '), w -> w <> '')"
 
 
 def _norm_text(col):
@@ -234,13 +235,20 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 FH_DIM = 64
 
 
-def feature_vectors(df: DataFrame, text_col: str = "text", dim: int = FH_DIM) -> DataFrame:
+def feature_vectors(
+    df: DataFrame, text_col: str = "text", dim: int = FH_DIM, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """doc_id -> dense int count vector of hashed tokens (the HashingTF
-    trick, built-ins only): token -> bucket = xxhash64 mod dim, count per
+    trick, built-ins only): token -> bucket = hash mod dim, count per
     bucket, then densify via map_from_entries + per-index lookup. One
     explode + one shuffle on doc_id; the dense array is dim ints per doc —
     the embedding-generation step for corpora too large to train a real
-    encoder over every row."""
+    encoder over every row.
+
+    hash_fn: 'xxhash64' (default — fastest, JVM-side, engine-specific) or
+    'md5' (portable: every md5 implementation agrees, so results are
+    reproducible across engines — the choice the oracle-checked query
+    makes, at ~2-3x the per-token hash cost)."""
     toks = df.select(
         "doc_id",
         F.explode(
@@ -250,8 +258,14 @@ def feature_vectors(df: DataFrame, text_col: str = "text", dim: int = FH_DIM) ->
             )
         ).alias("tok"),
     )
+    if hash_fn == "md5":
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"), F.lit(dim)
+        )
+    else:
+        bucket = F.pmod(F.xxhash64("tok"), F.lit(dim))
     counts = (
-        toks.select("doc_id", F.pmod(F.xxhash64("tok"), F.lit(dim)).alias("bucket"))
+        toks.select("doc_id", bucket.alias("bucket"))
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -267,17 +281,59 @@ def feature_vectors(df: DataFrame, text_col: str = "text", dim: int = FH_DIM) ->
     return sparse.select("doc_id", dense.alias("fv"))
 
 
-@register("text_hash_vector_dups")
+@register(
+    "text_hash_vector_dups",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_NORM_WORDS_SQL}) AS tok FROM documents
+    ),
+    counts AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT % {FH_DIM} AS bucket,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM toks GROUP BY doc_id, bucket
+    ),
+    norms AS (SELECT doc_id, sqrt(SUM(n * n)) AS nrm FROM counts GROUP BY doc_id),
+    dominant AS (
+      SELECT doc_id, bucket AS vh FROM (
+        SELECT doc_id, bucket,
+               row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, bucket ASC) AS rn
+        FROM counts
+      ) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM dominant a JOIN dominant b ON a.vh = b.vh AND a.doc_id < b.doc_id
+    ),
+    dots AS (
+      SELECT c.doc_id_a, c.doc_id_b, SUM(ca.n * cb.n) AS dot
+      FROM cand c
+      JOIN counts ca ON ca.doc_id = c.doc_id_a
+      JOIN counts cb ON cb.doc_id = c.doc_id_b AND cb.bucket = ca.bucket
+      GROUP BY c.doc_id_a, c.doc_id_b
+    )
+    SELECT d.doc_id_a, d.doc_id_b,
+           round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.doc_id_a
+    JOIN norms nb ON nb.doc_id = d.doc_id_b
+    ORDER BY cosine DESC, d.doc_id_a ASC, d.doc_id_b ASC
+    LIMIT 20
+    """,
+)
 def text_hash_vector_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection in hashed-feature space: cosine over the
     feature-hashed count vectors, candidates blocked on the vector's
     dominant bucket (argmax index — identical/near-identical token
     distributions share it), top-20 pairs. Blocking on a derived key keeps
     candidate generation an equi-join (fan-out ~ n/dim per block), the same
-    no-n² discipline as every dedup operator here. Rows-only check (hash
-    family is engine-specific); planted-dup behavior is unit-tested."""
+    no-n² discipline as every dedup operator here. Uses the portable md5
+    bucket so the DuckDB oracle reproduces the vectors exactly (counts are
+    integer-valued doubles: dot products and norms are exact on both
+    engines); production corpora switch hash_fn='xxhash64' for speed with
+    identical semantics."""
     d = table(spark, sf_dir, "documents")
-    fv = feature_vectors(d).withColumn(
+    fv = feature_vectors(d, hash_fn="md5").withColumn(
         "vh", F.array_position(F.col("fv"), F.array_max("fv"))
     )
     a = fv.select(F.col("doc_id").alias("doc_id_a"), F.col("fv").alias("fa"), "vh")
