@@ -275,3 +275,97 @@ def events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("evs").alias("n_events"),
         F.round(ewma, 6).alias("ewma_value"),
     )
+
+
+# --- ordered funnel completion (view -> click -> purchase) ------------------
+@register(
+    "events_funnel",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage_view,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS stage_click,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                          AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase
+    FROM firsts
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users whose FIRST view precedes their first click
+    precedes their first purchase — the conversion query of any event
+    pipeline. One filtered-min aggregate per stage (a single shuffle on
+    user_id), then a global roll-up; no self-joins, no window over the raw
+    stream — the formulation that stays one pass at any event volume."""
+    e = table(spark, sf_dir, "events")
+    t = lambda typ: F.min(F.when(F.col("event_type") == typ, F.col("ts")))  # noqa: E731
+    firsts = e.groupBy("user_id").agg(
+        t("view").alias("t_view"),
+        t("click").alias("t_click"),
+        t("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(viewed.cast("int")).cast("long").alias("stage_view"),
+        F.sum(clicked.cast("int")).cast("long").alias("stage_click"),
+        F.sum(purchased.cast("int")).cast("long").alias("stage_purchase"),
+    )
+
+
+# --- retention cohorts: first-seen day x activity-day offset ----------------
+@register(
+    "events_retention_cohorts",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+           CAST(day_offset AS INT) AS day_offset,
+           COUNT(*) AS n_users
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohorts: users grouped by first-seen day, counted on each
+    subsequent day-offset they were active (week-1 retention triangle).
+    The first-seen table is user-cardinality (broadcastable at most scales);
+    the activity join shuffles on user_id once — the same key as the
+    cohort aggregate, so AQE reuses the exchange."""
+    e = table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = (
+        e.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy(
+            F.col("cohort_day").cast("timestamp").alias("cohort_day"), "day_offset"
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
