@@ -37,7 +37,8 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession
 
 from fpl_data_pipeline_spark.operators.upsert import upsert
 from fpl_data_pipeline_spark.sources import ingest
@@ -114,7 +115,21 @@ def run_pipeline(
     if base_fact is None:
         base_fact = fact_source.limit(0)
     merged_fact = incremental_load(base_fact, fact_source, prev_week_info, data_flow)
+    # observe(): data-quality counters ride the publish job itself — no
+    # second scan. The reference runs its checks as separate queries after
+    # load; at 100 TB a free-rider metric is the difference between "checked"
+    # and "re-read the table to check".
+    obs = Observation("fact_publish")
+    merged_fact = merged_fact.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("element_").isNull().cast("int")).alias("null_keys"),
+        F.approx_count_distinct("round_gw").alias("n_weeks"),  # DISTINCT aggs are banned in observe(); the HLL sketch is the sanctioned form
+    )
     _publish(merged_fact, p("player_week_ft"))
+    metrics = obs.get
+    if metrics["null_keys"] not in (0, None):
+        raise ValueError(f"fact publish wrote {metrics['null_keys']} NULL-keyed rows")
     player_week_ft = spark.read.parquet(p("player_week_ft"))
 
     # 7. player_stats_dm (understat scrape CSVs; optional in a landing zone)
@@ -138,4 +153,5 @@ def run_pipeline(
         "player_week_ft": player_week_ft,
         "player_stats_dm": player_stats_dm,
         "week_info_dm": week_info_dm,
+        "__metrics__": dict(metrics),
     }

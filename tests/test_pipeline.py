@@ -67,6 +67,7 @@ def _state(tables):
     return {
         name: sorted(map(tuple, df.collect())) if df is not None else None
         for name, df in tables.items()
+        if name != "__metrics__"
     }
 
 
@@ -78,6 +79,9 @@ def test_pipeline_end_to_end_idempotent(spark, landing, tmp_path):
     # all five reference tables materialized
     assert set(s1) == {"team_dm", "player_dm", "player_week_ft",
                        "player_stats_dm", "week_info_dm"}
+    # observe() metrics rode the publish job: rows counted, zero null keys
+    m = t1["__metrics__"]
+    assert m["n_rows"] == 2 and m["null_keys"] in (0, None) and m["n_weeks"] == 2
     assert len(s1["team_dm"]) == 1 and len(s1["player_dm"]) == 2
     # hwm bootstrap run: both landed weeks loaded (empty prior week_info -> 0)
     weeks = {r["round_gw"] for r in t1["player_week_ft"].collect()}
