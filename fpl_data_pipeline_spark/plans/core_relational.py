@@ -326,3 +326,39 @@ def json_parse_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), F.sum("p.k").alias("sum_k")
     )
+
+
+# --- S7 via VARIANT: semi-structured decode-once extraction ------------------
+@register(
+    "json_variant_extract",
+    """
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+                THEN 'high' ELSE 'low' END AS k_band
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL
+    """,
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIANT path for semi-structured columns (Spark 4): parse_json
+    decodes the JSON text ONCE into the binary variant encoding, and every
+    field access (try_variant_get) is a cheap path lookup — at 100 TB this
+    replaces per-extraction re-parsing, the dominant cost of JSON-heavy
+    scans (same reason the variant type exists in the open table formats).
+    Semantically identical to string json_extract; the oracle uses DuckDB's
+    JSON functions over the same text."""
+    e = table(spark, sf_dir, "events")
+    v = e.select(
+        "event_id", "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.try_variant_get("v", "$.k", "int")
+    return (
+        v.select(
+            "event_id",
+            "event_type",
+            k.alias("k_val"),
+            F.when(k >= 50, "high").otherwise("low").alias("k_band"),
+        )
+        .filter(F.col("k_val").isNotNull())
+    )

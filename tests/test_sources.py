@@ -212,3 +212,57 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     assert set(df.columns) == {"id", "v", "score"}
     rows = {r["id"]: (r["v"], r["score"]) for r in df.collect()}
     assert rows[1] == ("a", None) and rows[2] == ("b", 9.5)
+
+
+def test_python_datasource_bootstrap(spark, tmp_path):
+    """Spark 4 Python DataSource: the bootstrap feed as an engine-native
+    format (sources/python_datasource.py) — partitioned read, declared
+    schema, rows match the landed-file flattener."""
+    import json
+
+    from fpl_data_pipeline_spark.sources.python_datasource import (
+        register_bootstrap_source,
+    )
+
+    doc = {"elements": [
+        {"id": 1, "first_name": "Mo", "second_name": "Salah", "form": "8.5",
+         "total_points": 200, "now_cost": 130, "team": 1, "element_type": 3},
+        {"id": 2, "first_name": "Alisson", "second_name": "Becker", "form": "5.0",
+         "total_points": 90, "now_cost": 55, "team": 1, "element_type": 1},
+        {"id": 3, "first_name": "Virgil", "second_name": "VanDijk", "form": "6.1",
+         "total_points": 120, "now_cost": 65, "team": 2, "element_type": 2},
+    ]}
+    path = tmp_path / "bootstrap_static.json"
+    path.write_text(json.dumps(doc))
+
+    register_bootstrap_source(spark)
+    df = (
+        spark.read.format("fpl_bootstrap")
+        .option("path", str(path))
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4  # planned input partitions
+    rows = {r["id"]: r for r in df.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["second_name"] == "Salah" and rows[1]["element_type"] == 3
+    # engine-native source feeds the same downstream flatteners
+    assert df.filter("team = 1").count() == 2
+
+
+def test_xml_scrape_surface(spark):
+    """S4 scrape analog for XML feeds: from_xml with a declared schema —
+    the same schema-on-read contract as the JSON landing path."""
+    import pyspark.sql.functions as F
+
+    x = spark.createDataFrame(
+        [
+            (1, "<player><name>Mo Salah</name><goals>12</goals></player>"),
+            (2, "<player><name>Son</name><goals>9</goals></player>"),
+        ],
+        "id long, payload string",
+    )
+    parsed = x.select(
+        "id", F.from_xml("payload", "name STRING, goals INT").alias("p")
+    ).select("id", "p.name", "p.goals")
+    rows = {r["id"]: (r["name"], r["goals"]) for r in parsed.collect()}
+    assert rows == {1: ("Mo Salah", 12), 2: ("Son", 9)}
