@@ -370,7 +370,7 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     the chunking with list slicing in SQL."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="doc_id: bigint, chunk_idx: int, chunk: string, n_tokens: int")
+    @udtf(returnType="doc_id: bigint, chunk_idx: int, chunk: string, n_tokens: int", useArrow=True)
     class ChunkDoc:
         def eval(self, doc_id, text):
             if text is None:
