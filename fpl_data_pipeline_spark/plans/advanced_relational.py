@@ -464,3 +464,47 @@ def collect_sorted_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# --- salted skew join: hot-key fact x dim without a straggler ----------------
+@register(
+    "salted_join_user_spend",
+    """
+    WITH dim AS (
+      SELECT user_id, MIN(ts) AS first_seen FROM events GROUP BY user_id
+    )
+    SELECT e.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           MIN(d.first_seen) AS first_seen
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    GROUP BY e.user_id
+    """,
+)
+def salted_join_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted JOIN (the companion to salted_agg_user_activity's salted
+    aggregation): the probe side tags every row with a deterministic salt in
+    [0, N_SALTS), the build side is EXPLODED once per salt value, and the
+    join key becomes (user_id, salt) — a hot user's rows now land on
+    N_SALTS reducers instead of one straggler. The aggregate result is
+    identical to the plain join (the oracle IS the plain join); only the
+    shuffle distribution changes. Manual fallback for when AQE's skew-join
+    splitting can't apply (e.g. the skewed side feeds a co-grouped op).
+    Cost: build side replicated N_SALTS x — cheap for dims, which is
+    exactly the side you salt."""
+    e = table(spark, sf_dir, "events")
+    dim = e.groupBy("user_id").agg(F.min("ts").alias("first_seen"))
+    salted_fact = e.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALTS)).cast("int")
+    )
+    salted_dim = dim.select(
+        "user_id",
+        "first_seen",
+        F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1))).alias("salt"),
+    )
+    joined = salted_fact.join(salted_dim, ["user_id", "salt"])
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        F.min("first_seen").alias("first_seen"),
+    )
