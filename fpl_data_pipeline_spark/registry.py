@@ -144,6 +144,7 @@ def load_all() -> None:
     from fpl_data_pipeline_spark.operators import multimodal  # noqa: F401
     from fpl_data_pipeline_spark.plans import fpl_queries  # noqa: F401
     from fpl_data_pipeline_spark.functions import corpus_queries  # noqa: F401
+    from fpl_data_pipeline_spark.sources import python_datasource  # noqa: F401
 
     missing = [n for n in DRIVER_WINDOW_PRIORITY if n not in QUERIES]
     assert not missing, f"DRIVER_WINDOW_PRIORITY names unknown queries: {missing}"

@@ -82,3 +82,53 @@ class BootstrapReader(DataSourceReader):
 def register_bootstrap_source(spark) -> None:
     """Idempotent registration of the custom source."""
     spark.dataSource.register(BootstrapDataSource)
+
+
+# --- oracle-checked query through the custom source --------------------------
+import os as _os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fpl_data_pipeline_spark.registry import register
+
+_FIXTURE_BOOTSTRAP = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "fixtures",
+    "bootstrap_static.json",
+)
+
+
+@register(
+    "datasource_bootstrap_top_scorers",
+    f"""
+    WITH flat AS (
+      SELECT u.id AS id, u.second_name AS surname,
+             u.total_points AS total_points, u.team AS team
+      FROM (SELECT unnest(elements) AS u FROM read_json_auto('{_FIXTURE_BOOTSTRAP}'))
+    )
+    SELECT id, surname, total_points, team
+    FROM flat
+    ORDER BY total_points DESC, id ASC
+    LIMIT 10
+    """,
+)
+def datasource_bootstrap_top_scorers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end through the CUSTOM Python DataSource: top-10 scorers read
+    via spark.read.format('fpl_bootstrap') over the committed fixture feed —
+    the oracle reads the same JSON document with DuckDB's JSON reader, so
+    the source's partitioned flatten is value-checked, not just smoked."""
+    import pyspark.sql.functions as F
+
+    register_bootstrap_source(spark)
+    df = (
+        spark.read.format("fpl_bootstrap")
+        .option("path", _FIXTURE_BOOTSTRAP)
+        .load()
+    )
+    return (
+        df.select(
+            "id", F.col("second_name").alias("surname"), "total_points", "team"
+        )
+        .orderBy(F.col("total_points").desc(), F.col("id").asc())
+        .limit(10)
+    )

@@ -25,6 +25,47 @@ def main() -> None:
         path = os.path.join(outdir, name)
         df.coalesce(1).write.mode("overwrite").parquet(path)
         print(f"{path}: {df.count()} rows")
+    write_bootstrap_json(outdir)
+
+
+def write_bootstrap_json(outdir: str) -> None:
+    """fixtures/bootstrap_static.json — the landed REST-feed document the
+    custom Python DataSource (sources/python_datasource.py) reads; derived
+    from the same seeded player/team/week rows as the parquet fixtures."""
+    import json
+    import random
+
+    from fpl_data_pipeline_spark.sources import fixtures as FX
+
+    rng = random.Random(42)
+    teams = FX.team_rows(rng)
+    players = FX.player_rows(rng)
+    FX.week_rows(rng)  # keep rng stream aligned with build_all
+    FX.stats_rows(rng, players)
+    winfo = FX.week_info_rows(rng)
+    doc = {
+        "elements": [
+            {"id": p[0], "first_name": p[1], "second_name": p[2],
+             "form": str(p[3]), "total_points": p[4], "now_cost": int(float(p[5])),
+             "team": p[6], "element_type": {"gk": 1, "def": 2, "mid": 3, "fwd": 4}[p[7]]}
+            for p in players
+        ],
+        "teams": [
+            {"id": t[0], "name": t[1], "short_name": t[2],
+             "strength_attack_home": t[3], "strength_defence_home": t[4],
+             "strength_attack_away": t[5], "strength_defence_away": t[6],
+             "code": t[7]}
+            for t in teams
+        ],
+        "events": [
+            {"id": w[0], "name": w[1], "average_entry_score": w[2],
+             "finished": w[3], "data_checked": w[4]}
+            for w in winfo
+        ],
+    }
+    with open(os.path.join(outdir, "bootstrap_static.json"), "w") as f:
+        json.dump(doc, f)
+    print(f"{outdir}/bootstrap_static.json: {len(doc['elements'])} elements")
 
 
 if __name__ == "__main__":
