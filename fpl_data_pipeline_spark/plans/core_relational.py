@@ -362,3 +362,81 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("k_val").isNotNull())
     )
+
+
+# --- FULL OUTER join: two-source reconciliation ------------------------------
+@register(
+    "full_outer_reconciliation",
+    f"""
+    WITH o AS (
+      SELECT year(o_orderdate) * 100 + month(o_orderdate) AS period,
+             {dsum_sql('o_totalprice')} AS order_total
+      FROM orders GROUP BY 1
+    ),
+    l AS (
+      SELECT year(l_shipdate) * 100 + month(l_shipdate) AS period,
+             COUNT(*) AS shipped_lines
+      FROM lineitem GROUP BY 1
+    )
+    SELECT COALESCE(o.period, l.period) AS period,
+           COALESCE(o.order_total, 0.0) AS order_total,
+           COALESCE(l.shipped_lines, 0) AS shipped_lines,
+           (o.period IS NULL OR l.period IS NULL) AS one_sided
+    FROM o FULL OUTER JOIN l ON o.period = l.period
+    """,
+)
+def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the reconciliation shape (orders placed vs lines
+    shipped per month; months present on only one side surface with a flag
+    instead of vanishing). Ship dates lag order dates, so the outer edges
+    are genuinely one-sided. Both inputs pre-aggregate to month
+    cardinality before the join, so the outer join itself is tiny at any
+    data scale — aggregate-then-join, never join-then-aggregate."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    om = o.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("period")
+    ).agg(dsum("o_totalprice", "order_total"))
+    lm = li.groupBy(
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("period")
+    ).agg(F.count(F.lit(1)).alias("shipped_lines"))
+    j = om.alias("o").join(lm.alias("l"), F.col("o.period") == F.col("l.period"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("o.period"), F.col("l.period")).alias("period"),
+        F.coalesce("order_total", F.lit(0.0)).alias("order_total"),
+        F.coalesce("shipped_lines", F.lit(0)).alias("shipped_lines"),
+        (F.col("o.period").isNull() | F.col("l.period").isNull()).alias("one_sided"),
+    )
+
+
+# --- scalar subquery: share-of-total without a self-join ---------------------
+@register(
+    "scalar_subquery_share",
+    f"""
+    SELECT o_orderstatus,
+           {dsum_sql('o_totalprice')} AS status_total,
+           round({dsum_sql('o_totalprice')}
+                 / (SELECT {dsum_sql('o_totalprice')} FROM orders), 9) AS share
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def scalar_subquery_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: each status's share of total revenue. Catalyst plans
+    the uncorrelated scalar subquery as its own tiny job whose single value
+    broadcasts into the main aggregate — no self-join of the fact table.
+    Exact decimal sums make numerator and denominator order-independent, so
+    the division is bit-stable on both engines (rounded 9 dp)."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS status_total,
+               round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     / (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                        FROM __orders_sq), 9) AS share
+        FROM __orders_sq
+        GROUP BY o_orderstatus
+        """
+    )
