@@ -35,6 +35,9 @@ def get_spark(app_name: str = "fpl-engine", shuffle_partitions: int | None = Non
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # zstd: ~25-30% smaller than snappy at comparable scan speed — at
+        # 100 TB that is tens of TB of storage and shuffle-read bytes
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
