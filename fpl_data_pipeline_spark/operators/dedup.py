@@ -708,3 +708,260 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(
         F.col("shared_fps").desc(), F.col("doc_id_a").asc(), F.col("doc_id_b").asc()
     ).limit(20)
+
+
+# --- portable MinHash (md5 permutation family): oracle-checkable end-to-end --
+# The production MinHash above uses xxhash64 (fastest JVM hash; sketch values
+# engine-specific -> rows-only check). This variant swaps the hash family for
+# md5 — identical in every implementation — so the ENTIRE pipeline
+# (signatures -> banding -> candidates -> estimated Jaccard) is reproduced
+# bit-for-bit by the DuckDB oracle. Same algorithm, same banding, ~3x the
+# per-shingle hash cost: the value-level proof that the sketch machinery is
+# correct, while the xxhash64 path stays the 100 TB default.
+PMH_HASHES = 16
+PMH_BANDS = 4
+PMH_ROWS = PMH_HASHES // PMH_BANDS
+
+
+def _pmh_perm_sql(i: int) -> str:
+    """DuckDB: permutation-i hash of the shingle's base hash h0 (decimal
+    string), 60-bit int (15 hex chars: fits signed 64-bit on both engines)."""
+    return f"('0x' || substr(md5(CAST(h0 AS VARCHAR) || ':{i}'), 1, 15))::BIGINT"
+
+
+def _pmh_band_sql(b: int) -> str:
+    """DuckDB: one band's projection — band id, md5 band key over the band's
+    ROWS_PER_BAND signature mins (comma-joined decimal strings), all mins."""
+    sep = " || ',' || "
+    key = sep.join(f"CAST(m{b * PMH_ROWS + r} AS VARCHAR)" for r in range(PMH_ROWS))
+    mins = ", ".join(f"m{i}" for i in range(PMH_HASHES))
+    return f"SELECT doc_id, {b} AS band_id, md5({key}) AS band_key, {mins} FROM sigs"
+
+
+@register(
+    "dedup_minhash_portable",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(ws) - 1, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs
+      FROM words
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(unnest(gs)), 1, 15))::BIGINT AS h0
+      FROM grams
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {', '.join(f'MIN({_pmh_perm_sql(i)}) AS m{i}' for i in range(PMH_HASHES))}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      {' UNION ALL '.join(_pmh_band_sql(b) for b in range(PMH_BANDS))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             {', '.join(f'a.m{i} AS am{i}, b.m{i} AS bm{i}' for i in range(PMH_HASHES))}
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_id_a, doc_id_b,
+           CAST(({' + '.join(f'CASE WHEN am{i} = bm{i} THEN 1 ELSE 0 END' for i in range(PMH_HASHES))})
+                AS DOUBLE) / {PMH_HASHES} AS est_jaccard
+    FROM cand
+    ORDER BY est_jaccard DESC, doc_id_a ASC, doc_id_b ASC
+    LIMIT 20
+    """,
+)
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates with the PORTABLE md5 permutation
+    family (16 hashes, 4 bands x 4 rows): every stage — base shingle hash,
+    per-permutation mins, band keys, candidate join, estimated Jaccard — is
+    deterministic and identical in DuckDB, giving the sketch pipeline a
+    value-level parity row. Production corpora use dedup_minhash_pairs
+    (xxhash64, same shape, ~3x faster hashing)."""
+    d = table(spark, sf_dir, "documents")
+    sh = shingles(d)
+    h0 = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+    hashed = sh.select("doc_id", h0.alias("h0"))
+    perm = lambda i: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat(F.col("h0").cast("string"), F.lit(f":{i}"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    sigs = hashed.groupBy("doc_id").agg(
+        *[F.min(perm(i)).alias(f"m{i}") for i in range(PMH_HASHES)]
+    ).cache()
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat_ws(",", *[F.col(f"m{b * PMH_ROWS + r}").cast("string") for r in range(PMH_ROWS)])
+            ).alias("band_key"),
+        )
+        for b in range(PMH_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id", *[F.col(f"m{i}") for i in range(PMH_HASHES)],
+        F.explode(F.array(*band_structs)).alias("band"),
+    ).select("doc_id", *[f"m{i}" for i in range(PMH_HASHES)], "band.band_id", "band.band_key")
+    a = bands.select(
+        F.col("doc_id").alias("doc_id_a"), "band_id", "band_key",
+        *[F.col(f"m{i}").alias(f"am{i}") for i in range(PMH_HASHES)],
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_id_b"), "band_id", "band_key",
+        *[F.col(f"m{i}").alias(f"bm{i}") for i in range(PMH_HASHES)],
+    )
+    cand = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    matches = sum(
+        [F.when(F.col(f"am{i}") == F.col(f"bm{i}"), 1).otherwise(0) for i in range(PMH_HASHES)],
+        F.lit(0),
+    )
+    return (
+        cand.select(
+            "doc_id_a",
+            "doc_id_b",
+            (matches.cast("double") / PMH_HASHES).alias("est_jaccard"),
+        )
+        .orderBy(F.col("est_jaccard").desc(), F.col("doc_id_a").asc(), F.col("doc_id_b").asc())
+        .limit(20)
+    )
+
+
+_PMH_COMMON_SQL = f"""
+    WITH RECURSIVE norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(ws) - 1, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs
+      FROM words
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(unnest(gs)), 1, 15))::BIGINT AS h0
+      FROM grams
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {', '.join(f'MIN({_pmh_perm_sql(i)}) AS m{i}' for i in range(PMH_HASHES))}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      {' UNION ALL '.join(_pmh_band_sql(b) for b in range(PMH_BANDS))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             {', '.join(f'a.m{i} AS am{i}, b.m{i} AS bm{i}' for i in range(PMH_HASHES))}
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT doc_id_a, doc_id_b,
+             CAST(({' + '.join(f'CASE WHEN am{i} = bm{i} THEN 1 ELSE 0 END' for i in range(PMH_HASHES))})
+                  AS DOUBLE) / {PMH_HASHES} AS est_jaccard
+      FROM cand
+    )
+"""
+
+
+@register(
+    "dedup_clusters_portable",
+    _PMH_COMMON_SQL
+    + """
+    , pairs AS (
+      SELECT doc_id_a AS u, doc_id_b AS v FROM scored WHERE est_jaccard >= 0.5
+    ),
+    edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+    reach AS (
+      SELECT u AS a, v AS b FROM edges
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+    ),
+    labels AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT cluster_id, COUNT(*) AS cluster_size
+    FROM labels
+    GROUP BY cluster_id
+    ORDER BY cluster_size DESC, cluster_id ASC
+    LIMIT 20
+    """,
+)
+def dedup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL sketch-to-cluster pipeline, value-checked end-to-end:
+    portable-MinHash candidates (md5 permutation family) -> estimated
+    Jaccard >= 0.5 edges -> connected components -> cluster summary. The
+    oracle replays every stage, including the label-propagation fixpoint as
+    a recursive transitive-closure CTE. With this, the only operator family
+    left without a value-level oracle is k-means (iterative with float
+    accumulation — sanctioned rows-only)."""
+    d = table(spark, sf_dir, "documents")
+    sh = shingles(d)
+    h0 = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+    hashed = sh.select("doc_id", h0.alias("h0"))
+    perm = lambda i: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat(F.col("h0").cast("string"), F.lit(f":{i}"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    sigs = hashed.groupBy("doc_id").agg(
+        *[F.min(perm(i)).alias(f"m{i}") for i in range(PMH_HASHES)]
+    ).cache()
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat_ws(",", *[F.col(f"m{b * PMH_ROWS + r}").cast("string") for r in range(PMH_ROWS)])
+            ).alias("band_key"),
+        )
+        for b in range(PMH_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id", *[F.col(f"m{i}") for i in range(PMH_HASHES)],
+        F.explode(F.array(*band_structs)).alias("band"),
+    ).select("doc_id", *[f"m{i}" for i in range(PMH_HASHES)], "band.band_id", "band.band_key")
+    a = bands.select(
+        F.col("doc_id").alias("doc_id_a"), "band_id", "band_key",
+        *[F.col(f"m{i}").alias(f"am{i}") for i in range(PMH_HASHES)],
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_id_b"), "band_id", "band_key",
+        *[F.col(f"m{i}").alias(f"bm{i}") for i in range(PMH_HASHES)],
+    )
+    matches = sum(
+        [F.when(F.col(f"am{i}") == F.col(f"bm{i}"), 1).otherwise(0) for i in range(PMH_HASHES)],
+        F.lit(0),
+    )
+    pairs = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+        .filter(matches.cast("double") / PMH_HASHES >= 0.5)
+        .select("doc_id_a", "doc_id_b")
+    )
+    comps = connected_components(pairs)
+    return (
+        comps.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .orderBy(F.col("cluster_size").desc(), F.col("cluster_id").asc())
+        .limit(20)
+    )
