@@ -965,3 +965,124 @@ def dedup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cluster_size").desc(), F.col("cluster_id").asc())
         .limit(20)
     )
+
+
+# --- portable SimHash (md5, 60 bits): oracle-checkable ----------------------
+PSH_BITS = 60
+PSH_CHUNKS = 4
+PSH_CHUNK_BITS = PSH_BITS // PSH_CHUNKS
+
+
+@register(
+    "dedup_simhash_portable",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(unnest(list_filter(
+                string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+                w -> w <> ''))), 1, 15))::BIGINT AS h
+      FROM documents
+    ),
+    bit_sums AS (
+      SELECT doc_id, b.b AS bit,
+             SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM toks CROSS JOIN (SELECT unnest(range(0, {PSH_BITS})) AS b) b
+      GROUP BY doc_id, b.b
+    ),
+    sims AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bit_sums GROUP BY doc_id
+    ),
+    chunks AS (
+      SELECT doc_id, simhash,
+             unnest(range(0, {PSH_CHUNKS})) AS chunk_id
+      FROM sims
+    ),
+    keyed AS (
+      SELECT doc_id, simhash, chunk_id,
+             (simhash >> (chunk_id * {PSH_CHUNK_BITS})) & {(1 << PSH_CHUNK_BITS) - 1} AS chunk_val
+      FROM chunks
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM keyed a JOIN keyed b
+        ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_id_a, doc_id_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM pairs
+    ORDER BY hamming ASC, doc_id_a ASC, doc_id_b ASC
+    LIMIT 20
+    """,
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup with the PORTABLE md5 hash family (60 bits: 15 hex
+    chars fit signed 64-bit on both engines), 15-bit chunk banding
+    (pigeonhole-complete for hamming <= 3), candidates from the chunk
+    equi-join, ranked by exact hamming distance — every stage reproduced by
+    the DuckDB oracle. dedup_simhash_pairs (xxhash64, 64 bits) stays the
+    production default."""
+    d = table(spark, sf_dir, "documents")
+    sp = d.sparkSession
+    toks = d.repartition(sp.sparkContext.defaultParallelism).select(
+        "doc_id", F.explode(_words(_norm_text(F.col("text")))).alias("tok")
+    )
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    agg_bits = toks.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", bb).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{bb}")
+            for bb in range(PSH_BITS)
+        ]
+    )
+    sim = agg_bits.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{bb}") > 0, F.shiftleft(F.lit(1).cast("long"), bb)).otherwise(
+                    F.lit(0).cast("long")
+                )
+                for bb in range(PSH_BITS)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    chunks = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright("simhash", c * PSH_CHUNK_BITS)
+                        .bitwiseAND(F.lit((1 << PSH_CHUNK_BITS) - 1))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(PSH_CHUNKS)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_val").cache()
+    a = chunks.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("sh_a"), "chunk_id", "chunk_val"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("sh_b"), "chunk_id", "chunk_val"
+    )
+    return (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int").alias("hamming"),
+        )
+        .orderBy(F.col("hamming").asc(), F.col("doc_id_a").asc(), F.col("doc_id_b").asc())
+        .limit(20)
+    )
