@@ -1,18 +1,25 @@
 """Deduplication operators for the training-data pipeline track.
 
-Five dedup families over the ``documents`` table, each designed for the
-100 TB path (no cross joins — candidate generation is always an equi-join on
-a derived key):
+Dedup families over the ``documents`` table, each designed for the 100 TB
+path (no cross joins — candidate generation is always an equi-join on a
+derived key):
 
 - exact:       hash-groupBy on normalized text (md5 fingerprint)
 - fingerprint: winnowed-style document fingerprint (md5 of normalized text)
-- ngram-jaccard: exact Jaccard on word-3-gram shingle sets; candidate pairs
-                 come from a shared-shingle equi-join (scales with shingle
-                 document frequency, not n^2)
+- ngram-jaccard: exact Jaccard on word-3-gram shingle sets (document-
+                 frequency-capped); candidates from a shared-shingle
+                 equi-join (scales with shingle df, not n^2)
 - minhash+LSH: 32-permutation MinHash signature, 8 bands x 4 rows banding;
                candidates from band-hash equi-join; deterministic xxhash64
 - simhash:     64-bit SimHash; candidates from 16-bit chunk banding
                (pigeonhole: hamming<=3 implies >=1 of 4 chunks equal)
+- winnowing:   Schleimer/Wilkerson/Aiken positional fingerprint sampling
+               with a provable shared-run guarantee
+- clusters:    near-dup edges -> connected components (min-label, with a
+               recursive-CTE oracle twin)
+- portable variants (md5 hash family, *_portable): the SAME minhash/simhash/
+  cluster pipelines with an engine-agnostic hash so every stage is
+  value-checked against DuckDB; xxhash64 twins stay the production default.
 
 All near-dup queries return a deterministic top-k of the most similar pairs
 (score desc, doc_id_a asc, doc_id_b asc) rather than a bare threshold filter,

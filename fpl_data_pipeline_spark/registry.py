@@ -48,8 +48,13 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # round. Round 1's window covered the relational core (all green); round 2
 # leads with everything that window did not reach — the LLM-pipeline
 # extension track (dedup / similarity / sampling / text / scalar / quality /
-# events / multimodal), the three round-1 fixes, and one anchor per core
-# family — so every query family ends up driver-green across the two rounds.
+# events / multimodal) and the three round-1 fixes — so every query family
+# ends up driver-green across the two rounds. The sketch slots carry the
+# PORTABLE (md5) variants, which have full value-level oracles; their
+# xxhash64 production twins (identical pipeline, faster hash) are checked
+# locally via tools/parity.py as rows-only and by planted-fixture tests.
+# The only rows-only query in the window is kmeans_embeddings (iterative
+# float fixpoint — genuinely non-SQL-expressible).
 DRIVER_WINDOW_PRIORITY = [
     "flagship_customer_activity",
     # round-1 driver failures, fixed this round
@@ -60,9 +65,9 @@ DRIVER_WINDOW_PRIORITY = [
     "dedup_exact_groups",
     "doc_fingerprints",
     "dedup_ngram_jaccard",
-    "dedup_minhash_pairs",
-    "dedup_simhash_pairs",
-    "dedup_clusters",
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
+    "dedup_clusters_portable",
     "dedup_clusters_exact",
     # similarity / ANN family
     "ann_cosine_topk",
