@@ -260,3 +260,42 @@ def emb_dimension_znorm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_std",
         )
     )
+
+
+# --- multi-aggregate pivot: counts AND exact sums per cell ------------------
+@register(
+    "pivot_multi_agg_source_lang",
+    """
+    SELECT source,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en_docs,
+           CAST(SUM(CASE WHEN lang = 'en' THEN CAST(n_chars AS DECIMAL(18,2)) ELSE 0 END)
+                AS DOUBLE) AS en_chars,
+           CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh_docs,
+           CAST(SUM(CASE WHEN lang = 'zh' THEN CAST(n_chars AS DECIMAL(18,2)) ELSE 0 END)
+                AS DOUBLE) AS zh_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def pivot_multi_agg_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with MULTIPLE aggregates per cell (doc count + exact char sum
+    per source x language): Spark's pivot(...).agg(a, b) suffixes each
+    value-column with the aggregate alias; we rename to the conventional
+    <value>_<measure> and zero-fill. Same single Expand + one shuffle as the
+    single-agg pivot — the aggregate list widens the row, not the plan."""
+    d = table(spark, sf_dir, "documents")
+    piv = (
+        d.groupBy("source")
+        .pivot("lang", ["en", "zh"])
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.col("n_chars").cast("decimal(18,2)")).cast("double").alias("chars"),
+        )
+    )
+    return piv.select(
+        "source",
+        F.coalesce(F.col("en_docs"), F.lit(0)).alias("en_docs"),
+        F.coalesce(F.col("en_chars"), F.lit(0.0)).alias("en_chars"),
+        F.coalesce(F.col("zh_docs"), F.lit(0)).alias("zh_docs"),
+        F.coalesce(F.col("zh_chars"), F.lit(0.0)).alias("zh_chars"),
+    )

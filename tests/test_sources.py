@@ -266,3 +266,30 @@ def test_xml_scrape_surface(spark):
     ).select("id", "p.name", "p.goals")
     rows = {r["id"]: (r["name"], r["goals"]) for r in parsed.collect()}
     assert rows == {1: ("Mo Salah", 12), 2: ("Son", 9)}
+
+
+def test_file_provenance_metadata_column(spark, tmp_path):
+    """Ingestion provenance via the hidden _metadata column: every row knows
+    which landed file produced it — the lineage hook a 100 TB landing zone
+    uses for quarantining a bad feed file without re-deriving anything."""
+    import pyspark.sql.functions as F
+
+    p = str(tmp_path / "multi")
+    spark.range(0, 10).withColumn("part", F.lit("a")).coalesce(1).write.parquet(p)
+    spark.range(10, 30).withColumn("part", F.lit("b")).coalesce(1).write.mode(
+        "append"
+    ).parquet(p)
+
+    df = spark.read.parquet(p).select(
+        "id", F.col("_metadata.file_name").alias("src_file")
+    )
+    per_file = {
+        r["src_file"]: r["n"]
+        for r in df.groupBy("src_file").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sorted(per_file.values()) == [10, 20]  # rows attributed per file
+    assert all(f.endswith(".parquet") for f in per_file)
+    # quarantine pattern: drop one file's rows by name, others untouched
+    bad = max(per_file, key=per_file.get)
+    kept = df.filter(F.col("src_file") != bad)
+    assert kept.count() == min(per_file.values())
