@@ -331,3 +331,4 @@ def test_doc_packing_budget_invariants(spark):
     total_docs = sum(r[1] for r in rows)
     assert total_docs == 500  # every document packed exactly once
     assert sum(r[2] for r in rows) >= SEQ_LEN * (len(rows) - 1)
+
