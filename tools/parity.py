@@ -5,6 +5,7 @@ same parquet tables, then compares row-count + sorted-column schema +
 order-insensitive value hash. Use while iterating:
 
     python tools/parity.py [sf_dir] [query ...]
+    python tools/parity.py --window        # preflight the driver's first-50 window
 """
 
 from __future__ import annotations
@@ -79,6 +80,8 @@ def value_hash(df: pd.DataFrame) -> str:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
     only = [a for a in sys.argv[1:] if "/" not in a]
+    window_only = "--window" in only
+    only = [a for a in only if a != "--window"]
 
     load_all()
     spark = get_spark("parity")
@@ -86,7 +89,10 @@ def main() -> int:
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    names = only or sorted(QUERIES)
+    if window_only:
+        names = list(QUERIES)[:50]  # exactly the driver's correctness window
+    else:
+        names = only or sorted(QUERIES)
     unknown = [n for n in names if n not in QUERIES]
     if unknown:
         print(f"unknown queries: {unknown}; available: {sorted(QUERIES)}")
