@@ -1093,3 +1093,116 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("hamming").asc(), F.col("doc_id_a").asc(), F.col("doc_id_b").asc())
         .limit(20)
     )
+
+
+# DuckDB dot products for the hybrid query (same fold order as Spark)
+_PMH_DOT = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE), (x, y) -> x + y)"
+)
+_PMH_DOT_AA = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> ea.embedding[i]::DOUBLE * ea.embedding[i]::DOUBLE), (x, y) -> x + y)"
+)
+_PMH_DOT_BB = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> eb.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE), (x, y) -> x + y)"
+)
+
+
+def _portable_minhash_candidates(d: DataFrame) -> DataFrame:
+    """(doc_id_a, doc_id_b, est_jaccard) candidate pairs via the portable
+    md5 MinHash family — the shared engine half of dedup_minhash_portable /
+    dedup_hybrid_verify."""
+    sh = shingles(d)
+    h0 = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+    hashed = sh.select("doc_id", h0.alias("h0"))
+    perm = lambda i: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat(F.col("h0").cast("string"), F.lit(f":{i}"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    sigs = hashed.groupBy("doc_id").agg(
+        *[F.min(perm(i)).alias(f"m{i}") for i in range(PMH_HASHES)]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat_ws(",", *[F.col(f"m{b * PMH_ROWS + r}").cast("string") for r in range(PMH_ROWS)])
+            ).alias("band_key"),
+        )
+        for b in range(PMH_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id", *[F.col(f"m{i}") for i in range(PMH_HASHES)],
+        F.explode(F.array(*band_structs)).alias("band"),
+    ).select("doc_id", *[f"m{i}" for i in range(PMH_HASHES)], "band.band_id", "band.band_key").cache()
+    a = bands.select(
+        F.col("doc_id").alias("doc_id_a"), "band_id", "band_key",
+        *[F.col(f"m{i}").alias(f"am{i}") for i in range(PMH_HASHES)],
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_id_b"), "band_id", "band_key",
+        *[F.col(f"m{i}").alias(f"bm{i}") for i in range(PMH_HASHES)],
+    )
+    matches = sum(
+        [F.when(F.col(f"am{i}") == F.col(f"bm{i}"), 1).otherwise(0) for i in range(PMH_HASHES)],
+        F.lit(0),
+    )
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (matches.cast("double") / PMH_HASHES).alias("est_jaccard"),
+        )
+    )
+
+
+@register(
+    "dedup_hybrid_verify",
+    _PMH_COMMON_SQL
+    + f"""
+    SELECT s.doc_id_a, s.doc_id_b, s.est_jaccard,
+           {_PMH_DOT}
+             / (sqrt({_PMH_DOT_AA}) * sqrt({_PMH_DOT_BB})) AS cosine
+    FROM scored s
+    JOIN embeddings ea ON ea.vec_id = s.doc_id_a
+    JOIN embeddings eb ON eb.vec_id = s.doc_id_b
+    ORDER BY s.est_jaccard DESC, cosine DESC, s.doc_id_a ASC, s.doc_id_b ASC
+    LIMIT 20
+    """,
+)
+def dedup_hybrid_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal dedup verification: lexical near-dup candidates
+    (portable MinHash) re-scored with the SEMANTIC signal — the embedding
+    cosine of the same document pair. The two-signal pattern separates
+    true duplicates (high on both) from templated boilerplate (high lexical,
+    low semantic) and paraphrases (the reverse); candidates still come only
+    from the LSH equi-join, and the embedding join is keyed, so the whole
+    thing stays linear in candidate count. Docs without embeddings drop out
+    (inner join) — at sf0.1 only the embedded subset participates, same on
+    both engines."""
+    from fpl_data_pipeline_spark.operators.similarity import _dot, _norm
+
+    d = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    cands = _portable_minhash_candidates(d)
+    ea = emb.select(F.col("vec_id").alias("doc_id_a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("doc_id_b"), F.col("embedding").alias("vb"))
+    cos = (_dot("va", "vb") / (_norm("va") * _norm("vb"))).alias("cosine")
+    return (
+        cands.join(ea, "doc_id_a")
+        .join(eb, "doc_id_b")
+        .select("doc_id_a", "doc_id_b", "est_jaccard", cos)
+        .orderBy(
+            F.col("est_jaccard").desc(),
+            F.col("cosine").desc(),
+            F.col("doc_id_a").asc(),
+            F.col("doc_id_b").asc(),
+        )
+        .limit(20)
+    )
