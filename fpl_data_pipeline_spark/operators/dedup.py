@@ -1206,3 +1206,52 @@ def dedup_hybrid_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+@register(
+    "dedup_apply_summary",
+    _PMH_COMMON_SQL
+    + """
+    , pairs AS (
+      SELECT doc_id_a AS u, doc_id_b AS v FROM scored WHERE est_jaccard >= 0.5
+    ),
+    edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+    reach AS (
+      SELECT u AS a, v AS b FROM edges
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+    ),
+    labels AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+    ),
+    removed AS (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)
+    SELECT (SELECT COUNT(*) FROM documents) AS n_before,
+           (SELECT COUNT(*) FROM removed) AS n_removed,
+           (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM removed) AS n_after,
+           (SELECT COUNT(DISTINCT cluster_id) FROM labels) AS n_dup_clusters
+    """,
+)
+def dedup_apply_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's END PRODUCT: apply canonical-keeper selection
+    (cluster_id = min doc_id keeps, every other member is removed) and
+    report the cleaned-corpus accounting — before/removed/after/cluster
+    counts. The removal itself is one anti-join of the corpus against the
+    removed-id set; at 100 TB that set is duplicate-count-sized and joins
+    on the table's primary key. Fully oracle-checked through the portable
+    sketch pipeline and the recursive-CTE components."""
+    d = table(spark, sf_dir, "documents")
+    pairs = (
+        _portable_minhash_candidates(d)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("doc_id_a", "doc_id_b")
+    )
+    labels = connected_components(pairs)
+    removed = labels.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    cleaned = d.join(removed, "doc_id", "left_anti")  # the actual deduped corpus
+    n_before = d.count()
+    n_after = cleaned.count()
+    n_clusters = labels.select("cluster_id").distinct().count()
+    return spark.createDataFrame(
+        [(n_before, n_before - n_after, n_after, n_clusters)],
+        "n_before long, n_removed long, n_after long, n_dup_clusters long",
+    )
