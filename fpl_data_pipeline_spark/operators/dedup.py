@@ -796,53 +796,8 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-level parity row. Production corpora use dedup_minhash_pairs
     (xxhash64, same shape, ~3x faster hashing)."""
     d = table(spark, sf_dir, "documents")
-    sh = shingles(d)
-    h0 = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
-    hashed = sh.select("doc_id", h0.alias("h0"))
-    perm = lambda i: F.conv(  # noqa: E731
-        F.substring(F.md5(F.concat(F.col("h0").cast("string"), F.lit(f":{i}"))), 1, 15),
-        16,
-        10,
-    ).cast("long")
-    sigs = hashed.groupBy("doc_id").agg(
-        *[F.min(perm(i)).alias(f"m{i}") for i in range(PMH_HASHES)]
-    ).cache()
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.md5(
-                F.concat_ws(",", *[F.col(f"m{b * PMH_ROWS + r}").cast("string") for r in range(PMH_ROWS)])
-            ).alias("band_key"),
-        )
-        for b in range(PMH_BANDS)
-    ]
-    bands = sigs.select(
-        "doc_id", *[F.col(f"m{i}") for i in range(PMH_HASHES)],
-        F.explode(F.array(*band_structs)).alias("band"),
-    ).select("doc_id", *[f"m{i}" for i in range(PMH_HASHES)], "band.band_id", "band.band_key")
-    a = bands.select(
-        F.col("doc_id").alias("doc_id_a"), "band_id", "band_key",
-        *[F.col(f"m{i}").alias(f"am{i}") for i in range(PMH_HASHES)],
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_id_b"), "band_id", "band_key",
-        *[F.col(f"m{i}").alias(f"bm{i}") for i in range(PMH_HASHES)],
-    )
-    cand = (
-        a.join(b, ["band_id", "band_key"])
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .dropDuplicates(["doc_id_a", "doc_id_b"])
-    )
-    matches = sum(
-        [F.when(F.col(f"am{i}") == F.col(f"bm{i}"), 1).otherwise(0) for i in range(PMH_HASHES)],
-        F.lit(0),
-    )
     return (
-        cand.select(
-            "doc_id_a",
-            "doc_id_b",
-            (matches.cast("double") / PMH_HASHES).alias("est_jaccard"),
-        )
+        _portable_minhash_candidates(d)
         .orderBy(F.col("est_jaccard").desc(), F.col("doc_id_a").asc(), F.col("doc_id_b").asc())
         .limit(20)
     )
@@ -922,47 +877,9 @@ def dedup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     left without a value-level oracle is k-means (iterative with float
     accumulation — sanctioned rows-only)."""
     d = table(spark, sf_dir, "documents")
-    sh = shingles(d)
-    h0 = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
-    hashed = sh.select("doc_id", h0.alias("h0"))
-    perm = lambda i: F.conv(  # noqa: E731
-        F.substring(F.md5(F.concat(F.col("h0").cast("string"), F.lit(f":{i}"))), 1, 15),
-        16,
-        10,
-    ).cast("long")
-    sigs = hashed.groupBy("doc_id").agg(
-        *[F.min(perm(i)).alias(f"m{i}") for i in range(PMH_HASHES)]
-    ).cache()
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.md5(
-                F.concat_ws(",", *[F.col(f"m{b * PMH_ROWS + r}").cast("string") for r in range(PMH_ROWS)])
-            ).alias("band_key"),
-        )
-        for b in range(PMH_BANDS)
-    ]
-    bands = sigs.select(
-        "doc_id", *[F.col(f"m{i}") for i in range(PMH_HASHES)],
-        F.explode(F.array(*band_structs)).alias("band"),
-    ).select("doc_id", *[f"m{i}" for i in range(PMH_HASHES)], "band.band_id", "band.band_key")
-    a = bands.select(
-        F.col("doc_id").alias("doc_id_a"), "band_id", "band_key",
-        *[F.col(f"m{i}").alias(f"am{i}") for i in range(PMH_HASHES)],
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_id_b"), "band_id", "band_key",
-        *[F.col(f"m{i}").alias(f"bm{i}") for i in range(PMH_HASHES)],
-    )
-    matches = sum(
-        [F.when(F.col(f"am{i}") == F.col(f"bm{i}"), 1).otherwise(0) for i in range(PMH_HASHES)],
-        F.lit(0),
-    )
     pairs = (
-        a.join(b, ["band_id", "band_key"])
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .dropDuplicates(["doc_id_a", "doc_id_b"])
-        .filter(matches.cast("double") / PMH_HASHES >= 0.5)
+        _portable_minhash_candidates(d)
+        .filter(F.col("est_jaccard") >= 0.5)
         .select("doc_id_a", "doc_id_b")
     )
     comps = connected_components(pairs)
