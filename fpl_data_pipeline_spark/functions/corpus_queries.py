@@ -552,3 +552,95 @@ def lang_stats_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang string, n_docs long, total_chars long, mean_chars double, "
         "min_chars long, max_chars long",
     )
+
+
+# --- the corpus-release pipeline in one plan --------------------------------
+@register(
+    "corpus_release_summary",
+    f"""
+    WITH feat AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             len({_WORDS_SQL}) AS n_tokens,
+             len(list_filter({_WORDS_SQL}, w -> w IN {_STOP!r})) AS n_stop,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, text, n_tokens FROM feat
+      WHERE n_tokens >= 10
+        AND CAST(n_stop AS DOUBLE) / n_tokens BETWEEN 0.05 AND 0.6
+        AND CAST(n_punct AS DOUBLE) / n_chars < 0.1
+    ),
+    deduped AS (
+      SELECT MIN(doc_id) AS doc_id, MAX(n_tokens) AS n_tokens
+      FROM (SELECT doc_id, n_tokens,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+            FROM kept)
+      GROUP BY fp
+    ),
+    split AS (
+      SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                  THEN 'train' ELSE 'test' END AS split,
+             n_tokens
+      FROM deduped
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(CEIL(CAST(SUM(n_tokens) AS DOUBLE) / {SEQ_LEN}) AS BIGINT) AS n_sequences
+    FROM split
+    GROUP BY split
+    """,
+)
+def corpus_release_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data release pipeline as ONE logical plan: quality
+    filters (C4 rules) -> exact dedup (md5 fingerprint, canonical keeper)
+    -> deterministic content-hash train/test split -> per-split document,
+    token and packed-sequence accounting. This is the go/no-go report a
+    data release ships with; every stage is the oracle-checked operator
+    registered individually elsewhere, composed here to prove the stages
+    actually pipeline (Catalyst fuses the filter into the scan, the dedup
+    and split share one shuffle chain). Near-dup stages slot in between
+    dedup and split at scale (see dedup_apply_summary)."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "),
+        lambda w: w != "",
+    )
+    feat = d.select(
+        "doc_id",
+        "text",
+        F.length("text").alias("n_chars"),
+        F.size(ws).alias("n_tokens"),
+        F.size(F.filter(ws, lambda w: w.isin(*_STOP))).alias("n_stop"),
+        F.regexp_count("text", F.lit("[^a-zA-Z0-9 ]")).alias("n_punct"),
+    )
+    stop_r = F.col("n_stop").cast("double") / F.col("n_tokens")
+    kept = feat.filter(
+        (F.col("n_tokens") >= 10)
+        & (stop_r >= 0.05)
+        & (stop_r <= 0.6)
+        & (F.col("n_punct").cast("double") / F.col("n_chars") < 0.1)
+    )
+    deduped = (
+        kept.select(
+            "doc_id",
+            "n_tokens",
+            F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("fp"),
+        )
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.max("n_tokens").alias("n_tokens"))
+    )
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cc", "train"
+    ).otherwise("test")
+    return (
+        deduped.select(split.alias("split"), "n_tokens")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.ceil(F.sum("n_tokens").cast("double") / SEQ_LEN).alias("n_sequences"),
+        )
+    )
