@@ -283,3 +283,62 @@ def stats_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_discount"), 6).alias("corr_qd"),
         F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qd"),
     )
+
+
+# --- robust outlier gate: median absolute deviation ------------------------
+@register(
+    "outlier_mad_prices",
+    """
+    WITH med AS (
+      SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med
+      FROM orders GROUP BY o_orderstatus
+    ),
+    dev AS (
+      SELECT o.o_orderstatus, abs(o.o_totalprice - m.med) AS adev, m.med
+      FROM orders o JOIN med m ON o.o_orderstatus = m.o_orderstatus
+    ),
+    mad AS (
+      SELECT o_orderstatus, quantile_cont(adev, 0.5) AS mad, MIN(med) AS med
+      FROM dev GROUP BY o_orderstatus
+    )
+    SELECT d.o_orderstatus,
+           round(m.med, 6) AS median_price,
+           round(m.mad, 6) AS mad_price,
+           CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad m ON d.o_orderstatus = m.o_orderstatus
+    GROUP BY d.o_orderstatus, m.med, m.mad
+    """,
+)
+def outlier_mad_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per group: median absolute deviation (the
+    estimator that, unlike stddev, one fat-tailed order can't inflate) and
+    the count of > 3-MAD orders — the data-quality gate before aggregate
+    dashboards. Two exact-percentile passes + one count; the median table
+    is group-cardinality, broadcast back both times. The exact percentile
+    becomes percentile_approx on the 100 TB path (same plan shape, one pass
+    per percentile either way)."""
+    o = table(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("med")
+    )
+    dev = o.join(F.broadcast(med), "o_orderstatus").select(
+        "o_orderstatus", "med", F.abs(F.col("o_totalprice") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("o_orderstatus").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad"), F.min("med").alias("med")
+    )
+    return (
+        dev.drop("med")
+        .join(F.broadcast(mad), "o_orderstatus")
+        .groupBy("o_orderstatus", "med", "mad")
+        .agg(
+            F.sum((F.col("adev") > 3 * F.col("mad")).cast("int")).cast("long").alias("n_outliers")
+        )
+        .select(
+            "o_orderstatus",
+            F.round("med", 6).alias("median_price"),
+            F.round("mad", 6).alias("mad_price"),
+            "n_outliers",
+        )
+    )
