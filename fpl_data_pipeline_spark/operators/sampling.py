@@ -299,3 +299,53 @@ def pivot_multi_agg_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("zh_docs"), F.lit(0)).alias("zh_docs"),
         F.coalesce(F.col("zh_chars"), F.lit(0.0)).alias("zh_chars"),
     )
+
+
+# --- quality-weighted deterministic sampling --------------------------------
+@register(
+    "sample_quality_weighted",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CASE WHEN n_chars >= 200 THEN 0.9
+                  WHEN n_chars >= 100 THEN 0.5
+                  ELSE 0.1 END AS keep_p,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0 AS u
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN u < keep_p THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(SUM(keep_p), 6) AS expected_kept
+    FROM scored
+    GROUP BY lang
+    """,
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling by quality: each document is kept with
+    probability proportional to its quality tier (here a length proxy;
+    swap in quality_score at will), decided by comparing a CONTENT-HASH
+    uniform u = md5(doc_id)[0:8] / 2^32 against the keep probability — the
+    deterministic, repartition-stable version of weighted random sampling
+    that quality-curated training mixes (DCLM-style) need: re-running the
+    sample anywhere selects the same documents, and the realized keep count
+    concentrates around sum(keep_p) (reported side by side). Pure
+    projection + one count shuffle."""
+    d = table(spark, sf_dir, "documents")
+    keep_p = (
+        F.when(F.col("n_chars") >= 200, 0.9)
+        .when(F.col("n_chars") >= 100, 0.5)
+        .otherwise(0.1)
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(4294967296.0)
+    )
+    scored = d.select("lang", keep_p.alias("keep_p"), u.alias("u"))
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("u") < F.col("keep_p")).cast("int")).cast("long").alias("n_kept"),
+        F.round(F.sum("keep_p"), 6).alias("expected_kept"),
+    )
