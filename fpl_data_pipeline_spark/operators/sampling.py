@@ -349,3 +349,50 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("u") < F.col("keep_p")).cast("int")).cast("long").alias("n_kept"),
         F.round(F.sum("keep_p"), 6).alias("expected_kept"),
     )
+
+
+# --- domain-mixture reweighting ---------------------------------------------
+@register(
+    "domain_mixture_weights",
+    """
+    WITH shares AS (
+      SELECT source,
+             CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS domain_chars,
+             COUNT(*) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(domain_chars) AS total_chars, COUNT(*) AS n_domains FROM shares)
+    SELECT source, n_docs,
+           round(domain_chars / total_chars, 9) AS actual_share,
+           round(1.0 / n_domains, 9) AS target_share,
+           round((1.0 / n_domains) / (domain_chars / total_chars), 6) AS sample_weight
+    FROM shares, tot
+    """,
+)
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static domain-mixture reweighting: per source (= domain), the actual
+    byte share of the corpus vs a target mixture (uniform here; any target
+    vector slots in), and the sampling weight that achieves it —
+    weight = target / actual, the multiplier fed to the weighted sampler
+    (sample_quality_weighted) to hit a curated training mix. One
+    domain-cardinality aggregate + a broadcast scalar; exact decimal char
+    sums so shares are order-independent."""
+    d = table(spark, sf_dir, "documents")
+    shares = d.groupBy("source").agg(
+        F.sum(F.col("n_chars").cast("decimal(18,2)")).cast("double").alias("domain_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tot = shares.agg(
+        F.sum("domain_chars").alias("total_chars"),
+        F.count(F.lit(1)).alias("n_domains"),
+    )
+    j = shares.crossJoin(F.broadcast(tot))
+    actual = F.col("domain_chars") / F.col("total_chars")
+    target = F.lit(1.0) / F.col("n_domains")
+    return j.select(
+        "source",
+        "n_docs",
+        F.round(actual, 9).alias("actual_share"),
+        F.round(target, 9).alias("target_share"),
+        F.round(target / actual, 6).alias("sample_weight"),
+    )

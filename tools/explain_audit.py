@@ -29,6 +29,8 @@ INTENTIONAL_CROSS = {
     "kmeans_embeddings",
     # final 1-row x 1-row summary combine
     "contamination_overlap",
+    # broadcast 1-row totals scalar
+    "domain_mixture_weights",
 }
 
 
