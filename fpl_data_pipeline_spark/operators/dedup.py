@@ -1172,3 +1172,94 @@ def dedup_apply_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_before, n_before - n_after, n_after, n_clusters)],
         "n_before long, n_removed long, n_after long, n_dup_clusters long",
     )
+
+
+# --- character n-gram Jaccard (tokenizer-free, language-agnostic) -----------
+CHAR_NGRAM = 8
+
+
+@register(
+    "dedup_charngram_jaccard",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(length(t) - {CHAR_NGRAM - 2}, 1)),
+               i -> substr(t, i, {CHAR_NGRAM}))) AS gs
+      FROM norm
+      WHERE length(t) >= {CHAR_NGRAM}
+    ),
+    exploded0 AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+    freq AS (SELECT g, COUNT(*) AS df FROM exploded0 GROUP BY g),
+    exploded AS (
+      SELECT e.doc_id, e.g FROM exploded0 e JOIN freq USING (g)
+      WHERE df <= {SHINGLE_DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM exploded GROUP BY doc_id),
+    pair_inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_common
+      FROM exploded a JOIN exploded b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id_a, doc_id_b,
+           CAST(n_common AS DOUBLE)
+             / (sa.n_grams + sb.n_grams - n_common) AS jaccard
+    FROM pair_inter
+    JOIN sizes sa ON sa.doc_id = doc_id_a
+    JOIN sizes sb ON sb.doc_id = doc_id_b
+    ORDER BY jaccard DESC, doc_id_a ASC, doc_id_b ASC
+    LIMIT 20
+    """,
+)
+def dedup_charngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 8-gram Jaccard — the tokenizer-FREE dedup path: word
+    shingling under-segments scripts without whitespace (CJK, Thai) and
+    over-merges agglutinative text, while char n-grams are uniform across
+    scripts (the CCNet/OSCAR convention). Same scale discipline as the word
+    path: distinct grams per doc, document-frequency cap, candidate pairs
+    from the shared-gram equi-join — never n². Docs shorter than the gram
+    width contribute nothing on both engines."""
+    d = table(spark, sf_dir, "documents")
+    sp = d.sparkSession
+    base = d.repartition(sp.sparkContext.defaultParallelism).select(
+        "doc_id", _norm_text(F.col("text")).alias("t")
+    )
+    grams = F.when(
+        F.length("t") >= CHAR_NGRAM,
+        F.transform(
+            F.sequence(F.lit(1), F.length("t") - (CHAR_NGRAM - 1)),
+            lambda i: F.col("t").substr(i, F.lit(CHAR_NGRAM)),
+        ),
+    )
+    sh = base.select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
+    freq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    capped = sh.join(freq.filter(F.col("df") <= SHINGLE_DF_CAP).select("g"), "g")
+    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = capped.select(F.col("doc_id").alias("doc_id_a"), "g")
+    b = capped.select(F.col("doc_id").alias("doc_id_b"), "g")
+    pair_inter = (
+        a.join(b, "g")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_grams").alias("nb"))
+    return (
+        pair_inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), F.col("doc_id_a").asc(), F.col("doc_id_b").asc())
+        .limit(20)
+    )
