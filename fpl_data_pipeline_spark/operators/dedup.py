@@ -1263,3 +1263,87 @@ def dedup_charngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), F.col("doc_id_a").asc(), F.col("doc_id_b").asc())
         .limit(20)
     )
+
+
+# --- containment near-dup: subset/quotation detection ------------------------
+@register(
+    "dedup_containment_pairs",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(ws) - 1, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs
+      FROM words
+    ),
+    exploded0 AS (SELECT doc_id, unnest(gs) AS shingle FROM grams),
+    freq AS (SELECT shingle, COUNT(*) AS df FROM exploded0 GROUP BY shingle),
+    exploded AS (
+      SELECT e.doc_id, e.shingle FROM exploded0 e JOIN freq USING (shingle)
+      WHERE df <= {SHINGLE_DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM exploded GROUP BY doc_id),
+    pair_inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_common
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id_a AS contained_doc, doc_id_b AS container_doc,
+           round(CAST(n_common AS DOUBLE) / sa.n, 9) AS containment,
+           round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 9) AS jaccard
+    FROM pair_inter
+    JOIN sizes sa ON sa.doc_id = doc_id_a
+    JOIN sizes sb ON sb.doc_id = doc_id_b
+    WHERE sa.n <= sb.n
+    ORDER BY containment DESC, jaccard DESC, contained_doc ASC, container_doc ASC
+    LIMIT 20
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment dedup: containment(A in B) = |A∩B| / |A| —
+    catches the quote/subset duplicates symmetric Jaccard dilutes (a
+    paragraph fully copied into a 10x longer doc has jaccard ~0.1 but
+    containment 1.0). Directed pairs: the smaller shingle set is the
+    candidate contained side. Same capped-shingle equi-join candidates; the
+    jaccard rides along to show the two scores separate."""
+    d = table(spark, sf_dir, "documents")
+    sh = capped_shingles(d).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+    pair_inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_id_a") != F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n").alias("nb"))
+    return (
+        pair_inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .filter(F.col("na") <= F.col("nb"))
+        .select(
+            F.col("doc_id_a").alias("contained_doc"),
+            F.col("doc_id_b").alias("container_doc"),
+            F.round(F.col("n_common").cast("double") / F.col("na"), 9).alias("containment"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                9,
+            ).alias("jaccard"),
+        )
+        .orderBy(
+            F.col("containment").desc(),
+            F.col("jaccard").desc(),
+            F.col("contained_doc").asc(),
+            F.col("container_doc").asc(),
+        )
+        .limit(20)
+    )
