@@ -369,3 +369,49 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# --- operational anomaly detection: error-count spikes per hour --------------
+@register(
+    "events_error_spikes",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n_errors
+      FROM events WHERE event_type = 'error'
+      GROUP BY 1
+    ),
+    stats AS (
+      SELECT avg(n_errors) AS mu, stddev_samp(n_errors) AS sigma FROM hourly
+    )
+    SELECT h.h AS hour_start, h.n_errors,
+           round((h.n_errors - s.mu) / s.sigma, 6) AS z_score
+    FROM hourly h CROSS JOIN stats s
+    WHERE (h.n_errors - s.mu) / s.sigma > 1.5
+    ORDER BY z_score DESC, hour_start ASC
+    LIMIT 20
+    """,
+)
+def events_error_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational anomaly detection: hours whose error count sits more
+    than 1.5 sigma above the corpus mean — the alerting query a pipeline
+    health dashboard runs. Hourly rollup (one shuffle), 1-row global stats
+    broadcast back, pure-expression z-score. The 1.5-sigma threshold
+    compares the SAME doubles on both engines (mean/std of small-int counts
+    computed over identical sets), so the filter edge is stable."""
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    stats = hourly.agg(
+        F.avg("n_errors").alias("mu"), F.stddev_samp("n_errors").alias("sigma")
+    )
+    z = (F.col("n_errors") - F.col("mu")) / F.col("sigma")
+    return (
+        hourly.crossJoin(F.broadcast(stats))
+        .filter(z > 1.5)
+        .select("hour_start", "n_errors", F.round(z, 6).alias("z_score"))
+        .orderBy(F.col("z_score").desc(), F.col("hour_start").asc())
+        .limit(20)
+    )

@@ -31,6 +31,7 @@ INTENTIONAL_CROSS = {
     "contamination_overlap",
     # broadcast 1-row totals scalar
     "domain_mixture_weights",
+    "events_error_spikes",
 }
 
 
