@@ -415,3 +415,47 @@ def events_error_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("z_score").desc(), F.col("hour_start").asc())
         .limit(20)
     )
+
+
+# --- inter-event gap distribution per type ----------------------------------
+@register(
+    "events_gap_percentiles",
+    """
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_gaps,
+           round(quantile_cont(gap_us / 1000000.0, 0.5), 6) AS p50_gap_s,
+           round(quantile_cont(gap_us / 1000000.0, 0.95), 6) AS p95_gap_s
+    FROM gaps
+    WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event time distribution per event type (median / p95 of the
+    same-user gap) — the latency-profile query behind retention and
+    session-gap tuning (the 30-minute sessionization threshold above is
+    exactly a p-high of this distribution). One window pass partitioned by
+    (user, type), one percentile aggregate; exact interpolated percentiles
+    match DuckDB quantile_cont after 6-dp rounding."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap_s = (
+        (F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w))
+        / 1_000_000.0
+    )
+    gaps = e.select("event_type", gap_s.alias("gap_s")).filter(
+        F.col("gap_s").isNotNull()
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.percentile("gap_s", F.lit(0.5)), 6).alias("p50_gap_s"),
+        F.round(F.percentile("gap_s", F.lit(0.95)), 6).alias("p95_gap_s"),
+    )
