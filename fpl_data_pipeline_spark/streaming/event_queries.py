@@ -459,3 +459,61 @@ def events_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("gap_s", F.lit(0.5)), 6).alias("p50_gap_s"),
         F.round(F.percentile("gap_s", F.lit(0.95)), 6).alias("p95_gap_s"),
     )
+
+
+# --- engagement: DAU and trailing-7-day WAU per day --------------------------
+@register(
+    "events_dau_wau",
+    """
+    WITH day_users AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM day_users),
+    wau AS (
+      SELECT days.d, COUNT(DISTINCT du.user_id) AS wau
+      FROM days JOIN day_users du
+        ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+      GROUP BY days.d
+    ),
+    dau AS (SELECT d, COUNT(*) AS dau FROM day_users GROUP BY d)
+    SELECT CAST(dau.d AS TIMESTAMP) AS day,
+           dau.dau,
+           wau.wau,
+           round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement rollup: daily active users, trailing-7-day weekly actives,
+    and the DAU/WAU stickiness ratio. COUNT(DISTINCT) over a sliding
+    window isn't a window aggregate Spark supports, so the scale-correct
+    formulation is the one here: dedupe to (day, user) first (shrinks the
+    fact to activity cardinality), then range-join the day spine to its
+    trailing week — a spine-sized join, 7x activity fan-out, one distinct
+    count per day. At 100 TB the (day, user) table is the thing you
+    materialize; everything after is spine-scale."""
+    e = table(spark, sf_dir, "events")
+    day_users = e.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct().cache()
+    days = day_users.select("d").distinct()
+    dau = day_users.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    spine = days.select(F.col("d").alias("spine_d"))
+    wau = (
+        spine.join(
+            day_users,
+            (F.col("d") <= F.col("spine_d"))
+            & (F.col("d") >= F.date_sub(F.col("spine_d"), 6)),
+        )
+        .groupBy("spine_d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.d == wau.spine_d)
+        .select(
+            F.col("d").cast("timestamp").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
