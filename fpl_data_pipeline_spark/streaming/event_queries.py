@@ -469,11 +469,14 @@ def events_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
     ),
     days AS (SELECT DISTINCT d FROM day_users),
+    spine_members AS (
+      SELECT d AS spine_d, d - to_days(CAST(o.off AS INT)) AS d
+      FROM days CROSS JOIN (SELECT unnest(range(0, 7)) AS off) o
+    ),
     wau AS (
-      SELECT days.d, COUNT(DISTINCT du.user_id) AS wau
-      FROM days JOIN day_users du
-        ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
-      GROUP BY days.d
+      SELECT sm.spine_d AS d, COUNT(DISTINCT du.user_id) AS wau
+      FROM spine_members sm JOIN day_users du ON du.d = sm.d
+      GROUP BY sm.spine_d
     ),
     dau AS (SELECT d, COUNT(*) AS dau FROM day_users GROUP BY d)
     SELECT CAST(dau.d AS TIMESTAMP) AS day,
@@ -498,13 +501,15 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct().cache()
     days = day_users.select("d").distinct()
     dau = day_users.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
-    spine = days.select(F.col("d").alias("spine_d"))
+    # trailing-week membership as an EQUI-join: explode each spine day into
+    # its 7 member days — a hash join at any scale, where the BETWEEN
+    # formulation planned a broadcast nested loop
+    spine_members = days.select(
+        F.col("d").alias("spine_d"),
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+    ).select("spine_d", F.date_sub(F.col("spine_d"), F.col("off")).alias("d"))
     wau = (
-        spine.join(
-            day_users,
-            (F.col("d") <= F.col("spine_d"))
-            & (F.col("d") >= F.date_sub(F.col("spine_d"), 6)),
-        )
+        spine_members.join(day_users, "d")
         .groupBy("spine_d")
         .agg(F.countDistinct("user_id").alias("wau"))
     )
