@@ -508,3 +508,67 @@ def salted_join_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         F.min("first_seen").alias("first_seen"),
     )
+
+
+# --- LTV cohort curve: cumulative revenue by signup cohort -------------------
+@register(
+    "ltv_cohort_revenue",
+    f"""
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS cohort_m
+      FROM orders GROUP BY o_custkey
+    ),
+    rev AS (
+      SELECT f.cohort_m,
+             (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.cohort_m
+               AS month_offset,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS m_rev
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST(cohort_m AS INT) AS cohort_m,
+           CAST(month_offset AS INT) AS month_offset,
+           CAST(m_rev AS DOUBLE) AS month_revenue,
+           CAST(SUM(m_rev) OVER (PARTITION BY cohort_m ORDER BY month_offset
+                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             AS cumulative_revenue
+    FROM rev
+    WHERE month_offset <= 6
+    """,
+)
+def ltv_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value curve: customers grouped by first-order month
+    (cohort), revenue summed per months-since-acquisition, and the running
+    cumulative per cohort — the chart behind every acquisition-payback
+    decision. First-order table is customer-cardinality (one aggregate),
+    the fact joins it on its own key, and the cumulative window runs over
+    cohort-x-offset cardinality (tiny at any scale). Decimal-exact sums
+    make the cumulative window order-independent across partials."""
+    o = table(spark, sf_dir, "orders")
+    month = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    firsts = o.groupBy("o_custkey").agg(F.min(month).alias("cohort_m"))
+    rev = (
+        o.join(firsts, "o_custkey")
+        .select(
+            "cohort_m",
+            (month - F.col("cohort_m")).alias("month_offset"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        )
+        .groupBy("cohort_m", "month_offset")
+        .agg(F.sum("p").alias("m_rev"))
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.filter(F.col("month_offset") <= 6)
+        .select(
+            F.col("cohort_m").cast("int").alias("cohort_m"),
+            F.col("month_offset").cast("int").alias("month_offset"),
+            F.col("m_rev").cast("double").alias("month_revenue"),
+            F.sum("m_rev").over(w).cast("double").alias("cumulative_revenue"),
+        )
+    )
