@@ -572,3 +572,42 @@ def ltv_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("m_rev").over(w).cast("double").alias("cumulative_revenue"),
         )
     )
+
+
+# --- market-basket co-occurrence: parts ordered together ---------------------
+@register(
+    "basket_part_pairs",
+    """
+    WITH lines AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_orders_together
+    FROM lines a JOIN lines b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders_together DESC, part_a ASC, part_b ASC
+    LIMIT 25
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: part pairs co-occurring in the same order,
+    top-25 by support — the recommendation-seed query. The self-join is
+    keyed on the ORDER (bounded basket size, ~7 lines), so pair fan-out is
+    sum-of-baskets-squared — linear in orders, never corpus n²; the same
+    bounded-key discipline as every candidate join here. Distinct first:
+    a part twice in one order must not double-count support."""
+    li = table(spark, sf_dir, "lineitem")
+    lines = li.select("l_orderkey", "l_partkey").distinct()
+    a = lines.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = lines.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders_together"))
+        .orderBy(
+            F.col("n_orders_together").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+        )
+        .limit(25)
+    )
