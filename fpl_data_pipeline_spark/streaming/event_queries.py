@@ -522,3 +522,40 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
         )
     )
+
+
+# --- sliding event-time windows (1 hour window, 15 minute slide) -------------
+@register(
+    "events_sliding_windows",
+    """
+    WITH member AS (
+      SELECT event_type, user_id,
+             CAST(to_timestamp((epoch_us(ts) // 1000000 // 900) * 900 - k.k * 900) AS TIMESTAMP) AS window_start
+      FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM member
+    GROUP BY window_start, event_type
+    """,
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h length, 15 min slide) — the
+    overlapping-window aggregate behind rate monitors and rolling SLO
+    panels; each event belongs to exactly window/slide = 4 windows, which
+    Spark's window() plans as a 4x Expand before ONE hash aggregate (no
+    self-joins). The oracle materializes the same 4-window membership with
+    integer epoch arithmetic (epoch-aligned starts, identical on both
+    engines)."""
+    e = table(spark, sf_dir, "events")
+    agg = (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+    return agg.select(
+        F.col("w.start").alias("window_start"), "event_type", "n_events", "n_users"
+    )
