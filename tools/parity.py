@@ -52,6 +52,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             # round to 9 significant-ish decimals to absorb last-bit noise
             df[c] = s.round(9)
         elif pd.api.types.is_datetime64_any_dtype(s):
+            if getattr(s.dtype, "tz", None) is not None:
+                # tz-aware (e.g. DuckDB TIMESTAMPTZ) -> naive UTC before
+                # precision-normalizing; session tz is UTC on both engines
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
             df[c] = s.astype("datetime64[us]")
     df = df.sort_values(by=list(df.columns), kind="mergesort", ignore_index=True)
     return df
