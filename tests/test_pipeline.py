@@ -145,3 +145,24 @@ def test_pipeline_rejects_empty_landing(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="no players"):
         run_pipeline(spark, str(root), str(tmp_path / "wh"))
+
+
+def test_pipeline_publish_crash_recovery(spark, landing, tmp_path):
+    """A crash between _publish's two renames (table at .bak, garbage at
+    .stage) must be recovered on the next run — same contract as the
+    streaming merge, exercised through run_pipeline itself."""
+    import os
+
+    wh = str(tmp_path / "wh")
+    t1 = run_pipeline(spark, str(landing), wh)
+    good = sorted(map(tuple, t1["player_dm"].collect()))
+
+    pdm = os.path.join(wh, "player_dm")
+    os.rename(pdm, pdm + ".bak")
+    os.makedirs(pdm + ".stage")
+    with open(os.path.join(pdm + ".stage", "junk.parquet"), "w") as f:
+        f.write("not parquet")
+
+    t2 = run_pipeline(spark, str(landing), wh)
+    assert sorted(map(tuple, t2["player_dm"].collect())) == good
+    assert not os.path.exists(pdm + ".bak") and not os.path.exists(pdm + ".stage")
