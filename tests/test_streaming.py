@@ -238,3 +238,33 @@ def test_throttled_backfill_matches_unthrottled(spark, event_files, tmp_path):
     # single-batch equality is proven by test_available_now_matches_batch.
     assert got
     assert all(k in expected and v <= expected[k] for k, v in got.items())
+
+
+def test_map_in_arrow_matches_map_in_pandas(spark):
+    """mapInArrow — the zero-copy RecordBatch surface (no pandas
+    materialization): byte-length accounting over the media table must
+    equal the mapInPandas extractor's, completing the UDF API matrix."""
+    import pyarrow as pa
+    import pyspark.sql.functions as F
+
+    from fpl_data_pipeline_spark.operators.multimodal import media_table
+
+    media = media_table(spark, SF)
+
+    def arrow_len(batches):
+        for batch in batches:
+            tbl = pa.table(batch)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "asset_id": tbl["asset_id"].combine_chunks(),
+                    "blob_len": pa.array(
+                        [len(v.as_py() or b"") for v in tbl["media"]], pa.int64()
+                    ),
+                }
+            )
+
+    via_arrow = media.mapInArrow(arrow_len, "asset_id long, blob_len long")
+    total_arrow = via_arrow.agg(F.sum("blob_len")).first()[0]
+    total_meta = media.agg(F.sum("byte_len")).first()[0]
+    assert total_arrow == total_meta
+    assert via_arrow.count() == media.count()
