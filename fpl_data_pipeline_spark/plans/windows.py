@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from fpl_data_pipeline_spark.registry import register
 from fpl_data_pipeline_spark.tables import table
-from fpl_data_pipeline_spark.functions.exact import dsum_sql
+from fpl_data_pipeline_spark.functions.exact import dsum, dsum_sql
 
 
 # --- W1: row_number over global ordering on a tiny ranked set ---------------
@@ -214,4 +214,45 @@ def window_range_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderdate",
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("spend_30d"),
+    )
+
+
+# --- decile distribution report over customer lifetime spend -----------------
+@register(
+    "customer_spend_deciles",
+    f"""
+    WITH spend AS (
+      SELECT o_custkey, {dsum_sql('o_totalprice')} AS total_spend
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, total_spend,
+             ntile(10) OVER (ORDER BY total_spend DESC, o_custkey ASC) AS decile
+      FROM spend
+    )
+    SELECT decile,
+           COUNT(*) AS n_customers,
+           round(MIN(total_spend), 2) AS min_spend,
+           round(MAX(total_spend), 2) AS max_spend,
+           round(SUM(total_spend), 2) AS decile_total
+    FROM ranked
+    GROUP BY decile
+    """,
+)
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile distribution report: customers ranked into 10 equal-count
+    buckets by lifetime spend (total order pinned by the custkey tiebreak,
+    so bucket boundaries are engine-stable), with per-decile count and
+    spend range — the concentration chart behind every 'top decile drives
+    X%' statement. The ntile runs over customer cardinality (already
+    aggregated), not the fact table."""
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(dsum("o_totalprice", "total_spend"))
+    w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey").asc())
+    ranked = spend.withColumn("decile", F.ntile(10).over(w))
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.min("total_spend"), 2).alias("min_spend"),
+        F.round(F.max("total_spend"), 2).alias("max_spend"),
+        F.round(F.sum("total_spend"), 2).alias("decile_total"),
     )
