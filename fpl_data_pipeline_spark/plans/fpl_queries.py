@@ -364,3 +364,65 @@ def fpl_stats_key_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fpl_stats_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 (reference sql_queries.py:239-256) on the fixture understat table."""
     return _stats_double(sql_stats_shots(_fx(spark, "player_stats_dm")))
+
+
+@register(
+    "fpl_fuzzy_name_candidates",
+    f"""
+    WITH fpl AS (
+      SELECT id, lower(name || ' ' || surname) AS full_name
+      FROM {_fx_sql('player_dm')}
+    ),
+    scraped AS (
+      SELECT DISTINCT lower(full_name) AS scraped_name
+      FROM {_fx_sql('player_stats_dm')}
+      WHERE regexp_matches(lower(full_name), '^[ -~]*$')
+    )
+    SELECT s.scraped_name, f.full_name AS fpl_name, f.id AS fpl_id,
+           CAST(levenshtein(s.scraped_name, f.full_name) AS INT) AS edit_distance
+    FROM scraped s JOIN fpl f
+      ON substr(s.scraped_name, 1, 1) = substr(f.full_name, 1, 1)
+    WHERE levenshtein(s.scraped_name, f.full_name) BETWEEN 1 AND 3
+    ORDER BY edit_distance ASC, s.scraped_name ASC, f.id ASC
+    LIMIT 15
+    """,
+)
+def fpl_fuzzy_name_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy name-join's candidate/scoring core (reference M4: understat
+    names vs FPL name+surname) with a value-level oracle: first-letter
+    blocking keeps the comparison an equi-join, Levenshtein is the same
+    edit-distance definition on both engines, and near-matches (distance
+    1-3 — the misspelling band the full fuzzy_name_join resolves) rank
+    deterministically. The production operator adds accent folding, soundex
+    blocking and manual overrides (operators/fuzzy_join.py, planted-pair
+    tests)."""
+    fpl = _fx(spark, "player_dm").select(
+        "id", F.lower(F.concat("name", F.lit(" "), "surname")).alias("full_name")
+    )
+    # ASCII-only: Spark's levenshtein counts codepoints while DuckDB's
+    # counts bytes, so accented variants (which the production operator
+    # folds before scoring) are excluded from this oracle-checked slice
+    scraped = (
+        _fx(spark, "player_stats_dm")
+        .select(F.lower("full_name").alias("scraped_name"))
+        .filter(F.col("scraped_name").rlike("^[ -~]*$"))
+        .distinct()
+    )
+    j = scraped.join(
+        fpl,
+        F.substring("scraped_name", 1, 1) == F.substring("full_name", 1, 1),
+    )
+    dist = F.levenshtein("scraped_name", "full_name")
+    return (
+        j.filter(dist.between(1, 3))
+        .select(
+            "scraped_name",
+            F.col("full_name").alias("fpl_name"),
+            F.col("id").alias("fpl_id"),
+            dist.cast("int").alias("edit_distance"),
+        )
+        .orderBy(
+            F.col("edit_distance").asc(), F.col("scraped_name").asc(), F.col("fpl_id").asc()
+        )
+        .limit(15)
+    )
