@@ -28,15 +28,24 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
-def dsum(col: Column | str, alias: str | None = None) -> Column:
-    """Order-independent exact sum of a 2-decimal double column -> double."""
-    out = F.sum(_c(col).cast(DEC)).cast("double")
+def dsum(col: Column | str, alias: str | None = None, scale: int = 2) -> Column:
+    """Order-independent exact sum of a ``scale``-decimal double column -> double.
+
+    ``scale`` MUST be >= the intrinsic decimal scale of every value in the
+    column: casting a double holding an s-decimal value to DECIMAL(_, s) is
+    tie-free (the double is within half an ULP of the s-decimal value, far
+    inside the 0.5*10^-s rounding band), but casting to a SMALLER scale
+    re-rounds and can land on a half-ulp tie that Spark (shortest-repr) and
+    DuckDB (exact binary) resolve differently. Base money columns are
+    2-decimal; computed values like price*1.1 are 3-decimal -> scale=3.
+    """
+    out = F.sum(_c(col).cast(f"decimal(18,{scale})")).cast("double")
     return out.alias(alias) if alias else out
 
 
-def dsum_sql(expr: str) -> str:
+def dsum_sql(expr: str, scale: int = 2) -> str:
     """DuckDB mirror of :func:`dsum` for oracle SQL strings."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE)"
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
 
 
 def money(col: Column | str) -> Column:

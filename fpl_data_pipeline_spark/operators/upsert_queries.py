@@ -60,14 +60,23 @@ def _update_batch(orders: DataFrame) -> DataFrame:
       UNION ALL
       SELECT * FROM batch
     )
-    SELECT o_orderstatus, COUNT(*) AS n_orders, {dsum_sql('o_totalprice')} AS total
+    SELECT o_orderstatus, COUNT(*) AS n_orders, {dsum_sql('o_totalprice', scale=3)} AS total
     FROM merged
     GROUP BY o_orderstatus
     """,
 )
 def upsert_merged_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-state aggregate over the upserted orders table.
+
+    The repriced rows carry 3-decimal values (decimal(12,2) * 1.1 -> scale 3)
+    stored as double, so the exact sum MUST run at scale 3: re-rounding the
+    computed double through decimal(18,2) lands on half-cent ties that Spark
+    and DuckDB resolve differently (the round-2 driver hash-fail). At scale 3
+    every value in the column is representable exactly -> tie-free by
+    construction on both engines.
+    """
     orders = table(spark, sf_dir, "orders")
     merged = upsert(orders, _update_batch(orders), keys=["o_orderkey"])
     return merged.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total")
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total", scale=3)
     )

@@ -68,3 +68,29 @@ def test_dedup_last_wins_explicit_order(spark):
     out = dedup_last_wins(df, ["k"], order_by="seq")
     got = {r["k"]: r["v"] for r in out.collect()}
     assert got == {1: 20, 2: 30}
+
+
+def test_repriced_sum_is_tie_free_at_scale_3(spark):
+    """Round-2 driver hash-fail regression: a 2-decimal price repriced *1.1
+    is a 3-decimal value; summing it through DECIMAL(18,2) re-rounds and
+    lands on half-cent ties (x.xx5) that Spark (shortest-repr) and DuckDB
+    (exact binary) resolve differently. At scale 3 every repriced value is
+    exactly representable, so the sum must equal the exact decimal total —
+    tie-free by construction (operators/upsert_queries.py)."""
+    from decimal import Decimal
+
+    import pyspark.sql.functions as F
+    from fpl_data_pipeline_spark.functions.exact import dsum
+
+    # odd-cent prices: x.x5 products land exactly on the half-cent boundary
+    prices = [101.35, 7.15, 999.95, 42.05, 13.25]
+    df = spark.createDataFrame([(p,) for p in prices], ["price"])
+    repriced = df.withColumn(
+        "price",
+        (F.col("price").cast("decimal(12,2)") * F.lit(1.1).cast("decimal(3,1)")).cast(
+            "double"
+        ),
+    )
+    got = repriced.agg(dsum("price", "total", scale=3)).first()["total"]
+    want = float(sum(Decimal(str(p)) * Decimal("1.1") for p in prices))
+    assert got == want
