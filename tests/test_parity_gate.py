@@ -49,3 +49,36 @@ def test_normalize_absorbs_last_bit_float_noise_only():
     assert parity.value_hash(parity.normalize(a)) == parity.value_hash(parity.normalize(b))
     d = pd.DataFrame({"v": [0.3000001]})          # real drift survives
     assert parity.value_hash(parity.normalize(b)) != parity.value_hash(parity.normalize(d))
+
+
+def test_reround_hazard_detector(spark):
+    """Round-2 driver-fail class: a computed decimal surfaced as double then
+    RE-ROUNDED to a smaller decimal scale (half-cent ties resolve differently
+    across engines). The detector must flag the pre-fix upsert pattern and
+    stay silent on every tie-free shape the registry uses."""
+    import pyspark.sql.functions as F
+
+    def plan(d):
+        return d._jdf.queryExecution().optimizedPlan().toString()
+
+    df = spark.createDataFrame([(1.23,)], ["p"])
+    reprice = (F.col("p").cast("decimal(12,2)") * F.lit(1.1).cast("decimal(3,1)")).cast(
+        "double"
+    )
+    prefix = df.withColumn("x", reprice).agg(
+        F.sum(F.col("x").cast("decimal(18,2)")).cast("double").alias("t")
+    )
+    assert len(parity.reround_hazards(plan(prefix))) == 1  # scale 3 -> 2: tie
+    postfix = df.withColumn("x", reprice).agg(
+        F.sum(F.col("x").cast("decimal(18,3)")).cast("double").alias("t")
+    )
+    assert parity.reround_hazards(plan(postfix)) == []  # scale 3 -> 3: exact
+    base = df.agg(F.sum(F.col("p").cast("decimal(18,2)")).cast("double").alias("t"))
+    assert parity.reround_hazards(plan(base)) == []  # dsum over base column
+    # window_moving_sum shape: exact decimal sum -> double -> same scale
+    nested = df.withColumn(
+        "s", F.sum(F.col("p").cast("decimal(18,2)")).over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy()
+        ).cast("double")
+    ).select(F.col("s").cast("decimal(18,2)").cast("double").alias("t"))
+    assert parity.reround_hazards(plan(nested)) == []
