@@ -619,6 +619,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- winnowing fingerprints (Schleimer/Wilkerson/Aiken local sampling) ------
 WINNOW_W = 4  # window size: guarantees detection of matches >= w+n-1 tokens
+# Fingerprint document-frequency cap, same anti-skew role as SHINGLE_DF_CAP:
+# one boilerplate fingerprint shared by d documents would yield d^2/2 rows in
+# the candidate equi-join — the round-2 scale flag. Fingerprints that common
+# carry no near-dup signal (they are corpus boilerplate), so dropping them
+# bounds the join fan-out at cap * fp-distribution mass, linear in corpus
+# size. Test corpora have max fp df << 1000, so results are unchanged there;
+# tests prove the bound with a planted hot fingerprint.
+WINNOW_FP_CAP = 1000
 
 
 def ordered_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
@@ -666,10 +674,12 @@ def ordered_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataF
       FROM hashed
     ),
     fps AS (SELECT DISTINCT doc_id, fp FROM winmin),
+    rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {WINNOW_FP_CAP}),
+    capped AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp)),
     pairs AS (
       SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
              COUNT(*) AS shared_fps
-      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_id_a, doc_id_b, shared_fps
@@ -679,18 +689,24 @@ def ordered_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataF
     """,
 )
 def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnowing_pairs(table(spark, sf_dir, "documents"))
+
+
+def winnowing_pairs(d: DataFrame, fp_cap: int = WINNOW_FP_CAP) -> DataFrame:
     """Winnowing (Schleimer/Wilkerson/Aiken '03, the MOSS fingerprinter):
     hash every ordered word-3-gram, keep the minimum hash of each sliding
     w-window, dedupe -> a position-sampled fingerprint set ~1/w the gram
     count that GUARANTEES any shared run of >= w+2 tokens shares a
     fingerprint. Candidate pairs then come from an equi-join on the
     fingerprint key — the same linear-shuffle shape as the other dedup
-    families, with a provable-recall sampling step in front.
+    families, with a provable-recall sampling step in front and the same
+    document-frequency cap (``fp_cap``) that bounds every other family's
+    candidate join: a boilerplate fingerprint in d docs would otherwise
+    emit d^2/2 join rows.
 
     Engine-portable hashing: the fingerprint is the LEXICOGRAPHIC min of
     md5-hex prefixes (md5 identical on both engines; varchar MIN identical),
     so the oracle reproduces the sample exactly."""
-    d = table(spark, sf_dir, "documents")
     hashed = ordered_shingles(d).select(
         "doc_id", "pos", F.substring(F.md5("shingle"), 1, 16).alias("h")
     )
@@ -699,13 +715,23 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos")
         .rowsBetween(Window.currentRow, WINNOW_W - 1)
     )
+    # localCheckpoint (not cache): truncates lineage for the self-join's two
+    # branches without pinning the fingerprint set in executor memory for the
+    # query's whole lifetime — at 100 TB the fp set is itself large.
     fps = (
         hashed.select("doc_id", F.min("h").over(w).alias("fp"))
         .distinct()
-        .cache()
+        .localCheckpoint()
     )
-    a = fps.select(F.col("doc_id").alias("doc_id_a"), "fp")
-    b = fps.select(F.col("doc_id").alias("doc_id_b"), "fp")
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= fp_cap)
+        .select("fp")
+    )
+    capped = fps.join(rare, "fp")
+    a = capped.select(F.col("doc_id").alias("doc_id_a"), "fp")
+    b = capped.select(F.col("doc_id").alias("doc_id_b"), "fp")
     pairs = (
         a.join(b, "fp")
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))

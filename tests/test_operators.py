@@ -332,3 +332,35 @@ def test_doc_packing_budget_invariants(spark):
     assert total_docs == 500  # every document packed exactly once
     assert sum(r[2] for r in rows) >= SEQ_LEN * (len(rows) - 1)
 
+
+
+def test_winnowing_fp_cap_bounds_candidates(spark):
+    """A fingerprint planted across many docs (shared boilerplate run longer
+    than w+n-1 tokens) is excluded by the fp document-frequency cap, bounding
+    the candidate equi-join (operators/dedup.py::winnowing_pairs — the
+    round-2 scale flag). Docs share ONLY the boilerplate, so with the hot fp
+    dropped no candidate pair survives; a genuinely duplicated doc pair
+    still does."""
+    from fpl_data_pipeline_spark.operators.dedup import winnowing_pairs
+
+    boiler = "terms of service apply to all content on this site always"
+    rows = [(i, f"{boiler} unique{i} tail{i} words{i} extra{i}") for i in range(12)]
+    # plus one true near-dup pair sharing a distinct long run
+    dup = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    rows += [(100, dup + " alpha"), (101, dup + " beta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = winnowing_pairs(docs, fp_cap=5).collect()
+    got_pairs = {(r["doc_id_a"], r["doc_id_b"]) for r in capped}
+    assert (100, 101) in got_pairs  # true dup survives (its fps are rare)
+    # the df=12 boilerplate fps are dropped, so the 12-doc clique (66 pairs)
+    # collapses to the few pairs that share a RARE fp (window-min landed on
+    # the same boilerplate gram in exactly those docs — legitimate signal)
+    boiler_pairs = {p for p in got_pairs if p[0] < 100 and p[1] < 100}
+    assert len(boiler_pairs) <= 3
+
+    uncapped = winnowing_pairs(docs, fp_cap=10_000).collect()
+    unc_boiler = {
+        (r["doc_id_a"], r["doc_id_b"]) for r in uncapped if r["doc_id_a"] < 100
+    }
+    assert len(unc_boiler) >= 19  # without the cap the clique floods the top-20
