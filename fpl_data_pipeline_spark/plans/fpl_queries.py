@@ -426,3 +426,41 @@ def fpl_fuzzy_name_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(15)
     )
+
+
+@register(
+    "typed_fact_view",
+    f"""
+    SELECT element_,
+           COUNT(*) AS n_weeks,
+           CAST(SUM(CAST(influence  AS DECIMAL(18,2))) AS DOUBLE) AS influence_total,
+           CAST(SUM(CAST(creativity AS DECIMAL(18,2))) AS DOUBLE) AS creativity_total,
+           CAST(SUM(CAST(threat     AS DECIMAL(18,2))) AS DOUBLE) AS threat_total,
+           CAST(SUM(CAST(ict_index  AS DECIMAL(18,2))) AS DOUBLE) AS ict_total
+    FROM {_fx_sql('player_week_ft')}
+    GROUP BY element_
+    ORDER BY ict_total DESC, element_ ASC
+    LIMIT 10
+    """,
+)
+def typed_fact_view_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed accessors over the numeric-as-string ICT columns (SURVEY §7.3.6,
+    reference includes.py fact schema: influence/creativity/threat/ict_index
+    land as VARCHAR). sources/ingest.py::typed_fact_view casts them to exact
+    decimals; this query proves the accessor end-to-end — per-player season
+    ICT totals, decimal-exact sums surfaced as DOUBLE, deterministic top-10."""
+    from fpl_data_pipeline_spark.sources.ingest import typed_fact_view
+
+    ft = typed_fact_view(_fx(spark, "player_week_ft"))
+    return (
+        ft.groupBy("element_")
+        .agg(
+            F.count(F.lit(1)).alias("n_weeks"),
+            F.sum("influence_num").cast("double").alias("influence_total"),
+            F.sum("creativity_num").cast("double").alias("creativity_total"),
+            F.sum("threat_num").cast("double").alias("threat_total"),
+            F.sum("ict_index_num").cast("double").alias("ict_total"),
+        )
+        .orderBy(F.col("ict_total").desc(), F.col("element_").asc())
+        .limit(10)
+    )
