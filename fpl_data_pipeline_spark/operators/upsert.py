@@ -43,7 +43,21 @@ def dedup_last_wins(batch: DataFrame, keys: Sequence[str], order_by: str | None 
     """
     if order_by is None:
         rest = [c for c in batch.columns if c not in set(keys)]
-        order_col = F.struct(*[F.col(c) for c in rest]) if rest else F.lit(1)
+        if not rest:
+            # keys cover all columns: duplicate-key rows are identical, any
+            # survivor is THE row — a constant order is correct, not arbitrary
+            order_col = F.lit(1)
+        else:
+            unorderable = [
+                c for c in rest if batch.schema[c].dataType.typeName() == "map"
+            ]
+            if unorderable:
+                raise ValueError(
+                    f"dedup_last_wins(order_by=None) orders by the non-key struct, "
+                    f"but columns {unorderable} are map-typed (not orderable). "
+                    f"Pass an explicit order_by (sequence/timestamp) column."
+                )
+            order_col = F.struct(*[F.col(c) for c in rest])
     else:
         order_col = F.col(order_by)
     w = Window.partitionBy(*keys).orderBy(order_col.desc())

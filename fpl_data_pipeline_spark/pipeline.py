@@ -47,16 +47,33 @@ from fpl_data_pipeline_spark.sources.incremental_load import incremental_load
 TABLES = ("team_dm", "player_dm", "player_week_ft", "player_stats_dm", "week_info_dm")
 
 
-def _publish(df: DataFrame, path: str) -> None:
-    """Materialize fully into a staging dir, publish by atomic rename
-    (the streaming merge's crash-recovery contract, reused batch-side)."""
+def recover(path: str) -> None:
+    """Crash-recovery preamble, REQUIRED before any read of ``path``:
+    if a previous publish crashed between its two renames (table renamed to
+    .bak, stage never promoted), the table path is missing and .bak holds
+    the only copy — restore it FIRST, then clean leftovers. Reading the
+    table before this restore would treat it as absent and silently rebuild
+    from the current batch alone, dropping all previously merged history."""
     stage, backup = path + ".stage", path + ".bak"
     if not os.path.exists(path) and os.path.exists(backup):
         os.rename(backup, path)
     for leftover in (stage, backup):
         if os.path.exists(leftover):
             shutil.rmtree(leftover)
+
+
+def _write_stage(df: DataFrame, path: str) -> str:
+    """Materialize fully into the staging dir (runs the Spark job); the
+    table itself is untouched until :func:`_promote`."""
+    recover(path)
+    stage = path + ".stage"
     df.write.mode("overwrite").parquet(stage)
+    return stage
+
+
+def _promote(path: str) -> None:
+    """Atomic swap: table -> .bak, stage -> table, drop .bak."""
+    stage, backup = path + ".stage", path + ".bak"
     if os.path.exists(path):
         os.rename(path, backup)
     os.rename(stage, path)
@@ -64,14 +81,22 @@ def _publish(df: DataFrame, path: str) -> None:
         shutil.rmtree(backup)
 
 
+def _publish(df: DataFrame, path: str) -> None:
+    """Materialize fully into a staging dir, publish by atomic rename
+    (the streaming merge's crash-recovery contract, reused batch-side)."""
+    _write_stage(df, path)
+    _promote(path)
+
+
 def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    recover(path)
     return spark.read.parquet(path) if os.path.exists(path) else None
 
 
 def _merge_publish(
     spark: SparkSession, batch: DataFrame, path: str, keys: list[str]
 ) -> DataFrame:
-    base = _read_or_none(spark, path)
+    base = _read_or_none(spark, path)  # _read_or_none runs recovery first
     merged = upsert(base, batch, keys) if base is not None else batch
     _publish(merged, path)
     return spark.read.parquet(path)
@@ -126,10 +151,16 @@ def run_pipeline(
         F.sum(F.col("element_").isNull().cast("int")).alias("null_keys"),
         F.approx_count_distinct("round_gw").alias("n_weeks"),  # DISTINCT aggs are banned in observe(); the HLL sketch is the sanctioned form
     )
-    _publish(merged_fact, p("player_week_ft"))
+    # gate BEFORE promote: the stage write runs the job (observe() metrics
+    # ride it for free), the quality check reads them, and only a passing
+    # check swaps the table — a failing gate aborts with the previous table
+    # intact instead of leaving a corrupt table live with its backup deleted
+    stage = _write_stage(merged_fact, p("player_week_ft"))
     metrics = obs.get
     if metrics["null_keys"] not in (0, None):
+        shutil.rmtree(stage)
         raise ValueError(f"fact publish wrote {metrics['null_keys']} NULL-keyed rows")
+    _promote(p("player_week_ft"))
     player_week_ft = spark.read.parquet(p("player_week_ft"))
 
     # 7. player_stats_dm (understat scrape CSVs; optional in a landing zone)

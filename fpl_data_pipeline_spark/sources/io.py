@@ -15,6 +15,7 @@ helpers encode the 100 TB conventions:
 
 from __future__ import annotations
 
+import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -84,8 +85,13 @@ def compact(
     atomic-renamed like every other publish."""
     import math
     import os
-    import shutil
 
+    from fpl_data_pipeline_spark.pipeline import recover
+
+    # same crash-recovery preamble as every publish: a crash between
+    # compact's own two renames leaves the table at .bak only — restore it
+    # before reading, or the read fails and callers treat the table as absent
+    recover(path)
     total = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _, fs in os.walk(path)
@@ -95,9 +101,6 @@ def compact(
     n_files = max(1, math.ceil(total / target_bytes_per_file))
     df = spark.read.parquet(path)
     stage, backup = path + ".stage", path + ".bak"
-    for leftover in (stage, backup):
-        if os.path.exists(leftover):
-            shutil.rmtree(leftover)
     df.repartition(n_files).write.mode("overwrite").parquet(stage)
     os.rename(path, backup)
     os.rename(stage, path)

@@ -166,3 +166,67 @@ def test_pipeline_publish_crash_recovery(spark, landing, tmp_path):
     t2 = run_pipeline(spark, str(landing), wh)
     assert sorted(map(tuple, t2["player_dm"].collect())) == good
     assert not os.path.exists(pdm + ".bak") and not os.path.exists(pdm + ".stage")
+
+
+def test_pipeline_crash_recovery_preserves_merged_history(spark, landing, tmp_path):
+    """The ADVICE-flagged ordering bug: after a crash between _publish's two
+    renames, the NEXT run must restore .bak BEFORE reading the merge base.
+    The batch here is a PARTIAL snapshot (only week 2), so reading the base
+    as absent would silently rebuild from the batch alone and drop the
+    week-1 fact row (history not present in the current landing)."""
+    import os
+
+    wh = str(tmp_path / "wh")
+    run_pipeline(spark, str(landing), wh)
+
+    # crash state on the FACT table: renamed away, never promoted
+    ft = os.path.join(wh, "player_week_ft")
+    os.rename(ft, ft + ".bak")
+
+    # re-land only week 2 (hwm=1 -> only week 2 loads from this snapshot)
+    (landing / "summaries" / "element_summary_1.json").write_text(
+        json.dumps({"history": [_hist_row(2, 7)]})
+    )
+    t = run_pipeline(spark, str(landing), wh)
+    pts = {r["round_gw"]: r["total_points"] for r in t["player_week_ft"].collect()}
+    assert pts == {1: 12, 2: 7}  # week 1 history RECOVERED, week 2 merged
+
+
+def test_pipeline_failed_gate_leaves_previous_table_live(spark, landing, tmp_path):
+    """The null-key data-quality gate must abort BEFORE the rename swap:
+    previous table intact, no orphaned .bak/.stage."""
+    import os
+
+    wh = str(tmp_path / "wh")
+    t1 = run_pipeline(spark, str(landing), wh)
+    good = sorted(map(tuple, t1["player_week_ft"].collect()))
+
+    bad = _hist_row(2, 5)
+    bad["element"] = None
+    (landing / "summaries" / "element_summary_1.json").write_text(
+        json.dumps({"history": [bad]})
+    )
+    with pytest.raises(ValueError, match="NULL-keyed"):
+        run_pipeline(spark, str(landing), wh, data_flow="All")
+
+    ft = os.path.join(wh, "player_week_ft")
+    assert not os.path.exists(ft + ".bak") and not os.path.exists(ft + ".stage")
+    assert sorted(map(tuple, spark.read.parquet(ft).collect())) == good
+
+
+def test_compact_recovers_crashed_publish(spark, tmp_path):
+    """compact() after a crash between ITS two renames (table at .bak only)
+    must restore the backup instead of failing the read (ADVICE io.py:98)."""
+    import os
+
+    from fpl_data_pipeline_spark.sources.io import compact
+
+    p = str(tmp_path / "t")
+    spark.range(100).write.parquet(p)
+    rows = sorted(r["id"] for r in spark.read.parquet(p).collect())
+    os.rename(p, p + ".bak")
+
+    n = compact(spark, p, target_bytes_per_file=10 * 1024 * 1024)
+    assert n >= 1
+    assert sorted(r["id"] for r in spark.read.parquet(p).collect()) == rows
+    assert not os.path.exists(p + ".bak")
