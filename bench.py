@@ -2,17 +2,25 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "reps": R, "spread": {...}}
 
 Each query is executed to completion (count() forces the full plan, including
 exchanges and final projection) after a warm-up that loads the JVM + parquet
 footers so we measure query execution, not session startup.
+
+Round-2 verdict asked for n>=3 with per-query variance (the +14% common-9
+drift needed noise vs regression attribution): each query now runs
+$SPARK_GRAFT_BENCH_REPS times (default 3) in interleaved full passes so JVM
+warmth is spread evenly; "queries" reports the per-query MEDIAN, "value" the
+sum of medians, and "spread" the per-query max-min across reps.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -48,15 +56,16 @@ def main() -> None:
     # Warm-up: JVM codegen + parquet footer reads, cheapest registered query.
     QUERIES["topk_basic"](spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES.get(name)
-        if fn is None:
-            continue
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    runs: dict[str, list[float]] = {n: [] for n in HEADLINE if n in QUERIES}
+    for _ in range(reps):
+        for name in runs:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).count()
+            runs[name].append(time.perf_counter() - t0)
 
+    timings = {n: round(statistics.median(ts), 3) for n, ts in runs.items()}
+    spread = {n: round(max(ts) - min(ts), 3) for n, ts in runs.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -66,6 +75,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "reps": reps,
+                "spread": spread,
             }
         )
     )

@@ -183,7 +183,10 @@ SHINGLE_DF_CAP = 1000
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    sh = capped_shingles(d).cache()
+    # localCheckpoint (not cache): the shingle set feeds three consumers
+    # (sizes + both sides of the self-join); eager materialization truncates
+    # the explode-heavy lineage and frees storage memory for the shuffle.
+    sh = capped_shingles(d).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
@@ -524,7 +527,10 @@ def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE, giving the connected-components operator a value-level parity row
     (dedup_clusters keeps the MinHash candidate step as the 100 TB path)."""
     d = table(spark, sf_dir, "documents")
-    sh = capped_shingles(d).cache()
+    # localCheckpoint (not cache): the shingle set feeds three consumers
+    # (sizes + both sides of the self-join); eager materialization truncates
+    # the explode-heavy lineage and frees storage memory for the shuffle.
+    sh = capped_shingles(d).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
@@ -1339,7 +1345,10 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate contained side. Same capped-shingle equi-join candidates; the
     jaccard rides along to show the two scores separate."""
     d = table(spark, sf_dir, "documents")
-    sh = capped_shingles(d).cache()
+    # localCheckpoint (not cache): the shingle set feeds three consumers
+    # (sizes + both sides of the self-join); eager materialization truncates
+    # the explode-heavy lineage and frees storage memory for the shuffle.
+    sh = capped_shingles(d).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")

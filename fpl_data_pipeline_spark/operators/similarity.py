@@ -271,7 +271,10 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-identical dot folds make the bucket assignment — and therefore the
     candidate set — exactly reproducible in the DuckDB oracle."""
     emb = table(spark, sf_dir, "embeddings")
-    keys = lsh_band_keys(emb).cache()
+    # localCheckpoint (not cache): band keys are self-joined below; eager
+    # materialization truncates the (embedding-explode heavy) lineage and
+    # avoids pinning both join sides in storage memory under the shuffle.
+    keys = lsh_band_keys(emb).localCheckpoint()
     a = keys.select(
         F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("va"), "band_id", "band_key"
     )
