@@ -32,21 +32,34 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects. Read nanos as long (legacy conf, safe to set at
-    runtime) and expose both the raw ``ts_ns`` and a microsecond-truncated
-    ``ts`` timestamp — identical to how DuckDB/pandas truncate ns->us.
+    """events.parquet has shipped with two ts layouts across driver testdata
+    generations: TIMESTAMP(NANOS) (which Spark's vectorized parquet reader
+    only accepts as long via the legacy conf) and plain TIMESTAMP(MICROS).
+    Adapt to whichever is on disk and expose the same two columns either
+    way: raw ``ts_ns`` (nanos as long) and a microsecond ``ts`` timestamp —
+    identical to how DuckDB/pandas read the file.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        # TIMESTAMP(NANOS) read as long. Integer div: ns ~1.7e18 exceeds
+        # double's 53-bit mantissa, so a float division here would corrupt
+        # microseconds.
+        ts_ns = F.col("ts")
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        # TIMESTAMP(MICROS); parquet without tz metadata arrives as NTZ —
+        # cast to session-tz timestamp (UTC everywhere in this engine) so
+        # downstream window/unix_* semantics match the legacy path.
+        ts = F.col("ts").cast("timestamp")
+        ts_ns = F.unix_micros(ts) * F.lit(1000).cast("long")
     return raw.select(
         "event_id",
-        F.col("ts").alias("ts_ns"),
-        # integer div: ns ~1.7e18 exceeds double's 53-bit mantissa, so a
-        # float division here would corrupt microseconds
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        ts_ns.alias("ts_ns"),
+        ts.alias("ts"),
         "user_id",
         "event_type",
         "value",
