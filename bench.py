@@ -44,6 +44,8 @@ HEADLINE = [
     "dedup_winnowing_pairs",
     "quality_repetition_signals",
     "emb_neardup_pairs",
+    "source_token_divergence",
+    "pii_scrub_summary",
 ]
 
 

@@ -644,3 +644,88 @@ def corpus_release_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ceil(F.sum("n_tokens").cast("double") / SEQ_LEN).alias("n_sequences"),
         )
     )
+
+
+# --- per-source unigram-distribution divergence (domain-drift detector) -----
+@register(
+    "source_token_divergence",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest({_WORDS_SQL}) AS tok FROM documents
+    ),
+    src AS (
+      SELECT source, tok, COUNT(*) AS c_s FROM toks GROUP BY source, tok
+    ),
+    src_tot AS (
+      SELECT source, SUM(c_s) AS n_s, COUNT(*) AS n_distinct_toks
+      FROM src GROUP BY source
+    ),
+    corpus AS (SELECT tok, SUM(c_s) AS c FROM src GROUP BY tok),
+    corpus_tot AS (SELECT SUM(c) AS n FROM corpus),
+    terms AS (
+      SELECT s.source,
+             (CAST(s.c_s AS DOUBLE) / CAST(t.n_s AS DOUBLE))
+               * ln((CAST(s.c_s AS DOUBLE) / CAST(t.n_s AS DOUBLE))
+                    / (CAST(g.c AS DOUBLE) / CAST(ct.n AS DOUBLE))) AS term
+      FROM src s
+      JOIN src_tot t USING (source)
+      JOIN corpus g USING (tok)
+      CROSS JOIN corpus_tot ct
+    )
+    SELECT t.source,
+           CAST(t.n_s AS BIGINT) AS n_tokens,
+           t.n_distinct_toks,
+           round(SUM(term), 9) AS kl_divergence
+    FROM terms JOIN src_tot t USING (source)
+    GROUP BY t.source, t.n_s, t.n_distinct_toks
+    """,
+)
+def source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-drift detector: KL(source ‖ corpus) over unigram
+    distributions — the monitoring op a training-data pipeline runs per
+    ingest source to catch a crawler or feed whose language suddenly
+    shifts (spam floods, encoding breakage, topic drift). Every token the
+    source emits appears in the corpus distribution by construction, so
+    the divergence is always finite.
+
+    Scale shape: one explode + two hash aggregations (source×tok, then
+    tok), a bigint-keyed join of per-source counts against corpus counts,
+    and a per-source sum — all map-side-combinable; the corpus total is a
+    broadcast scalar. Double KL terms accumulate order-dependently at
+    ~1e-15 relative; the 9-dp round on O(0.01-1) values absorbs it
+    (the surprisal query's proven idiom)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "),
+                lambda w: w != "",
+            )
+        ).alias("tok"),
+    )
+    src = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c_s"))
+    src_tot = src.groupBy("source").agg(
+        F.sum("c_s").alias("n_s"), F.count(F.lit(1)).alias("n_distinct_toks")
+    )
+    corpus = src.groupBy("tok").agg(F.sum("c_s").alias("c"))
+    corpus_tot = corpus.agg(F.sum("c").alias("n"))
+    p = F.col("c_s").cast("double") / F.col("n_s").cast("double")
+    q = F.col("c").cast("double") / F.col("n").cast("double")
+    terms = (
+        src.join(F.broadcast(src_tot), "source")
+        .join(corpus, "tok")
+        .crossJoin(F.broadcast(corpus_tot))
+        .select("source", (p * F.log(p / q)).alias("term"))
+    )
+    return (
+        terms.groupBy("source")
+        .agg(F.round(F.sum("term"), 9).alias("kl_divergence"))
+        .join(F.broadcast(src_tot), "source")
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            "n_distinct_toks",
+            "kl_divergence",
+        )
+    )

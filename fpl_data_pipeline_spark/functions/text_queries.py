@@ -356,3 +356,129 @@ def text_hash_vector_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("doc_id_a").asc(), F.col("doc_id_b").asc())
         .limit(20)
     )
+
+
+# --- PII scrubbing: entity detection + placeholder replacement --------------
+# Patterns chosen for identical semantics under Java regex (Spark) and RE2
+# (DuckDB): greedy quantifiers over disjoint character classes, no
+# backreferences, no word-boundary anchors.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"555-[0-9]{4}"
+_PII_IP = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+# The synthetic corpus contains no natural PII (verified: zero docs with
+# '@', digits, or 'http'), so the scrub harness injects deterministic
+# synthetic PII derived from doc_id — the standard way to test a scrubber
+# with known ground truth. Every doc gains an email; every 3rd a phone;
+# every 5th an IP.
+_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' tel 555-'"
+    "   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' host 10.0.'"
+    "   || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id // 7) % 256 AS VARCHAR)"
+    " ELSE '' END"
+)
+
+
+@register(
+    "pii_scrub_summary",
+    f"""
+    WITH aug AS (
+      SELECT doc_id, source, {_AUG_SQL} AS text_aug FROM documents
+    ),
+    scrubbed AS (
+      SELECT doc_id, source, text_aug,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text_aug, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IP}', '<IP>', 'g') AS text_clean,
+             len(regexp_extract_all(text_aug, '{_PII_EMAIL}')) AS n_emails,
+             len(regexp_extract_all(text_aug, '{_PII_PHONE}')) AS n_phones,
+             len(regexp_extract_all(text_aug, '{_PII_IP}')) AS n_ips
+      FROM aug
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+           CAST(SUM(n_phones) AS BIGINT) AS total_phones,
+           CAST(SUM(n_ips) AS BIGINT) AS total_ips,
+           CAST(SUM(CASE WHEN n_emails + n_phones + n_ips > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_with_pii,
+           CAST(SUM(length(text_aug) - length(text_clean)) AS BIGINT)
+             AS chars_delta
+    FROM scrubbed
+    GROUP BY source
+    """,
+)
+def pii_scrub_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub for training corpora: detect email/phone/IP entities with
+    RE2-compatible patterns, replace each with a typed placeholder, and
+    report per-source entity counts plus the byte delta of the rewrite —
+    the audit artifact a release pipeline stores next to the scrubbed
+    shard. Detection and replacement are single-pass JVM regex over the
+    text column (whole-stage codegen, no UDFs); the rollup is one
+    hash aggregate on source.
+
+    The corpus is synthetic word salad with no natural PII, so the query
+    injects deterministic doc_id-derived entities first (emails on every
+    doc, phones on doc_id%3==0, IPs on doc_id%5==0) — ground truth is
+    exact and the oracle verifies both detection counts and the scrubbed
+    lengths."""
+    d = table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" tel 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit("."),
+                    ((F.col("doc_id") / 7).cast("long") % 256).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text_aug"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text_aug", _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    scrubbed = aug.select(
+        "source",
+        F.length("text_aug").alias("len_aug"),
+        F.length(clean).alias("len_clean"),
+        F.regexp_count("text_aug", F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count("text_aug", F.lit(_PII_PHONE)).alias("n_phones"),
+        F.regexp_count("text_aug", F.lit(_PII_IP)).alias("n_ips"),
+    )
+    return scrubbed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_emails").alias("total_emails"),
+        F.sum("n_phones").alias("total_phones"),
+        F.sum("n_ips").alias("total_ips"),
+        F.sum(
+            F.when(
+                F.col("n_emails") + F.col("n_phones") + F.col("n_ips") > 0, 1
+            ).otherwise(0)
+        ).alias("docs_with_pii"),
+        F.sum(F.col("len_aug") - F.col("len_clean")).alias("chars_delta"),
+    )

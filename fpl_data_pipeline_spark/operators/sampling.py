@@ -12,7 +12,7 @@ re-bucketed copy of the corpus must select the same documents)."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from fpl_data_pipeline_spark.registry import register
 from fpl_data_pipeline_spark.tables import table
@@ -395,4 +395,62 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(actual, 9).alias("actual_share"),
         F.round(target, 9).alias("target_share"),
         F.round(target / actual, 6).alias("sample_weight"),
+    )
+
+
+# --- deterministic training-order shuffle (epoch-keyed) ---------------------
+SHUFFLE_EPOCHS = 2
+SHUFFLE_TAKE = 50
+
+
+@register(
+    "training_order_shuffle",
+    f"""
+    WITH epochs AS (SELECT unnest(range(1, {SHUFFLE_EPOCHS} + 1)) AS epoch),
+    keyed AS (
+      SELECT e.epoch, d.doc_id,
+             md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(e.epoch AS VARCHAR))
+               AS shuffle_key
+      FROM documents d CROSS JOIN epochs e
+    )
+    SELECT * FROM (
+      SELECT epoch, doc_id, shuffle_key,
+             row_number() OVER (PARTITION BY epoch
+                                ORDER BY shuffle_key ASC, doc_id ASC)
+               AS position
+      FROM keyed
+    ) WHERE position <= {SHUFFLE_TAKE}
+    """,
+)
+def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle: every document gets a
+    pseudorandom 128-bit sort key md5(doc_id ':' epoch), and the epoch's
+    read order is the ascending key order — a stable, seedable permutation
+    that changes completely between epochs and is reproducible on any
+    cluster layout (key depends only on data, never on partitioning).
+
+    Scale shape: assigning keys is map-side; establishing the order is a
+    distributed sort (range-partitioned by Spark's sort machinery) — at
+    100 TB you write the epoch order as parquet sorted-by-key shards
+    (sortWithinPartitions after a repartitionByRange on the key) rather
+    than materializing global row numbers; the query surfaces the first
+    {SHUFFLE_TAKE} positions per epoch, which TakeOrdered computes without
+    a full global sort."""
+    epochs = spark.range(1, SHUFFLE_EPOCHS + 1).select(F.col("id").alias("epoch"))
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    keyed = d.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(":"), F.col("epoch").cast("string")
+            )
+        ).alias("shuffle_key"),
+    )
+    w = Window.partitionBy("epoch").orderBy(
+        F.asc("shuffle_key"), F.asc("doc_id")
+    )
+    return (
+        keyed.withColumn("position", F.row_number().over(w))
+        .filter(F.col("position") <= SHUFFLE_TAKE)
     )

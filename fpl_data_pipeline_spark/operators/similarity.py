@@ -576,3 +576,138 @@ def emb_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("raw_err", 9).alias("max_abs_err"),
         F.round("raw_norm", 6).alias("sq_norm"),
     )
+
+
+# --- ANN quality eval: recall@k of the LSH bucket probe vs exact top-k ------
+RECALL_K = 10
+N_RECALL_QUERIES = 8
+
+# cosine(e.embedding, q.qv) — same sequential-fold shape both engines
+_RECALL_COS_SQL = (
+    f"{_dot_sql('e.embedding', 'q.qv')}"
+    f" / (sqrt({_dot_sql('e.embedding', 'e.embedding')})"
+    f" * sqrt({_dot_sql('q.qv', 'q.qv')}))"
+)
+
+
+@register(
+    "ann_recall_eval",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding', _hyperplanes(8))} AS bucket
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS q_id, embedding AS qv, bucket AS q_bucket
+      FROM b WHERE vec_id < {N_RECALL_QUERIES}
+    ),
+    exact AS (
+      SELECT * FROM (
+        SELECT q.q_id, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY {_RECALL_COS_SQL} DESC, e.vec_id ASC) AS rn
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.q_id
+      ) WHERE rn <= {RECALL_K}
+    ),
+    approx AS (
+      SELECT * FROM (
+        SELECT q.q_id, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY {_RECALL_COS_SQL} DESC, e.vec_id ASC) AS rn
+        FROM b e, q
+        WHERE e.bucket = q.q_bucket AND e.vec_id <> q.q_id
+      ) WHERE rn <= {RECALL_K}
+    ),
+    cand AS (
+      SELECT q.q_id, COUNT(e.vec_id) AS n_candidates
+      FROM q LEFT JOIN b e
+        ON e.bucket = q.q_bucket AND e.vec_id <> q.q_id
+      GROUP BY q.q_id
+    ),
+    hits AS (
+      SELECT a.q_id, COUNT(*) AS n_hits
+      FROM approx a JOIN exact x ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+      GROUP BY a.q_id
+    )
+    SELECT c.q_id, c.n_candidates,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {RECALL_K} AS recall_at_k
+    FROM cand c LEFT JOIN hits h ON c.q_id = h.q_id
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN eval harness: recall@k of the LSH bucket probe (ann_lsh_bucketed's
+    8-plane bucketing) against the exact brute-force top-k, per query vector,
+    for the first N_RECALL_QUERIES vectors. This is the operator a pipeline
+    runs after re-tuning plane count / band shape: ground truth from the
+    exact path on a sample of queries, recall measured distributed — no
+    driver-side result comparison.
+
+    Scale shape: the exact side is a broadcast(q) x corpus scan ranked with
+    one window per query partition (at 100 TB you run it over a sampled
+    corpus slice or a held-out eval shard — still one scan); the approx side
+    probes one bucket per query via the same bucket equi-join as production;
+    the recall join is on (q_id, vec_id) pairs, k rows per query."""
+    emb = table(spark, sf_dir, "embeddings")
+    b = lsh_bucket(emb)
+    q = (
+        b.filter(F.col("vec_id") < N_RECALL_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qv"),
+            F.col("bucket").alias("q_bucket"),
+        )
+    )
+    cos = _dot("embedding", "qv") / (_norm("embedding") * _norm("qv"))
+    rn = F.row_number().over(
+        Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    )
+
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= RECALL_K)
+    )
+    approx = (
+        b.join(F.broadcast(q), b.bucket == q.q_bucket)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= RECALL_K)
+    )
+    # count bucket candidates per query: inner bucket equi-join against the
+    # broadcast query block (scale-safe — never broadcasts the corpus), then
+    # re-attach zero-candidate queries from the tiny q side
+    cand_counts = (
+        b.select("vec_id", "bucket")
+        .join(
+            F.broadcast(q.select("q_id", "q_bucket")),
+            F.col("bucket") == F.col("q_bucket"),
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_candidates"))
+    )
+    cand = q.select("q_id").join(F.broadcast(cand_counts), "q_id", "left").select(
+        "q_id",
+        F.coalesce(F.col("n_candidates"), F.lit(0).cast("long")).alias("n_candidates"),
+    )
+    hits = (
+        approx.select("q_id", "vec_id")
+        .join(F.broadcast(exact.select("q_id", "vec_id")), ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    out = cand.join(F.broadcast(hits), "q_id", "left")
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
+    return out.select(
+        "q_id",
+        "n_candidates",
+        n_hits.alias("n_hits"),
+        (n_hits.cast("double") / F.lit(float(RECALL_K))).alias("recall_at_k"),
+    )

@@ -112,7 +112,12 @@ DRIVER_WINDOW_PRIORITY = [
     "doc_length_histogram",
     "lang_stats_grouped_map",
     "corpus_release_summary",
-    # round-3 additions fill the remaining slots below
+    # round-3 additions: ANN recall eval harness, PII scrub audit,
+    # per-source distribution-drift KL (training_order_shuffle stays
+    # outside the 50-slot window, parity-checked locally)
+    "ann_recall_eval",
+    "pii_scrub_summary",
+    "source_token_divergence",
 ]
 
 

@@ -1,0 +1,124 @@
+"""Semantics invariants for the round-3 operators (beyond oracle parity):
+ANN recall eval, deterministic training-order shuffle, PII scrub, and
+per-source token divergence. All at sf0.001."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from fpl_data_pipeline_spark.functions.corpus_queries import source_token_divergence
+from fpl_data_pipeline_spark.functions.text_queries import pii_scrub_summary
+from fpl_data_pipeline_spark.operators.sampling import (
+    SHUFFLE_EPOCHS,
+    SHUFFLE_TAKE,
+    training_order_shuffle,
+)
+from fpl_data_pipeline_spark.operators.similarity import (
+    N_RECALL_QUERIES,
+    RECALL_K,
+    ann_recall_eval,
+)
+from fpl_data_pipeline_spark.tables import table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ann_recall_bounds_and_consistency(spark):
+    rows = ann_recall_eval(spark, SF).collect()
+    assert len(rows) == N_RECALL_QUERIES
+    for r in rows:
+        assert 0 <= r.n_hits <= RECALL_K
+        # can't hit more exact neighbors than the bucket offered candidates
+        assert r.n_hits <= max(r.n_candidates, 0)
+        assert abs(r.recall_at_k - r.n_hits / RECALL_K) < 1e-12
+
+
+def test_training_shuffle_is_a_permutation_that_varies_by_epoch(spark):
+    out = training_order_shuffle(spark, SF).collect()
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r.epoch, []).append((r.position, r.doc_id))
+    assert set(by_epoch) == set(range(1, SHUFFLE_EPOCHS + 1))
+    orders = []
+    for epoch, picks in by_epoch.items():
+        picks.sort()
+        assert [p for p, _ in picks] == list(range(1, SHUFFLE_TAKE + 1))
+        # no doc appears twice within an epoch
+        docs = [d for _, d in picks]
+        assert len(set(docs)) == len(docs)
+        orders.append(docs)
+    # epochs produce genuinely different orders (md5 keys differ per epoch)
+    assert orders[0] != orders[1]
+
+
+def test_training_shuffle_layout_independent(spark):
+    base = {(r.epoch, r.position, r.doc_id) for r in training_order_shuffle(spark, SF).collect()}
+    # same result regardless of physical partitioning of the input — the key
+    # depends only on (doc_id, epoch)
+    docs = table(spark, SF, "documents").repartition(7, "lang")
+    docs.createOrReplaceTempView("__shuffle_docs_alt")
+    alt = {(r.epoch, r.position, r.doc_id) for r in training_order_shuffle(spark, SF).collect()}
+    assert base == alt
+
+
+def test_pii_scrub_counts_match_injection_rules(spark):
+    d = table(spark, SF, "documents")
+    expected = (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("doc_id") % 3 == 0, 1).otherwise(0)).alias("ph"),
+            F.sum(F.when(F.col("doc_id") % 5 == 0, 1).otherwise(0)).alias("ip"),
+        )
+        .collect()
+    )
+    exp = {r.source: r for r in expected}
+    for r in pii_scrub_summary(spark, SF).collect():
+        e = exp[r.source]
+        assert r.total_emails == e.n  # every doc gets exactly one email
+        assert r.total_phones == e.ph
+        assert r.total_ips == e.ip
+        assert r.docs_with_pii == e.n  # email on every doc => all docs
+        assert r.n_docs == e.n
+
+
+def test_pii_scrub_removes_all_entities(spark):
+    """After the scrub, re-scanning the clean text finds zero entities —
+    the property that actually matters for a release."""
+    from fpl_data_pipeline_spark.functions.text_queries import (
+        _PII_EMAIL,
+        _PII_IP,
+        _PII_PHONE,
+    )
+
+    d = table(spark, SF, "documents")
+    aug = d.select(
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ).alias("t")
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("t", _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    leftover = aug.select(clean.alias("c")).filter(
+        F.regexp_count("c", F.lit(_PII_EMAIL)) > 0
+    )
+    assert leftover.count() == 0
+
+
+def test_token_divergence_nonnegative_and_complete(spark):
+    d = table(spark, SF, "documents")
+    n_sources = d.select("source").distinct().count()
+    rows = source_token_divergence(spark, SF).collect()
+    assert len(rows) == n_sources
+    for r in rows:
+        # KL >= 0 up to the 9-dp rounding of the accumulated sum
+        assert r.kl_divergence >= -1e-9
+        assert r.n_tokens >= r.n_distinct_toks > 0

@@ -32,6 +32,11 @@ INTENTIONAL_CROSS = {
     # broadcast 1-row totals scalar
     "domain_mixture_weights",
     "events_error_spikes",
+    "source_token_divergence",
+    # broadcast 8-row query block against the corpus scan (exact eval side)
+    "ann_recall_eval",
+    # broadcast 2-row epoch grid
+    "training_order_shuffle",
 }
 
 
