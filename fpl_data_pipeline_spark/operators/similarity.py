@@ -711,3 +711,95 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hits.alias("n_hits"),
         (n_hits.cast("double") / F.lit(float(RECALL_K))).alias("recall_at_k"),
     )
+
+
+# --- semantic dedup: near-dup edges -> connected components -> clusters -----
+SEM_EDGE_THRESHOLD = 0.30
+
+
+@register(
+    "emb_semantic_clusters",
+    f"""
+    WITH RECURSIVE b AS (
+      SELECT vec_id, embedding,
+             {_nd_band_sql('embedding', 0)} AS k0,
+             {_nd_band_sql('embedding', 1)} AS k1
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT x.vec_id AS vec_id_a, y.vec_id AS vec_id_b
+      FROM b x JOIN b y ON x.k0 = y.k0 AND x.vec_id < y.vec_id
+      UNION
+      SELECT x.vec_id, y.vec_id
+      FROM b x JOIN b y ON x.k1 = y.k1 AND x.vec_id < y.vec_id
+    ),
+    pairs AS (
+      SELECT c.vec_id_a AS u, c.vec_id_b AS v
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.vec_id_a
+      JOIN embeddings eb ON eb.vec_id = c.vec_id_b
+      WHERE {_dot_sql('ea.embedding', 'eb.embedding')}
+              / (sqrt({_dot_sql('ea.embedding', 'ea.embedding')})
+                 * sqrt({_dot_sql('eb.embedding', 'eb.embedding')}))
+            >= {SEM_EDGE_THRESHOLD}
+    ),
+    edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+    reach AS (
+      SELECT u AS a, v AS b FROM edges
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+    ),
+    labels AS (
+      SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT cluster_id, COUNT(*) AS cluster_size,
+           CAST(MIN(vec_id) AS BIGINT) AS representative
+    FROM labels
+    GROUP BY cluster_id
+    ORDER BY cluster_size DESC, cluster_id ASC
+    LIMIT 20
+    """,
+)
+def emb_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, end-to-end: banded sign-bit LSH candidates -> exact
+    cosine >= {threshold} edges -> connected components -> cluster summary
+    (the embedding-space analog of dedup_clusters_portable, the op that
+    collapses paraphrase/translation near-duplicates exact text hashing
+    can't see). The representative (min vec_id) is the survivor the apply
+    step keeps.
+
+    Scale shape identical to emb_neardup_pairs for candidate generation
+    (band equi-joins, never n^2) plus the min-label-propagation fixpoint of
+    connected_components (one shuffle per round, localCheckpoint-truncated
+    lineage); the oracle replays everything including the fixpoint as a
+    recursive transitive-closure CTE."""
+    from fpl_data_pipeline_spark.operators.dedup import connected_components
+
+    emb = table(spark, sf_dir, "embeddings")
+    keys = lsh_band_keys(emb).localCheckpoint()
+    a = keys.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("va"),
+        "band_id", "band_key",
+    )
+    b = keys.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("vb"),
+        "band_id", "band_key",
+    )
+    cos = _dot("va", "vb") / (_norm("va") * _norm("vb"))
+    pairs = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
+        .filter(cos >= SEM_EDGE_THRESHOLD)
+        .select(F.col("vec_id_a").alias("doc_id_a"), F.col("vec_id_b").alias("doc_id_b"))
+    )
+    comps = connected_components(pairs)
+    return (
+        comps.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("doc_id").alias("representative"),
+        )
+        .orderBy(F.col("cluster_size").desc(), F.col("cluster_id").asc())
+        .limit(20)
+    )

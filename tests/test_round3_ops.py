@@ -122,3 +122,18 @@ def test_token_divergence_nonnegative_and_complete(spark):
         # KL >= 0 up to the 9-dp rounding of the accumulated sum
         assert r.kl_divergence >= -1e-9
         assert r.n_tokens >= r.n_distinct_toks > 0
+
+
+def test_semantic_clusters_invariants(spark):
+    from fpl_data_pipeline_spark.operators.similarity import emb_semantic_clusters
+
+    rows = emb_semantic_clusters(spark, SF).collect()
+    assert rows, "threshold should produce at least one cluster at sf0.001"
+    for r in rows:
+        # only docs with at least one near-dup edge enter the graph
+        assert r.cluster_size >= 2
+        # the canonical representative is the min member == the min-label id
+        assert r.representative == r.cluster_id
+    # descending size, ties by cluster_id
+    sizes = [(r.cluster_size, -r.cluster_id) for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
