@@ -31,7 +31,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from fpl_data_pipeline_spark.registry import register
+from fpl_data_pipeline_spark.registry import ORACLE_SQL, register
 from fpl_data_pipeline_spark.tables import table
 
 
@@ -183,6 +183,17 @@ SHINGLE_DF_CAP = 1000
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
+    return (
+        _ngram_jaccard_pairs(d)
+        .orderBy(F.col("jaccard").desc(), F.col("doc_id_a").asc(), F.col("doc_id_b").asc())
+        .limit(20)
+    )
+
+
+def _ngram_jaccard_pairs(d: DataFrame) -> DataFrame:
+    """(doc_id_a, doc_id_b, jaccard) for every pair sharing at least one
+    df-capped shingle — the exact-Jaccard engine half shared by
+    dedup_ngram_jaccard and dedup_consensus_pairs."""
     # localCheckpoint (not cache): the shingle set feeds three consumers
     # (sizes + both sides of the self-join); eager materialization truncates
     # the explode-heavy lineage and frees storage memory for the shuffle.
@@ -209,8 +220,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("na") + F.col("nb") - F.col("n_common"))
             ).alias("jaccard"),
         )
-        .orderBy(F.col("jaccard").desc(), F.col("doc_id_a").asc(), F.col("doc_id_b").asc())
-        .limit(20)
     )
 
 
@@ -982,6 +991,17 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle. dedup_simhash_pairs (xxhash64, 64 bits) stays the
     production default."""
     d = table(spark, sf_dir, "documents")
+    return (
+        _portable_simhash_pairs(d)
+        .orderBy(F.col("hamming").asc(), F.col("doc_id_a").asc(), F.col("doc_id_b").asc())
+        .limit(20)
+    )
+
+
+def _portable_simhash_pairs(d: DataFrame) -> DataFrame:
+    """(doc_id_a, doc_id_b, hamming) for every chunk-banded candidate pair —
+    the portable-SimHash engine half shared by dedup_simhash_portable and
+    dedup_consensus_pairs."""
     sp = d.sparkSession
     toks = d.repartition(sp.sparkContext.defaultParallelism).select(
         "doc_id", F.explode(_words(_norm_text(F.col("text")))).alias("tok")
@@ -1039,8 +1059,6 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id_b",
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int").alias("hamming"),
         )
-        .orderBy(F.col("hamming").asc(), F.col("doc_id_a").asc(), F.col("doc_id_b").asc())
-        .limit(20)
     )
 
 
@@ -1382,3 +1400,164 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+# --- consensus dedup: pairs flagged by >= 2 independent sketch families -----
+CONSENSUS_MIN_SIGNALS = 2
+CONSENSUS_EST_JACCARD = 0.5
+CONSENSUS_EXACT_JACCARD = 0.5
+CONSENSUS_MAX_HAMMING = 3
+
+
+def _consensus_oracle_sql() -> str:
+    perm_mins = ", ".join(f"MIN({_pmh_perm_sql(i)}) AS m{i}" for i in range(PMH_HASHES))
+    band_union = " UNION ALL ".join(_pmh_band_sql(b) for b in range(PMH_BANDS))
+    match_sum = " + ".join(
+        f"CASE WHEN am{i} = bm{i} THEN 1 ELSE 0 END" for i in range(PMH_HASHES)
+    )
+    cand_cols = ", ".join(f"a.m{i} AS am{i}, b.m{i} AS bm{i}" for i in range(PMH_HASHES))
+    return f"""
+    WITH norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(ws) - 1, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs
+      FROM words
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(unnest(gs)), 1, 15))::BIGINT AS h0
+      FROM grams
+    ),
+    sigs AS (SELECT doc_id, {perm_mins} FROM hashed GROUP BY doc_id),
+    bands AS ({band_union}),
+    mh_cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, {cand_cols}
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    mh_edges AS (
+      SELECT doc_id_a, doc_id_b FROM mh_cand
+      WHERE CAST(({match_sum}) AS DOUBLE) / {PMH_HASHES} >= {CONSENSUS_EST_JACCARD}
+    ),
+    ng_exploded0 AS (SELECT doc_id, unnest(gs) AS shingle FROM grams),
+    ng_freq AS (SELECT shingle, COUNT(*) AS df FROM ng_exploded0 GROUP BY shingle),
+    ng_exploded AS (
+      SELECT e.doc_id, e.shingle
+      FROM ng_exploded0 e JOIN ng_freq USING (shingle)
+      WHERE df <= {SHINGLE_DF_CAP}
+    ),
+    ng_sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ng_exploded GROUP BY doc_id),
+    ng_inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_common
+      FROM ng_exploded a JOIN ng_exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    ng_edges AS (
+      SELECT doc_id_a, doc_id_b
+      FROM ng_inter
+      JOIN ng_sizes sa ON sa.doc_id = doc_id_a
+      JOIN ng_sizes sb ON sb.doc_id = doc_id_b
+      WHERE CAST(n_common AS DOUBLE)
+              / (sa.n_shingles + sb.n_shingles - n_common) >= {CONSENSUS_EXACT_JACCARD}
+    ),
+    sh_toks AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(unnest(list_filter(ws, w -> w <> ''))), 1, 15))::BIGINT AS h
+      FROM words
+    ),
+    sh_bitsums AS (
+      SELECT doc_id, b.b AS bit,
+             SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM sh_toks CROSS JOIN (SELECT unnest(range(0, {PSH_BITS})) AS b) b
+      GROUP BY doc_id, b.b
+    ),
+    sh_sims AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+      FROM sh_bitsums GROUP BY doc_id
+    ),
+    sh_keyed AS (
+      SELECT doc_id, simhash, chunk_id,
+             (simhash >> (chunk_id * {PSH_CHUNK_BITS})) & {(1 << PSH_CHUNK_BITS) - 1} AS chunk_val
+      FROM (SELECT doc_id, simhash, unnest(range(0, {PSH_CHUNKS})) AS chunk_id FROM sh_sims)
+    ),
+    sh_edges AS (
+      SELECT doc_id_a, doc_id_b FROM (
+        SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+        FROM sh_keyed a JOIN sh_keyed b
+          ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+         AND a.doc_id < b.doc_id
+      ) WHERE bit_count(xor(sh_a, sh_b)) <= {CONSENSUS_MAX_HAMMING}
+    ),
+    signals AS (
+      SELECT doc_id_a, doc_id_b, 'minhash' AS signal FROM mh_edges
+      UNION ALL
+      SELECT doc_id_a, doc_id_b, 'ngram' FROM ng_edges
+      UNION ALL
+      SELECT doc_id_a, doc_id_b, 'simhash' FROM sh_edges
+    )
+    SELECT doc_id_a, doc_id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_signals,
+           string_agg(signal, ',' ORDER BY signal) AS signals
+    FROM signals
+    GROUP BY doc_id_a, doc_id_b
+    HAVING COUNT(*) >= {CONSENSUS_MIN_SIGNALS}
+    ORDER BY n_signals DESC, doc_id_a ASC, doc_id_b ASC
+    LIMIT 50
+    """
+
+
+@register("dedup_consensus_pairs", None)
+def dedup_consensus_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble near-dup decision: a pair is a duplicate only when flagged
+    by at least CONSENSUS_MIN_SIGNALS of three *independent* sketch
+    families — portable MinHash (est Jaccard >= 0.5), exact df-capped
+    n-gram Jaccard (>= 0.5), and portable SimHash (hamming <= 3). Voting
+    across signal families is how production corpora suppress each
+    family's characteristic false positives (MinHash banding collisions,
+    SimHash near-threshold noise) without losing recall to any single
+    family's blind spot.
+
+    Scale shape: the three candidate generators are the already-audited
+    banded equi-joins; the vote is one groupBy on the pair key whose input
+    is three near-dup edge lists (tiny relative to the corpus). The oracle
+    replays all three pipelines and the vote in one WITH tree."""
+    d = table(spark, sf_dir, "documents")
+    mh = (
+        _portable_minhash_candidates(d)
+        .filter(F.col("est_jaccard") >= CONSENSUS_EST_JACCARD)
+        .select("doc_id_a", "doc_id_b", F.lit("minhash").alias("signal"))
+    )
+    ng = (
+        _ngram_jaccard_pairs(d)
+        .filter(F.col("jaccard") >= CONSENSUS_EXACT_JACCARD)
+        .select("doc_id_a", "doc_id_b", F.lit("ngram").alias("signal"))
+    )
+    sh = (
+        _portable_simhash_pairs(d)
+        .filter(F.col("hamming") <= CONSENSUS_MAX_HAMMING)
+        .select("doc_id_a", "doc_id_b", F.lit("simhash").alias("signal"))
+    )
+    return (
+        mh.unionByName(ng)
+        .unionByName(sh)
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_signals"),
+            F.concat_ws(",", F.array_sort(F.collect_list("signal"))).alias("signals"),
+        )
+        .filter(F.col("n_signals") >= CONSENSUS_MIN_SIGNALS)
+        .orderBy(F.col("n_signals").desc(), F.col("doc_id_a").asc(), F.col("doc_id_b").asc())
+        .limit(50)
+    )
+
+
+ORACLE_SQL["dedup_consensus_pairs"] = _consensus_oracle_sql()

@@ -137,3 +137,20 @@ def test_semantic_clusters_invariants(spark):
     # descending size, ties by cluster_id
     sizes = [(r.cluster_size, -r.cluster_id) for r in rows]
     assert sizes == sorted(sizes, reverse=True)
+
+
+def test_consensus_pairs_vote_semantics(spark):
+    from fpl_data_pipeline_spark.operators.dedup import (
+        CONSENSUS_MIN_SIGNALS,
+        dedup_consensus_pairs,
+    )
+
+    rows = dedup_consensus_pairs(spark, SF).collect()
+    assert rows, "sf0.001 contains planted dups every family agrees on"
+    for r in rows:
+        names = r.signals.split(",")
+        assert len(names) == r.n_signals
+        assert CONSENSUS_MIN_SIGNALS <= r.n_signals <= 3
+        assert names == sorted(names)
+        assert set(names) <= {"minhash", "ngram", "simhash"}
+        assert r.doc_id_a < r.doc_id_b
