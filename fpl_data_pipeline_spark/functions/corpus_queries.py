@@ -729,3 +729,99 @@ def source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kl_divergence",
         )
     )
+
+
+# --- token-budget curriculum plan (mixing planner) --------------------------
+TOKEN_BUDGET = 20_000  # total training-token budget for the plan
+
+
+@register(
+    "token_budget_plan",
+    f"""
+    WITH doc_toks AS (
+      SELECT doc_id, source, len({_WORDS_SQL}) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR) || ':curriculum') AS pick_key
+      FROM documents
+    ),
+    shares AS (
+      SELECT source, COUNT(*) AS n_docs FROM doc_toks GROUP BY source
+    ),
+    tot AS (SELECT COUNT(*) AS n_sources FROM shares),
+    budgets AS (
+      SELECT s.source,
+             CAST(floor({TOKEN_BUDGET} * (1.0 / t.n_sources) + 0.5) AS BIGINT)
+               AS token_budget
+      FROM shares s CROSS JOIN tot t
+    ),
+    ordered AS (
+      SELECT d.doc_id, d.source, d.n_tokens, b.token_budget,
+             SUM(d.n_tokens) OVER (
+               PARTITION BY d.source
+               ORDER BY d.pick_key ASC, d.doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM doc_toks d JOIN budgets b USING (source)
+    ),
+    kept AS (SELECT * FROM ordered WHERE cum_tokens <= token_budget)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS docs_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
+           CAST(MIN(token_budget) AS BIGINT) AS token_budget,
+           CAST(SUM(n_tokens) AS DOUBLE) / MIN(token_budget) AS utilization
+    FROM kept
+    GROUP BY source
+    """,
+)
+def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixing planner: split a global training-token budget across sources
+    (uniform target mix here — any weight vector slots in, cf.
+    domain_mixture_weights), then deterministically select documents per
+    source — hash-shuffled order, greedy running-token cutoff — until each
+    source's budget is exhausted. The output is the per-source audit line a
+    release pipeline stores with the mix: docs/tokens kept, budget,
+    utilization.
+
+    Scale shape: one token-count scan, a broadcast per-source budget map,
+    and ONE window (partitioned by source, ordered by the content hash) for
+    the running cumsum — no driver loops, no global sort; at 100 TB the
+    window shuffles once on source (salt hot sources into sub-partitions
+    and cap per-salt budget for extreme skew)."""
+    d = table(spark, sf_dir, "documents")
+    doc_toks = d.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "),
+                lambda w: w != "",
+            )
+        ).alias("n_tokens"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":curriculum"))).alias(
+            "pick_key"
+        ),
+    )
+    shares = doc_toks.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = shares.agg(F.count(F.lit(1)).alias("n_sources"))
+    budgets = shares.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.floor(
+            F.lit(float(TOKEN_BUDGET)) * (F.lit(1.0) / F.col("n_sources")) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("token_budget"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.asc("pick_key"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ordered = doc_toks.join(F.broadcast(budgets), "source").withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w)
+    )
+    kept = ordered.filter(F.col("cum_tokens") <= F.col("token_budget"))
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_kept"),
+        F.sum("n_tokens").alias("tokens_kept"),
+        F.min("token_budget").alias("token_budget"),
+        (F.sum("n_tokens").cast("double") / F.min("token_budget")).alias("utilization"),
+    )

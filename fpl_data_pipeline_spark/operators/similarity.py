@@ -803,3 +803,120 @@ def emb_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cluster_size").desc(), F.col("cluster_id").asc())
         .limit(20)
     )
+
+
+# --- IVF index maintenance: assign an incoming batch, report list balance ---
+IVF_BATCH_MOD = 5  # vec_id % 5 == 4 stands in for the newly ingested batch
+
+
+@register(
+    "ann_ivf_rebalance",
+    f"""
+    WITH base AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % {IVF_BATCH_MOD} <> {IVF_BATCH_MOD - 1}
+    ),
+    batch AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % {IVF_BATCH_MOD} = {IVF_BATCH_MOD - 1}
+    ),
+    cents AS (
+      SELECT vec_id AS c_id, embedding AS cv
+      FROM base ORDER BY vec_id LIMIT {N_CENTROIDS}
+    ),
+    base_assigned AS (
+      SELECT vec_id, c_id AS list_id FROM (
+        SELECT e.vec_id, c.c_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_dot_sql('e.embedding', 'c.cv')}
+                            / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                               * sqrt({_dot_sql('c.cv', 'c.cv')})) DESC,
+                          c.c_id ASC) AS rn
+        FROM base e, cents c
+      ) WHERE rn = 1
+    ),
+    batch_assigned AS (
+      SELECT vec_id, c_id AS list_id FROM (
+        SELECT e.vec_id, c.c_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_dot_sql('e.embedding', 'c.cv')}
+                            / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                               * sqrt({_dot_sql('c.cv', 'c.cv')})) DESC,
+                          c.c_id ASC) AS rn
+        FROM batch e, cents c
+      ) WHERE rn = 1
+    ),
+    base_counts AS (
+      SELECT list_id, COUNT(*) AS base_size FROM base_assigned GROUP BY list_id
+    ),
+    add_counts AS (
+      SELECT list_id, COUNT(*) AS added FROM batch_assigned GROUP BY list_id
+    ),
+    per_list AS (
+      SELECT c.c_id AS list_id,
+             COALESCE(b.base_size, 0) AS base_size,
+             COALESCE(a.added, 0) AS added,
+             COALESCE(b.base_size, 0) + COALESCE(a.added, 0) AS new_size
+      FROM cents c
+      LEFT JOIN base_counts b ON b.list_id = c.c_id
+      LEFT JOIN add_counts a ON a.list_id = c.c_id
+    ),
+    tot AS (SELECT SUM(new_size) AS n_total FROM per_list)
+    SELECT p.list_id,
+           CAST(p.base_size AS BIGINT) AS base_size,
+           CAST(p.added AS BIGINT) AS added,
+           CAST(p.new_size AS BIGINT) AS new_size,
+           CAST(p.new_size AS DOUBLE)
+             / (CAST(t.n_total AS DOUBLE) / {N_CENTROIDS}) AS load_factor
+    FROM per_list p CROSS JOIN tot t
+    """,
+)
+def ann_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index maintenance: assign an incoming vector batch (stand-in:
+    vec_id % {mod} == {mod}-1) to the EXISTING inverted lists (centroids
+    seeded from the base partition only — the index is not rebuilt), then
+    report per-list occupancy: base size, newly added, resulting size, and
+    load factor vs the uniform ideal. load_factor >> 1 on a list is the
+    re-train trigger (split the hot list / refresh centroids) a production
+    ANN service alerts on.
+
+    Scale shape: two assignment scans (broadcast centroid block, argmax per
+    vector — same audited shape as ann_ivf_probe), two tiny count
+    aggregates, and a 16-row join; only list-level counts leave the
+    executors."""
+    emb = table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % IVF_BATCH_MOD != IVF_BATCH_MOD - 1)
+    batch = emb.filter(F.col("vec_id") % IVF_BATCH_MOD == IVF_BATCH_MOD - 1)
+    cents = _centroids(base).cache()
+    base_counts = (
+        ivf_assign(base, cents).groupBy("list_id").agg(F.count(F.lit(1)).alias("base_size"))
+    )
+    add_counts = (
+        ivf_assign(batch, cents).groupBy("list_id").agg(F.count(F.lit(1)).alias("added"))
+    )
+    per_list = (
+        cents.select(F.col("c_id").alias("list_id"))
+        .join(F.broadcast(base_counts), "list_id", "left")
+        .join(F.broadcast(add_counts), "list_id", "left")
+        .select(
+            "list_id",
+            F.coalesce("base_size", F.lit(0)).alias("base_size"),
+            F.coalesce("added", F.lit(0)).alias("added"),
+            (F.coalesce("base_size", F.lit(0)) + F.coalesce("added", F.lit(0))).alias(
+                "new_size"
+            ),
+        )
+    )
+    tot = per_list.agg(F.sum("new_size").alias("n_total"))
+    return per_list.crossJoin(F.broadcast(tot)).select(
+        "list_id",
+        "base_size",
+        "added",
+        "new_size",
+        (
+            F.col("new_size").cast("double")
+            / (F.col("n_total").cast("double") / F.lit(float(N_CENTROIDS)))
+        ).alias("load_factor"),
+    )

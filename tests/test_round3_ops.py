@@ -154,3 +154,36 @@ def test_consensus_pairs_vote_semantics(spark):
         assert names == sorted(names)
         assert set(names) <= {"minhash", "ngram", "simhash"}
         assert r.doc_id_a < r.doc_id_b
+
+
+def test_token_budget_plan_respects_budgets(spark):
+    from fpl_data_pipeline_spark.functions.corpus_queries import token_budget_plan
+
+    rows = token_budget_plan(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.tokens_kept <= r.token_budget
+        assert 0 < r.utilization <= 1.0
+        assert r.docs_kept > 0
+
+
+def test_ivf_rebalance_accounting(spark):
+    from fpl_data_pipeline_spark.operators.similarity import (
+        IVF_BATCH_MOD,
+        N_CENTROIDS,
+        ann_ivf_rebalance,
+    )
+    from fpl_data_pipeline_spark.tables import table as t
+
+    rows = ann_ivf_rebalance(spark, SF).collect()
+    assert len(rows) == N_CENTROIDS
+    emb_n = t(spark, SF, "embeddings").count()
+    batch_n = t(spark, SF, "embeddings").filter(
+        F.col("vec_id") % IVF_BATCH_MOD == IVF_BATCH_MOD - 1
+    ).count()
+    # every vector (base + batch) lands in exactly one list
+    assert sum(r.new_size for r in rows) == emb_n
+    assert sum(r.added for r in rows) == batch_n
+    for r in rows:
+        assert r.new_size == r.base_size + r.added
+        assert r.load_factor >= 0
