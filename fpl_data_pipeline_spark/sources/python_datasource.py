@@ -17,7 +17,12 @@ the bytes come from.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 N_SHARDS = 4
 
@@ -132,3 +137,97 @@ def datasource_bootstrap_top_scorers(spark: SparkSession, sf_dir: str) -> DataFr
         .orderBy(F.col("total_points").desc(), F.col("id").asc())
         .limit(10)
     )
+
+
+# --- streaming variant: week-offset incremental feed -------------------------
+# The reference polls the per-week endpoints and tracks a high-water mark in
+# week_info/data_flow (includes.py get_id_data + the insert_week_* tasks).
+# This source expresses that protocol as a real Structured Streaming source:
+# the offset IS the week number, each micro-batch delivers exactly the weeks
+# landed since the last committed offset, and restarts resume from the
+# checkpoint — exactly-once week delivery without any bespoke bookkeeping.
+
+WEEK_FEED_SCHEMA = "week INT, player_id INT, points INT, minutes INT"
+WEEK_SHARDS = 2
+
+
+class WeekFeedStreamSource(DataSource):
+    """spark.readStream.format('fpl_week_feed').option('path', <dir>) over a
+    directory of week_<n>.json files (the landed per-week pulls)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "fpl_week_feed"
+
+    def schema(self) -> str:
+        return WEEK_FEED_SCHEMA
+
+    def streamReader(self, schema) -> "WeekFeedStreamReader":
+        return WeekFeedStreamReader(self.options)
+
+
+class _WeekShard(InputPartition):
+    def __init__(self, week: int, shard: int):
+        self.week = week
+        self.shard = shard
+
+
+class WeekFeedStreamReader(DataSourceStreamReader):
+    """DataSourceStreamReader contract: offsets are {'week': <last landed>};
+    partitions(start, end) plans (week, shard) splits so each executor
+    flattens one shard of one week — the same sharding contract as the
+    batch bootstrap source."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("fpl_week_feed source requires .option('path', ...)")
+
+    def _landed_weeks(self) -> list[int]:
+        import os
+        import re
+
+        weeks = []
+        for name in os.listdir(self.path):
+            m = re.fullmatch(r"week_(\d+)\.json", name)
+            if m:
+                weeks.append(int(m.group(1)))
+        return sorted(weeks)
+
+    def initialOffset(self) -> dict:
+        return {"week": 0}
+
+    def latestOffset(self) -> dict:
+        weeks = self._landed_weeks()
+        return {"week": weeks[-1] if weeks else 0}
+
+    def partitions(self, start: dict, end: dict):
+        return [
+            _WeekShard(w, s)
+            for w in self._landed_weeks()
+            if start["week"] < w <= end["week"]
+            for s in range(WEEK_SHARDS)
+        ]
+
+    def read(self, partition):
+        import json
+        import os
+
+        with open(os.path.join(self.path, f"week_{partition.week}.json")) as f:
+            doc = json.load(f)
+        for e in doc.get("players", []):
+            if e["id"] % WEEK_SHARDS != partition.shard:
+                continue
+            yield (partition.week, e["id"], e.get("points"), e.get("minutes"))
+
+    def commit(self, end: dict) -> None:
+        # offsets live in the stream checkpoint; nothing source-side to ack
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
+def register_week_feed_source(spark) -> None:
+    """Idempotent registration of the streaming week-feed source."""
+    spark.dataSource.register(WeekFeedStreamSource)
