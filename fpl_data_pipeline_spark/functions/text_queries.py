@@ -482,3 +482,77 @@ def pii_scrub_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("docs_with_pii"),
         F.sum(F.col("len_aug") - F.col("len_clean")).alias("chars_delta"),
     )
+
+
+# --- quality-threshold calibration (per-language percentile cutoff) ---------
+KEEP_RATE = 0.7  # target: keep the top 70% of docs per language
+
+
+@register(
+    "quality_threshold_calibration",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(len({{words}}) AS DOUBLE) / length(text) AS density
+      FROM documents
+    ),
+    thresholds AS (
+      SELECT lang,
+             COUNT(*) AS n_docs,
+             percentile_cont({1 - KEEP_RATE:.6g}) WITHIN GROUP (ORDER BY density)
+               AS thr
+      FROM scored GROUP BY lang
+    )
+    SELECT t.lang,
+           CAST(t.n_docs AS BIGINT) AS n_docs,
+           round(t.thr, 6) AS threshold,
+           CAST(SUM(CASE WHEN s.density >= t.thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_kept,
+           round(CAST(SUM(CASE WHEN s.density >= t.thr THEN 1 ELSE 0 END) AS DOUBLE)
+                   / t.n_docs, 6) AS actual_keep_rate
+    FROM scored s JOIN thresholds t USING (lang)
+    GROUP BY t.lang, t.n_docs, t.thr
+    """.replace("{words}", _NORM_WORDS_SQL),
+)
+def quality_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-gate calibration: given a target keep rate, find
+    the score threshold (exact interpolated percentile of the quality
+    signal — token density here; any score column slots in) and report the
+    realized keep rate, which deviates from the target under score ties.
+    This is the operator a filtering pipeline runs on a sample before
+    freezing thresholds for the full corpus pass.
+
+    Scale shape: one scoring scan, one per-group exact percentile (per-lang
+    sort at calibration-sample size; the 100 TB full-corpus variant swaps
+    in approx_percentile's mergeable sketch), one broadcast threshold map
+    joined back for the keep count. Threshold comparisons reuse the
+    UNROUNDED percentile on both engines; only display values are rounded
+    (interpolated cut points cannot collide with data values, so last-bit
+    interpolation noise cannot flip a comparison)."""
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        (
+            F.size(_words(_norm_text(F.col("text")))).cast("double")
+            / F.length("text")
+        ).alias("density"),
+    )
+    thresholds = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile("density", F.lit(1 - KEEP_RATE)).alias("thr"),
+    )
+    j = scored.join(F.broadcast(thresholds), "lang")
+    return j.groupBy("lang", "n_docs", "thr").agg(
+        F.sum(F.when(F.col("density") >= F.col("thr"), 1).otherwise(0)).alias(
+            "docs_kept"
+        ),
+    ).select(
+        "lang",
+        "n_docs",
+        F.round("thr", 6).alias("threshold"),
+        "docs_kept",
+        F.round(F.col("docs_kept").cast("double") / F.col("n_docs"), 6).alias(
+            "actual_keep_rate"
+        ),
+    )

@@ -187,3 +187,17 @@ def test_ivf_rebalance_accounting(spark):
     for r in rows:
         assert r.new_size == r.base_size + r.added
         assert r.load_factor >= 0
+
+
+def test_quality_threshold_keep_rate_near_target(spark):
+    from fpl_data_pipeline_spark.functions.text_queries import (
+        KEEP_RATE,
+        quality_threshold_calibration,
+    )
+
+    rows = quality_threshold_calibration(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.docs_kept <= r.n_docs
+        # realized rate stays near target; ties can only push it ABOVE
+        assert r.actual_keep_rate >= KEEP_RATE - 0.05
