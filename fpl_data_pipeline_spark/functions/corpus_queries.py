@@ -825,3 +825,85 @@ def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("token_budget").alias("token_budget"),
         (F.sum("n_tokens").cast("double") / F.min("token_budget")).alias("utilization"),
     )
+
+
+# --- corpus snapshot diff (release-to-release accounting) -------------------
+# Stand-in snapshots derived deterministically from one table: the "old"
+# release drops doc_id % 11 == 0, the "new" release drops doc_id % 13 == 0
+# and rewrites the text of doc_id % 17 == 0 (an upstream re-crawl).
+OLD_DROP_MOD = 11
+NEW_DROP_MOD = 13
+REWRITE_MOD = 17
+
+
+@register(
+    "corpus_snapshot_diff",
+    f"""
+    WITH old_snap AS (
+      SELECT doc_id, source,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+      FROM documents WHERE doc_id % {OLD_DROP_MOD} <> 0
+    ),
+    new_snap AS (
+      SELECT doc_id, source,
+             md5(lower(trim(regexp_replace(
+               CASE WHEN doc_id % {REWRITE_MOD} = 0
+                    THEN text || ' recrawled' ELSE text END,
+               '\\s+', ' ', 'g')))) AS fp
+      FROM documents WHERE doc_id % {NEW_DROP_MOD} <> 0
+    ),
+    joined AS (
+      SELECT COALESCE(o.source, n.source) AS source,
+             CASE
+               WHEN o.doc_id IS NULL THEN 'added'
+               WHEN n.doc_id IS NULL THEN 'removed'
+               WHEN o.fp = n.fp THEN 'unchanged'
+               ELSE 'changed'
+             END AS status
+      FROM old_snap o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
+    )
+    SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM joined
+    GROUP BY source, status
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-to-release corpus accounting: full-outer join of two
+    snapshots on doc_id, per-doc status from presence + content
+    fingerprint (added / removed / changed / unchanged), rolled up per
+    source — the diff table a release pipeline publishes with every new
+    corpus version so consumers see churn before retraining.
+
+    Scale shape: one shuffle on doc_id for the full-outer join (at 100 TB
+    both snapshots are bucketed on doc_id — sources/bucketing.py — making
+    the diff co-located and shuffle-free) and one hash aggregate on
+    (source, status); fingerprints are computed scan-side."""
+    d = table(spark, sf_dir, "documents")
+    fp = lambda c: F.md5(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))))  # noqa: E731
+    old_snap = d.filter(F.col("doc_id") % OLD_DROP_MOD != 0).select(
+        F.col("doc_id").alias("o_id"),
+        F.col("source").alias("o_source"),
+        fp(F.col("text")).alias("o_fp"),
+    )
+    new_text = F.when(
+        F.col("doc_id") % REWRITE_MOD == 0, F.concat(F.col("text"), F.lit(" recrawled"))
+    ).otherwise(F.col("text"))
+    new_snap = d.filter(F.col("doc_id") % NEW_DROP_MOD != 0).select(
+        F.col("doc_id").alias("n_id"),
+        F.col("source").alias("n_source"),
+        fp(new_text).alias("n_fp"),
+    )
+    joined = old_snap.join(new_snap, old_snap.o_id == new_snap.n_id, "full_outer")
+    status = (
+        F.when(F.col("o_id").isNull(), "added")
+        .when(F.col("n_id").isNull(), "removed")
+        .when(F.col("o_fp") == F.col("n_fp"), "unchanged")
+        .otherwise("changed")
+    )
+    return (
+        joined.select(
+            F.coalesce("o_source", "n_source").alias("source"), status.alias("status")
+        )
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

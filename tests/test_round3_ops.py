@@ -201,3 +201,31 @@ def test_quality_threshold_keep_rate_near_target(spark):
         assert r.docs_kept <= r.n_docs
         # realized rate stays near target; ties can only push it ABOVE
         assert r.actual_keep_rate >= KEEP_RATE - 0.05
+
+
+def test_snapshot_diff_accounting(spark):
+    from fpl_data_pipeline_spark.functions.corpus_queries import (
+        NEW_DROP_MOD,
+        OLD_DROP_MOD,
+        corpus_snapshot_diff,
+    )
+
+    rows = corpus_snapshot_diff(spark, SF).collect()
+    by_status = {}
+    for r in rows:
+        by_status[r.status] = by_status.get(r.status, 0) + r.n_docs
+    d = table(spark, SF, "documents")
+    n = d.count()
+    n_old = d.filter(F.col("doc_id") % OLD_DROP_MOD != 0).count()
+    n_new = d.filter(F.col("doc_id") % NEW_DROP_MOD != 0).count()
+    # every doc in either snapshot is accounted exactly once
+    assert sum(by_status.values()) == d.filter(
+        (F.col("doc_id") % OLD_DROP_MOD != 0) | (F.col("doc_id") % NEW_DROP_MOD != 0)
+    ).count()
+    assert by_status.get("added", 0) == n_new - d.filter(
+        (F.col("doc_id") % OLD_DROP_MOD != 0) & (F.col("doc_id") % NEW_DROP_MOD != 0)
+    ).count()
+    assert by_status.get("removed", 0) == n_old - d.filter(
+        (F.col("doc_id") % OLD_DROP_MOD != 0) & (F.col("doc_id") % NEW_DROP_MOD != 0)
+    ).count()
+    assert by_status.get("changed", 0) > 0  # the re-crawl rewrite is visible
