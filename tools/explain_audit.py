@@ -37,6 +37,10 @@ INTENTIONAL_CROSS = {
     "ann_recall_eval",
     # broadcast 2-row epoch grid
     "training_order_shuffle",
+    # broadcast 16-row centroid block (assignment scans) + 1-row total
+    "ann_ivf_rebalance",
+    # broadcast 1-row source-count scalar
+    "token_budget_plan",
 }
 
 
