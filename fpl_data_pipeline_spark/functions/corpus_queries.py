@@ -907,3 +907,142 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "status")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# --- hybrid retrieval: BM25 lexical candidates + embedding cosine rerank ----
+HS_TERMS = ("spark", "window", "merge")  # the tokenized keyword query
+HS_K1 = 1.2
+HS_B = 0.75
+HS_LEX_TOPN = 20
+HS_FINAL_K = 10
+_HS_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in HS_TERMS) + ")"
+_HS_DOT = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
+)
+
+
+@register(
+    "hybrid_search_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_WORDS_SQL}) AS tok FROM documents
+    ),
+    dls AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS total_toks FROM dls
+    ),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      WHERE tok IN {_HS_TERMS_SQL}
+      GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT t.doc_id,
+             ln((CAST(s.n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+               * (t.tf * ({HS_K1} + 1.0))
+               / (t.tf + {HS_K1} * (1.0 - {HS_B}
+                    + {HS_B} * d.dl
+                        / (CAST(s.total_toks AS DOUBLE) / s.n_docs))) AS term_score
+      FROM tf t
+      JOIN df USING (tok)
+      JOIN dls d ON d.doc_id = t.doc_id
+      CROSS JOIN stats s
+    ),
+    bm25 AS (
+      SELECT doc_id, round(SUM(term_score), 6) AS bm25
+      FROM scored GROUP BY doc_id
+    ),
+    lex AS (
+      SELECT doc_id, bm25 FROM (
+        SELECT doc_id, bm25,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rn
+        FROM bm25
+      ) WHERE rn <= {HS_LEX_TOPN}
+    ),
+    qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+    SELECT l.doc_id, l.bm25,
+           {_HS_DOT.format(a='e.embedding', b='qv.q')}
+             / (sqrt({_HS_DOT.format(a='e.embedding', b='e.embedding')})
+                * sqrt({_HS_DOT.format(a='qv.q', b='qv.q')})) AS cosine
+    FROM lex l
+    JOIN embeddings e ON e.vec_id = l.doc_id
+    CROSS JOIN qv
+    ORDER BY cosine DESC, l.doc_id ASC
+    LIMIT {HS_FINAL_K}
+    """,
+)
+def hybrid_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval, the RAG-serving shape: BM25 keyword scoring
+    (corpus-derived idf, length-normalized tf) selects the lexical top-N,
+    then the embedding column reranks those N candidates by cosine against
+    the query vector (stand-in: vec 0 — the encoder output slots in). Only
+    N candidate vectors are ever scored, which is the point: lexical
+    recall at scan cost, semantic precision at k-vector cost.
+
+    Scale shape: tf/df/doclen are hash aggregates over one tokenized scan;
+    corpus stats broadcast as a 1-row scalar; the rerank joins a TOP-N row
+    set (broadcast) against the 1:1 embeddings table — no corpus-wide
+    vector math. BM25 term sums are rounded 6dp (surprisal's proven idiom)
+    so double accumulation order cannot flip the candidate cut."""
+    d = table(spark, sf_dir, "documents")
+    toks = _toks(d)
+    dls = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dls.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_toks")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*HS_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("total_toks").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    term_score = (
+        idf
+        * (F.col("tf") * F.lit(HS_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(HS_K1)
+            * (F.lit(1.0 - HS_B) + F.lit(HS_B) * F.col("dl") / avgdl)
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_score.alias("term_score"))
+    )
+    bm25 = scored.groupBy("doc_id").agg(F.round(F.sum("term_score"), 6).alias("bm25"))
+    # TakeOrderedAndProject, not a global row_number window: per-partition
+    # heaps + a k-row driver merge, no single-task global sort at scale
+    lex = bm25.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(HS_LEX_TOPN)
+    emb = table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    j = (
+        F.broadcast(lex)
+        .join(emb, F.col("vec_id") == F.col("doc_id"))
+        .crossJoin(F.broadcast(qv))
+    )
+    cos = _dot("embedding", "q") / (
+        F.sqrt(_dot("embedding", "embedding")) * F.sqrt(_dot("q", "q"))
+    )
+    return (
+        j.select("doc_id", "bm25", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+        .limit(HS_FINAL_K)
+    )

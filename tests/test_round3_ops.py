@@ -229,3 +229,32 @@ def test_snapshot_diff_accounting(spark):
         (F.col("doc_id") % OLD_DROP_MOD != 0) & (F.col("doc_id") % NEW_DROP_MOD != 0)
     ).count()
     assert by_status.get("changed", 0) > 0  # the re-crawl rewrite is visible
+
+
+def test_hybrid_search_rerank_is_subset_of_lexical(spark):
+    from fpl_data_pipeline_spark.functions.corpus_queries import (
+        HS_FINAL_K,
+        HS_TERMS,
+        hybrid_search_topk,
+    )
+
+    rows = hybrid_search_topk(spark, SF).collect()
+    assert len(rows) == HS_FINAL_K
+    hit_ids = [r.doc_id for r in rows]
+    assert len(set(hit_ids)) == HS_FINAL_K
+    # every returned doc actually contains at least one query term
+    d = table(spark, SF, "documents")
+    matching = {
+        r.doc_id
+        for r in d.filter(
+            F.arrays_overlap(
+                F.split(F.lower("text"), " "), F.array(*[F.lit(t) for t in HS_TERMS])
+            )
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert set(hit_ids) <= matching
+    for r in rows:
+        assert r.bm25 > 0
+        assert -1.0 <= r.cosine <= 1.0

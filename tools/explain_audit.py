@@ -41,6 +41,8 @@ INTENTIONAL_CROSS = {
     "ann_ivf_rebalance",
     # broadcast 1-row source-count scalar
     "token_budget_plan",
+    # broadcast 1-row corpus stats + 1-row query vector
+    "hybrid_search_topk",
 }
 
 
