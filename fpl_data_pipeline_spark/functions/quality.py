@@ -149,3 +149,41 @@ def null_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ],
     )
+
+
+# --- cross-modal integrity: documents <-> embeddings ------------------------
+@register(
+    "modal_alignment_summary",
+    """
+    WITH d AS (SELECT doc_id FROM documents),
+    e AS (SELECT vec_id FROM embeddings),
+    j AS (
+      SELECT CASE
+               WHEN e.vec_id IS NULL THEN 'doc_missing_embedding'
+               WHEN d.doc_id IS NULL THEN 'orphan_embedding'
+               ELSE 'aligned'
+             END AS status
+      FROM d FULL OUTER JOIN e ON d.doc_id = e.vec_id
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n
+    FROM j GROUP BY status
+    """,
+)
+def modal_alignment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gate a multimodal pipeline runs before any embedding-dependent
+    stage (ANN dedup, semantic clustering, hybrid rerank): every document
+    must have exactly one embedding row and no vector may be orphaned.
+    Full-outer join on the shared id, status rollup; at 100 TB both sides
+    are bucketed on the id (sources/bucketing.py) so the audit is
+    co-located and shuffle-free."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    e = table(spark, sf_dir, "embeddings").select("vec_id")
+    j = d.join(e, d.doc_id == e.vec_id, "full_outer")
+    status = (
+        F.when(F.col("vec_id").isNull(), "doc_missing_embedding")
+        .when(F.col("doc_id").isNull(), "orphan_embedding")
+        .otherwise("aligned")
+    )
+    return j.select(status.alias("status")).groupBy("status").agg(
+        F.count(F.lit(1)).alias("n")
+    )

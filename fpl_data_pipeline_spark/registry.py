@@ -120,6 +120,13 @@ DRIVER_WINDOW_PRIORITY = [
     "source_token_divergence",
 ]
 
+# Round-4 rotation backlog — registered, locally oracle-green, but never yet
+# inside a driver window (the window holds 50): training_order_shuffle,
+# emb_semantic_clusters, dedup_consensus_pairs, token_budget_plan,
+# ann_ivf_rebalance, quality_threshold_calibration, corpus_snapshot_diff,
+# hybrid_search_topk, modal_alignment_summary — lead the next window with
+# these, keeping flagship_customer_activity as the continuity anchor.
+
 
 def load_all() -> None:
     """Import every module that registers queries (idempotent), then order
