@@ -158,3 +158,62 @@ def run_stream_stream_join(
         .start()
     )
     q.awaitTermination()
+
+
+def run_week_feed_merge(
+    spark: SparkSession,
+    feed_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """End-to-end: the custom streaming week-feed source
+    (sources/python_datasource.py::WeekFeedStreamSource — week-number
+    offsets over landed week_<n>.json pulls) drained into the engine's
+    idempotent keyed merge on (week, player_id), with the same
+    staged+atomic-rename publish as every other table. This is the
+    reference's get_id_data -> insert_week_data protocol as ONE streaming
+    pipeline: offsets replace the high-water mark, the checkpoint replaces
+    week_info bookkeeping, and the keyed merge keeps re-processing
+    harmless — a fresh-checkpoint replay of the whole feed converges to
+    the identical table."""
+    from fpl_data_pipeline_spark.sources.python_datasource import (
+        register_week_feed_source,
+    )
+
+    register_week_feed_source(spark)
+    stream = spark.readStream.format("fpl_week_feed").option("path", feed_dir).load()
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        keys = ["week", "player_id"]
+        stage = target_path + ".stage"
+        backup = target_path + ".bak"
+        if not os.path.exists(target_path) and os.path.exists(backup):
+            os.rename(backup, target_path)
+        for leftover in (stage, backup):
+            if os.path.exists(leftover):
+                shutil.rmtree(leftover)
+        if batch_df.isEmpty():
+            return
+        if os.path.exists(target_path):
+            base = batch_df.sparkSession.read.parquet(target_path)
+            merged = upsert(base, batch_df, keys)
+        else:
+            merged = batch_df
+        merged.write.mode("overwrite").parquet(stage)
+        if os.path.exists(target_path):
+            os.rename(target_path, backup)
+        os.rename(stage, target_path)
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
