@@ -10,7 +10,7 @@ convention (functions/exact.py) so results hash-match DuckDB.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from fpl_data_pipeline_spark.registry import register
 from fpl_data_pipeline_spark.tables import table
@@ -341,4 +341,111 @@ def outlier_mad_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mad", 6).alias("mad_price"),
             "n_outliers",
         )
+    )
+
+
+# --- KMV (k-minimum-values) distinct sketch: mergeable AND exact-oracled ----
+KMV_K = 256
+
+
+@register(
+    "kmv_distinct_union",
+    f"""
+    WITH tagged AS (
+      SELECT DISTINCT event_type, user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0 AS u
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    per_type AS (
+      SELECT event_type, u FROM (
+        SELECT event_type, u,
+               row_number() OVER (PARTITION BY event_type ORDER BY u ASC) AS rn
+        FROM tagged
+      ) WHERE rn <= {KMV_K}
+    ),
+    merged AS (
+      SELECT u FROM (
+        SELECT u, row_number() OVER (ORDER BY u ASC) AS rn
+        FROM (SELECT DISTINCT u FROM per_type)
+      ) WHERE rn <= {KMV_K}
+    ),
+    est AS (
+      -- under-full sketch (< k values) holds the whole key set: exact count
+      SELECT CASE WHEN COUNT(*) < {KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE ({KMV_K} - 1) / MAX(u) END AS est_union
+      FROM merged
+    ),
+    exact AS (
+      SELECT COUNT(DISTINCT user_id) AS exact_union
+      FROM events WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT {KMV_K} AS k,
+           round(e.est_union, 6) AS est_union,
+           CAST(x.exact_union AS BIGINT) AS exact_union,
+           round(abs(e.est_union - x.exact_union) / x.exact_union, 6) AS rel_err
+    FROM est e CROSS JOIN exact x
+    """,
+)
+def kmv_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct sketch, the mergeable
+    set-cardinality estimator: per event type keep the k smallest
+    uniform hashes of the key; the UNION's sketch is just the k smallest
+    of the concatenated sketches (merge = top-k of a union — associative,
+    partition-order-free), and the estimate is (k-1)/theta with theta the
+    k-th smallest hash. Unlike HLL registers, every intermediate here is
+    a deterministic order statistic of md5 values — so this sketch's
+    VALUE (not just its contract) is oracle-checked bit-for-bit, and the
+    query itself reports the realized relative error against the exact
+    count.
+
+    Scale shape: per-type sketches are top-k aggregates (per-partition
+    heaps, k rows to the merge — no full shuffle of the key space); the
+    union merge touches 2k rows. At 100 TB per-shard KMV sketches are
+    persisted next to each partition and any cross-shard distinct query
+    is a k-row merge instead of a COUNT(DISTINCT) shuffle."""
+    ev = table(spark, sf_dir, "events")
+    u = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    tagged = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", "user_id")
+        .distinct()
+        .select("event_type", u.alias("u"))
+    )
+    wk = Window.partitionBy("event_type").orderBy(F.asc("u"))
+    per_type = (
+        tagged.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= KMV_K)
+        .select("event_type", "u")
+    )
+    merged = (
+        per_type.select("u")
+        .distinct()
+        .orderBy(F.asc("u"))
+        .limit(KMV_K)
+    )
+    est = merged.agg(
+        F.when(
+            F.count(F.lit(1)) < KMV_K, F.count(F.lit(1)).cast("double")
+        )
+        .otherwise((F.lit(KMV_K) - 1) / F.max("u"))
+        .alias("est_union")
+    )
+    exact = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .agg(F.countDistinct("user_id").alias("exact_union"))
+    )
+    j = F.broadcast(est).crossJoin(F.broadcast(exact))
+    return j.select(
+        F.lit(KMV_K).alias("k"),
+        F.round("est_union", 6).alias("est_union"),
+        F.col("exact_union"),
+        F.round(
+            F.abs(F.col("est_union") - F.col("exact_union")) / F.col("exact_union"), 6
+        ).alias("rel_err"),
     )

@@ -258,3 +258,16 @@ def test_hybrid_search_rerank_is_subset_of_lexical(spark):
     for r in rows:
         assert r.bm25 > 0
         assert -1.0 <= r.cosine <= 1.0
+
+
+def test_kmv_estimate_within_theory_bounds(spark):
+    from fpl_data_pipeline_spark.plans.aggregates import KMV_K, kmv_distinct_union
+
+    r = kmv_distinct_union(spark, SF).first()
+    assert r.k == KMV_K
+    if r.exact_union <= KMV_K:
+        # under-full sketch IS the key set: exact
+        assert r.rel_err == 0.0
+    else:
+        # KMV rsd ~ 1/sqrt(k-2); allow 5 sigma
+        assert r.rel_err <= 5.0 / (KMV_K - 2) ** 0.5
