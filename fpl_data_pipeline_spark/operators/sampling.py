@@ -454,3 +454,98 @@ def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.withColumn("position", F.row_number().over(w))
         .filter(F.col("position") <= SHUFFLE_TAKE)
     )
+
+
+# --- leakage-safe train/test split (group-aware assignment) -----------------
+LS_TEST_CUT = "cc"  # first md5 byte < 0xcc -> train (~80/20), same as splits
+
+
+@register(
+    "split_leakage_safe",
+    f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS grp
+      FROM documents
+    ),
+    assigned AS (
+      SELECT doc_id, grp,
+             CASE WHEN substr(md5(grp), 1, 2) < '{LS_TEST_CUT}'
+                  THEN 'train' ELSE 'test' END AS split,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{LS_TEST_CUT}'
+                  THEN 'train' ELSE 'test' END AS naive_split
+      FROM fp
+    ),
+    leaky AS (
+      -- duplicate groups the NAIVE doc-hash split would tear across splits
+      SELECT CAST(COUNT(*) AS BIGINT) AS naive_leaky_groups FROM (
+        SELECT grp FROM assigned
+        GROUP BY grp HAVING COUNT(DISTINCT naive_split) > 1
+      )
+    ),
+    safe AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS group_leaky_groups FROM (
+        SELECT grp FROM assigned
+        GROUP BY grp HAVING COUNT(DISTINCT split) > 1
+      )
+    )
+    SELECT a.split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT a.grp) AS BIGINT) AS n_groups,
+           l.naive_leaky_groups,
+           s.group_leaky_groups
+    FROM assigned a CROSS JOIN leaky l CROSS JOIN safe s
+    GROUP BY a.split, l.naive_leaky_groups, s.group_leaky_groups
+    """,
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe splitting: assign train/test by hashing the DUPLICATE
+    GROUP (normalized-content fingerprint), not the document — every copy
+    of a duplicated document lands in the same split, so the test set can
+    never contain a near-copy of a training document. The query also
+    quantifies what the naive per-document hash split would have leaked
+    (groups torn across splits) vs the group-keyed assignment's zero.
+
+    Scale shape: fingerprint is scan-side; both assignments are pure
+    column expressions; the leakage audits are two group-by-fp aggregates.
+    For NEAR-dup safety the same construction keys the hash on the
+    connected-component cluster_id (operators/dedup.connected_components)
+    instead of the exact fp — assignment stays one map-side expression
+    over the labeled corpus."""
+    d = table(spark, sf_dir, "documents")
+    grp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    assigned = d.select(
+        "doc_id",
+        grp.alias("grp"),
+        F.when(
+            F.substring(F.md5(grp), 1, 2) < LS_TEST_CUT, "train"
+        ).otherwise("test").alias("split"),
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < LS_TEST_CUT,
+            "train",
+        ).otherwise("test").alias("naive_split"),
+    )
+    leaky = (
+        assigned.groupBy("grp")
+        .agg(F.countDistinct("naive_split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("naive_leaky_groups"))
+    )
+    safe = (
+        assigned.groupBy("grp")
+        .agg(F.countDistinct("split").alias("ss"))
+        .filter(F.col("ss") > 1)
+        .agg(F.count(F.lit(1)).alias("group_leaky_groups"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("grp").alias("n_groups"),
+        )
+        .crossJoin(F.broadcast(leaky))
+        .crossJoin(F.broadcast(safe))
+        .select(
+            "split", "n_docs", "n_groups", "naive_leaky_groups", "group_leaky_groups"
+        )
+    )

@@ -271,3 +271,16 @@ def test_kmv_estimate_within_theory_bounds(spark):
     else:
         # KMV rsd ~ 1/sqrt(k-2); allow 5 sigma
         assert r.rel_err <= 5.0 / (KMV_K - 2) ** 0.5
+
+
+def test_leakage_safe_split_never_tears_groups(spark):
+    from fpl_data_pipeline_spark.operators.sampling import split_leakage_safe
+
+    rows = split_leakage_safe(spark, SF).collect()
+    assert {r.split for r in rows} == {"train", "test"}
+    d = table(spark, SF, "documents")
+    assert sum(r.n_docs for r in rows) == d.count()
+    for r in rows:
+        assert r.group_leaky_groups == 0  # by construction
+        assert r.naive_leaky_groups >= 0
+        assert r.n_groups <= r.n_docs
