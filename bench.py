@@ -46,6 +46,7 @@ HEADLINE = [
     "emb_neardup_pairs",
     "source_token_divergence",
     "pii_scrub_summary",
+    "hybrid_search_topk",
 ]
 
 
