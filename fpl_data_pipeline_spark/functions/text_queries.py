@@ -556,3 +556,68 @@ def quality_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
             "actual_keep_rate"
         ),
     )
+
+
+# --- language-ID confusion matrix (classifier audit) ------------------------
+@register(
+    "lang_id_confusion",
+    f"""
+    WITH words AS (
+      SELECT doc_id, lang AS labeled_lang,
+             list_filter(string_split({_NORM}, ' '), w -> w <> '') AS ws
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, labeled_lang,
+             {_lang_scores_sql()}
+      FROM words
+    ),
+    pred AS (
+      SELECT labeled_lang,
+             CASE
+               WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr
+                    AND score_en > 0 THEN 'en'
+               WHEN score_es >= score_de AND score_es >= score_fr AND score_es > 0 THEN 'es'
+               WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
+               WHEN score_fr > 0 THEN 'fr'
+               ELSE 'unknown'
+             END AS predicted_lang
+      FROM scored
+    )
+    SELECT labeled_lang, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred
+    GROUP BY labeled_lang, predicted_lang
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier audit: the labeled-vs-predicted confusion matrix of the
+    stopword-marker language identifier (text_lang_id) over the labeled
+    corpus — the accuracy surface a pipeline monitors when tuning marker
+    sets or swapping in a real LID model. One scan + one two-key hash
+    aggregate."""
+    d = table(spark, sf_dir, "documents")
+    ws = _words(_norm_text(F.col("text")))
+    scored = d.select(
+        F.col("lang").alias("labeled_lang"),
+        *[
+            _marker_score(ws, m).alias(f"score_{lang}")
+            for lang, m in _LANG_MARKERS.items()
+        ],
+    )
+    s = {lang: F.col(f"score_{lang}") for lang in _LANG_MARKERS}
+    pred = (
+        F.when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] > 0),
+            "en",
+        )
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]) & (s["es"] > 0), "es")
+        .when((s["de"] >= s["fr"]) & (s["de"] > 0), "de")
+        .when(s["fr"] > 0, "fr")
+        .otherwise("unknown")
+    )
+    return (
+        scored.select("labeled_lang", pred.alias("predicted_lang"))
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -284,3 +284,13 @@ def test_leakage_safe_split_never_tears_groups(spark):
         assert r.group_leaky_groups == 0  # by construction
         assert r.naive_leaky_groups >= 0
         assert r.n_groups <= r.n_docs
+
+
+def test_lang_id_confusion_covers_corpus(spark):
+    from fpl_data_pipeline_spark.functions.text_queries import lang_id_confusion
+
+    rows = lang_id_confusion(spark, SF).collect()
+    d = table(spark, SF, "documents")
+    assert sum(r.n_docs for r in rows) == d.count()
+    preds = {r.predicted_lang for r in rows}
+    assert preds <= {"en", "es", "de", "fr", "unknown"}
