@@ -124,9 +124,9 @@ DRIVER_WINDOW_PRIORITY = [
 # inside a driver window (the window holds 50): training_order_shuffle,
 # emb_semantic_clusters, dedup_consensus_pairs, token_budget_plan,
 # ann_ivf_rebalance, quality_threshold_calibration, corpus_snapshot_diff,
-# hybrid_search_topk, modal_alignment_summary, kmv_distinct_union — lead the
-# next window with these, keeping flagship_customer_activity as the
-# continuity anchor.
+# hybrid_search_topk, modal_alignment_summary, kmv_distinct_union,
+# split_leakage_safe, lang_id_confusion — lead the next window with these,
+# keeping flagship_customer_activity as the continuity anchor.
 
 
 def load_all() -> None:
