@@ -448,7 +448,10 @@ def pii_scrub_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(" host 10.0."),
                     (F.col("doc_id") % 256).cast("string"),
                     F.lit("."),
-                    ((F.col("doc_id") / 7).cast("long") % 256).cast("string"),
+                    # integer floor division (matches the oracle's doc_id // 7
+                    # exactly; double true-division would lose integer
+                    # precision past 2^53)
+                    (F.expr("doc_id div 7") % 256).cast("string"),
                 ),
             ).otherwise(F.lit("")),
         ).alias("text_aug"),
@@ -486,6 +489,12 @@ def pii_scrub_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- quality-threshold calibration (per-language percentile cutoff) ---------
 KEEP_RATE = 0.7  # target: keep the top 70% of docs per language
+# The percentile fraction is computed ONCE and embedded with full precision
+# into BOTH engines: 1 - 0.7 is 0.30000000000000004 in binary doubles, and a
+# rounded "0.3" literal on the oracle side would put the two engines an
+# epsilon apart at integer ranks, where the threshold lands exactly on a data
+# value and the >= comparison can flip for the cutoff doc.
+_CALIB_P = 1 - KEEP_RATE
 
 
 @register(
@@ -499,7 +508,7 @@ KEEP_RATE = 0.7  # target: keep the top 70% of docs per language
     thresholds AS (
       SELECT lang,
              COUNT(*) AS n_docs,
-             percentile_cont({1 - KEEP_RATE:.6g}) WITHIN GROUP (ORDER BY density)
+             percentile_cont({_CALIB_P!r}) WITHIN GROUP (ORDER BY density)
                AS thr
       FROM scored GROUP BY lang
     )
@@ -526,9 +535,11 @@ def quality_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
     sort at calibration-sample size; the 100 TB full-corpus variant swaps
     in approx_percentile's mergeable sketch), one broadcast threshold map
     joined back for the keep count. Threshold comparisons reuse the
-    UNROUNDED percentile on both engines; only display values are rounded
-    (interpolated cut points cannot collide with data values, so last-bit
-    interpolation noise cannot flip a comparison)."""
+    UNROUNDED percentile on both engines, and both engines receive the
+    IDENTICAL fraction literal (_CALIB_P, full precision) — at integer
+    ranks the percentile is an exact data value, so an epsilon-different
+    fraction would interpolate the two engines onto opposite sides of the
+    >= comparison for the cutoff doc."""
     d = table(spark, sf_dir, "documents")
     scored = d.select(
         "doc_id",
@@ -540,7 +551,7 @@ def quality_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     thresholds = scored.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.percentile("density", F.lit(1 - KEEP_RATE)).alias("thr"),
+        F.percentile("density", F.lit(_CALIB_P)).alias("thr"),
     )
     j = scored.join(F.broadcast(thresholds), "lang")
     return j.groupBy("lang", "n_docs", "thr").agg(

@@ -436,8 +436,17 @@ def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     than materializing global row numbers; the query surfaces the first
     {SHUFFLE_TAKE} positions per epoch, which TakeOrdered computes without
     a full global sort."""
+    return training_order_shuffle_df(
+        spark, table(spark, sf_dir, "documents")
+    )
+
+
+def training_order_shuffle_df(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """DataFrame-in variant of :func:`training_order_shuffle` so callers (and
+    the layout-independence test) can feed an arbitrarily partitioned input;
+    the registered query is the parquet-backed instantiation."""
     epochs = spark.range(1, SHUFFLE_EPOCHS + 1).select(F.col("id").alias("epoch"))
-    d = table(spark, sf_dir, "documents").select("doc_id")
+    d = docs.select("doc_id")
     keyed = d.crossJoin(F.broadcast(epochs)).select(
         "epoch",
         "doc_id",

@@ -46,87 +46,76 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 
 # The driver's correctness gate checks the FIRST 50 registered queries per
 # round. Round 1's window proved the relational core (47 green); round 2's
-# proved the LLM-pipeline extension track (48 green). Round 3 rotates onto
-# every query that has never been inside a driver window — led by the FPL
-# five (the reference's own dashboard queries, sql_queries.py:111-256) —
-# plus the two round-2 red rows re-checked after their fixes:
-# upsert_merged_state (scale-3 tie-free aggregation) and
-# dedup_winnowing_pairs (fp-frequency cap changed its plan, result
-# unchanged at test scales). flagship_customer_activity stays the
-# cross-round continuity anchor. kmeans_embeddings (no oracle by nature)
-# is OUT of the window so no slot records err — it remains registered,
-# rows-only checked by tools/parity.py and convergence-tested in pytest.
+# the LLM-pipeline extension track (48 green); round 3 rotated onto the FPL
+# dashboard five + the round-2 red rows and went 50/50. Round 4 completes
+# driver-grade coverage: the 12 oracled queries that have never been inside
+# a window lead (after them, every oracled query in the registry has a green
+# driver row in some round), and the remaining 37 slots backfill the
+# longest-unchecked round-1 names (last driver-proven three rounds ago) for
+# regression coverage. flagship_customer_activity stays the cross-round
+# continuity anchor. kmeans_embeddings (no oracle by nature) stays OUT of
+# the window so no slot records err — it remains registered, rows-only
+# checked by tools/parity.py and convergence-tested in pytest.
 DRIVER_WINDOW_PRIORITY = [
     "flagship_customer_activity",
-    # the reference's five dashboard queries over committed fixtures
-    "fpl_basic_ply_data",
-    "fpl_value_per_points",
-    "fpl_detailed_week",
-    "fpl_stats_key_pass",
-    "fpl_stats_shots",
-    "fpl_fuzzy_name_candidates",
-    "typed_fact_view",
-    "datasource_bootstrap_top_scorers",
-    "flagship_sql",
-    # round-2 red rows, fixed this round
-    "upsert_merged_state",
-    "dedup_winnowing_pairs",
-    # relational / statistical queries never driver-checked
-    "json_variant_extract",
-    "full_outer_reconciliation",
-    "scalar_subquery_share",
-    "outlier_mad_prices",
-    "customer_spend_deciles",
-    "salted_join_user_spend",
-    "ltv_cohort_revenue",
-    "basket_part_pairs",
-    # dedup extensions
-    "dedup_hybrid_verify",
-    "dedup_apply_summary",
-    "dedup_charngram_jaccard",
-    "dedup_containment_pairs",
-    "dedup_incremental_batch",
-    # embeddings
-    "emb_quantize_stats",
-    "emb_dimension_znorm",
-    # sampling / reshaping
-    "pivot_multi_agg_source_lang",
-    "sample_quality_weighted",
-    "domain_mixture_weights",
-    # incremental + events
-    "incremental_state_merge",
-    "events_user_ewma",
-    "events_funnel",
-    "events_retention_cohorts",
-    "events_error_spikes",
-    "events_gap_percentiles",
-    "events_dau_wau",
-    "events_sliding_windows",
-    # corpus-prep family
-    "quality_repetition_signals",
-    "doc_packing_summary",
-    "tfidf_top_terms",
-    "contamination_overlap",
-    "doc_chunking",
-    "quality_unigram_surprisal",
-    "doc_length_histogram",
-    "lang_stats_grouped_map",
-    "corpus_release_summary",
-    # round-3 additions: ANN recall eval harness, PII scrub audit,
-    # per-source distribution-drift KL (training_order_shuffle stays
-    # outside the 50-slot window, parity-checked locally)
-    "ann_recall_eval",
-    "pii_scrub_summary",
-    "source_token_divergence",
+    # the 12 oracled-but-never-windowed queries (round-3 additions)
+    "training_order_shuffle",
+    "emb_semantic_clusters",
+    "dedup_consensus_pairs",
+    "token_budget_plan",
+    "ann_ivf_rebalance",
+    "quality_threshold_calibration",
+    "corpus_snapshot_diff",
+    "hybrid_search_topk",
+    "modal_alignment_summary",
+    "kmv_distinct_union",
+    "split_leakage_safe",
+    "lang_id_confusion",
+    # backfill: round-1 names last driver-proven in round 1 (stalest first
+    # by family) — aggregates
+    "agg_pricing_summary",
+    "agg_avg_const_divisor",
+    "agg_filtered_pivot",
+    "agg_supplier_stats",
+    "distinct_periods",
+    "count_by_status",
+    "high_water_mark",
+    "stats_agg_lineitem",
+    "percentile_prices_by_flag",
+    # grouping analytics
+    "cube_order_priority_status",
+    "rollup_lineitem_status",
+    "grouping_sets_lineitem",
+    # joins / set ops
+    "dim_decorate",
+    "semi_join",
+    "anti_join_orphans",
+    "union_all_frames",
+    "join_multiway_revenue",
+    "intersect_repeat_customers",
+    "except_lapsed_customers",
+    "range_join_signup_activity",
+    "asof_join_purchase_click",
+    "asof_join_cogrouped",
+    "salted_agg_user_activity",
+    # projections / scalar shapes
+    "derived_ratio",
+    "coalesce_outer",
+    "filter_isnull_postjoin",
+    "filter_range_hwm",
+    "json_extract",
+    "explode_part_words",
+    # windows
+    "window_lag_delta",
+    "window_ntile_cume",
+    "window_range_30d_spend",
+    "window_rank_per_customer",
+    "window_value_functions",
+    # top-k
+    "topk_order_revenue",
+    "topk_supplier_volume",
+    "topk_last_3_periods",
 ]
-
-# Round-4 rotation backlog — registered, locally oracle-green, but never yet
-# inside a driver window (the window holds 50): training_order_shuffle,
-# emb_semantic_clusters, dedup_consensus_pairs, token_budget_plan,
-# ann_ivf_rebalance, quality_threshold_calibration, corpus_snapshot_diff,
-# hybrid_search_topk, modal_alignment_summary, kmv_distinct_union,
-# split_leakage_safe, lang_id_confusion — lead the next window with these,
-# keeping flagship_customer_activity as the continuity anchor.
 
 
 def load_all() -> None:

@@ -173,10 +173,18 @@ class _WeekShard(InputPartition):
 
 
 class WeekFeedStreamReader(DataSourceStreamReader):
-    """DataSourceStreamReader contract: offsets are {'week': <last landed>};
-    partitions(start, end) plans (week, shard) splits so each executor
-    flattens one shard of one week — the same sharding contract as the
-    batch bootstrap source."""
+    """DataSourceStreamReader contract: offsets are the DELIVERED WEEK SET
+    ({'weeks': sorted list}), not a scalar high-water mark — so a week that
+    lands out of order (week_2.json appearing after a batch already committed
+    week 3) is still delivered in the next batch instead of being silently
+    skipped below a max-week offset. partitions(start, end) plans
+    (week, shard) splits for exactly the weeks in end but not in start; each
+    executor flattens one shard of one week — the same sharding contract as
+    the batch bootstrap source. A week RE-landed after delivery is not
+    re-delivered (its number is already in the committed set): exactly-once
+    per week number is the contract, matching the reference's
+    insert-once-per-week protocol. The set is bounded by the season length
+    (38 weeks), so the offset stays tiny."""
 
     def __init__(self, options):
         self.path = options.get("path")
@@ -194,18 +202,25 @@ class WeekFeedStreamReader(DataSourceStreamReader):
                 weeks.append(int(m.group(1)))
         return sorted(weeks)
 
+    @staticmethod
+    def _delivered(offset: dict) -> set[int]:
+        # Accept the legacy scalar form {'week': n} (checkpoints written by
+        # the pre-set-offset reader) as "all weeks <= n delivered".
+        if "weeks" in offset:
+            return set(offset["weeks"])
+        return set(range(1, offset.get("week", 0) + 1))
+
     def initialOffset(self) -> dict:
-        return {"week": 0}
+        return {"weeks": []}
 
     def latestOffset(self) -> dict:
-        weeks = self._landed_weeks()
-        return {"week": weeks[-1] if weeks else 0}
+        return {"weeks": self._landed_weeks()}
 
     def partitions(self, start: dict, end: dict):
+        done = self._delivered(start)
         return [
             _WeekShard(w, s)
-            for w in self._landed_weeks()
-            if start["week"] < w <= end["week"]
+            for w in sorted(self._delivered(end) - done)
             for s in range(WEEK_SHARDS)
         ]
 

@@ -52,12 +52,17 @@ def test_training_shuffle_is_a_permutation_that_varies_by_epoch(spark):
 
 
 def test_training_shuffle_layout_independent(spark):
+    from fpl_data_pipeline_spark.operators.sampling import training_order_shuffle_df
+
     base = {(r.epoch, r.position, r.doc_id) for r in training_order_shuffle(spark, SF).collect()}
     # same result regardless of physical partitioning of the input — the key
-    # depends only on (doc_id, epoch)
+    # depends only on (doc_id, epoch). The repartitioned DataFrame is fed
+    # DIRECTLY into the operator (not via a temp view the operator ignores).
     docs = table(spark, SF, "documents").repartition(7, "lang")
-    docs.createOrReplaceTempView("__shuffle_docs_alt")
-    alt = {(r.epoch, r.position, r.doc_id) for r in training_order_shuffle(spark, SF).collect()}
+    alt = {
+        (r.epoch, r.position, r.doc_id)
+        for r in training_order_shuffle_df(spark, docs).collect()
+    }
     assert base == alt
 
 

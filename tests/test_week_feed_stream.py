@@ -109,6 +109,30 @@ def test_week_feed_shards_cover_all_players(spark, tmp_path):
     assert ids == list(range(1, 2 * WEEK_SHARDS + 2))
 
 
+def test_week_feed_out_of_order_week_still_delivered(spark, tmp_path):
+    """A lower-numbered week landing AFTER a higher week was already
+    committed must still be delivered: the offset is the delivered-week SET,
+    not a max-week scalar that would silently skip below-offset weeks."""
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    for w in (1, 3):
+        _land_week(str(feed), w)
+    _drain_to_parquet(spark, str(feed), ckpt, out)
+    first = {r.week for r in spark.read.parquet(out).select("week").distinct().collect()}
+    assert first == {1, 3}
+
+    _land_week(str(feed), 2)  # late landing, below the committed max week
+    _drain_to_parquet(spark, str(feed), ckpt, out)
+    counts = {
+        r.week: r["count"]
+        for r in spark.read.parquet(out).groupBy("week").count().collect()
+    }
+    # week 2 delivered exactly once; weeks 1 and 3 not re-delivered
+    assert counts == {1: 6, 2: 6, 3: 6}
+
+
 def test_week_feed_stream_merges_into_fact_table(spark, tmp_path):
     """Custom streaming source -> idempotent keyed merge, end to end:
     incremental drains accumulate weeks; a fresh-checkpoint full replay
