@@ -646,9 +646,19 @@ WINNOW_FP_CAP = 1000
 
 def ordered_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """doc_id -> (pos, shingle) keeping ORDER and DUPLICATES — winnowing
-    samples positionally, unlike the set-semantics shingles()."""
+    samples positionally, unlike the set-semantics shingles().
+
+    The posexplode below multiplies rows ~doc-length×, so an input scanned
+    into FEWER partitions than cores (small files at test scale) is fanned
+    out first. The repartition is CONDITIONAL: an input already at or above
+    the session's parallelism (a 100 TB scan yields thousands of splits)
+    keeps its partitioning — a blanket repartition here was a corpus-wide
+    extra Exchange for nothing (round-3 verdict nit #1)."""
     sp = df.sparkSession
-    words = df.repartition(sp.sparkContext.defaultParallelism).select(
+    par = sp.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    words = df.select(
         "doc_id", _words(_norm_text(F.col(text_col))).alias("ws")
     )
     grams = F.when(

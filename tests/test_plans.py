@@ -57,6 +57,24 @@ def test_dedup_candidates_are_equi_joins(spark):
         assert "BroadcastNestedLoopJoin" not in p, name
 
 
+def test_ordered_shingles_skips_repartition_when_well_partitioned(spark):
+    """The winnowing fan-out repartition must be CONDITIONAL: an input
+    already at/above session parallelism keeps its partitioning (no extra
+    corpus-wide Exchange — round-3 verdict nit), while an under-partitioned
+    input is still fanned out to cores."""
+    from fpl_data_pipeline_spark.operators.dedup import ordered_shingles
+    from fpl_data_pipeline_spark.tables import table
+
+    par = spark.sparkContext.defaultParallelism
+    docs = table(spark, SF, "documents").select("doc_id", "text")
+
+    wide = docs.repartition(par + 4)
+    assert ordered_shingles(wide).rdd.getNumPartitions() == par + 4
+
+    narrow = docs.coalesce(1)
+    assert ordered_shingles(narrow).rdd.getNumPartitions() == par
+
+
 def test_semi_and_anti_join_strategies(spark):
     assert "LeftSemi" in plan(spark, "semi_join")
     assert "LeftAnti" in plan(spark, "anti_join_orphans")
