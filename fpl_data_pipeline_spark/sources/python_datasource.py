@@ -32,12 +32,29 @@ BOOTSTRAP_PLAYER_SCHEMA = (
 )
 
 
-def _load_doc(path: str) -> dict:
-    """One fetch of the bootstrap document (file-backed here; the live
-    variant issues the HTTP GET the reference makes)."""
+POLITENESS_S = 0.2  # the reference sleeps 200 ms between pulls (includes.py:81)
+
+
+def _http_get_json(url: str) -> dict:
+    """The live transport: one HTTP GET returning a parsed JSON document —
+    what the reference's requests.get(...)+json.loads does (includes.py:79-80),
+    stdlib-only."""
+    import json
+    import urllib.request
+
+    with urllib.request.urlopen(url) as r:
+        return json.loads(r.read().decode("utf-8"))
+
+
+def _load_doc(source: str) -> dict:
+    """One fetch of a JSON document. Scheme-dispatched: http(s):// URLs go
+    through the HTTP transport, anything else is a landed file — the SAME
+    reader code serves the offline fixture contract and the live feed."""
+    if source.startswith(("http://", "https://")):
+        return _http_get_json(source)
     import json
 
-    with open(path) as f:
+    with open(source) as f:
         return json.load(f)
 
 
@@ -56,10 +73,14 @@ class BootstrapDataSource(DataSource):
 
 
 class BootstrapReader(DataSourceReader):
-    def __init__(self, options):
+    def __init__(self, options, fetch=None):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("fpl_bootstrap source requires .option('path', ...)")
+        # Injectable transport (tests pass a fake; None -> scheme-dispatched
+        # file/HTTP). Stored on the instance so it is pickled out to the
+        # executor-side Python workers with the reader.
+        self.fetch = fetch or _load_doc
 
     def partitions(self):
         # Shard the element list by id so the flatten parallelizes; a live
@@ -67,7 +88,7 @@ class BootstrapReader(DataSourceReader):
         return [InputPartition(i) for i in range(N_SHARDS)]
 
     def read(self, partition):
-        doc = _load_doc(self.path)
+        doc = self.fetch(self.path)
         shard = partition.value
         for e in doc.get("elements", []):
             if e["id"] % N_SHARDS != shard:
@@ -246,3 +267,86 @@ class WeekFeedStreamReader(DataSourceStreamReader):
 def register_week_feed_source(spark) -> None:
     """Idempotent registration of the streaming week-feed source."""
     spark.dataSource.register(WeekFeedStreamSource)
+
+
+# --- per-key fan-out source (S2): one fetch per player id --------------------
+# The reference's per-player pull is a driver-side loop: for each id,
+# GET element-summary/{id}/, sleep 0.2 s, land the JSON (includes.py:77-86).
+# Here that protocol is a first-class batch source: partitions() splits the
+# id range round-robin across shards, each executor's reader performs ITS
+# ids' fetches with the politeness delay between consecutive fetches
+# (per-worker rate limiting — the reference's single loop serializes all of
+# them), and the history[] flatten happens as the rows are yielded.
+
+ELEMENT_WEEK_SCHEMA = (
+    "element INT, fixture INT, round INT, total_points INT, minutes INT, value INT"
+)
+ELEMENT_SHARDS = 4
+
+
+class ElementSummaryDataSource(DataSource):
+    """spark.read.format('fpl_element_summary')
+    .option('url_template', '.../element-summary/{id}/' or '<dir>/{id}.json')
+    .option('num_players', N) — one fetch per id in 1..N."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "fpl_element_summary"
+
+    def schema(self) -> str:
+        return ELEMENT_WEEK_SCHEMA
+
+    def reader(self, schema) -> "ElementSummaryReader":
+        return ElementSummaryReader(self.options)
+
+
+class ElementSummaryReader(DataSourceReader):
+    def __init__(self, options, fetch=None, sleep=None):
+        self.url_template = options.get("url_template")
+        if not self.url_template or "{id}" not in self.url_template:
+            raise ValueError(
+                "fpl_element_summary requires .option('url_template', ...) "
+                "containing '{id}'"
+            )
+        self.num_players = int(options.get("num_players", 0))
+        if self.num_players <= 0:
+            raise ValueError("fpl_element_summary requires .option('num_players', N > 0)")
+        self.politeness_s = float(options.get("politeness_s", POLITENESS_S))
+        self.shards = int(options.get("shards", ELEMENT_SHARDS))
+        # Injectable transport + sleeper (pickled with the reader; tests pass
+        # fakes, production leaves the scheme-dispatched fetch + time.sleep).
+        self.fetch = fetch or _load_doc
+        self.sleep = sleep
+
+    def partitions(self):
+        return [InputPartition(s) for s in range(self.shards)]
+
+    def read(self, partition):
+        import time
+
+        sleep = self.sleep or time.sleep
+        shard = partition.value
+        first = True
+        for pid in range(1, self.num_players + 1):
+            if pid % self.shards != shard:
+                continue
+            if not first:
+                # politeness delay BETWEEN consecutive fetches of this worker
+                # (includes.py:81 — 0.2 s after every pull)
+                sleep(self.politeness_s)
+            first = False
+            doc = self.fetch(self.url_template.format(id=pid))
+            for h in doc.get("history", []):
+                yield (
+                    h.get("element"),
+                    h.get("fixture"),
+                    h.get("round"),
+                    h.get("total_points"),
+                    h.get("minutes"),
+                    h.get("value"),
+                )
+
+
+def register_element_summary_source(spark) -> None:
+    """Idempotent registration of the per-key fan-out source."""
+    spark.dataSource.register(ElementSummaryDataSource)
