@@ -133,6 +133,58 @@ def test_week_feed_out_of_order_week_still_delivered(spark, tmp_path):
     assert counts == {1: 6, 2: 6, 3: 6}
 
 
+def test_torn_publish_window_recovers_after_injected_crash(spark, tmp_path, monkeypatch):
+    """Crash-inject the exact torn-publish window of the atomic-rename
+    protocol: kill the run AFTER 'target renamed to backup' but BEFORE
+    'stage renamed to target' (streaming/incremental.py merge_batch), then
+    prove the next run's restore path (backup -> target, leftovers cleaned,
+    uncommitted batch replayed) converges to the correct table."""
+    import os
+
+    import pytest as _pytest
+
+    from fpl_data_pipeline_spark.streaming.incremental import run_week_feed_merge
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    target = str(tmp_path / "week_fact")
+    ckpt = str(tmp_path / "ckpt")
+    for w in (1, 2):
+        _land_week(str(feed), w)
+    run_week_feed_merge(spark, str(feed), target, ckpt)
+    assert spark.read.parquet(target).count() == 12
+
+    _land_week(str(feed), 3)
+    real_rename = os.rename
+
+    def crash_after_backup_rename(src, dst):
+        real_rename(src, dst)
+        if str(dst).endswith(".bak"):
+            raise RuntimeError("injected crash: died between the two renames")
+
+    with monkeypatch.context() as m:
+        m.setattr(os, "rename", crash_after_backup_rename)
+        with _pytest.raises(Exception, match="injected crash|Terminated with exception"):
+            run_week_feed_merge(spark, str(feed), target, ckpt)
+
+    # the torn state the crash leaves behind: target gone, old table in
+    # backup, new version stranded in stage
+    assert not os.path.exists(target)
+    assert os.path.exists(target + ".bak")
+    assert os.path.exists(target + ".stage")
+
+    # next run: restore path recovers the table, the failed (uncommitted)
+    # batch replays, and the keyed merge publishes weeks 1-3 exactly once
+    run_week_feed_merge(spark, str(feed), target, ckpt)
+    counts = {
+        r.week: r["count"]
+        for r in spark.read.parquet(target).groupBy("week").count().collect()
+    }
+    assert counts == {1: 6, 2: 6, 3: 6}
+    assert not os.path.exists(target + ".bak")
+    assert not os.path.exists(target + ".stage")
+
+
 def test_week_feed_stream_merges_into_fact_table(spark, tmp_path):
     """Custom streaming source -> idempotent keyed merge, end to end:
     incremental drains accumulate weeks; a fresh-checkpoint full replay
