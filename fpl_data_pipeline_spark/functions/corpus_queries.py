@@ -974,26 +974,57 @@ _HS_DOT = (
     """,
 )
 def hybrid_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval, the RAG-serving shape: BM25 keyword scoring
-    (corpus-derived idf, length-normalized tf) selects the lexical top-N,
-    then the embedding column reranks those N candidates by cosine against
-    the query vector (stand-in: vec 0 — the encoder output slots in). Only
-    N candidate vectors are ever scored, which is the point: lexical
+    """Hybrid retrieval, the RAG-serving shape — the ORACLED INSTANTIATION
+    of :func:`hybrid_search` (terms = HS_TERMS, query vector = embedding of
+    vec 0; a real serving path injects the user's tokenized query and the
+    encoder's output vector instead)."""
+    return hybrid_search(
+        spark,
+        table(spark, sf_dir, "documents"),
+        table(spark, sf_dir, "embeddings"),
+        HS_TERMS,
+        query_vec_id=0,
+    )
+
+
+def hybrid_search(
+    spark: SparkSession,
+    docs: DataFrame,
+    emb: DataFrame,
+    terms,
+    query_vec=None,
+    *,
+    query_vec_id=None,
+    k1: float = HS_K1,
+    b: float = HS_B,
+    lex_topn: int = HS_LEX_TOPN,
+    final_k: int = HS_FINAL_K,
+) -> DataFrame:
+    """Reusable hybrid-retrieval primitive: BM25 keyword scoring
+    (corpus-derived idf, length-normalized tf) over ``docs`` selects the
+    lexical top-``lex_topn``, then the ``emb`` embedding column reranks
+    those candidates by cosine against the query vector. Only the
+    candidates' vectors are ever scored, which is the point: lexical
     recall at scan cost, semantic precision at k-vector cost.
+
+    The query is INJECTED: ``terms`` is the tokenized keyword query, and
+    the query embedding is either ``query_vec`` (a Python list of floats —
+    the encoder output) or ``query_vec_id`` (lookup into ``emb``).
 
     Scale shape: tf/df/doclen are hash aggregates over one tokenized scan;
     corpus stats broadcast as a 1-row scalar; the rerank joins a TOP-N row
     set (broadcast) against the 1:1 embeddings table — no corpus-wide
     vector math. BM25 term sums are rounded 6dp (surprisal's proven idiom)
     so double accumulation order cannot flip the candidate cut."""
-    d = table(spark, sf_dir, "documents")
-    toks = _toks(d)
+    if (query_vec is None) == (query_vec_id is None):
+        raise ValueError("provide exactly one of query_vec / query_vec_id")
+    toks = _toks(docs)
     dls = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = dls.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_toks")
     )
     tf = (
-        toks.filter(F.col("tok").isin(*HS_TERMS))
+        toks.filter(F.col("tok").isin(*terms))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -1006,11 +1037,11 @@ def hybrid_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     term_score = (
         idf
-        * (F.col("tf") * F.lit(HS_K1 + 1.0))
+        * (F.col("tf") * F.lit(k1 + 1.0))
         / (
             F.col("tf")
-            + F.lit(HS_K1)
-            * (F.lit(1.0 - HS_B) + F.lit(HS_B) * F.col("dl") / avgdl)
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
         )
     )
     scored = (
@@ -1022,9 +1053,15 @@ def hybrid_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm25 = scored.groupBy("doc_id").agg(F.round(F.sum("term_score"), 6).alias("bm25"))
     # TakeOrderedAndProject, not a global row_number window: per-partition
     # heaps + a k-row driver merge, no single-task global sort at scale
-    lex = bm25.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(HS_LEX_TOPN)
-    emb = table(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    lex = bm25.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(lex_topn)
+    if query_vec is not None:
+        qv = spark.createDataFrame(
+            [([float(x) for x in query_vec],)], "q array<double>"
+        )
+    else:
+        qv = emb.filter(F.col("vec_id") == query_vec_id).select(
+            F.col("embedding").alias("q")
+        )
 
     def _dot(a, b):
         return F.aggregate(
@@ -1044,5 +1081,5 @@ def hybrid_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.select("doc_id", "bm25", cos.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
-        .limit(HS_FINAL_K)
+        .limit(final_k)
     )

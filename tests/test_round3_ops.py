@@ -301,6 +301,43 @@ def test_lang_id_confusion_covers_corpus(spark):
     assert preds <= {"en", "es", "de", "fr", "unknown"}
 
 
+def test_hybrid_search_accepts_injected_query(spark):
+    """hybrid_search is a reusable primitive: injecting vec 0's embedding as
+    a LITERAL query vector reproduces the registered (oracled) instantiation
+    exactly, and a different term set / k runs as a fresh retrieval."""
+    from fpl_data_pipeline_spark.functions.corpus_queries import (
+        HS_TERMS,
+        hybrid_search,
+        hybrid_search_topk,
+    )
+
+    docs = table(spark, SF, "documents")
+    emb = table(spark, SF, "embeddings")
+    vec0 = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+
+    registered = [
+        (r.doc_id, r.bm25, r.cosine) for r in hybrid_search_topk(spark, SF).collect()
+    ]
+    injected = [
+        (r.doc_id, r.bm25, r.cosine)
+        for r in hybrid_search(
+            spark, docs, emb, HS_TERMS, query_vec=[float(x) for x in vec0]
+        ).collect()
+    ]
+    assert injected == registered
+
+    other = hybrid_search(
+        spark, docs, emb, ("filter", "join"), query_vec_id=1, final_k=5
+    ).collect()
+    assert len(other) == 5
+    assert all(-1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9 for r in other)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hybrid_search(spark, docs, emb, HS_TERMS)
+
+
 # Genuine sentences (public-domain phrasebook style) — the synthetic corpus
 # carries no text<->label signal, so THIS is where classifier accuracy is
 # demonstrated. Several rows are deliberately hard for the stopword-marker
