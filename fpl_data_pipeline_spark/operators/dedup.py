@@ -49,11 +49,16 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
 
     Perf notes: the tokenization is projected into a real column first —
     inlining it would re-run the regex split once per element_at reference
-    (~150x per doc). The repartition spreads the gram/hash work across all
-    cores even when the source is a single parquet file (at 100 TB the scan
-    itself provides the parallelism and AQE elides the extra shuffle)."""
+    (~150x per doc). An input scanned into fewer partitions than cores
+    (small files at test scale) is fanned out so the gram/hash work
+    parallelizes; an input already at/above session parallelism (a 100 TB
+    scan yields thousands of splits) keeps its partitioning — no blanket
+    corpus-wide Exchange (same conditional as ordered_shingles)."""
     sp = df.sparkSession
-    words = df.repartition(sp.sparkContext.defaultParallelism).select(
+    par = sp.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    words = df.select(
         "doc_id", _words(_norm_text(F.col(text_col))).alias("ws")
     )
     # Guard short docs: Spark's sequence(1, 0) is DESCENDING ([1, 0]), so an
@@ -732,6 +737,16 @@ def winnowing_pairs(d: DataFrame, fp_cap: int = WINNOW_FP_CAP) -> DataFrame:
     Engine-portable hashing: the fingerprint is the LEXICOGRAPHIC min of
     md5-hex prefixes (md5 identical on both engines; varchar MIN identical),
     so the oracle reproduces the sample exactly."""
+    pairs = winnowing_candidate_pairs(d, fp_cap)
+    return pairs.orderBy(
+        F.col("shared_fps").desc(), F.col("doc_id_a").asc(), F.col("doc_id_b").asc()
+    ).limit(20)
+
+
+def winnowing_candidate_pairs(d: DataFrame, fp_cap: int = WINNOW_FP_CAP) -> DataFrame:
+    """The full (un-truncated) winnowing candidate-pair set — split out so
+    tools/scale_probe.py can measure candidate growth across corpus scales;
+    winnowing_pairs surfaces its top-20."""
     hashed = ordered_shingles(d).select(
         "doc_id", "pos", F.substring(F.md5("shingle"), 1, 16).alias("h")
     )
@@ -757,15 +772,12 @@ def winnowing_pairs(d: DataFrame, fp_cap: int = WINNOW_FP_CAP) -> DataFrame:
     capped = fps.join(rare, "fp")
     a = capped.select(F.col("doc_id").alias("doc_id_a"), "fp")
     b = capped.select(F.col("doc_id").alias("doc_id_b"), "fp")
-    pairs = (
+    return (
         a.join(b, "fp")
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
         .groupBy("doc_id_a", "doc_id_b")
         .agg(F.count(F.lit(1)).alias("shared_fps"))
     )
-    return pairs.orderBy(
-        F.col("shared_fps").desc(), F.col("doc_id_a").asc(), F.col("doc_id_b").asc()
-    ).limit(20)
 
 
 # --- portable MinHash (md5 permutation family): oracle-checkable end-to-end --

@@ -350,3 +350,58 @@ class ElementSummaryReader(DataSourceReader):
 def register_element_summary_source(spark) -> None:
     """Idempotent registration of the per-key fan-out source."""
     spark.dataSource.register(ElementSummaryDataSource)
+
+
+# --- oracle-checked query through the per-key source -------------------------
+_FIXTURE_SUMMARIES = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "fixtures",
+    "element_summaries",
+)
+N_FIXTURE_SUMMARY_PLAYERS = 25
+
+
+@register(
+    "datasource_element_week_totals",
+    f"""
+    WITH hist AS (
+      SELECT unnest(history) AS h
+      FROM read_json_auto('{_FIXTURE_SUMMARIES}/*.json')
+    )
+    SELECT CAST(h.element AS INT) AS element,
+           CAST(COUNT(*) AS BIGINT) AS n_weeks,
+           CAST(SUM(h.total_points) AS BIGINT) AS total_points,
+           CAST(SUM(h.minutes) AS BIGINT) AS total_minutes
+    FROM hist
+    GROUP BY 1
+    ORDER BY total_points DESC, element ASC
+    LIMIT 15
+    """,
+)
+def datasource_element_week_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end through the CUSTOM per-key Python DataSource: per-player
+    season totals read via spark.read.format('fpl_element_summary') fanning
+    out over the committed per-player fixture docs (one fetch per id, the
+    reference's element-summary pull protocol) — the oracle reads the same
+    JSON documents with DuckDB's JSON reader, so the source's sharded
+    per-key flatten is value-checked, not just smoked."""
+    import pyspark.sql.functions as F
+
+    register_element_summary_source(spark)
+    df = (
+        spark.read.format("fpl_element_summary")
+        .option("url_template", _FIXTURE_SUMMARIES + "/{id}.json")
+        .option("num_players", N_FIXTURE_SUMMARY_PLAYERS)
+        .option("politeness_s", 0.0)
+        .load()
+    )
+    return (
+        df.groupBy("element")
+        .agg(
+            F.count(F.lit(1)).alias("n_weeks"),
+            F.sum("total_points").alias("total_points"),
+            F.sum("minutes").alias("total_minutes"),
+        )
+        .orderBy(F.col("total_points").desc(), F.col("element").asc())
+        .limit(15)
+    )

@@ -26,6 +26,7 @@ def main() -> None:
         df.coalesce(1).write.mode("overwrite").parquet(path)
         print(f"{path}: {df.count()} rows")
     write_bootstrap_json(outdir)
+    write_element_summaries(outdir)
 
 
 def write_bootstrap_json(outdir: str) -> None:
@@ -66,6 +67,45 @@ def write_bootstrap_json(outdir: str) -> None:
     with open(os.path.join(outdir, "bootstrap_static.json"), "w") as f:
         json.dump(doc, f)
     print(f"{outdir}/bootstrap_static.json: {len(doc['elements'])} elements")
+
+
+N_SUMMARY_PLAYERS = 25  # per-key fixture feed size (fpl_element_summary source)
+
+
+def write_element_summaries(outdir: str) -> None:
+    """fixtures/element_summaries/<id>.json — the landed per-player
+    element-summary documents the per-key DataSource
+    (sources/python_datasource.py::ElementSummaryDataSource) fans out over;
+    derived from the same seeded week rows as player_week_ft (rng stream
+    re-derived in the generator's pinned call order)."""
+    import json
+    import random
+
+    from fpl_data_pipeline_spark.sources import fixtures as FX
+
+    rng = random.Random(42)
+    FX.team_rows(rng)
+    FX.player_rows(rng)
+    weeks = FX.week_rows(rng)
+    by_player: dict[int, list] = {}
+    for w in weeks:
+        if w[0] <= N_SUMMARY_PLAYERS:
+            by_player.setdefault(w[0], []).append(
+                {
+                    "element": w[0],
+                    "fixture": w[1],
+                    "total_points": w[2],
+                    "round": w[7],
+                    "minutes": w[8],
+                    "value": int(round(float(w[-1]))),
+                }
+            )
+    d = os.path.join(outdir, "element_summaries")
+    os.makedirs(d, exist_ok=True)
+    for pid in range(1, N_SUMMARY_PLAYERS + 1):
+        with open(os.path.join(d, f"{pid}.json"), "w") as f:
+            json.dump({"history": by_player.get(pid, [])}, f)
+    print(f"{d}: {N_SUMMARY_PLAYERS} summaries")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,162 @@
+"""Measure candidate-pair growth of the capped dedup/ANN families across a
+corpus scale-up — the empirical half of the 100 TB argument (the analytic
+half is the df/fp caps bounding every candidate equi-join).
+
+    python tools/make_blowup.py                 # build ./.scale10 (10x sf0.1)
+    python tools/scale_probe.py [base_dir] [blown_dir] [factor]
+
+For each family it counts the FULL candidate-pair set (pre-top-k) and times
+the count at the base scale and the blown-up scale, then reports the growth
+ratio vs the scale factor. Sub-quadratic means ratio << factor^2; the caps
+are doing their job when the ratio stays near the factor (linear) even
+though the blowup makes every original document a member of a factor-sized
+near-duplicate family. Output: one JSON line, recorded in BENCH_NOTES.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from fpl_data_pipeline_spark import get_spark  # noqa: E402
+from fpl_data_pipeline_spark.operators.dedup import (  # noqa: E402
+    _ngram_jaccard_pairs,
+    winnowing_candidate_pairs,
+)
+from fpl_data_pipeline_spark.operators.similarity import lsh_band_keys  # noqa: E402
+
+
+def emb_neardup_candidates(emb):
+    """Full banded-LSH candidate set (pre-cosine, pre-top-k) — mirrors
+    emb_neardup_pairs' candidate stage."""
+    keys = lsh_band_keys(emb).localCheckpoint()
+    a = keys.select(F.col("vec_id").alias("vec_id_a"), "band_id", "band_key")
+    b = keys.select(F.col("vec_id").alias("vec_id_b"), "band_id", "band_key")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
+    )
+
+
+def cap_effect(spark, sf_dir: str) -> dict:
+    """What the df/fp caps save at this scale, computed analytically from
+    the key-frequency histogram (a candidate equi-join on a key of document
+    frequency df emits df*(df-1)/2 pair rows): join input rows with the cap
+    vs without it, per family. No uncapped join is ever executed."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _cap_effect_over(spark, docs)
+
+
+def _cap_effect_over(spark, docs) -> dict:
+    from fpl_data_pipeline_spark.operators.dedup import (
+        SHINGLE_DF_CAP,
+        WINNOW_FP_CAP,
+        WINNOW_W,
+        ordered_shingles,
+        shingles,
+    )
+    from pyspark.sql import Window
+
+    out = {}
+
+    def joinrows(freq, cap):
+        pairs = (F.col("df") * (F.col("df") - 1) / 2).alias("p")
+        r = freq.select(
+            F.sum(F.when(F.col("df") <= cap, pairs).otherwise(0.0)).alias("capped"),
+            F.sum(pairs).alias("uncapped"),
+        ).first()
+        return {
+            "capped_join_rows": int(r["capped"]),
+            "uncapped_join_rows": int(r["uncapped"]),
+            "cap_saves_x": round(r["uncapped"] / max(r["capped"], 1.0), 1),
+        }
+
+    sh_freq = (
+        shingles(docs).groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    )
+    out["ngram_jaccard"] = joinrows(sh_freq, SHINGLE_DF_CAP)
+
+    hashed = ordered_shingles(docs).select(
+        "doc_id", "pos", F.substring(F.md5("shingle"), 1, 16).alias("h")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    fp_freq = (
+        hashed.select("doc_id", F.min("h").over(w).alias("fp"))
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    out["winnowing"] = joinrows(fp_freq, WINNOW_FP_CAP)
+    return out
+
+
+BOILERPLATE = (
+    "all rights reserved contact us terms of service privacy policy "
+    "copyright notice subscribe newsletter"
+)
+
+
+def cap_effect_with_boilerplate(spark, sf_dir: str) -> dict:
+    """The realistic hot-key scenario: every document carries the same
+    crawl footer (df = corpus size for its shingles). Reports what the df
+    caps cut from the candidate-join input there."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "text", F.concat(F.col("text"), F.lit(" " + BOILERPLATE))
+    )
+    return _cap_effect_over(spark, docs)
+
+
+def probe(spark, sf_dir: str) -> dict:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = {"n_docs": docs.count(), "n_vecs": emb.count()}
+    for name, frame in (
+        ("ngram_jaccard", _ngram_jaccard_pairs(docs)),
+        ("winnowing", winnowing_candidate_pairs(docs)),
+        ("emb_neardup", emb_neardup_candidates(emb)),
+    ):
+        t0 = time.perf_counter()
+        out[name] = {"pairs": frame.count(), "sec": round(time.perf_counter() - t0, 2)}
+    return out
+
+
+def main() -> None:
+    base_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    blown_dir = sys.argv[2] if len(sys.argv) > 2 else ".scale10"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    spark = get_spark("scale_probe")
+    base = probe(spark, base_dir)
+    blown = probe(spark, blown_dir)
+    caps = cap_effect(spark, blown_dir)
+    caps_bp = cap_effect_with_boilerplate(spark, blown_dir)
+    growth = {
+        k: {
+            "pair_ratio": round(blown[k]["pairs"] / max(base[k]["pairs"], 1), 2),
+            "time_ratio": round(blown[k]["sec"] / max(base[k]["sec"], 1e-9), 2),
+        }
+        for k in ("ngram_jaccard", "winnowing", "emb_neardup")
+    }
+    print(
+        json.dumps(
+            {
+                "factor": factor,
+                "quadratic_would_be": factor * factor,
+                "base": base,
+                "blown": blown,
+                "growth": growth,
+                "cap_effect_at_blown": caps,
+                "cap_effect_at_blown_with_boilerplate_footer": caps_bp,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
