@@ -1083,3 +1083,118 @@ def hybrid_search(
         .orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
         .limit(final_k)
     )
+
+
+# --- Bloom-filter blocklist membership (round 4) ----------------------------
+BLOOM_BITS = 4096  # m: filter width in bits
+BLOOM_K = 4  # k: hash functions per element
+
+
+def _bloom_pos_sql(expr: str, j: int) -> str:
+    """DuckDB: j-th Bloom bit position of a fingerprint string."""
+    return f"(('0x' || substr(md5({expr} || ':{j}'), 1, 8))::BIGINT % {BLOOM_BITS})"
+
+
+def _bloom_pos(col, j: int):
+    """Spark twin of _bloom_pos_sql (same md5-substring hash family)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(col, F.lit(f":{j}"))), 1, 8), 16, 10)
+        .cast("long")
+        % BLOOM_BITS
+    )
+
+
+@register(
+    "bloom_blocklist_summary",
+    f"""
+    WITH fps AS (
+      SELECT doc_id, md5({_NORM}) AS fp FROM documents
+    ),
+    block AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 97 = 0),
+    bits AS (
+      SELECT DISTINCT pos FROM (
+        {' UNION ALL '.join(f'SELECT {_bloom_pos_sql("fp", j)} AS pos FROM block' for j in range(BLOOM_K))}
+      )
+    ),
+    corpus AS (SELECT doc_id, fp FROM fps WHERE doc_id % 97 <> 0),
+    probes AS (
+      {' UNION ALL '.join(f'SELECT doc_id, {_bloom_pos_sql("fp", j)} AS pos FROM corpus' for j in range(BLOOM_K))}
+    ),
+    hits AS (
+      SELECT p.doc_id, COUNT(*) AS n_hit
+      FROM probes p JOIN bits b USING (pos)
+      GROUP BY p.doc_id
+    ),
+    flagged AS (SELECT doc_id FROM hits WHERE n_hit = {BLOOM_K}),
+    truth AS (
+      SELECT DISTINCT c.doc_id
+      FROM corpus c JOIN block b ON c.fp = b.fp
+    )
+    SELECT (SELECT COUNT(*) FROM corpus) AS n_probed,
+           (SELECT COUNT(*) FROM flagged) AS n_flagged,
+           (SELECT COUNT(*) FROM truth) AS n_true_members,
+           (SELECT COUNT(*) FROM flagged) - (SELECT COUNT(*) FROM truth)
+             AS n_false_positives,
+           CAST((SELECT COUNT(*) FROM flagged) - (SELECT COUNT(*) FROM truth)
+                AS DOUBLE)
+             / (SELECT COUNT(*) FROM corpus) AS fp_rate
+    """,
+)
+def bloom_blocklist_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter blocklist screening — the constant-space way a 100 TB
+    pipeline drops blocklisted documents (eval-set members, DMCA'd pages,
+    prior-release dups) without joining against the full blocklist: the
+    blocklist's fingerprints are folded into an m=4096-bit / k=4 filter,
+    every corpus document probes its k bit positions, and a document is
+    flagged only when ALL k bits are set. Reports the realized
+    false-positive rate against exact membership (the filter admits no
+    false negatives by construction — every true member is flagged).
+
+    Here the filter's set-bit SET is materialized as a tiny relation and the
+    probe is a k-row equi-join + count(k) gate, which keeps every stage an
+    oracle-checkable relational op; a production deployment folds `bits`
+    into a broadcast bitmap (same positions, same verdicts). Flagged docs
+    whose fingerprint is NOT in the blocklist are the measured fp_rate —
+    the quantity that sizes m for a real release.
+    """
+    d = table(spark, sf_dir, "documents")
+    fps = d.select(
+        "doc_id", F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("fp")
+    ).localCheckpoint()
+    block = fps.filter(F.col("doc_id") % 97 == 0).select("fp").distinct()
+    corpus = fps.filter(F.col("doc_id") % 97 != 0)
+    bits = None
+    for j in range(BLOOM_K):
+        p = block.select(_bloom_pos(F.col("fp"), j).alias("pos"))
+        bits = p if bits is None else bits.unionAll(p)
+    bits = bits.distinct()
+    probes = None
+    for j in range(BLOOM_K):
+        p = corpus.select("doc_id", _bloom_pos(F.col("fp"), j).alias("pos"))
+        probes = p if probes is None else probes.unionAll(p)
+    flagged = (
+        probes.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == BLOOM_K)
+        .select("doc_id")
+    )
+    truth = corpus.join(F.broadcast(block), "fp").select("doc_id").distinct()
+    # singleton aggregates composed in-plan (no driver-side counts): each is
+    # one row, so the crossJoins broadcast scalars — same shape as the
+    # oracle's scalar subqueries
+    return (
+        corpus.agg(F.count(F.lit(1)).alias("n_probed"))
+        .crossJoin(flagged.agg(F.count(F.lit(1)).alias("n_flagged")))
+        .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_true_members")))
+        .select(
+            "n_probed",
+            "n_flagged",
+            "n_true_members",
+            (F.col("n_flagged") - F.col("n_true_members")).alias("n_false_positives"),
+            (
+                (F.col("n_flagged") - F.col("n_true_members")).cast("double")
+                / F.col("n_probed")
+            ).alias("fp_rate"),
+        )
+    )

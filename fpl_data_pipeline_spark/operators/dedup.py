@@ -1583,3 +1583,253 @@ def dedup_consensus_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SQL["dedup_consensus_pairs"] = _consensus_oracle_sql()
+
+
+# --- segment-level boilerplate detection (round 4) --------------------------
+SEG_WORDS = 8
+
+
+@register(
+    "dedup_segment_boilerplate",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+    segs AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(ws) // {SEG_WORDS} + 1),
+               i -> array_to_string(
+                      ws[(i-1)*{SEG_WORDS}+1 : (i-1)*{SEG_WORDS}+{SEG_WORDS}], ' ')
+             )) AS seg
+      FROM words
+    ),
+    seg_df AS (SELECT seg, COUNT(DISTINCT doc_id) AS ddf FROM segs GROUP BY seg),
+    per_doc AS (
+      SELECT s.doc_id,
+             COUNT(*) AS n_segments,
+             CAST(SUM(CASE WHEN d.ddf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+      FROM segs s JOIN seg_df d USING (seg)
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_segments, n_boiler,
+           CAST(n_boiler AS DOUBLE) / n_segments AS boiler_ratio
+    FROM per_doc
+    ORDER BY boiler_ratio DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def dedup_segment_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style segment-level boilerplate detection: each document is cut
+    into non-overlapping 8-word segments (the stand-in for lines/paragraphs
+    in this unpunctuated corpus), each segment is counted across DISTINCT
+    documents, and a document's boilerplate ratio is the fraction of its
+    segments that recur in at least one OTHER copy of the corpus — the
+    signal used to strip shared headers/footers/nav chrome before training.
+
+    100 TB shape: one explode (linear in corpus tokens), one hash agg on the
+    segment key for the distinct-doc frequency, one equi-join back on that
+    same key (AQE reuses the partitioning) — never any pairwise comparison.
+    Top-20 by ratio keeps the result stable and small at any scale.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", _words(_norm_text(F.col("text"))).alias("ws"))
+    # CASE-guard: sequence(1, 0) is DESCENDING in Spark (same hazard as
+    # shingles()); docs shorter than one segment contribute zero rows.
+    segs_arr = F.when(
+        F.size("ws") >= SEG_WORDS,
+        F.transform(
+            F.sequence(F.lit(1), F.floor(F.size("ws") / SEG_WORDS).cast("int")),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.col("ws"), (i - 1) * SEG_WORDS + 1, SEG_WORDS)
+            ),
+        ),
+    )
+    # positional segments (NOT distinct: a segment repeated inside one doc
+    # counts toward that doc's denominator each time it appears)
+    segs = words.select("doc_id", F.explode(segs_arr).alias("seg")).localCheckpoint()
+    seg_df = segs.groupBy("seg").agg(F.countDistinct("doc_id").alias("ddf"))
+    per_doc = (
+        segs.join(seg_df, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(F.col("ddf") >= 2, 1).otherwise(0)).alias("n_boiler"),
+        )
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_segments",
+            "n_boiler",
+            (F.col("n_boiler").cast("double") / F.col("n_segments")).alias(
+                "boiler_ratio"
+            ),
+        )
+        .orderBy(F.col("boiler_ratio").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+# --- duplicate-graph degree histogram (round 4) -----------------------------
+@register(
+    "dupgraph_degree_stats",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(ws) - 1, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs
+      FROM words
+    ),
+    exploded0 AS (SELECT doc_id, unnest(gs) AS shingle FROM grams),
+    freq AS (SELECT shingle, COUNT(*) AS df FROM exploded0 GROUP BY shingle),
+    exploded AS (
+      SELECT e.doc_id, e.shingle
+      FROM exploded0 e JOIN freq USING (shingle)
+      WHERE df <= {SHINGLE_DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM exploded GROUP BY doc_id),
+    pair_inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_common
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT doc_id_a, doc_id_b,
+             CAST(n_common AS DOUBLE)
+               / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard
+      FROM pair_inter
+      JOIN sizes sa ON sa.doc_id = doc_id_a
+      JOIN sizes sb ON sb.doc_id = doc_id_b
+    ),
+    edges AS (
+      SELECT doc_id_a AS doc_id FROM scored WHERE jaccard >= 0.5
+      UNION ALL
+      SELECT doc_id_b FROM scored WHERE jaccard >= 0.5
+    ),
+    deg AS (SELECT doc_id, COUNT(*) AS degree FROM edges GROUP BY doc_id)
+    SELECT degree, COUNT(*) AS n_docs
+    FROM deg
+    GROUP BY degree
+    ORDER BY degree ASC
+    """,
+)
+def dupgraph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the near-duplicate graph (exact word-3-gram
+    Jaccard >= 0.5 edges): how many documents have exactly d near-dup
+    neighbors. The shape of this histogram is the dedup planner's sizing
+    input — a heavy tail means giant clusters (boilerplate mirrors, spam
+    farms) that dominate removal; a thin tail means pairwise dups only.
+
+    Reuses the df-capped candidate pipeline (_ngram_jaccard_pairs), so the
+    scale properties are inherited: candidate generation is the capped
+    shingle equi-join, never n^2; the histogram itself is two tiny hash
+    aggregations over the edge list.
+    """
+    d = table(spark, sf_dir, "documents")
+    edges = (
+        _ngram_jaccard_pairs(d)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_id_a", "doc_id_b")
+    )
+    deg = (
+        edges.select(F.col("doc_id_a").alias("doc_id"))
+        .unionAll(edges.select(F.col("doc_id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("degree").asc())
+    )
+
+
+# --- MinHash estimate-error eval (round 4) ----------------------------------
+@register(
+    "minhash_estimate_error",
+    _PMH_COMMON_SQL
+    + """
+    , ex AS (SELECT doc_id, unnest(gs) AS shingle FROM grams),
+    szs AS (SELECT doc_id, COUNT(*) AS ns FROM ex GROUP BY doc_id),
+    inter AS (
+      SELECT s.doc_id_a, s.doc_id_b, COUNT(*) AS n_common
+      FROM scored s
+      JOIN ex a ON a.doc_id = s.doc_id_a
+      JOIN ex b ON b.doc_id = s.doc_id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    evald AS (
+      SELECT s.doc_id_a, s.doc_id_b, s.est_jaccard,
+             CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+               / (sa.ns + sb.ns - COALESCE(i.n_common, 0)) AS exact_jaccard
+      FROM scored s
+      LEFT JOIN inter i
+        ON i.doc_id_a = s.doc_id_a AND i.doc_id_b = s.doc_id_b
+      JOIN szs sa ON sa.doc_id = s.doc_id_a
+      JOIN szs sb ON sb.doc_id = s.doc_id_b
+    )
+    SELECT doc_id_a, doc_id_b, est_jaccard, exact_jaccard,
+           abs(est_jaccard - exact_jaccard) AS abs_err
+    FROM evald
+    ORDER BY abs_err DESC, doc_id_a ASC, doc_id_b ASC
+    LIMIT 20
+    """,
+)
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy eval for the MinHash family (the dedup analog of
+    ann_recall_eval): for every LSH candidate pair, the 16-hash estimated
+    Jaccard next to the EXACT shingle-set Jaccard, worst estimates first.
+    This is the harness that tells you whether to spend more hashes/bands
+    before a production dedup run — estimator bias is measured on the real
+    corpus, not assumed from theory.
+
+    Scale shape: exact verification is computed ONLY for candidate pairs
+    (candidates x their shingles equi-join — linear in candidate count x
+    doc length), never all pairs; uses the portable md5 family end-to-end
+    so every stage is value-checked by the oracle.
+    """
+    d = table(spark, sf_dir, "documents")
+    cand = _portable_minhash_candidates(d)
+    sh = shingles(d).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
+    inter = (
+        cand.select("doc_id_a", "doc_id_b")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_id_a"), "shingle"), "doc_id_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_id_b"), "shingle"),
+            ["doc_id_b", "shingle"],
+        )
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("ns").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("ns").alias("nb"))
+    n_common = F.coalesce(F.col("n_common"), F.lit(0))
+    return (
+        cand.join(inter, ["doc_id_a", "doc_id_b"], "left")
+        .join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "est_jaccard",
+            (
+                n_common.cast("double") / (F.col("na") + F.col("nb") - n_common)
+            ).alias("exact_jaccard"),
+        )
+        .withColumn("abs_err", F.abs(F.col("est_jaccard") - F.col("exact_jaccard")))
+        .orderBy(F.col("abs_err").desc(), F.col("doc_id_a").asc(), F.col("doc_id_b").asc())
+        .limit(20)
+    )

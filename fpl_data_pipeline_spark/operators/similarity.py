@@ -920,3 +920,123 @@ def ann_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_total").cast("double") / F.lit(float(N_CENTROIDS)))
         ).alias("load_factor"),
     )
+
+
+# --- product quantization (round 4) -----------------------------------------
+PQ_SUBSPACES = 4
+PQ_SUB_DIM = DIM // PQ_SUBSPACES  # 16 dims per subspace
+PQ_K = 8  # codewords per subspace
+
+# Sequential-fold squared L2 distance between subvectors s of two embedding
+# arrays (1-based subspace s in both engines; ascending fold order on both
+# sides makes the double accumulation bitwise identical).
+_PQ_DIST_SQL = (
+    f"list_reduce(list_transform(range(1, {PQ_SUB_DIM}+1), "
+    f"d -> ({{a}}[({{s}}-1)*{PQ_SUB_DIM}+d]::DOUBLE - {{b}}[({{s}}-1)*{PQ_SUB_DIM}+d]::DOUBLE)"
+    f" * ({{a}}[({{s}}-1)*{PQ_SUB_DIM}+d]::DOUBLE - {{b}}[({{s}}-1)*{PQ_SUB_DIM}+d]::DOUBLE)), "
+    f"(x, y) -> x + y)"
+)
+
+
+def _pq_dist(a, b, s):
+    """Spark twin of _PQ_DIST_SQL: squared L2 over subspace ``s`` (Column)."""
+    def term(d):
+        av = F.element_at(a, ((s - 1) * PQ_SUB_DIM + d).cast("int")).cast("double")
+        bv = F.element_at(b, ((s - 1) * PQ_SUB_DIM + d).cast("int")).cast("double")
+        return (av - bv) * (av - bv)
+
+    return F.aggregate(
+        F.transform(F.sequence(F.lit(1), F.lit(PQ_SUB_DIM)), term),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+@register(
+    "emb_pq_codebook_stats",
+    f"""
+    WITH cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS codeword,
+             embedding AS cemb
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {PQ_K})
+    ),
+    expanded AS (
+      SELECT e.vec_id, s.s AS subspace, cb.codeword,
+             {_PQ_DIST_SQL.format(a='e.embedding', b='cb.cemb', s='s.s')} AS dist
+      FROM embeddings e
+      CROSS JOIN (SELECT unnest(range(1, {PQ_SUBSPACES}+1)) AS s) s
+      CROSS JOIN cb
+    ),
+    assigned AS (
+      SELECT vec_id, subspace, codeword, dist,
+             row_number() OVER (
+               PARTITION BY vec_id, subspace
+               ORDER BY dist ASC, codeword ASC
+             ) AS rk
+      FROM expanded
+    )
+    SELECT subspace, codeword,
+           COUNT(*) AS n_assigned,
+           CAST(SUM(CAST(floor(dist * 1000000 + 0.5) / 1000000
+                         AS DECIMAL(24,6))) AS DOUBLE)
+             / COUNT(*) AS mean_sq_err
+    FROM assigned WHERE rk = 1
+    GROUP BY subspace, codeword
+    ORDER BY subspace ASC, codeword ASC
+    """,
+)
+def emb_pq_codebook_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization index build over the embedding column: the
+    64-dim vector is split into 4 subspaces of 16 dims, each subvector is
+    assigned to its nearest of 8 codewords, and the per-(subspace, codeword)
+    load + mean squared reconstruction error come back — the codebook
+    balance/distortion surface that tells you whether the PQ index is usable
+    before serving it (a starved codeword or a hot one with high distortion
+    means re-train). Codebook here is deterministically SAMPLED (the 8
+    lowest-vec_id embeddings' subvectors) so every stage is oracle-checkable;
+    a production build swaps in k-means-trained centroids (kmeans_embeddings
+    is the trainer) without touching this assignment/eval plan.
+
+    100 TB shape: the codebook is O(k) rows and BROADCAST into the
+    assignment join (corpus never shuffles); per-row work is 4 subspaces x 8
+    codewords x 16-dim folds; the summary is a 2-key hash agg. The argmin is
+    a window over exactly 8 rows per (vec, subspace). Distances accumulate
+    in ascending-index fold order on both engines, and the error sum goes
+    through 6-dp portable rounding + DECIMAL so it is order-independent.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    w = Window.orderBy("vec_id")
+    cb = (
+        emb.orderBy("vec_id")
+        .limit(PQ_K)
+        .select((F.row_number().over(w) - 1).alias("codeword"), F.col("embedding").alias("cemb"))
+    )
+    subspaces = spark.range(1, PQ_SUBSPACES + 1).select(F.col("id").cast("int").alias("subspace"))
+    expanded = (
+        emb.crossJoin(F.broadcast(subspaces))
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "vec_id",
+            "subspace",
+            "codeword",
+            _pq_dist(F.col("embedding"), F.col("cemb"), F.col("subspace")).alias("dist"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("vec_id", "subspace").orderBy(
+            F.col("dist").asc(), F.col("codeword").asc()
+        )
+    )
+    assigned = expanded.withColumn("rk", rk).filter(F.col("rk") == 1)
+    q_err = F.floor(F.col("dist") * 1000000 + F.lit(0.5)) / 1000000
+    return (
+        assigned.groupBy("subspace", "codeword")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            (
+                F.sum(q_err.cast("decimal(24,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_sq_err"),
+        )
+        .orderBy(F.col("subspace").asc(), F.col("codeword").asc())
+    )

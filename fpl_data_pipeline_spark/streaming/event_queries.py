@@ -559,3 +559,65 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.col("w.start").alias("window_start"), "event_type", "n_events", "n_users"
     )
+
+
+# --- event-type transition matrix (round 4) ---------------------------------
+@register(
+    "events_type_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n_transitions,
+           CAST(n_transitions AS DOUBLE)
+             / SUM(n_transitions) OVER (PARTITION BY prev_type) AS p_next
+    FROM trans
+    ORDER BY prev_type ASC, next_type ASC
+    """,
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current event type), the feature a behavioral model
+    or session-simulator trains on, and the drift monitor a product team
+    watches (a falling view->purchase edge is a funnel regression).
+
+    Scale shape: the lag window shuffles once on user_id (the same partition
+    key every other per-user query uses), the matrix is a 2-key hash agg of
+    at most |types|^2 rows, and the row-normalization is a window over that
+    tiny aggregate — no joins, no second corpus shuffle. p_next is a
+    division of exact counts, so it is bitwise identical in the oracle.
+    """
+    e = table(spark, sf_dir, "events")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("prev_type"),
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type"), F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    return (
+        trans.select(
+            "prev_type",
+            "next_type",
+            "n_transitions",
+            (
+                F.col("n_transitions").cast("double")
+                / F.sum("n_transitions").over(Window.partitionBy("prev_type"))
+            ).alias("p_next"),
+        )
+        .orderBy(F.col("prev_type").asc(), F.col("next_type").asc())
+    )

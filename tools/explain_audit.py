@@ -43,6 +43,10 @@ INTENTIONAL_CROSS = {
     "token_budget_plan",
     # broadcast 1-row corpus stats + 1-row query vector
     "hybrid_search_topk",
+    # broadcast 4-row subspace grid + 8-row codebook block (PQ assignment)
+    "emb_pq_codebook_stats",
+    # final 1-row x 1-row summary combine
+    "bloom_blocklist_summary",
 }
 
 
