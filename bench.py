@@ -70,19 +70,49 @@ def main() -> None:
     timings = {n: round(statistics.median(ts), 3) for n, ts in runs.items()}
     spread = {n: round(max(ts) - min(ts), 3) for n, ts in runs.items()}
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "reps": reps,
-                "spread": spread,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "reps": reps,
+        "spread": spread,
+    }
+
+    # sf1-equivalent pass (round-3 verdict #7): when the 10x FK-consistent
+    # blowup of sf0.1 is on disk (tools/make_blowup.py, gitignored scratch)
+    # and we're benching the default sf0.1, run ONE extra pass of the same
+    # headline over it so the per-round record carries both scales. n=1
+    # keeps the added cost bounded (~30 s); the n=3 sf1 medians live in
+    # BENCH_NOTES.md. Skipped silently when the dir is absent.
+    blown = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale10")
+    if sf_dir == "/root/testdata/sf0.1" and os.path.isdir(blown):
+        # two passes, per-query MIN: the first pass pays one-off costs (JIT
+        # for the bigger plans, OS page cache for the 10x parquet) that a
+        # steady-state cluster never re-pays; min-of-2 approximates the warm
+        # median without the driver-time cost of a third pass.
+        t10: dict[str, list[float]] = {n: [] for n in runs}
+        for _ in range(2):
+            for name in t10:
+                t0 = time.perf_counter()
+                QUERIES[name](spark, blown).count()
+                t10[name].append(time.perf_counter() - t0)
+        warm = {n: round(min(ts), 3) for n, ts in t10.items()}
+        out["sf1_equiv"] = {
+            "value": round(sum(warm.values()), 3),
+            "unit": "sec",
+            "queries": warm,
+            "factor_vs_sf0_1": 10,
+            "reps": 2,
+            "stat": "min_of_2",
+            # max-min per query: large spread == external host contention
+            # during the run (see BENCH_NOTES.md noise methodology), not a
+            # property of the plan
+            "spread": {n: round(max(ts) - min(ts), 3) for n, ts in t10.items()},
+        }
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
