@@ -1198,3 +1198,61 @@ def bloom_blocklist_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp_rate"),
         )
     )
+
+
+# --- BPE merge-candidate statistics (round 4) -------------------------------
+@register(
+    "bpe_pair_stats",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_WORDS_SQL}) AS word FROM documents
+    ),
+    vocab AS (SELECT word, COUNT(*) AS freq FROM toks GROUP BY word),
+    pairs AS (
+      SELECT substr(word, i, 2) AS pair, freq
+      FROM vocab, unnest(range(1, length(word))) AS t(i)
+      WHERE length(word) >= 2
+    )
+    SELECT pair,
+           CAST(SUM(freq) AS BIGINT) AS pair_count,
+           CAST(COUNT(*) AS BIGINT) AS n_vocab_positions
+    FROM pairs
+    GROUP BY pair
+    ORDER BY pair_count DESC, pair ASC
+    LIMIT 20
+    """,
+)
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting core of BPE tokenizer training, step 1: corpus-weighted
+    frequency of every adjacent symbol pair, highest first — the next merge
+    a BPE trainer would make. Computed the way tokenizer training actually
+    scales: the corpus collapses to a (word, freq) vocabulary FIRST (one
+    hash agg — vocabulary is tiny relative to the corpus), then pairs are
+    generated per distinct word and weighted by freq, so the pair explode
+    costs O(|vocab| x word_len), not O(corpus tokens). Position multiplicity
+    counts ('aaa' contributes 'aa' twice per occurrence), matching the BPE
+    definition; n_vocab_positions rides along as the distinct-position
+    count.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = _toks(d).select(F.col("tok").alias("word"))
+    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    # positional (non-distinct) adjacent pairs; sequence(1, 0) is DESCENDING
+    # in Spark, so short words are CASE-guarded out (same hazard as shingles)
+    pair_arr = F.when(
+        F.length("word") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("word") - 1),
+            lambda i: F.col("word").substr(i, F.lit(2)),
+        ),
+    )
+    pairs = vocab.select(F.explode(pair_arr).alias("pair"), "freq")
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("freq").alias("pair_count"),
+            F.count(F.lit(1)).alias("n_vocab_positions"),
+        )
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(20)
+    )

@@ -682,3 +682,118 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("labeled_lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# --- model-based quality scoring (round 4) ----------------------------------
+# Linear quality classifier with FIXED literal weights (a distilled stand-in
+# for a fasttext/logreg quality model). Portability: the squash is the
+# rational "fast sigmoid" 0.5 + z/(2*(1+|z|)) — pure IEEE +-*/ in a fixed
+# evaluation order, bitwise identical across engines, unlike exp()-based
+# sigmoid whose libm last-ulp behavior differs between JVM and DuckDB.
+QM_BIAS = -1.5
+QM_W_STOP = 2.2  # stopword ratio: natural text evidence
+QM_W_TOK = 0.012  # per-token length reward
+QM_W_PUNCT = -3.0  # punctuation soup penalty
+QM_W_DIGIT = -1.8  # digit-heavy (tables/serial dumps) penalty
+QM_KEEP = 0.6
+QM_REVIEW = 0.45
+
+
+@register(
+    "quality_model_scores",
+    f"""
+    WITH feat AS (
+      SELECT doc_id, source,
+             length(text) AS n_chars_actual,
+             len(list_filter(string_split({_NORM}, ' '), w -> w <> '')) AS n_tokens,
+             len(list_filter(string_split({_NORM}, ' '),
+                             w -> w IN {tuple(_STOPWORDS)!r})) AS n_stop,
+             len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             {QM_BIAS} + {QM_W_STOP} * (CAST(n_stop AS DOUBLE) / n_tokens)
+               + {QM_W_TOK} * n_tokens
+               + {QM_W_PUNCT} * (CAST(n_punct AS DOUBLE) / n_chars_actual)
+               + {QM_W_DIGIT} * (CAST(n_digits AS DOUBLE) / n_chars_actual) AS z
+      FROM feat
+    ),
+    squashed AS (
+      SELECT doc_id, source, 0.5 + z / (2 * (1 + abs(z))) AS score
+      FROM scored
+    ),
+    verdicts AS (
+      SELECT source,
+             CASE WHEN score >= {QM_KEEP} THEN 'keep'
+                  WHEN score >= {QM_REVIEW} THEN 'review'
+                  ELSE 'drop' END AS verdict,
+             floor(score * 1000000 + 0.5) / 1000000 AS score_q
+      FROM squashed
+    )
+    SELECT source, verdict,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(score_q AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS mean_score
+    FROM verdicts
+    GROUP BY source, verdict
+    ORDER BY source ASC, verdict ASC
+    """,
+)
+def quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: every document is scored by a linear
+    classifier over the engineered features (stopword ratio, token count,
+    punctuation/digit density) and squashed to [0,1], then bucketed into
+    keep / review / drop per source — the classifier-driven complement to
+    the rule-based text_quality_scores, and the shape a distilled fasttext
+    quality model runs at 100 TB (weights broadcast in the closure; one
+    scan, one 2-key hash agg, no shuffle before the agg).
+
+    The squash is a rational fast-sigmoid (no exp()), so scores are bitwise
+    reproducible on any engine — the property that makes a corpus release
+    auditable months later. Mean score goes through 6-dp portable rounding +
+    DECIMAL so the per-cell mean is order-independent.
+    """
+    d = table(spark, sf_dir, "documents")
+    ws = _words(_norm_text(F.col("text")))
+    feat = d.select(
+        "doc_id",
+        "source",
+        F.length("text").alias("n_chars_actual"),
+        F.size(ws).alias("n_tokens"),
+        F.size(F.filter(ws, lambda w: w.isin(*_STOPWORDS))).alias("n_stop"),
+        F.regexp_count("text", F.lit("[0-9]")).alias("n_digits"),
+        F.regexp_count("text", F.lit("[^a-zA-Z0-9 ]")).alias("n_punct"),
+    )
+    z = (
+        F.lit(QM_BIAS)
+        + F.lit(QM_W_STOP) * (F.col("n_stop").cast("double") / F.col("n_tokens"))
+        + F.lit(QM_W_TOK) * F.col("n_tokens")
+        + F.lit(QM_W_PUNCT) * (F.col("n_punct").cast("double") / F.col("n_chars_actual"))
+        + F.lit(QM_W_DIGIT) * (F.col("n_digits").cast("double") / F.col("n_chars_actual"))
+    )
+    scored = feat.select("doc_id", "source", z.alias("z"))
+    score = F.lit(0.5) + F.col("z") / (F.lit(2) * (F.lit(1) + F.abs(F.col("z"))))
+    verdict = (
+        F.when(F.col("score") >= QM_KEEP, "keep")
+        .when(F.col("score") >= QM_REVIEW, "review")
+        .otherwise("drop")
+    )
+    squashed = scored.select("doc_id", "source", score.alias("score"))
+    verdicts = squashed.select(
+        "source",
+        verdict.alias("verdict"),
+        (F.floor(F.col("score") * 1000000 + F.lit(0.5)) / 1000000).alias("score_q"),
+    )
+    return (
+        verdicts.groupBy("source", "verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(F.col("score_q").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_score"),
+        )
+        .orderBy(F.col("source").asc(), F.col("verdict").asc())
+    )

@@ -558,3 +558,72 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "split", "n_docs", "n_groups", "naive_leaky_groups", "group_leaky_groups"
         )
     )
+
+
+# --- embedding batch drift (round 4) ----------------------------------------
+@register(
+    "emb_batch_drift",
+    """
+    WITH flat AS (
+      SELECT vec_id, UNNEST(embedding) AS val,
+             UNNEST(range(1, len(embedding) + 1)) AS pos
+      FROM embeddings
+    ),
+    cohorts AS (
+      SELECT pos,
+             CASE WHEN vec_id % 10 = 0 THEN 'batch' ELSE 'corpus' END AS cohort,
+             val
+      FROM flat
+    ),
+    stats AS (
+      SELECT pos, cohort, avg(val) AS mu, COUNT(*) AS n
+      FROM cohorts GROUP BY pos, cohort
+    )
+    SELECT c.pos AS pos,
+           round(c.mu, 6) + 0.0 AS corpus_mean,
+           round(b.mu, 6) + 0.0 AS batch_mean,
+           round(b.mu - c.mu, 6) + 0.0 AS drift,
+           round(abs(b.mu - c.mu), 6) AS abs_drift
+    FROM stats c JOIN stats b ON c.pos = b.pos
+    WHERE c.cohort = 'corpus' AND b.cohort = 'batch'
+    ORDER BY c.pos ASC
+    """,
+)
+def emb_batch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution drift between the standing corpus and an
+    incoming batch (vec_id % 10 == 0 stands in for the batch): mean shift
+    per embedding dimension — the monitor that catches an encoder-version
+    bump or a domain shift BEFORE the new vectors poison an ANN index built
+    on the old distribution (the vector-store twin of
+    source_token_divergence).
+
+    Scale shape: posexplode to (pos, val) — linear in corpus x dim — then
+    one hash agg on (pos, cohort) and a 64x64-row self-join; no per-vector
+    state, no driver collection. Means are 6-dp rounded with the -0.0 guard
+    (IEEE negative zero round-trips differently between engines).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    flat = e.select("vec_id", F.posexplode("embedding").alias("pos0", "val")).select(
+        "vec_id", (F.col("pos0") + 1).alias("pos"), "val"
+    )
+    cohorts = flat.select(
+        "pos",
+        F.when(F.col("vec_id") % 10 == 0, "batch").otherwise("corpus").alias("cohort"),
+        "val",
+    )
+    stats = cohorts.groupBy("pos", "cohort").agg(
+        F.avg("val").alias("mu"), F.count(F.lit(1)).alias("n")
+    )
+    c = stats.filter(F.col("cohort") == "corpus").select("pos", F.col("mu").alias("cmu"))
+    b = stats.filter(F.col("cohort") == "batch").select("pos", F.col("mu").alias("bmu"))
+    return (
+        c.join(b, "pos")
+        .select(
+            "pos",
+            (F.round("cmu", 6) + F.lit(0.0)).alias("corpus_mean"),
+            (F.round("bmu", 6) + F.lit(0.0)).alias("batch_mean"),
+            (F.round(F.col("bmu") - F.col("cmu"), 6) + F.lit(0.0)).alias("drift"),
+            F.round(F.abs(F.col("bmu") - F.col("cmu")), 6).alias("abs_drift"),
+        )
+        .orderBy(F.col("pos").asc())
+    )

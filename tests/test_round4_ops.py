@@ -153,3 +153,56 @@ def test_pq_assignment_covers_every_vector_once_per_subspace(spark):
     # each subspace assigns every vector exactly once
     assert set(per_sub) == set(range(1, PQ_SUBSPACES + 1))
     assert all(v == n_vecs for v in per_sub.values())
+
+
+def test_quality_model_partitions_all_docs(spark):
+    from fpl_data_pipeline_spark.functions.text_queries import quality_model_scores
+
+    rows = quality_model_scores(spark, SF).collect()
+    n_docs = table(spark, SF, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.verdict in ("keep", "review", "drop")
+        assert 0.0 <= r.mean_score <= 1.0
+        # verdict buckets must be consistent with the mean of their members
+        if r.verdict == "keep":
+            assert r.mean_score >= 0.6 - 1e-6
+        elif r.verdict == "drop":
+            assert r.mean_score < 0.45 + 1e-6
+
+
+def test_bpe_pair_stats_planted(spark, tmp_path):
+    # 'aaab' x3 + 'ab' x1: pair 'aa' appears 2 positions/occurrence -> 6;
+    # 'ab' appears once in each word -> 3 + 1 = 4
+    rows_in = [
+        (1, "aaab aaab", "en", "s", 0),
+        (2, "aaab ab", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows_in, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tmp_path / "bpesf"
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    from fpl_data_pipeline_spark.functions.corpus_queries import bpe_pair_stats
+
+    got = {r.pair: r.pair_count for r in bpe_pair_stats(spark, str(d)).collect()}
+    assert got == {"aa": 6, "ab": 4}
+
+
+def test_emb_batch_drift_is_zero_when_cohorts_identical(spark, tmp_path):
+    # two identical vectors, one in each cohort (vec_id 10 -> batch, 1 ->
+    # corpus): drift must be exactly 0 on every dimension (and +0.0, not -0.0)
+    vec = [float(i) / 10 for i in range(64)]
+    df = spark.createDataFrame(
+        [(1, vec, 0), (10, vec, 1)], "vec_id long, embedding array<float>, label int"
+    )
+    d = tmp_path / "driftsf"
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    from fpl_data_pipeline_spark.operators.sampling import emb_batch_drift
+
+    rows = emb_batch_drift(spark, str(d)).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert r.drift == 0.0 and str(r.drift) == "0.0"
+        assert r.abs_drift == 0.0
+        assert r.corpus_mean == r.batch_mean
