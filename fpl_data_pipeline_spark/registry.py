@@ -48,14 +48,17 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # round. Round 1's window proved the relational core (47 green); round 2's
 # the LLM-pipeline extension track (48 green); round 3 rotated onto the FPL
 # dashboard five + the round-2 red rows and went 50/50. Round 4 completes
-# driver-grade coverage: the 12 oracled queries that have never been inside
-# a window lead (after them, every oracled query in the registry has a green
-# driver row in some round), and the remaining 37 slots backfill the
-# longest-unchecked round-1 names (last driver-proven three rounds ago) for
-# regression coverage. flagship_customer_activity stays the cross-round
-# continuity anchor. kmeans_embeddings (no oracle by nature) stays OUT of
-# the window so no slot records err — it remains registered, rows-only
-# checked by tools/parity.py and convergence-tested in pytest.
+# driver-grade coverage: the 12 oracled queries that had never been inside
+# a window lead, the 9 NEW round-4 operators (segment boilerplate, dup-graph
+# degrees, minhash estimate error, bloom blocklist, event transitions, PQ
+# codebook stats, quality model, BPE pairs, embedding drift) take the next
+# slots so brand-new code gets driver-grade proof immediately, and the
+# remaining 28 slots backfill the longest-unchecked round-1 names (last
+# driver-proven three rounds ago) for regression coverage.
+# flagship_customer_activity stays the cross-round continuity anchor.
+# kmeans_embeddings (no oracle by nature) stays OUT of the window so no
+# slot records err — it remains registered, rows-only checked by
+# tools/parity.py and convergence-tested in pytest.
 DRIVER_WINDOW_PRIORITY = [
     "flagship_customer_activity",
     # the 12 oracled-but-never-windowed queries (round-3 additions)
@@ -71,14 +74,22 @@ DRIVER_WINDOW_PRIORITY = [
     "kmv_distinct_union",
     "split_leakage_safe",
     "lang_id_confusion",
+    # the 9 round-4 additions — driver-proven in the round they were built
+    "dedup_segment_boilerplate",
+    "dupgraph_degree_stats",
+    "minhash_estimate_error",
+    "bloom_blocklist_summary",
+    "events_type_transitions",
+    "emb_pq_codebook_stats",
+    "quality_model_scores",
+    "bpe_pair_stats",
+    "emb_batch_drift",
     # backfill: round-1 names last driver-proven in round 1 (stalest first
     # by family) — aggregates
     "agg_pricing_summary",
     "agg_avg_const_divisor",
     "agg_filtered_pivot",
     "agg_supplier_stats",
-    "distinct_periods",
-    "count_by_status",
     "high_water_mark",
     "stats_agg_lineitem",
     "percentile_prices_by_flag",
@@ -90,7 +101,6 @@ DRIVER_WINDOW_PRIORITY = [
     "dim_decorate",
     "semi_join",
     "anti_join_orphans",
-    "union_all_frames",
     "join_multiway_revenue",
     "intersect_repeat_customers",
     "except_lapsed_customers",
@@ -99,22 +109,16 @@ DRIVER_WINDOW_PRIORITY = [
     "asof_join_cogrouped",
     "salted_agg_user_activity",
     # projections / scalar shapes
-    "derived_ratio",
-    "coalesce_outer",
-    "filter_isnull_postjoin",
     "filter_range_hwm",
-    "json_extract",
     "explode_part_words",
     # windows
     "window_lag_delta",
-    "window_ntile_cume",
     "window_range_30d_spend",
     "window_rank_per_customer",
     "window_value_functions",
     # top-k
     "topk_order_revenue",
     "topk_supplier_volume",
-    "topk_last_3_periods",
 ]
 
 

@@ -621,3 +621,100 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("prev_type").asc(), F.col("next_type").asc())
     )
+
+
+# --- session path mining (round 4) ------------------------------------------
+PATH_MAX_EVENTS = 8
+
+
+@register(
+    "events_session_paths",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessioned AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM ordered
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+             COUNT(*) AS n_events
+      FROM sessioned
+      GROUP BY user_id, session_id
+      HAVING COUNT(*) <= {PATH_MAX_EVENTS}
+    )
+    SELECT path,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS total_events
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path ASC
+    LIMIT 20
+    """,
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey mining: the most common complete session paths (ordered
+    event-type sequences within a 30-min-gap session), the input to funnel
+    redesign and to sequence-model training data. Sessions longer than
+    PATH_MAX_EVENTS are excluded — long tails are unique-by-construction
+    and would only add noise rows (and unbounded string keys at scale).
+
+    Scale shape: reuses the sessionization shuffle (user_id), builds each
+    path with an order-pinned in-group sort (sort_array over (ts, event_id,
+    type) structs — deterministic regardless of arrival order), then one
+    hash agg on the path string. The HAVING bound also caps the groupBy key
+    width, so path cardinality stays controllable at any corpus size.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    ordered = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(gap_us > 1_800_000_000, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0)
+        .alias("is_new_session"),
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessioned = ordered.withColumn("session_id", F.sum("is_new_session").over(wcum))
+    paths = (
+        sessioned.groupBy("user_id", "session_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x.event_type,
+                ),
+            ).alias("path"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .filter(F.col("n_events") <= PATH_MAX_EVENTS)
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("total_events"),
+        )
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(20)
+    )

@@ -206,3 +206,28 @@ def test_emb_batch_drift_is_zero_when_cohorts_identical(spark, tmp_path):
         assert r.drift == 0.0 and str(r.drift) == "0.0"
         assert r.abs_drift == 0.0
         assert r.corpus_mean == r.batch_mean
+
+
+def test_session_paths_planted(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from fpl_data_pipeline_spark.streaming.event_queries import events_session_paths
+
+    # user 1: view>click then (90 min later) view alone; user 2: view>click
+    t = lambda m: datetime(2024, 1, 1, 12, 0) + timedelta(minutes=m)  # noqa: E731
+    rows = [
+        (1, t(0), 1, "view", 0.0, "{}"),
+        (2, t(5), 1, "click", 0.0, "{}"),
+        (3, t(95), 1, "view", 0.0, "{}"),
+        (4, t(0), 2, "view", 0.0, "{}"),
+        (5, t(1), 2, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = tmp_path / "pathsf"
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    got = {r.path: (r.n_sessions, r.total_events) for r in events_session_paths(spark, str(d)).collect()}
+    assert got == {"view>click": (2, 4), "view": (1, 1)}
