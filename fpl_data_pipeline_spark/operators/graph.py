@@ -1,0 +1,269 @@
+"""Distributed graph analytics over the near-duplicate document graph.
+
+The dedup family (operators/dedup.py) already builds the Jaccard>=0.5 graph
+and runs connected components over it; this module adds the two other graph
+primitives a corpus-curation pipeline uses on that graph:
+
+- PageRank: centrality of a document inside its duplication neighborhood —
+  high-rank nodes are the "canonical" members of mirror farms, the natural
+  keeper choice (vs the arbitrary min-doc_id keeper dedup_clusters uses).
+- Triangle count / global clustering coefficient: whether near-dup clusters
+  are cliquish (true mirror sets — triangles everywhere) or chain-like
+  (A~B~C drift without A~C — transitive-closure dedup is then risky).
+
+Scale design: edges come from the df-capped shingle equi-join
+(dedup._ngram_jaccard_pairs — never n^2); each PageRank iteration is ONE
+shuffle (join pr on src + groupBy dst) over the edge list, the scale shape
+of Pregel/GraphX; triangle counting orients edges by degree-then-id (the
+standard fan-out bound: every wedge is enumerated at its lowest-degree
+vertex) and joins edge lists, never materializing neighbor sets.
+
+Determinism / oracle: PageRank's per-node sums are order-independent exact
+decimal sums of 12-dp-rounded contributions (functions/exact.py convention),
+and every iteration re-rounds to 12 dp, so Spark and DuckDB carry bitwise
+identical values through all iterations; the oracle unrolls the 3 iterations
+as CTEs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from fpl_data_pipeline_spark.registry import register
+from fpl_data_pipeline_spark.tables import table
+from fpl_data_pipeline_spark.functions.exact import portable_round
+from fpl_data_pipeline_spark.operators.dedup import (
+    SHINGLE_DF_CAP,
+    _ngram_jaccard_pairs,
+)
+
+DAMPING = 0.85
+N_ITER = 3
+_R = 10**12  # 12-dp portable rounding factor carried through iterations
+
+
+# Jaccard>=0.5 edge list over word-3-gram shingles — the same graph
+# dupgraph_degree_stats / dedup_clusters_exact use (SQL mirror of
+# dedup._ngram_jaccard_pairs).
+_EDGES_SQL = f"""
+    WITH norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(ws) - 1, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs
+      FROM words
+    ),
+    exploded0 AS (SELECT doc_id, unnest(gs) AS shingle FROM grams),
+    freq AS (SELECT shingle, COUNT(*) AS df FROM exploded0 GROUP BY shingle),
+    exploded AS (
+      SELECT e.doc_id, e.shingle
+      FROM exploded0 e JOIN freq USING (shingle)
+      WHERE df <= {SHINGLE_DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM exploded GROUP BY doc_id),
+    pair_inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_common
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    ed AS (
+      SELECT doc_id_a, doc_id_b
+      FROM pair_inter
+      JOIN sizes sa ON sa.doc_id = doc_id_a
+      JOIN sizes sb ON sb.doc_id = doc_id_b
+      WHERE CAST(n_common AS DOUBLE)
+              / (sa.n_shingles + sb.n_shingles - n_common) >= 0.5
+    )
+"""
+
+
+def _dup_edges(d: DataFrame) -> DataFrame:
+    """(doc_id_a, doc_id_b) near-dup edges, a < b."""
+    return (
+        _ngram_jaccard_pairs(d)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_id_a", "doc_id_b")
+    )
+
+
+def pagerank(edges: DataFrame, n_iter: int = N_ITER, damping: float = DAMPING) -> DataFrame:
+    """Engine operator: PageRank over an undirected edge list
+    (doc_id_a, doc_id_b) -> (doc_id, pagerank).
+
+    Symmetrizes the edges (so there are no dangling nodes: every node has
+    out-degree >= 1), initializes uniformly, and runs ``n_iter`` power
+    iterations. Each iteration: join rank onto edge sources (shuffle on
+    src), aggregate contributions per destination (shuffle on dst) — the
+    Pregel message-passing shape, linear in |E| per iteration. The edge list
+    and degree table are localCheckpoint'd once so each iteration's lineage
+    is one join, not the whole shingle pipeline re-derived.
+    """
+    sym = (
+        edges.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+        .unionAll(
+            edges.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
+    nodes = sym.select(F.col("src").alias("doc_id")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "doc_id", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            sym.join(pr.withColumnRenamed("doc_id", "src"), "src")
+            .join(deg, "src")
+            .select(
+                "dst",
+                portable_round(F.col("pr") / F.col("outdeg"), 12)
+                .cast("decimal(28,12)")
+                .alias("c"),
+            )
+        )
+        pr = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").cast("double").alias("s"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                F.col("dst").alias("doc_id"),
+                portable_round(
+                    F.lit(1.0 - damping) / F.col("n") + F.lit(damping) * F.col("s"), 12
+                ).alias("pr"),
+            )
+        )
+    return pr
+
+
+def _iter_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT s.dst AS doc_id,
+             FLOOR((CAST(0.15 AS DOUBLE) / nn.n
+                    + CAST(0.85 AS DOUBLE)
+                      * CAST(SUM(CAST(FLOOR(p.pr / g.outdeg * {_R} + 0.5) / {_R}
+                                      AS DECIMAL(28,12))) AS DOUBLE))
+                   * {_R} + 0.5) / {_R} AS pr
+      FROM sym s
+      JOIN {prev} p ON p.doc_id = s.src
+      JOIN deg g ON g.src = s.src
+      CROSS JOIN nn
+      GROUP BY s.dst, nn.n
+    )"""
+
+
+@register(
+    "pagerank_dupgraph",
+    _EDGES_SQL
+    + f"""
+    , sym AS (
+      SELECT doc_id_a AS src, doc_id_b AS dst FROM ed
+      UNION ALL
+      SELECT doc_id_b AS src, doc_id_a AS dst FROM ed
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM sym),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM sym GROUP BY src),
+    pr0 AS (SELECT doc_id, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN nn),
+    {_iter_sql('pr0', 'it1')},
+    {_iter_sql('it1', 'it2')},
+    {_iter_sql('it2', 'it3')}
+    SELECT i.doc_id, i.pr AS pagerank, g.outdeg AS degree
+    FROM it3 i JOIN deg g ON g.src = i.doc_id
+    ORDER BY pagerank DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PageRank centralities of the near-dup graph: the canonical-
+    keeper ranking for duplicate clusters (the highest-rank member of a
+    mirror set is the best-connected exemplar). 3 power iterations at
+    damping 0.85, bitwise-portable arithmetic (see module docstring)."""
+    d = table(spark, sf_dir, "documents")
+    edges = _dup_edges(d)
+    pr = pagerank(edges)
+    sym = edges.select(F.col("doc_id_a").alias("src")).unionAll(
+        edges.select(F.col("doc_id_b").alias("src"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        pr.join(deg, pr.doc_id == deg.src)
+        .select("doc_id", F.col("pr").alias("pagerank"), "degree")
+        .orderBy(F.col("pagerank").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "dupgraph_triangle_stats",
+    _EDGES_SQL
+    + """
+    , tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM ed e1
+      JOIN ed e2 ON e2.doc_id_a = e1.doc_id_b
+      JOIN ed e3 ON e3.doc_id_a = e1.doc_id_a AND e3.doc_id_b = e2.doc_id_b
+    ),
+    sym AS (
+      SELECT doc_id_a AS v FROM ed
+      UNION ALL
+      SELECT doc_id_b AS v FROM ed
+    ),
+    deg AS (SELECT v, COUNT(*) AS d FROM sym GROUP BY v),
+    wed AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg)
+    SELECT t.n_triangles, w.n_wedges,
+           CASE WHEN w.n_wedges = 0 THEN 0.0
+                ELSE FLOOR(CAST(3 * t.n_triangles AS DOUBLE) / w.n_wedges
+                           * 1000000 + 0.5) / 1000000 END AS clustering_coeff
+    FROM tri t CROSS JOIN wed w
+    """,
+)
+def dupgraph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup graph: n_triangles, open wedges, and
+    the global clustering coefficient 3*tri/wedges. Near-1 clustering means
+    duplicate clusters are cliques (safe to transitively merge); low
+    clustering means chained drift (A~B~C without A~C), where the
+    connected-components merge over-groups.
+
+    Edges are kept oriented a<b, so each triangle a<b<c is counted exactly
+    once by the two-join enumeration; join fan-out is bounded by the df-cap
+    on the underlying candidate generation. Wedge counts are a per-node
+    expression over the degree table — no second traversal.
+    """
+    d = table(spark, sf_dir, "documents")
+    ed = _dup_edges(d).localCheckpoint()
+    e1 = ed.select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b"))
+    e2 = ed.select(F.col("doc_id_a").alias("b"), F.col("doc_id_b").alias("c"))
+    e3 = ed.select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    sym = ed.select(F.col("doc_id_a").alias("v")).unionAll(
+        ed.select(F.col("doc_id_b").alias("v"))
+    )
+    wed = (
+        sym.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"))
+    )
+    return tri.crossJoin(F.broadcast(wed)).select(
+        "n_triangles",
+        "n_wedges",
+        F.when(F.col("n_wedges") == 0, F.lit(0.0))
+        .otherwise(
+            portable_round(
+                (3 * F.col("n_triangles")).cast("double") / F.col("n_wedges"), 6
+            )
+        )
+        .alias("clustering_coeff"),
+    )

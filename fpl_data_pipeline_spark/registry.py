@@ -148,6 +148,8 @@ def load_all() -> None:
     from fpl_data_pipeline_spark.streaming import event_queries  # noqa: F401
     from fpl_data_pipeline_spark.operators import multimodal  # noqa: F401
     from fpl_data_pipeline_spark.plans import fpl_queries  # noqa: F401
+    from fpl_data_pipeline_spark.plans import changelog  # noqa: F401
+    from fpl_data_pipeline_spark.operators import graph  # noqa: F401
     from fpl_data_pipeline_spark.functions import corpus_queries  # noqa: F401
     from fpl_data_pipeline_spark.sources import python_datasource  # noqa: F401
 
