@@ -797,3 +797,101 @@ def quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("source").asc(), F.col("verdict").asc())
     )
+
+
+# --- count-min sketch heavy hitters (sketch family: KMV, Bloom, CMS) --------
+CMS_D = 4  # hash rows
+CMS_W = 1024  # cells per row
+
+_CMS_CELL_SQL = (
+    "(('0x' || substr(md5(word || ':' || {j}), 1, 8))::BIGINT % " + str(CMS_W) + ")"
+)
+
+
+@register(
+    "cms_heavy_hitters",
+    f"""
+    WITH norm AS (SELECT {_NORM} AS t FROM documents),
+    words AS (
+      SELECT unnest(list_filter(string_split(t, ' '), w -> w <> '')) AS word
+      FROM norm
+    ),
+    exact AS (SELECT word, COUNT(*) AS exact_count FROM words GROUP BY word),
+    hashed AS (
+      SELECT word, exact_count, j, {_CMS_CELL_SQL.format(j='j')} AS cell
+      FROM exact CROSS JOIN (SELECT unnest(range({CMS_D})) AS j)
+    ),
+    cells AS (
+      SELECT j, cell, CAST(SUM(exact_count) AS BIGINT) AS cell_count
+      FROM hashed GROUP BY j, cell
+    ),
+    est AS (
+      SELECT h.word, MAX(h.exact_count) AS exact_count,
+             MIN(c.cell_count) AS cms_estimate
+      FROM hashed h JOIN cells c ON c.j = h.j AND c.cell = h.cell
+      GROUP BY h.word
+    )
+    SELECT word, exact_count, cms_estimate,
+           cms_estimate - exact_count AS overestimate
+    FROM est
+    ORDER BY exact_count DESC, word ASC
+    LIMIT 20
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus unigram stream: a {CMS_D}x{CMS_W}
+    deterministic-md5 sketch, its estimate for the top-20 true heavy
+    hitters, and the realized overestimate (CMS error is one-sided:
+    estimate >= truth always, so ``overestimate`` is the per-key realized
+    error the width/depth trade-off is tuned against).
+
+    Completes the mergeable-sketch family next to KMV (distinct count) and
+    the Bloom blocklist (membership): CMS answers point frequency queries
+    in {CMS_D}*{CMS_W} counters regardless of vocabulary size. Scale shape:
+    the sketch is built FROM the per-word partial counts (one word-key
+    shuffle — the same aggregate the exact counts need), so the cell
+    aggregation fans out {CMS_D} rows per DISTINCT word, not per token;
+    cell counts and estimates are two tiny hash aggregates. The sketch is
+    mergeable across corpus shards by cell-wise addition.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = d.select(F.explode(_words(_norm_text(F.col("text")))).alias("word"))
+    exact = words.groupBy("word").agg(F.count(F.lit(1)).alias("exact_count"))
+    hashed = exact.select(
+        "word",
+        "exact_count",
+        F.explode(F.array(*[F.lit(j) for j in range(CMS_D)])).alias("j"),
+    ).withColumn(
+        "cell",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("word"), F.lit(":"), F.col("j"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(CMS_W),
+        ),
+    )
+    cells = hashed.groupBy("j", "cell").agg(
+        F.sum("exact_count").alias("cell_count")
+    )
+    est = (
+        hashed.join(cells, ["j", "cell"])
+        .groupBy("word")
+        .agg(
+            F.max("exact_count").alias("exact_count"),
+            F.min("cell_count").alias("cms_estimate"),
+        )
+    )
+    return (
+        est.select(
+            "word",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+        )
+        .orderBy(F.col("exact_count").desc(), F.col("word").asc())
+        .limit(20)
+    )

@@ -1833,3 +1833,124 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("abs_err").desc(), F.col("doc_id_a").asc(), F.col("doc_id_b").asc())
         .limit(20)
     )
+
+
+# --- exact-substring span matches (Lee et al. '22 dedup signal) -------------
+SPAN_N = 5  # gram width: a shared run of L grams certifies L+N-1 shared tokens
+SPAN_DF_CAP = 1000  # same anti-skew role as SHINGLE_DF_CAP / WINNOW_FP_CAP
+
+
+@register(
+    "dedup_span_matches",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(ws) - {SPAN_N - 2}, 1)),
+               i -> {{'pos': i - 1,
+                      'h': substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                  || ' ' || ws[i+3] || ' ' || ws[i+4]), 1, 16)}}
+             )) AS u
+      FROM words
+      WHERE len(ws) >= {SPAN_N}
+    ),
+    hashed AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM grams),
+    freq AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM hashed GROUP BY h),
+    capped AS (
+      SELECT x.doc_id, x.pos, x.h
+      FROM hashed x JOIN freq USING (h)
+      WHERE df <= {SPAN_DF_CAP}
+    ),
+    matched AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+      FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    diag AS (
+      SELECT da, db, pa,
+             pa - ROW_NUMBER() OVER (
+               PARTITION BY da, db, pa - pb ORDER BY pa ASC) AS grp,
+             pa - pb AS dg
+      FROM matched
+    ),
+    runs AS (
+      SELECT da, db, dg, grp, COUNT(*) AS run_len
+      FROM diag GROUP BY da, db, dg, grp
+    ),
+    per_pair AS (
+      SELECT da, db, MAX(run_len) AS max_run, CAST(SUM(run_len) AS BIGINT) AS n_matched
+      FROM runs GROUP BY da, db
+    )
+    SELECT da AS doc_id_a, db AS doc_id_b,
+           CAST(max_run + {SPAN_N - 1} AS BIGINT) AS span_tokens,
+           n_matched AS n_matched_grams
+    FROM per_pair
+    ORDER BY span_tokens DESC, doc_id_a ASC, doc_id_b ASC
+    LIMIT 20
+    """,
+)
+def dedup_span_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return span_matches(table(spark, sf_dir, "documents"))
+
+
+def span_matches(d: DataFrame, df_cap: int = SPAN_DF_CAP) -> DataFrame:
+    """Longest exact shared token run per near-dup pair — the
+    exact-substring-dedup signal (Lee et al. '22, "Deduplicating Training
+    Data Makes Language Models Better"): a run of L consecutive matching
+    {SPAN_N}-gram positions certifies an exact shared substring of
+    L+{SPAN_N - 1} tokens, without ever materializing suffix arrays.
+
+    Shape: positional {SPAN_N}-gram hashes (one posexplode), df-capped
+    equi-join on the hash (linear shuffle, fan-out bounded like every other
+    dedup family), then gaps-and-islands per (pair, diagonal): consecutive
+    match positions on the same pa-pb diagonal share pa - row_number, so
+    one window + one aggregate finds every maximal run. Top-20 pairs by
+    certified span length.
+    """
+    hashed = ordered_shingles(d, n=SPAN_N).select(
+        "doc_id", "pos", F.substring(F.md5("shingle"), 1, 16).alias("h")
+    )
+    freq = hashed.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    capped = (
+        hashed.join(freq, "h").filter(F.col("df") <= df_cap).localCheckpoint()
+    )
+    a = capped.select(
+        F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "h"
+    )
+    b = capped.select(
+        F.col("doc_id").alias("db"), F.col("pos").alias("pb"), "h"
+    )
+    matched = a.join(b, "h").filter(F.col("da") < F.col("db"))
+    w = Window.partitionBy("da", "db", F.col("pa") - F.col("pb")).orderBy(
+        F.col("pa").asc()
+    )
+    diag = matched.select(
+        "da",
+        "db",
+        (F.col("pa") - F.col("pb")).alias("dg"),
+        (F.col("pa") - F.row_number().over(w)).alias("grp"),
+    )
+    runs = diag.groupBy("da", "db", "dg", "grp").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    per_pair = runs.groupBy("da", "db").agg(
+        F.max("run_len").alias("max_run"), F.sum("run_len").alias("n_matched")
+    )
+    return (
+        per_pair.select(
+            F.col("da").alias("doc_id_a"),
+            F.col("db").alias("doc_id_b"),
+            (F.col("max_run") + (SPAN_N - 1)).alias("span_tokens"),
+            F.col("n_matched").alias("n_matched_grams"),
+        )
+        .orderBy(
+            F.col("span_tokens").desc(), F.col("doc_id_a").asc(), F.col("doc_id_b").asc()
+        )
+        .limit(20)
+    )

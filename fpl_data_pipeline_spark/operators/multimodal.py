@@ -230,3 +230,76 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+# --- real binaryFile ingestion (committed fixture assets) -------------------
+# The queries above synthesize binary columns from documents; this one proves
+# the actual media INGESTION path: Spark's `binaryFile` source reading raw
+# .bin blobs from disk (path/length/content columns), digested by an
+# Arrow-batched pandas iterator. Ground truth is computed file-by-file in
+# pure Python at fixture-generation time (tools/make_binary_fixtures.py) and
+# committed as a sidecar parquet the DuckDB oracle reads — the same
+# injected-ground-truth pattern as pii_scrub_summary.
+
+import hashlib as _hashlib
+import os as _os
+
+_FIXTURES = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "fixtures",
+)
+
+DIGEST_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("byte_sum", T.LongType()),
+    ]
+)
+
+
+def digest_binary_files(files: DataFrame) -> DataFrame:
+    """Engine operator: digest a `binaryFile`-sourced DataFrame
+    (path, length, content, ...) into per-asset fingerprints. mapInPandas:
+    content arrives as Arrow binary batches; the digest is vectorizable
+    per-row work (the seam where a real decoder goes — same contract as
+    decode_stub)."""
+
+    def run(batches) -> "Iterator[pd.DataFrame]":
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "name": b["path"].map(lambda p: p.rsplit("/", 1)[-1]),
+                    "byte_len": b["content"].map(len).astype("int64"),
+                    "sha256": b["content"].map(
+                        lambda c: _hashlib.sha256(bytes(c)).hexdigest()
+                    ),
+                    "byte_sum": b["content"]
+                    .map(lambda c: sum(bytes(c)))
+                    .astype("int64"),
+                }
+            )
+
+    return files.select("path", "content").mapInPandas(run, DIGEST_SCHEMA)
+
+
+@register(
+    "binary_ingest_summary",
+    f"""
+    SELECT name, byte_len, sha256, byte_sum
+    FROM read_parquet('{_FIXTURES}/binary_assets_expected/*.parquet')
+    ORDER BY name ASC
+    """,
+)
+def binary_ingest_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the committed raw .bin assets through Spark's `binaryFile`
+    source and digest each blob distributed; the oracle checks length,
+    sha256 and byte-sum against ground truth computed outside Spark. At
+    100 TB this is the exact ingestion shape for media corpora: binaryFile
+    globs shard across executors, blobs never pass through the driver, and
+    per-blob work is Arrow-batched."""
+    files = spark.read.format("binaryFile").load(
+        _os.path.join(_FIXTURES, "binary_assets")
+    )
+    return digest_binary_files(files).orderBy(F.col("name").asc())

@@ -1040,3 +1040,136 @@ def emb_pq_codebook_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("subspace").asc(), F.col("codeword").asc())
     )
+
+
+# --- bitext mining: margin-based cross-lingual pair extraction --------------
+BITEXT_K = 4  # neighborhood size for the margin normalizer
+
+
+def bitext_margin(src: DataFrame, tgt: DataFrame, k: int = BITEXT_K) -> DataFrame:
+    """Engine operator: margin-scored nearest-target for every source vector
+    — the LASER/CCMatrix bitext-mining criterion. ``src`` is (src_id, sv),
+    ``tgt`` is (tgt_id, tv).
+
+    margin(x, y) = cos(x, y) / ((knn_x + knn_y) / 2), where knn_x is the
+    mean cosine of x's k nearest targets and knn_y the mean cosine of y's k
+    nearest sources — the ratio margin that suppresses hub vectors (points
+    close to everything) which raw cosine thresholds mis-mine.
+
+    Registered instantiation scores the two label partitions brute-force
+    with the smaller side broadcast (the eval/rerank baseline, same position
+    as cosine_topk); the production path at corpus scale feeds the SAME
+    scoring/normalizer shape from LSH-banded candidates (lsh_band_keys) so
+    neither side is ever self-joined in full.
+
+    Determinism: cosines are 9-dp portable-rounded before any aggregation;
+    neighborhood means are exact decimal sums over row_number-selected
+    (tie-broken) top-k rows — bitwise identical in DuckDB.
+    """
+    from fpl_data_pipeline_spark.functions.exact import portable_round
+
+    p = (
+        src.crossJoin(F.broadcast(tgt))
+        .select(
+            "src_id",
+            "tgt_id",
+            portable_round(
+                _dot("sv", "tv") / (_norm("sv") * _norm("tv")), 9
+            ).alias("cos9"),
+        )
+        .localCheckpoint()
+    )
+    wx = Window.partitionBy("src_id").orderBy(F.col("cos9").desc(), F.col("tgt_id").asc())
+    wy = Window.partitionBy("tgt_id").orderBy(F.col("cos9").desc(), F.col("src_id").asc())
+    mx = (
+        p.withColumn("r", F.row_number().over(wx))
+        .filter(F.col("r") <= k)
+        .groupBy("src_id")
+        .agg(
+            (
+                F.sum(F.col("cos9").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mx")
+        )
+    )
+    my = (
+        p.withColumn("r", F.row_number().over(wy))
+        .filter(F.col("r") <= k)
+        .groupBy("tgt_id")
+        .agg(
+            (
+                F.sum(F.col("cos9").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("my")
+        )
+    )
+    return p.join(mx, "src_id").join(my, "tgt_id").select(
+        "src_id",
+        "tgt_id",
+        "cos9",
+        portable_round(
+            F.col("cos9") / ((F.col("mx") + F.col("my")) / 2), 6
+        ).alias("margin"),
+    )
+
+
+_BTX_MEAN = "CAST(SUM(CAST(cos9 AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)"
+
+
+@register(
+    "bitext_margin_pairs",
+    f"""
+    WITH s AS (SELECT vec_id AS src_id, embedding AS sv FROM embeddings WHERE label = 0),
+    t AS (SELECT vec_id AS tgt_id, embedding AS tv FROM embeddings WHERE label = 1),
+    p AS (
+      SELECT src_id, tgt_id,
+             FLOOR({_dot_sql('sv', 'tv')}
+                   / (sqrt({_dot_sql('sv', 'sv')}) * sqrt({_dot_sql('tv', 'tv')}))
+                   * 1000000000 + 0.5) / 1000000000 AS cos9
+      FROM s CROSS JOIN t
+    ),
+    rx AS (SELECT *, ROW_NUMBER() OVER (
+             PARTITION BY src_id ORDER BY cos9 DESC, tgt_id ASC) AS r FROM p),
+    mx AS (SELECT src_id, {_BTX_MEAN} AS mx FROM rx WHERE r <= {BITEXT_K}
+           GROUP BY src_id),
+    ry AS (SELECT *, ROW_NUMBER() OVER (
+             PARTITION BY tgt_id ORDER BY cos9 DESC, src_id ASC) AS r FROM p),
+    my AS (SELECT tgt_id, {_BTX_MEAN} AS my FROM ry WHERE r <= {BITEXT_K}
+           GROUP BY tgt_id),
+    m AS (
+      SELECT p.src_id, p.tgt_id, p.cos9,
+             FLOOR(p.cos9 / ((mx.mx + my.my) / 2) * 1000000 + 0.5) / 1000000
+               AS margin
+      FROM p JOIN mx USING (src_id) JOIN my USING (tgt_id)
+    ),
+    best AS (SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY src_id ORDER BY margin DESC, tgt_id ASC) AS rn FROM m)
+    SELECT src_id, tgt_id, cos9 AS cosine, margin
+    FROM best WHERE rn = 1
+    ORDER BY margin DESC, src_id ASC
+    LIMIT 20
+    """,
+)
+def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 mined 'translation pairs': label-0 embeddings as the source
+    language, label-1 as the target, each source matched to its best target
+    by ratio margin (see bitext_margin). The training-data shape for
+    machine-translation corpora mining from comparable crawls."""
+    e = table(spark, sf_dir, "embeddings")
+    src = e.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("src_id"), F.col("embedding").alias("sv")
+    )
+    tgt = e.filter(F.col("label") == 1).select(
+        F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("tv")
+    )
+    scored = bitext_margin(src, tgt)
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("margin").desc(), F.col("tgt_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("src_id", "tgt_id", F.col("cos9").alias("cosine"), "margin")
+        .orderBy(F.col("margin").desc(), F.col("src_id").asc())
+        .limit(20)
+    )

@@ -1,0 +1,108 @@
+"""Semantics invariants for the round-4 late additions (beyond oracle
+parity): CMS one-sided error, bitext margin on planted translations, exact
+span certification on planted shared substrings, binary fixture integrity."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from fpl_data_pipeline_spark.operators.dedup import SPAN_N, span_matches
+from fpl_data_pipeline_spark.operators.similarity import DIM, bitext_margin
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cms_error_is_one_sided(spark):
+    """CMS never underestimates: for EVERY word (not just the reported
+    top-20), min-of-cells >= exact count."""
+    from fpl_data_pipeline_spark.functions.text_queries import (
+        CMS_D,
+        CMS_W,
+        _norm_text,
+        _words,
+    )
+    from fpl_data_pipeline_spark.tables import table
+
+    d = table(spark, SF, "documents")
+    words = d.select(F.explode(_words(_norm_text(F.col("text")))).alias("word"))
+    exact = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    hashed = exact.select(
+        "word",
+        "cnt",
+        F.explode(F.array(*[F.lit(j) for j in range(CMS_D)])).alias("j"),
+    ).withColumn(
+        "cell",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat("word", F.lit(":"), "j")), 1, 8), 16, 10
+            ).cast("long"),
+            F.lit(CMS_W),
+        ),
+    )
+    cells = hashed.groupBy("j", "cell").agg(F.sum("cnt").alias("cc"))
+    under = (
+        hashed.join(cells, ["j", "cell"])
+        .groupBy("word")
+        .agg(F.max("cnt").alias("cnt"), F.min("cc").alias("est"))
+        .filter(F.col("est") < F.col("cnt"))
+        .count()
+    )
+    assert under == 0
+
+
+def test_bitext_margin_planted_translation(spark):
+    """A target vector identical to a source vector must be that source's
+    best pair with cosine 1.0, and must outrank a hub-like target that is
+    moderately close to everything."""
+    base = [[float((i * 7 + j * 3) % 11 - 5) for j in range(DIM)] for i in range(6)]
+    src = spark.createDataFrame(
+        [(i, base[i]) for i in range(3)], "src_id long, sv array<double>"
+    )
+    # tgt 10 == src 0 exactly; tgt 11/12 are other vectors
+    tgt = spark.createDataFrame(
+        [(10, base[0]), (11, base[4]), (12, base[5])],
+        "tgt_id long, tv array<double>",
+    )
+    out = bitext_margin(src, tgt, k=2).toPandas()
+    best = out[out.src_id == 0].sort_values("margin", ascending=False).iloc[0]
+    assert best.tgt_id == 10
+    assert abs(best.cos9 - 1.0) < 1e-9
+
+
+def test_span_matches_certifies_planted_run(spark):
+    """Two docs sharing exactly a 12-token run (surrounded by unique
+    tokens) must report span_tokens == 12; a pair sharing only scattered
+    single 5-grams reports exactly SPAN_N tokens."""
+    run = " ".join(f"shared{i}" for i in range(12))
+    gram = " ".join(f"lone{i}" for i in range(SPAN_N))
+    rows = [
+        (1, " ".join(f"a{i}" for i in range(8)) + " " + run + " " + " ".join(f"z{i}" for i in range(8)), "en", "s", 0),
+        (2, " ".join(f"b{i}" for i in range(8)) + " " + run + " " + " ".join(f"y{i}" for i in range(8)), "en", "s", 0),
+        (3, gram + " " + " ".join(f"c{i}" for i in range(20)), "en", "s", 0),
+        (4, gram + " " + " ".join(f"d{i}" for i in range(20)), "en", "s", 0),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {(r.doc_id_a, r.doc_id_b): r.span_tokens for r in span_matches(d).collect()}
+    assert out[(1, 2)] == 12
+    assert out[(3, 4)] == SPAN_N
+
+
+def test_binary_fixtures_byte_stable():
+    """Committed .bin assets match the committed expected.parquet ground
+    truth (guards fixture drift without Spark)."""
+    import os
+
+    root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures")
+    exp = pd.read_parquet(os.path.join(root, "binary_assets_expected", "expected.parquet"))
+    assert len(exp) == 12
+    for r in exp.itertuples():
+        with open(os.path.join(root, "binary_assets", r.name), "rb") as f:
+            p = f.read()
+        assert len(p) == r.byte_len
+        assert hashlib.sha256(p).hexdigest() == r.sha256
+        assert sum(p) == r.byte_sum
