@@ -84,6 +84,17 @@ DRIVER_WINDOW_PRIORITY = [
     "quality_model_scores",
     "bpe_pair_stats",
     "emb_batch_drift",
+    # the 8 newest operators (same round, later session) — driver-proven in
+    # the round they were built; displace the tail of the round-1 backfill
+    # (those names stay registered at #51+, still covered by tools/parity.py)
+    "cdc_apply_state",
+    "scd2_customer_history",
+    "pagerank_dupgraph",
+    "dupgraph_triangle_stats",
+    "cms_heavy_hitters",
+    "bitext_margin_pairs",
+    "dedup_span_matches",
+    "binary_ingest_summary",
     # backfill: round-1 names last driver-proven in round 1 (stalest first
     # by family) — aggregates
     "agg_pricing_summary",
