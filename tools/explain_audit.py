@@ -47,6 +47,10 @@ INTENTIONAL_CROSS = {
     "emb_pq_codebook_stats",
     # final 1-row x 1-row summary combine
     "bloom_blocklist_summary",
+    # broadcast 1-row node-count scalar per power iteration
+    "pagerank_dupgraph",
+    # final 1-row x 1-row summary combine (triangles x wedges)
+    "dupgraph_triangle_stats",
 }
 
 
