@@ -7,7 +7,7 @@ oracle-checked against DuckDB.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from fpl_data_pipeline_spark.registry import register
 from fpl_data_pipeline_spark.tables import table
@@ -894,4 +894,146 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("exact_count").desc(), F.col("word").asc())
         .limit(20)
+    )
+
+
+# --- tokenizer vocabulary coverage (OOV audit) ------------------------------
+VOCAB_K = 16  # small enough to bite on the 31-word synthetic vocab; a real corpus uses 30-100k
+
+
+@register(
+    "vocab_oov_rates",
+    f"""
+    WITH norm AS (SELECT source, {_NORM} AS t FROM documents),
+    toks AS (
+      SELECT source,
+             unnest(list_filter(string_split(t, ' '), w -> w <> '')) AS word
+      FROM norm
+    ),
+    cnt AS (SELECT word, COUNT(*) AS c FROM toks GROUP BY word),
+    vocab AS (
+      SELECT word FROM (
+        SELECT word, ROW_NUMBER() OVER (ORDER BY c DESC, word ASC) AS r FROM cnt
+      ) WHERE r <= {VOCAB_K}
+    ),
+    j AS (
+      SELECT t.source, CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS oov
+      FROM toks t LEFT JOIN vocab v USING (word)
+    )
+    SELECT source, COUNT(*) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           FLOOR(CAST(SUM(oov) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000
+             AS oov_rate
+    FROM j GROUP BY source ORDER BY source ASC
+    """,
+)
+def vocab_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit: fix the vocabulary at the corpus's top-VOCAB_K
+    words (deterministic tie-break) and measure each ingest source's
+    out-of-vocabulary token rate — the signal for when a tokenizer retrain
+    or a source-specific normalization pass is due (a source drifting to
+    high OOV inflates sequence lengths and degrades token budgets).
+
+    Scale shape: vocab selection is one word-keyed aggregate + a top-k; the
+    coverage join broadcasts the {VOCAB_K}-row vocab against the token
+    stream (map-side, no shuffle) and the audit is a per-source hash agg.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(_words(_norm_text(F.col("text")))).alias("word")
+    )
+    cnt = toks.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    # top-k via orderBy+limit -> TakeOrderedAndProject (per-partition heaps
+    # + driver merge of k rows), NOT a global row_number window whose single
+    # unpartitioned sort would bottleneck the distinct-word table at scale
+    vocab = (
+        cnt.orderBy(F.col("c").desc(), F.col("word").asc())
+        .limit(VOCAB_K)
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    j = toks.join(F.broadcast(vocab), "word", "left").select(
+        "source",
+        F.when(F.col("in_vocab").isNull(), 1).otherwise(0).alias("oov"),
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("oov").cast("bigint").alias("n_oov"),
+            (
+                F.floor(
+                    F.sum("oov").cast("double")
+                    / F.count(F.lit(1))
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("oov_rate"),
+        )
+        .orderBy(F.col("source").asc())
+    )
+
+
+# --- bigram-LM surprisal (conditional perplexity proxy) ---------------------
+@register(
+    "quality_bigram_surprisal",
+    f"""
+    WITH words AS (
+      SELECT doc_id, list_filter(string_split({_NORM}, ' '), w -> w <> '') AS ws
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(ws), 1)),
+                                   i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      FROM words
+    ),
+    bc AS (SELECT bigram, COUNT(*) AS cb FROM bigrams GROUP BY bigram),
+    ctx AS (
+      SELECT split_part(bigram, ' ', 1) AS w1, COUNT(*) AS cc
+      FROM bigrams GROUP BY 1
+    ),
+    scored AS (
+      SELECT g.doc_id, ln(CAST(c.cc AS DOUBLE) / b.cb) AS surprisal
+      FROM bigrams g
+      JOIN bc b USING (bigram)
+      JOIN ctx c ON c.w1 = split_part(g.bigram, ' ', 1)
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           round(SUM(surprisal) / COUNT(*), 6) AS avg_surprisal
+    FROM scored GROUP BY doc_id
+    """,
+)
+def quality_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (bigram-LM) surprisal per document: -ln p(w2 | w1) from
+    corpus bigram/context counts, averaged per doc — a strictly sharper
+    perplexity proxy than quality_unigram_surprisal (word order now
+    matters: scrambled boilerplate scores high even when its unigram mix is
+    corpus-typical). The LM is trained on the corpus itself so every doc
+    bigram has count >= 1 — no smoothing needed for finiteness.
+
+    Three word-keyed hash aggregates (bigram counts, context counts,
+    per-doc mean) — same shuffle budget as the unigram variant plus one
+    map-side split_part. The double SUM's ~1e-15 order noise is absorbed by
+    the 6-dp round (precedent: quality_unigram_surprisal).
+    """
+    d = table(spark, sf_dir, "documents")
+    grams = doc_bigrams(d)
+    bc = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb"))
+    ctx = (
+        grams.select(F.expr("split_part(bigram, ' ', 1)").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("cc"))
+    )
+    scored = (
+        grams.join(bc, "bigram")
+        .withColumn("w1", F.expr("split_part(bigram, ' ', 1)"))
+        .join(ctx, "w1")
+        .select(
+            "doc_id", F.log(F.col("cc").cast("double") / F.col("cb")).alias("surprisal")
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("surprisal") / F.count(F.lit(1)), 6).alias("avg_surprisal"),
     )

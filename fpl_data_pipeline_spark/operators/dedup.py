@@ -1954,3 +1954,66 @@ def span_matches(d: DataFrame, df_cap: int = SPAN_DF_CAP) -> DataFrame:
         )
         .limit(20)
     )
+
+
+# --- threshold-sensitivity sweep (dedup tuning harness) ---------------------
+@register(
+    "dedup_threshold_sweep",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(ws) - 1, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs
+      FROM words
+    ),
+    exploded0 AS (SELECT doc_id, unnest(gs) AS shingle FROM grams),
+    freq AS (SELECT shingle, COUNT(*) AS df FROM exploded0 GROUP BY shingle),
+    exploded AS (
+      SELECT e.doc_id, e.shingle
+      FROM exploded0 e JOIN freq USING (shingle)
+      WHERE df <= {SHINGLE_DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM exploded GROUP BY doc_id),
+    pair_inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_common
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT CAST(n_common AS DOUBLE)
+               / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard
+      FROM pair_inter
+      JOIN sizes sa ON sa.doc_id = doc_id_a
+      JOIN sizes sb ON sb.doc_id = doc_id_b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_50,
+           CAST(SUM(CASE WHEN jaccard >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_60,
+           CAST(SUM(CASE WHEN jaccard >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_70,
+           CAST(SUM(CASE WHEN jaccard >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_80,
+           CAST(SUM(CASE WHEN jaccard >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_90
+    FROM scored
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity curve of the exact-Jaccard candidate set: how
+    many pairs survive at 0.5/0.6/0.7/0.8/0.9 — the tuning input for
+    choosing the dedup cut (a cliff between two thresholds means a distinct
+    near-dup population; a smooth tail means paraphrase drift). One extra
+    conditional-sum aggregate on the pipeline every dedup family already
+    runs; no new shuffle."""
+    scored = _ngram_jaccard_pairs(table(spark, sf_dir, "documents"))
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_candidates")] + [
+        F.sum(F.when(F.col("jaccard") >= t / 100.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"n_ge_{t}")
+        for t in (50, 60, 70, 80, 90)
+    ]
+    return scored.agg(*aggs)

@@ -95,6 +95,9 @@ DRIVER_WINDOW_PRIORITY = [
     "bitext_margin_pairs",
     "dedup_span_matches",
     "binary_ingest_summary",
+    "dedup_threshold_sweep",
+    "vocab_oov_rates",
+    "quality_bigram_surprisal",
     # backfill: round-1 names last driver-proven in round 1 (stalest first
     # by family) — aggregates
     "agg_pricing_summary",

@@ -106,3 +106,53 @@ def test_binary_fixtures_byte_stable():
         assert len(p) == r.byte_len
         assert hashlib.sha256(p).hexdigest() == r.sha256
         assert sum(p) == r.byte_sum
+
+
+def test_threshold_sweep_monotone(spark):
+    """Cumulative threshold counts are non-increasing and bounded by the
+    candidate total."""
+    from fpl_data_pipeline_spark.operators.dedup import dedup_threshold_sweep
+
+    r = dedup_threshold_sweep(spark, SF).collect()[0]
+    seq = [r.n_candidates, r.n_ge_50, r.n_ge_60, r.n_ge_70, r.n_ge_80, r.n_ge_90]
+    assert all(a >= b for a, b in zip(seq, seq[1:]))
+    assert seq[0] > 0
+
+
+def test_vocab_oov_planted(spark, monkeypatch, tmp_path):
+    """With a planted corpus where 'rare' appears once and VOCAB_K covers
+    all but that word, the OOV rate counts exactly the rare tokens."""
+    import fpl_data_pipeline_spark.functions.text_queries as tq
+
+    rows = [
+        (1, "common common common rare", "en", "sA", 0),
+        (2, "common common", "en", "sB", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    p = str(tmp_path / "documents.parquet")
+    df.write.mode("overwrite").parquet(p)
+    monkeypatch.setattr(tq, "VOCAB_K", 1)
+    out = {r.source: r for r in tq.vocab_oov_rates(spark, str(tmp_path)).collect()}
+    assert out["sA"].n_oov == 1 and out["sA"].n_tokens == 4
+    assert out["sB"].n_oov == 0
+
+
+def test_bigram_surprisal_uniform_text_is_zero(spark, tmp_path):
+    """A corpus that is one deterministic word sequence repeated makes every
+    bigram fully predictable from its context -> surprisal exactly 0."""
+    from fpl_data_pipeline_spark.functions.text_queries import (
+        quality_bigram_surprisal,
+    )
+
+    rows = [(i, "alpha beta gamma delta", "en", "s", 0) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = quality_bigram_surprisal(spark, str(tmp_path)).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.n_bigrams == 3
+        assert abs(r.avg_surprisal) < 1e-12
