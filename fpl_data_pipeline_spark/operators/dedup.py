@@ -1911,6 +1911,16 @@ def span_matches(d: DataFrame, df_cap: int = SPAN_DF_CAP) -> DataFrame:
     one window + one aggregate finds every maximal run. Top-20 pairs by
     certified span length.
     """
+    per_pair = span_pair_spans(d, df_cap)
+    return per_pair.orderBy(
+        F.col("span_tokens").desc(), F.col("doc_id_a").asc(), F.col("doc_id_b").asc()
+    ).limit(20)
+
+
+def span_pair_spans(d: DataFrame, df_cap: int = SPAN_DF_CAP) -> DataFrame:
+    """The full (un-truncated) per-pair span table — split out so
+    tools/scale_probe.py can measure candidate growth across corpus
+    scales; span_matches surfaces its top-20."""
     hashed = ordered_shingles(d, n=SPAN_N).select(
         "doc_id", "pos", F.substring(F.md5("shingle"), 1, 16).alias("h")
     )
@@ -1942,17 +1952,11 @@ def span_matches(d: DataFrame, df_cap: int = SPAN_DF_CAP) -> DataFrame:
     per_pair = runs.groupBy("da", "db").agg(
         F.max("run_len").alias("max_run"), F.sum("run_len").alias("n_matched")
     )
-    return (
-        per_pair.select(
-            F.col("da").alias("doc_id_a"),
-            F.col("db").alias("doc_id_b"),
-            (F.col("max_run") + (SPAN_N - 1)).alias("span_tokens"),
-            F.col("n_matched").alias("n_matched_grams"),
-        )
-        .orderBy(
-            F.col("span_tokens").desc(), F.col("doc_id_a").asc(), F.col("doc_id_b").asc()
-        )
-        .limit(20)
+    return per_pair.select(
+        F.col("da").alias("doc_id_a"),
+        F.col("db").alias("doc_id_b"),
+        (F.col("max_run") + (SPAN_N - 1)).alias("span_tokens"),
+        F.col("n_matched").alias("n_matched_grams"),
     )
 
 
