@@ -98,6 +98,7 @@ DRIVER_WINDOW_PRIORITY = [
     "dedup_threshold_sweep",
     "vocab_oov_rates",
     "quality_bigram_surprisal",
+    "zorder_layout_stats",
     # backfill: round-1 names last driver-proven in round 1 (stalest first
     # by family) — aggregates
     "agg_pricing_summary",
@@ -164,6 +165,7 @@ def load_all() -> None:
     from fpl_data_pipeline_spark.plans import fpl_queries  # noqa: F401
     from fpl_data_pipeline_spark.plans import changelog  # noqa: F401
     from fpl_data_pipeline_spark.operators import graph  # noqa: F401
+    from fpl_data_pipeline_spark.sources import bucketing  # noqa: F401
     from fpl_data_pipeline_spark.functions import corpus_queries  # noqa: F401
     from fpl_data_pipeline_spark.sources import python_datasource  # noqa: F401
 

@@ -79,3 +79,202 @@ def assert_no_shuffle(df: DataFrame) -> None:
     for line in plan.splitlines():
         if "Exchange" in line and "BroadcastExchange" not in line:
             raise AssertionError(f"unexpected shuffle in plan:\n{plan}")
+
+
+# --- Z-order (Morton) layout: multi-dimensional data skipping ---------------
+# Bucketing co-locates ONE key; range-partitioning sorts ONE key. A table
+# queried by two independent dimensions (customer AND date here; tenant AND
+# time in telemetry) needs interleaved-bit ordering so file-level min/max
+# stats are tight on BOTH dimensions at once — the Delta/Iceberg OPTIMIZE
+# ZORDER story, reproduced as a plain column expression + repartitionByRange.
+# Portability notes: day numbers come from datediff (integer day count, no
+# epoch()/cast rounding divergence) and grid coordinates from exact integer
+# floor division (Spark `div` == DuckDB `//`), never double->int casts whose
+# tie handling differs between engines.
+
+import pyspark.sql.functions as F
+
+from fpl_data_pipeline_spark.registry import register
+from fpl_data_pipeline_spark.tables import table
+
+Z_BITS = 10  # per-dimension resolution
+Z_BUCKET_BITS = 5  # top bits of the z-value -> 32 equal-width z-buckets
+
+
+def zorder_key(px, py, bits: int = Z_BITS):
+    """Morton interleave of two ``bits``-bit non-negative ints (px, py) —
+    a pure JVM-side expression, usable directly as a repartitionByRange /
+    sortWithinPartitions key for writing z-clustered files."""
+    z = F.lit(0)
+    for i in range(bits):
+        z = (
+            z
+            + (F.shiftright(px, i).bitwiseAND(F.lit(1)) * (2 ** (2 * i + 1)))
+            + (F.shiftright(py, i).bitwiseAND(F.lit(1)) * (2 ** (2 * i)))
+        )
+    return z
+
+
+def _zorder_key_sql(px: str, py: str, bits: int = Z_BITS) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({px} >> {i}) & 1) * {2 ** (2 * i + 1)}")
+        terms.append(f"(({py} >> {i}) & 1) * {2 ** (2 * i)}")
+    return " + ".join(terms)
+
+
+_Q6 = "FLOOR({} * 1000000 + 0.5) / 1000000"
+
+
+@register(
+    "zorder_layout_stats",
+    f"""
+    WITH days AS (
+      SELECT o_custkey,
+             datediff('day', DATE '1970-01-01', o_orderdate) AS day
+      FROM orders
+    ),
+    b AS (
+      SELECT MAX(o_custkey) AS mc, MIN(day) AS mind, MAX(day) AS maxd
+      FROM days
+    ),
+    px AS (
+      SELECT o_custkey, day,
+             (o_custkey * {2 ** Z_BITS}) // (b.mc + 1) AS px,
+             ((day - b.mind) * {2 ** Z_BITS}) // (b.maxd - b.mind + 1) AS py,
+             b.mc, b.mind, b.maxd
+      FROM days CROSS JOIN b
+    ),
+    keyed AS (
+      SELECT o_custkey, day, mc, mind, maxd,
+             ({_zorder_key_sql('px', 'py')}) >> {2 * Z_BITS - Z_BUCKET_BITS}
+               AS z_bucket,
+             px >> {Z_BITS - Z_BUCKET_BITS} AS lin_bucket
+      FROM px
+    ),
+    per AS (
+      SELECT layout, bucket,
+             MAX(o_custkey) - MIN(o_custkey) + 1 AS cust_span,
+             MAX(day) - MIN(day) + 1 AS day_span,
+             MAX(mc) AS mc, MAX(mind) AS mind, MAX(maxd) AS maxd
+      FROM (
+        SELECT 'zorder' AS layout, z_bucket AS bucket, * FROM keyed
+        UNION ALL
+        SELECT 'custkey_sort' AS layout, lin_bucket AS bucket, * FROM keyed
+      ) GROUP BY layout, bucket
+    ),
+    norm AS (
+      SELECT layout,
+             CAST({_Q6.format('CAST(cust_span AS DOUBLE) / mc')}
+                  AS DECIMAL(18,6)) AS cf,
+             CAST({_Q6.format('CAST(day_span AS DOUBLE) / (maxd - mind + 1)')}
+                  AS DECIMAL(18,6)) AS df,
+             CAST({_Q6.format(
+                 'CAST(cust_span AS DOUBLE) / mc'
+                 ' * (CAST(day_span AS DOUBLE) / (maxd - mind + 1))')}
+                  AS DECIMAL(18,6)) AS area
+      FROM per
+    )
+    SELECT layout, COUNT(*) AS n_buckets,
+           {_Q6.format('CAST(SUM(cf) AS DOUBLE) / COUNT(*)')} AS avg_cust_span_frac,
+           {_Q6.format('CAST(SUM(df) AS DOUBLE) / COUNT(*)')} AS avg_day_span_frac,
+           {_Q6.format('CAST(SUM(area) AS DOUBLE) / COUNT(*)')} AS avg_area_frac
+    FROM norm
+    GROUP BY layout
+    ORDER BY layout
+    """,
+)
+def zorder_layout_stats(spark, sf_dir: str):
+    """File-skipping quality of a Z-ordered layout vs a single-key sort:
+    bucket orders by (a) the top {Z_BUCKET_BITS} bits of the Morton
+    interleave of normalized (custkey, order-day) and (b) the top bits of
+    custkey alone, then measure each bucket's min/max SPAN on both
+    dimensions — exactly the file-footer stats a scan consults. Measured
+    at sf0.01: custkey_sort gives cust spans of 0.03 but day spans of
+    1.0 (a date predicate scans EVERY bucket); z-order balances both
+    (0.12 / 0.25) at equal span area — so date-only predicates prune ~4x
+    better while custkey predicates stay bounded: the quantified case for
+    z-clustering tables queried by two independent predicates.
+
+    Everything is map-side arithmetic after one broadcast 1-row min/max;
+    bucket stats are one hash aggregate. Equal-WIDTH z-buckets stand in
+    for the file boundaries a production writer would get from
+    repartitionByRange(zorder_key) (equal-count, no global sort needed
+    here); span quality is the same property.
+    """
+    o = table(spark, sf_dir, "orders")
+    days = o.select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("bigint").alias("day"),
+    )
+    b = F.broadcast(
+        days.agg(
+            F.max("o_custkey").alias("mc"),
+            F.min("day").alias("mind"),
+            F.max("day").alias("maxd"),
+        )
+    )
+    px = days.crossJoin(b).select(
+        "o_custkey",
+        "day",
+        "mc",
+        "mind",
+        "maxd",
+        F.expr(f"(o_custkey * {2 ** Z_BITS}) div (mc + 1)").alias("px"),
+        F.expr(
+            f"((day - mind) * {2 ** Z_BITS}) div (maxd - mind + 1)"
+        ).alias("py"),
+    )
+    keyed = px.select(
+        "o_custkey",
+        "day",
+        "mc",
+        "mind",
+        "maxd",
+        F.shiftright(
+            zorder_key(F.col("px"), F.col("py")), 2 * Z_BITS - Z_BUCKET_BITS
+        ).alias("z_bucket"),
+        F.shiftright(F.col("px"), Z_BITS - Z_BUCKET_BITS).alias("lin_bucket"),
+    )
+    cols = ["o_custkey", "day", "mc", "mind", "maxd"]
+    both = keyed.select(
+        F.lit("zorder").alias("layout"), F.col("z_bucket").alias("bucket"), *cols
+    ).unionAll(
+        keyed.select(
+            F.lit("custkey_sort").alias("layout"),
+            F.col("lin_bucket").alias("bucket"),
+            *cols,
+        )
+    )
+    per = both.groupBy("layout", "bucket").agg(
+        (F.max("o_custkey") - F.min("o_custkey") + 1).alias("cust_span"),
+        (F.max("day") - F.min("day") + 1).alias("day_span"),
+        F.max("mc").alias("mc"),
+        F.max("mind").alias("mind"),
+        F.max("maxd").alias("maxd"),
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    cf_raw = F.col("cust_span").cast("double") / F.col("mc")
+    df_raw = F.col("day_span").cast("double") / (F.col("maxd") - F.col("mind") + 1)
+    norm = per.select(
+        "layout",
+        q6(cf_raw).cast("decimal(18,6)").alias("cf"),
+        q6(df_raw).cast("decimal(18,6)").alias("df"),
+        q6(cf_raw * df_raw).cast("decimal(18,6)").alias("area"),
+    )
+    return (
+        norm.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            q6(F.sum("cf").cast("double") / F.count(F.lit(1))).alias(
+                "avg_cust_span_frac"
+            ),
+            q6(F.sum("df").cast("double") / F.count(F.lit(1))).alias(
+                "avg_day_span_frac"
+            ),
+            q6(F.sum("area").cast("double") / F.count(F.lit(1))).alias(
+                "avg_area_frac"
+            ),
+        )
+        .orderBy("layout")
+    )

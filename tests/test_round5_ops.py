@@ -156,3 +156,34 @@ def test_bigram_surprisal_uniform_text_is_zero(spark, tmp_path):
     for r in out:
         assert r.n_bigrams == 3
         assert abs(r.avg_surprisal) < 1e-12
+
+
+def test_zorder_key_interleaves_bits(spark):
+    """zorder_key(px, py) must equal the hand-computed Morton interleave."""
+    from fpl_data_pipeline_spark.sources.bucketing import Z_BITS, zorder_key
+
+    def morton(x, y):
+        z = 0
+        for i in range(Z_BITS):
+            z |= ((x >> i) & 1) << (2 * i + 1)
+            z |= ((y >> i) & 1) << (2 * i)
+        return z
+
+    rows = [(x, y) for x in (0, 1, 5, 513, 1023) for y in (0, 2, 7, 1023)]
+    df = spark.createDataFrame(rows, "px long, py long")
+    out = df.select(
+        "px", "py", zorder_key(F.col("px"), F.col("py")).alias("z")
+    ).collect()
+    for r in out:
+        assert r.z == morton(r.px, r.py), (r.px, r.py)
+
+
+def test_zorder_bounds_both_dims(spark):
+    """The z-layout must bound the day span far below the custkey-sorted
+    layout's (which is ~the full range), at comparable span area."""
+    from fpl_data_pipeline_spark.sources.bucketing import zorder_layout_stats
+
+    out = {r.layout: r for r in zorder_layout_stats(spark, SF).collect()}
+    z, lin = out["zorder"], out["custkey_sort"]
+    assert z.avg_day_span_frac < lin.avg_day_span_frac / 2
+    assert z.avg_cust_span_frac < 0.5

@@ -51,6 +51,8 @@ INTENTIONAL_CROSS = {
     "pagerank_dupgraph",
     # final 1-row x 1-row summary combine (triangles x wedges)
     "dupgraph_triangle_stats",
+    # broadcast 1-row min/max grid bounds against the orders scan
+    "zorder_layout_stats",
 }
 
 
