@@ -2021,3 +2021,140 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in (50, 60, 70, 80, 90)
     ]
     return scored.agg(*aggs)
+
+
+# --- prefix-filtering set-similarity join (PPJoin-style candidates) ---------
+# Jaccard >= T with T = PF_NUM/PF_DEN; prefix length uses exact integer
+# arithmetic (ceil(T*n) == (PF_NUM*n + PF_DEN-1) div PF_DEN) so both engines
+# cut identical prefixes.
+PF_NUM, PF_DEN = 7, 10
+
+
+@register(
+    "dedup_prefix_filter_pairs",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(ws) - 1, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs
+      FROM words
+    ),
+    ex AS (SELECT doc_id, unnest(gs) AS shingle FROM grams),
+    freq AS (SELECT shingle, COUNT(*) AS df FROM ex GROUP BY shingle),
+    ranked AS (
+      SELECT e.doc_id, e.shingle,
+             ROW_NUMBER() OVER (PARTITION BY e.doc_id
+                                ORDER BY f.df ASC, e.shingle ASC) AS r,
+             COUNT(*) OVER (PARTITION BY e.doc_id) AS n
+      FROM ex e JOIN freq f USING (shingle)
+    ),
+    prefix AS (
+      SELECT doc_id, shingle
+      FROM ranked
+      WHERE r <= n - (({PF_NUM} * n + {PF_DEN - 1}) // {PF_DEN}) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM prefix a JOIN prefix b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (
+      SELECT p.da, p.db, COUNT(*) AS n_common
+      FROM cand p
+      JOIN ex a ON a.doc_id = p.da
+      JOIN ex b ON b.doc_id = p.db AND b.shingle = a.shingle
+      GROUP BY p.da, p.db
+    )
+    SELECT i.da AS doc_id_a, i.db AS doc_id_b,
+           CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.da
+    JOIN sizes sb ON sb.doc_id = i.db
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common)
+            >= CAST({PF_NUM} AS DOUBLE) / {PF_DEN}
+    ORDER BY jaccard DESC, doc_id_a ASC, doc_id_b ASC
+    LIMIT 20
+    """,
+)
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prefix_filter_pairs(table(spark, sf_dir, "documents"))
+
+
+def prefix_filter_pairs(d: DataFrame) -> DataFrame:
+    """Set-similarity join via PREFIX FILTERING (PPJoin family, Xiao et al.
+    '08): order each document's shingles globally by rarity (df asc,
+    shingle asc) and join only on each doc's first n - ceil(T*n) + 1
+    shingles. Completeness is provable: two sets with Jaccard >= T must
+    share at least one prefix token under any common global order — so
+    unlike the df-cap heuristic, recall at the threshold is exact BY
+    CONSTRUCTION, while the candidate join touches only rare tokens (the
+    prefix skips exactly the high-df head that generates the quadratic
+    fan-out). Verification then computes exact Jaccard ONLY on candidate
+    pairs (join keyed through the candidate list, linear in candidates x
+    doc size, never corpus x corpus).
+
+    tests/test_round5_ops.py proves recall against the exhaustive join and
+    measures the candidate-set reduction on a planted corpus.
+    """
+    sh = shingles(d).localCheckpoint()
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("shingle").asc()
+    )
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn("r", F.row_number().over(wdoc))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    prefix = ranked.filter(
+        F.col("r")
+        <= F.col("n")
+        - F.expr(f"({PF_NUM} * n + {PF_DEN - 1}) div {PF_DEN}")
+        + 1
+    ).select("doc_id", "shingle")
+    a = prefix.select(F.col("doc_id").alias("da"), "shingle")
+    b = prefix.select(F.col("doc_id").alias("db"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta = sh.select(F.col("doc_id").alias("da"), "shingle")
+    tb = sh.select(F.col("doc_id").alias("db2"), F.col("shingle").alias("shingle_b"))
+    inter = (
+        cand.join(ta, "da")
+        .join(
+            tb,
+            (F.col("db") == F.col("db2")) & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    jac = (
+        F.col("n_common").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("n_common"))
+    )
+    return (
+        inter.join(sa, "da")
+        .join(sb, "db")
+        .select(
+            F.col("da").alias("doc_id_a"),
+            F.col("db").alias("doc_id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= float(PF_NUM) / PF_DEN)
+        .orderBy(F.col("jaccard").desc(), F.col("doc_id_a").asc(), F.col("doc_id_b").asc())
+        .limit(20)
+    )

@@ -449,3 +449,160 @@ def kmv_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("est_union") - F.col("exact_union")) / F.col("exact_union"), 6
         ).alias("rel_err"),
     )
+
+
+# --- ANALYZE-style column statistics (CBO stats collection) -----------------
+@register(
+    "table_stats_orders",
+    """
+    WITH a AS (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(o_orderkey) AS nn_orderkey, COUNT(DISTINCT o_orderkey) AS ndv_orderkey,
+             CAST(MIN(o_orderkey) AS VARCHAR) AS min_orderkey, CAST(MAX(o_orderkey) AS VARCHAR) AS max_orderkey,
+             COUNT(o_custkey) AS nn_custkey, COUNT(DISTINCT o_custkey) AS ndv_custkey,
+             CAST(MIN(o_custkey) AS VARCHAR) AS min_custkey, CAST(MAX(o_custkey) AS VARCHAR) AS max_custkey,
+             COUNT(o_orderstatus) AS nn_status, COUNT(DISTINCT o_orderstatus) AS ndv_status,
+             MIN(o_orderstatus) AS min_status, MAX(o_orderstatus) AS max_status,
+             COUNT(o_totalprice) AS nn_price, COUNT(DISTINCT o_totalprice) AS ndv_price,
+             CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS min_price,
+             CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS max_price,
+             COUNT(o_orderdate) AS nn_date, COUNT(DISTINCT o_orderdate) AS ndv_date,
+             strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_date,
+             strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_date,
+             COUNT(o_orderpriority) AS nn_prio, COUNT(DISTINCT o_orderpriority) AS ndv_prio,
+             MIN(o_orderpriority) AS min_prio, MAX(o_orderpriority) AS max_prio
+      FROM orders
+    )
+    SELECT 'o_orderkey' AS col_name, n_rows, n_rows - nn_orderkey AS n_nulls,
+           ndv_orderkey AS ndv, min_orderkey AS min_val, max_orderkey AS max_val FROM a
+    UNION ALL
+    SELECT 'o_custkey', n_rows, n_rows - nn_custkey, ndv_custkey, min_custkey, max_custkey FROM a
+    UNION ALL
+    SELECT 'o_orderstatus', n_rows, n_rows - nn_status, ndv_status, min_status, max_status FROM a
+    UNION ALL
+    SELECT 'o_totalprice', n_rows, n_rows - nn_price, ndv_price, min_price, max_price FROM a
+    UNION ALL
+    SELECT 'o_orderdate', n_rows, n_rows - nn_date, ndv_date, min_date, max_date FROM a
+    UNION ALL
+    SELECT 'o_orderpriority', n_rows, n_rows - nn_prio, ndv_prio, min_prio, max_prio FROM a
+    ORDER BY col_name
+    """,
+)
+def table_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE-equivalent column statistics in ONE scan: per column
+    row count, null count, exact NDV, lexical/numeric min and max — the
+    stats a cost-based optimizer (and a data-quality monitor) consumes.
+    All aggregates fuse into a single hash-aggregate pass over the table
+    (Spark expands multiple COUNT(DISTINCT) via one expand + partial aggs);
+    the per-column reshape is a zero-shuffle 1-row stack. String renderings
+    are pinned (decimal for money, explicit timestamp format) so both
+    engines print identical values."""
+    o = table(spark, sf_dir, "orders")
+    a = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            x
+            for c, mn, mx in (
+                ("o_orderkey", F.min("o_orderkey").cast("string"), F.max("o_orderkey").cast("string")),
+                ("o_custkey", F.min("o_custkey").cast("string"), F.max("o_custkey").cast("string")),
+                ("o_orderstatus", F.min("o_orderstatus"), F.max("o_orderstatus")),
+                (
+                    "o_totalprice",
+                    F.min("o_totalprice").cast("decimal(18,2)").cast("string"),
+                    F.max("o_totalprice").cast("decimal(18,2)").cast("string"),
+                ),
+                (
+                    "o_orderdate",
+                    F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+                    F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+                ),
+                ("o_orderpriority", F.min("o_orderpriority"), F.max("o_orderpriority")),
+            )
+            for x in (
+                F.count(c).alias(f"nn_{c}"),
+                F.countDistinct(c).alias(f"ndv_{c}"),
+                mn.alias(f"min_{c}"),
+                mx.alias(f"max_{c}"),
+            )
+        ],
+    )
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    stack_args = ", ".join(
+        f"'{c}', n_rows - nn_{c}, ndv_{c}, min_{c}, max_{c}" for c in cols
+    )
+    return a.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (col_name, n_nulls, ndv, min_val, max_val)",
+        "n_rows",
+    ).select("col_name", "n_rows", "n_nulls", "ndv", "min_val", "max_val").orderBy(
+        "col_name"
+    )
+
+
+# --- mergeable hash-sample quantile sketch ----------------------------------
+SAMPLE_K = 256
+
+
+@register(
+    "hash_sample_quantiles",
+    f"""
+    WITH smp AS (
+      SELECT o_totalprice FROM orders
+      ORDER BY md5(CAST(o_orderkey AS VARCHAR)) ASC, o_orderkey ASC
+      LIMIT {SAMPLE_K}
+    ),
+    e AS (SELECT quantile_cont(o_totalprice,
+            [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs FROM smp),
+    x AS (SELECT quantile_cont(o_totalprice,
+            [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs FROM orders),
+    d AS (SELECT unnest(range(1, 10)) AS i)
+    SELECT CAST(d.i * 10 AS BIGINT) AS pct,
+           round(e.qs[i], 3) AS sample_est,
+           round(x.qs[i], 3) AS exact_value,
+           round(abs(e.qs[i] - x.qs[i]), 3) AS abs_err
+    FROM d CROSS JOIN e CROSS JOIN x
+    ORDER BY pct
+    """,
+)
+def hash_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a MERGEABLE bottom-k hash sample: the
+    {SAMPLE_K} rows with the smallest md5(key) are a deterministic uniform
+    sample (hash rank is independent of the value), and bottom-k sets merge
+    across shards/batches by union + re-take-bottom-k — the same
+    mergeability contract as the KMV distinct sketch, here answering
+    quantile queries. Output: sampled vs exact deciles with realized error
+    (KMV answers 'how many distinct', this answers 'how is it
+    distributed' from constant state).
+
+    Scale shape: the sample is a distributed TakeOrdered (per-partition
+    bottom-k heaps + driver merge of k rows — no global sort); the exact
+    side is the one real percentile pass, present only as the eval
+    baseline."""
+    o = table(spark, sf_dir, "orders")
+    qs = F.array(*[F.lit(i / 10) for i in range(1, 10)])
+    smp = (
+        o.orderBy(F.md5(F.col("o_orderkey").cast("string")).asc(), F.col("o_orderkey").asc())
+        .limit(SAMPLE_K)
+        .agg(F.percentile("o_totalprice", qs).alias("eqs"))
+    )
+    exact = o.agg(F.percentile("o_totalprice", qs).alias("xqs"))
+    grid = smp.crossJoin(F.broadcast(exact)).select(
+        F.posexplode("eqs").alias("idx", "est"), "xqs"
+    )
+    return (
+        grid.select(
+            ((F.col("idx") + 1) * 10).cast("bigint").alias("pct"),
+            F.round("est", 3).alias("sample_est"),
+            F.round(F.element_at("xqs", F.col("idx") + 1), 3).alias("exact_value"),
+            F.round(
+                F.abs(F.col("est") - F.element_at("xqs", F.col("idx") + 1)), 3
+            ).alias("abs_err"),
+        )
+        .orderBy("pct")
+    )

@@ -99,6 +99,9 @@ DRIVER_WINDOW_PRIORITY = [
     "vocab_oov_rates",
     "quality_bigram_surprisal",
     "zorder_layout_stats",
+    "table_stats_orders",
+    "hash_sample_quantiles",
+    "dedup_prefix_filter_pairs",
     # backfill: round-1 names last driver-proven in round 1 (stalest first
     # by family) — aggregates
     "agg_pricing_summary",

@@ -187,3 +187,87 @@ def test_zorder_bounds_both_dims(spark):
     z, lin = out["zorder"], out["custkey_sort"]
     assert z.avg_day_span_frac < lin.avg_day_span_frac / 2
     assert z.avg_cust_span_frac < 0.5
+
+
+def test_prefix_filter_complete_at_threshold(spark):
+    """Prefix filtering must find EVERY pair with Jaccard >= T that the
+    exhaustive all-shared-shingle join finds, while generating strictly
+    fewer candidate pairs on a corpus with a common (high-df) head."""
+    from fpl_data_pipeline_spark.operators.dedup import (
+        PF_DEN,
+        PF_NUM,
+        _ngram_jaccard_pairs,
+        prefix_filter_pairs,
+        shingles,
+    )
+
+    common = " ".join(f"c{i}" for i in range(12))  # shared head, high df
+    rows = []
+    for i in range(8):
+        uniq = " ".join(f"u{i}_{j}" for j in range(3))
+        rows.append((i, common + " " + uniq, "en", "s", 0))
+    # a planted true near-dup pair above T: docs 100/101 differ in one word
+    body = " ".join(f"w{j}" for j in range(30))
+    rows.append((100, body, "en", "s", 0))
+    rows.append((101, body + " tail", "en", "s", 0))
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    t = PF_NUM / PF_DEN
+    truth = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in _ngram_jaccard_pairs(d).filter(F.col("jaccard") >= t).collect()
+    }
+    found = {
+        (r.doc_id_a, r.doc_id_b) for r in prefix_filter_pairs(d).collect()
+    }
+    assert truth and truth <= found and (100, 101) in found
+
+    # candidate reduction: prefix join input rows << full shingle join input
+    sh = shingles(d)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    full_join_rows = freq.agg(
+        F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("s")
+    ).first()["s"]
+    from pyspark.sql import Window
+
+    wdoc = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn("r", F.row_number().over(wdoc))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    prefix = ranked.filter(
+        F.col("r") <= F.col("n") - F.expr(f"({PF_NUM} * n + {PF_DEN - 1}) div {PF_DEN}") + 1
+    )
+    pfreq = prefix.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    prefix_join_rows = pfreq.agg(
+        F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("s")
+    ).first()["s"]
+    assert prefix_join_rows < full_join_rows / 3
+
+
+def test_table_stats_match_direct_counts(spark):
+    from fpl_data_pipeline_spark.plans.aggregates import table_stats_orders
+    from fpl_data_pipeline_spark.tables import table
+
+    o = table(spark, SF, "orders")
+    stats = {r.col_name: r for r in table_stats_orders(spark, SF).collect()}
+    assert stats["o_orderkey"].n_rows == o.count()
+    assert stats["o_orderkey"].ndv == o.select("o_orderkey").distinct().count()
+    assert stats["o_orderkey"].n_nulls == 0
+    assert int(stats["o_custkey"].max_val) == o.agg(F.max("o_custkey")).first()[0]
+
+
+def test_hash_sample_quantiles_bounded_error(spark):
+    """Decile estimates from the 256-row hash sample stay within a loose
+    DKW-style bound of the exact deciles (relative to the price range)."""
+    from fpl_data_pipeline_spark.plans.aggregates import hash_sample_quantiles
+    from fpl_data_pipeline_spark.tables import table
+
+    o = table(spark, SF, "orders")
+    rng = o.agg((F.max("o_totalprice") - F.min("o_totalprice")).alias("r")).first().r
+    rows = hash_sample_quantiles(spark, SF).collect()
+    assert [r.pct for r in rows] == [10, 20, 30, 40, 50, 60, 70, 80, 90]
+    for r in rows:
+        assert r.abs_err <= 0.25 * rng
