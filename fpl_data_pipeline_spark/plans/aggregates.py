@@ -606,3 +606,100 @@ def hash_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pct")
     )
+
+
+# --- CMS-based join-cardinality estimation (shuffle-size prediction) --------
+JS_D = 4  # sketch rows
+JS_W = 1024  # cells per row
+
+
+@register(
+    "cms_join_size_estimate",
+    f"""
+    WITH keyed AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+    exact AS (
+      SELECT CAST(SUM(c * c) AS BIGINT) AS exact_rows,
+             CAST(MAX(c) AS BIGINT) AS max_key_rows
+      FROM keyed
+    ),
+    cells AS (
+      SELECT j,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' || j), 1, 8))::BIGINT
+               % {JS_W} AS cell,
+             SUM(c) AS cnt
+      FROM keyed CROSS JOIN (SELECT unnest(range({JS_D})) AS j)
+      GROUP BY 1, 2
+    ),
+    per_row AS (SELECT j, CAST(SUM(cnt * cnt) AS BIGINT) AS est FROM cells GROUP BY j),
+    sk AS (SELECT MIN(est) AS cms_estimate FROM per_row)
+    SELECT e.exact_rows AS exact_selfjoin_rows,
+           sk.cms_estimate,
+           FLOOR(CAST(sk.cms_estimate AS DOUBLE) / e.exact_rows * 1000000 + 0.5)
+             / 1000000 AS overestimate_ratio,
+           e.max_key_rows
+    FROM exact e CROSS JOIN sk
+    """,
+)
+def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from a count sketch — the planner-side
+    use of CMS: the self-join size on a key (= SUM over keys of c^2, the
+    F2 moment) predicts the shuffle/output volume of any equi-join on that
+    key BEFORE running it; the sketch answer needs only {JS_D}x{JS_W}
+    counters per table and merges across shards cell-wise. Estimate =
+    min over rows of SUM(cell^2) — one-sided (collisions only inflate),
+    so overestimate_ratio >= 1 measures sketch width adequacy; max_key_rows
+    flags the skewed-key share of the volume (the salting trigger).
+
+    Built from per-key partial counts like cms_heavy_hitters: cell fan-out
+    is per DISTINCT key, and every aggregate is a tiny hash agg."""
+    e = table(spark, sf_dir, "events")
+    keyed = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    exact = keyed.agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("exact_rows"),
+        F.max("c").cast("bigint").alias("max_key_rows"),
+    )
+    cells = (
+        keyed.select(
+            "user_id",
+            "c",
+            F.explode(F.array(*[F.lit(j) for j in range(JS_D)])).alias("j"),
+        )
+        .withColumn(
+            "cell",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("user_id").cast("string"), F.lit(":"), F.col("j")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(JS_W),
+            ),
+        )
+        .groupBy("j", "cell")
+        .agg(F.sum("c").alias("cnt"))
+    )
+    sk = (
+        cells.groupBy("j")
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("est"))
+        .agg(F.min("est").alias("cms_estimate"))
+    )
+    return exact.crossJoin(F.broadcast(sk)).select(
+        F.col("exact_rows").alias("exact_selfjoin_rows"),
+        "cms_estimate",
+        (
+            F.floor(
+                F.col("cms_estimate").cast("double") / F.col("exact_rows") * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("overestimate_ratio"),
+        "max_key_rows",
+    )

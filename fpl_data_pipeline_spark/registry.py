@@ -102,6 +102,8 @@ DRIVER_WINDOW_PRIORITY = [
     "table_stats_orders",
     "hash_sample_quantiles",
     "dedup_prefix_filter_pairs",
+    "events_watermark_lateness",
+    "cms_join_size_estimate",
     # backfill: round-1 names last driver-proven in round 1 (stalest first
     # by family) — aggregates
     "agg_pricing_summary",

@@ -718,3 +718,65 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
         .limit(20)
     )
+
+
+# --- watermark-delay calibration: out-of-orderness audit ---------------------
+@register(
+    "events_watermark_lateness",
+    """
+    WITH ordered AS (
+      SELECT user_id,
+             (epoch_us(MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id ASC
+                                     ROWS UNBOUNDED PRECEDING))
+              - epoch_us(ts)) / 1000000.0 AS late_s
+      FROM events
+    )
+    SELECT COUNT(*) AS n_events,
+           round(quantile_cont(late_s, 0.50), 3) AS p50_late_s,
+           round(quantile_cont(late_s, 0.90), 3) AS p90_late_s,
+           round(quantile_cont(late_s, 0.99), 3) AS p99_late_s,
+           round(MAX(late_s), 3) AS max_late_s,
+           FLOOR(CAST(SUM(CASE WHEN late_s > 30 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) * 1000000 + 0.5) / 1000000 AS frac_late_over_30s
+    FROM ordered
+    """,
+)
+def events_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile of the event stream — the number a
+    Structured Streaming deployment needs BEFORE choosing
+    `withWatermark(delay)`: per event, how far its event-time lags the
+    running event-time high-water-mark of its arrival order (event_id
+    within user). p99 lateness IS the watermark delay that loses <1% of
+    late rows to the state-eviction cutoff; frac_late_over_30s prices a
+    specific candidate delay. Keyed running-max window (one shuffle on
+    user_id), then one global percentile aggregate over the lateness
+    column. Exact integer microsecond arithmetic (epoch_us both engines)
+    divided to seconds before any rounding."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = e.select(
+        (
+            (F.unix_micros(F.max("ts").over(w)) - F.unix_micros(F.col("ts")))
+            / 1000000.0
+        ).alias("late_s")
+    )
+    return late.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.percentile("late_s", F.lit(0.50)), 3).alias("p50_late_s"),
+        F.round(F.percentile("late_s", F.lit(0.90)), 3).alias("p90_late_s"),
+        F.round(F.percentile("late_s", F.lit(0.99)), 3).alias("p99_late_s"),
+        F.round(F.max("late_s"), 3).alias("max_late_s"),
+        (
+            F.floor(
+                F.sum(F.when(F.col("late_s") > 30, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("frac_late_over_30s"),
+    )

@@ -271,3 +271,29 @@ def test_hash_sample_quantiles_bounded_error(spark):
     assert [r.pct for r in rows] == [10, 20, 30, 40, 50, 60, 70, 80, 90]
     for r in rows:
         assert r.abs_err <= 0.25 * rng
+
+
+def test_watermark_lateness_invariants(spark):
+    from fpl_data_pipeline_spark.streaming.event_queries import (
+        events_watermark_lateness,
+    )
+
+    r = events_watermark_lateness(spark, SF).collect()[0]
+    assert 0 <= r.p50_late_s <= r.p90_late_s <= r.p99_late_s <= r.max_late_s
+    assert 0.0 <= r.frac_late_over_30s <= 1.0
+
+
+def test_cms_join_size_one_sided_and_exact_matches_join(spark):
+    """The sketch never underestimates, and the 'exact' side really is the
+    self-join cardinality."""
+    from fpl_data_pipeline_spark.plans.aggregates import cms_join_size_estimate
+    from fpl_data_pipeline_spark.tables import table
+
+    r = cms_join_size_estimate(spark, SF).collect()[0]
+    assert r.cms_estimate >= r.exact_selfjoin_rows
+    assert r.overestimate_ratio >= 1.0
+    e = table(spark, SF, "events").select("user_id", "event_id")
+    true_join = (
+        e.alias("a").join(e.alias("b"), "user_id").count()
+    )
+    assert r.exact_selfjoin_rows == true_join
