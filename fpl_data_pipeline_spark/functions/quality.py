@@ -187,3 +187,59 @@ def modal_alignment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(status.alias("status")).groupBy("status").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+# --- k-anonymity audit (privacy gate for data releases) ---------------------
+KANON_K = 5
+
+
+@register(
+    "kanonymity_audit",
+    f"""
+    WITH combos AS (
+      SELECT c_mktsegment, c_nationkey, COUNT(*) AS group_size
+      FROM customer
+      GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_combos,
+           CAST(SUM(CASE WHEN group_size < {KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_combos,
+           CAST(SUM(CASE WHEN group_size < {KANON_K} THEN group_size ELSE 0 END)
+                AS BIGINT) AS n_rows_to_suppress,
+           CAST(MIN(group_size) AS BIGINT) AS min_group_size,
+           FLOOR(CAST(SUM(CASE WHEN group_size < {KANON_K} THEN group_size ELSE 0 END)
+                      AS DOUBLE)
+                 / SUM(group_size) * 1000000 + 0.5) / 1000000
+             AS suppressed_row_frac
+    FROM combos
+    """,
+)
+def kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity gate over the quasi-identifier pair (segment, nation):
+    how many attribute combinations identify fewer than k={KANON_K}
+    individuals, and what suppressing those rows would cost — the release
+    check a training-data pipeline runs after PII scrubbing
+    (pii_scrub_summary removes direct identifiers; this catches
+    re-identification via rare attribute combinations). One hash aggregate
+    on the quasi-identifier key + a 1-row summary; generalization ladders
+    (coarser attributes) re-run the same query on remapped columns."""
+    c = table(spark, sf_dir, "customer")
+    combos = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    viol = F.when(F.col("group_size") < KANON_K, F.col("group_size")).otherwise(0)
+    return combos.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_combos"),
+        F.sum(F.when(F.col("group_size") < KANON_K, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating_combos"),
+        F.sum(viol).cast("bigint").alias("n_rows_to_suppress"),
+        F.min("group_size").cast("bigint").alias("min_group_size"),
+        (
+            F.floor(
+                F.sum(viol).cast("double") / F.sum("group_size") * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("suppressed_row_frac"),
+    )

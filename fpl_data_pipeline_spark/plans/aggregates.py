@@ -703,3 +703,72 @@ def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("overestimate_ratio"),
         "max_key_rows",
     )
+
+
+# --- equi-depth histogram (the CBO stats histogram) -------------------------
+HIST_BUCKETS = 32
+
+
+@register(
+    "table_histogram_price",
+    f"""
+    WITH b AS (
+      SELECT list_transform(
+               quantile_cont(o_totalprice,
+                 list_transform(range(1, {HIST_BUCKETS}), i -> i / {HIST_BUCKETS}.0)),
+               q -> FLOOR(q * 1000000 + 0.5) / 1000000) AS bounds
+      FROM orders
+    ),
+    assigned AS (
+      SELECT len(list_filter(b.bounds, x -> x < o_totalprice)) + 1 AS bucket,
+             o_totalprice
+      FROM orders CROSS JOIN b
+    )
+    SELECT bucket, COUNT(*) AS n_rows,
+           CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS DOUBLE) AS lo,
+           CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS DOUBLE) AS hi
+    FROM assigned
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def table_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) histogram of o_totalprice — the histogram
+    half of ANALYZE statistics (table_stats_orders is the scalar half):
+    {HIST_BUCKETS} buckets of ~equal row count with realized bounds, the
+    selectivity-estimation input for range predicates on skewed columns
+    where equal-WIDTH buckets mislead.
+
+    Boundary portability: the quantile interpolation arithmetic can differ
+    in the last float bit between engines, so boundaries are 6-dp
+    portable-rounded BEFORE assignment; data values are 2-decimal money, so
+    a rounded boundary can only coincide with a data value when the
+    quantile landed exactly on it — in which case both engines agree
+    exactly. Assignment is a broadcast of the {HIST_BUCKETS - 1}-value
+    boundary array + a map-side count-of-smaller-bounds; the histogram is
+    one hash aggregate."""
+    o = table(spark, sf_dir, "orders")
+    qs = F.array(*[F.lit(i / HIST_BUCKETS) for i in range(1, HIST_BUCKETS)])
+    b = F.broadcast(
+        o.agg(
+            F.transform(
+                F.percentile("o_totalprice", qs),
+                lambda q: F.floor(q * 1000000 + F.lit(0.5)) / 1000000,
+            ).alias("bounds")
+        )
+    )
+    assigned = o.crossJoin(b).select(
+        (
+            F.size(F.filter("bounds", lambda x: x < F.col("o_totalprice"))) + 1
+        ).alias("bucket"),
+        "o_totalprice",
+    )
+    return (
+        assigned.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_totalprice").cast("decimal(18,2)").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("decimal(18,2)").cast("double").alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -104,6 +104,8 @@ DRIVER_WINDOW_PRIORITY = [
     "dedup_prefix_filter_pairs",
     "events_watermark_lateness",
     "cms_join_size_estimate",
+    "table_histogram_price",
+    "kanonymity_audit",
     # backfill: round-1 names last driver-proven in round 1 (stalest first
     # by family) — aggregates
     "agg_pricing_summary",

@@ -297,3 +297,43 @@ def test_cms_join_size_one_sided_and_exact_matches_join(spark):
         e.alias("a").join(e.alias("b"), "user_id").count()
     )
     assert r.exact_selfjoin_rows == true_join
+
+
+def test_histogram_equidepth_and_covers_all_rows(spark):
+    from fpl_data_pipeline_spark.plans.aggregates import (
+        HIST_BUCKETS,
+        table_histogram_price,
+    )
+    from fpl_data_pipeline_spark.tables import table
+
+    rows = table_histogram_price(spark, SF).collect()
+    total = table(spark, SF, "orders").count()
+    assert sum(r.n_rows for r in rows) == total
+    # equi-depth: every bucket within 3x of the ideal height (ties can
+    # shift rows between adjacent buckets, perfect equality isn't expected)
+    ideal = total / HIST_BUCKETS
+    assert all(r.n_rows < 3 * ideal for r in rows)
+    # bounds are ordered and non-overlapping
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo
+
+
+def test_kanonymity_planted_violation(spark, tmp_path):
+    """A combo with 2 rows (< k=5) must be flagged with exactly its rows
+    counted for suppression."""
+    from fpl_data_pipeline_spark.functions.quality import kanonymity_audit
+
+    rows = [(i, f"c{i}", 1, 0.0, "SEG_A") for i in range(10)] + [
+        (100, "x", 2, 0.0, "SEG_B"),
+        (101, "y", 2, 0.0, "SEG_B"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    r = kanonymity_audit(spark, str(tmp_path)).collect()[0]
+    assert r.n_combos == 2
+    assert r.n_violating_combos == 1
+    assert r.n_rows_to_suppress == 2
+    assert r.min_group_size == 2
