@@ -47,6 +47,10 @@ HEADLINE = [
     "source_token_divergence",
     "pii_scrub_summary",
     "hybrid_search_topk",
+    # round-4 late additions: the provable-recall similarity join and the
+    # iterative graph op — the two heaviest new plan shapes
+    "dedup_prefix_filter_pairs",
+    "pagerank_dupgraph",
 ]
 
 

@@ -2121,14 +2121,26 @@ def prefix_filter_pairs(d: DataFrame) -> DataFrame:
     ).select("doc_id", "shingle")
     a = prefix.select(F.col("doc_id").alias("da"), "shingle")
     b = prefix.select(F.col("doc_id").alias("db"), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    # PPJoin length filter: Jaccard >= T forces T*max(na,nb) <= min(na,nb);
+    # pruning size-incompatible candidates BEFORE the verification join cuts
+    # its fan-out (the verify phase is linear in sum of candidate doc sizes)
     cand = (
         a.join(b, "shingle")
         .filter(F.col("da") < F.col("db"))
         .select("da", "db")
         .distinct()
+        .join(sa, "da")
+        .join(sb, "db")
+        .filter(
+            F.lit(PF_NUM) * F.greatest("na", "nb")
+            <= F.lit(PF_DEN) * F.least("na", "nb")
+        )
+        .select("da", "db")
         .localCheckpoint()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ta = sh.select(F.col("doc_id").alias("da"), "shingle")
     tb = sh.select(F.col("doc_id").alias("db2"), F.col("shingle").alias("shingle_b"))
     inter = (
@@ -2140,8 +2152,6 @@ def prefix_filter_pairs(d: DataFrame) -> DataFrame:
         .groupBy("da", "db")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
     jac = (
         F.col("n_common").cast("double")
         / (F.col("na") + F.col("nb") - F.col("n_common"))

@@ -188,7 +188,10 @@ def pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirror set is the best-connected exemplar). 3 power iterations at
     damping 0.85, bitwise-portable arithmetic (see module docstring)."""
     d = table(spark, sf_dir, "documents")
-    edges = _dup_edges(d)
+    # one materialization: the edge list feeds pagerank() AND the degree
+    # decoration below — without the checkpoint the whole shingle pipeline
+    # would be derived twice
+    edges = _dup_edges(d).localCheckpoint()
     pr = pagerank(edges)
     sym = edges.select(F.col("doc_id_a").alias("src")).unionAll(
         edges.select(F.col("doc_id_b").alias("src"))
