@@ -256,3 +256,81 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("total_spend"), 2).alias("max_spend"),
         F.round(F.sum("total_spend"), 2).alias("decile_total"),
     )
+
+
+# --- forecast-evaluation baseline (seasonal naive + MAE/MAPE) ---------------
+@register(
+    "revenue_forecast_eval",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT day, rev,
+             LAG(rev, 7) OVER (ORDER BY day ASC) AS f_seasonal,
+             LAG(rev, 1) OVER (ORDER BY day ASC) AS f_naive
+      FROM daily
+    ),
+    scored AS (
+      SELECT rev,
+             abs(rev - f_seasonal) AS ae_s,
+             abs(rev - f_naive) AS ae_n,
+             CAST(FLOOR(CAST(abs(rev - f_seasonal) AS DOUBLE) / CAST(rev AS DOUBLE)
+                        * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS ape_s
+      FROM lagged
+      WHERE f_seasonal IS NOT NULL AND f_naive IS NOT NULL
+    )
+    SELECT COUNT(*) AS n_days,
+           CAST(SUM(ae_s) AS DOUBLE) / COUNT(*) AS mae_seasonal7,
+           CAST(SUM(ae_n) AS DOUBLE) / COUNT(*) AS mae_naive1,
+           CAST(SUM(ape_s) AS DOUBLE) / COUNT(*) AS mape_seasonal7
+    FROM scored
+    """,
+)
+def revenue_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline evaluation over the daily revenue series: the
+    seasonal-naive predictor (value 7 days ago — the baseline every real
+    forecasting model must beat) and the naive-1 predictor, scored by
+    MAE/MAPE over all evaluable days. The ops-analytics eval shape: run it
+    per release to detect when a model stops beating the baseline.
+
+    The daily series is aggregated FIRST (one shuffle on day; the series
+    is tiny relative to the fact table at any scale), so the lag windows
+    order a few thousand rows — a global window over an aggregate, not
+    over the fact table. Arithmetic is exact end-to-end: daily revenues
+    are exact decimals, absolute errors stay decimal, means divide exact
+    sums; the one double division (APE) is 6-dp portable-rounded before
+    the decimal mean."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy(F.col("day").asc())
+    lagged = daily.select(
+        "day",
+        "rev",
+        F.lag("rev", 7).over(w).alias("f_seasonal"),
+        F.lag("rev", 1).over(w).alias("f_naive"),
+    ).filter(F.col("f_seasonal").isNotNull() & F.col("f_naive").isNotNull())
+    ape = (
+        F.floor(
+            F.abs(F.col("rev") - F.col("f_seasonal")).cast("double")
+            / F.col("rev").cast("double")
+            * 1000000
+            + F.lit(0.5)
+        )
+        / 1000000
+    ).cast("decimal(18,6)")
+    scored = lagged.select(
+        F.abs(F.col("rev") - F.col("f_seasonal")).alias("ae_s"),
+        F.abs(F.col("rev") - F.col("f_naive")).alias("ae_n"),
+        ape.alias("ape_s"),
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (F.sum("ae_s").cast("double") / F.count(F.lit(1))).alias("mae_seasonal7"),
+        (F.sum("ae_n").cast("double") / F.count(F.lit(1))).alias("mae_naive1"),
+        (F.sum("ape_s").cast("double") / F.count(F.lit(1))).alias("mape_seasonal7"),
+    )

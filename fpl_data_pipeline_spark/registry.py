@@ -106,6 +106,8 @@ DRIVER_WINDOW_PRIORITY = [
     "cms_join_size_estimate",
     "table_histogram_price",
     "kanonymity_audit",
+    "revenue_forecast_eval",
+    "events_cusum_changepoints",
     # backfill: round-1 names last driver-proven in round 1 (stalest first
     # by family) — aggregates
     "agg_pricing_summary",

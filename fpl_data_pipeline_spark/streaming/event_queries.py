@@ -780,3 +780,72 @@ def events_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("frac_late_over_30s"),
     )
+
+
+# --- CUSUM level-shift detection over the daily event volume ----------------
+@register(
+    "events_cusum_changepoints",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, COUNT(*) AS cnt
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS nd FROM daily),
+    cus AS (
+      SELECT day, cnt,
+             SUM(cnt * tot.nd - tot.total) OVER (ORDER BY day ASC
+               ROWS UNBOUNDED PRECEDING) AS cusum_scaled,
+             tot.nd AS nd
+      FROM daily CROSS JOIN tot
+    )
+    SELECT day, cnt AS daily_events,
+           FLOOR(CAST(cusum_scaled AS DOUBLE) / nd * 1000 + 0.5) / 1000 AS cusum,
+           CAST(abs(cusum_scaled) AS BIGINT) AS abs_cusum_scaled
+    FROM cus
+    ORDER BY abs(cusum_scaled) DESC, day ASC
+    LIMIT 10
+    """,
+)
+def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint surfacing on the daily event-volume series: the
+    cumulative sum of deviations from the series mean peaks exactly where
+    the level shifts — the standard sequential drift detector, here over
+    the aggregated day series (events_error_spikes finds hour OUTLIERS;
+    this finds sustained SHIFTS a z-score misses). Top-10 days by |CUSUM|.
+
+    Exactness trick: instead of cnt - mean (an order-dependent double
+    fold), the running sum accumulates cnt*n_days - total — integers, so
+    the cumulative window is exact and both engines agree bitwise; the
+    display value divides back to the conventional scale at the end."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = daily.agg(
+        F.sum("cnt").cast("bigint").alias("total"), F.count(F.lit(1)).alias("nd")
+    )
+    w = Window.orderBy(F.col("day").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cus = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "cnt",
+        F.sum(F.col("cnt") * F.col("nd") - F.col("total")).over(w).alias("cusum_scaled"),
+        "nd",
+    )
+    return (
+        cus.select(
+            "day",
+            F.col("cnt").alias("daily_events"),
+            (
+                F.floor(
+                    F.col("cusum_scaled").cast("double") / F.col("nd") * 1000
+                    + F.lit(0.5)
+                )
+                / 1000
+            ).alias("cusum"),
+            F.abs("cusum_scaled").cast("bigint").alias("abs_cusum_scaled"),
+        )
+        .orderBy(F.col("abs_cusum_scaled").desc(), F.col("day").asc())
+        .limit(10)
+    )

@@ -337,3 +337,55 @@ def test_kanonymity_planted_violation(spark, tmp_path):
     assert r.n_violating_combos == 1
     assert r.n_rows_to_suppress == 2
     assert r.min_group_size == 2
+
+
+def test_forecast_eval_perfect_weekly_season(spark, tmp_path):
+    """Orders whose daily revenue repeats with period 7 make the seasonal
+    predictor exact (MAE 0) while naive-1 errs."""
+    import datetime
+
+    from fpl_data_pipeline_spark.plans.windows import revenue_forecast_eval
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for d in range(28):
+        rev = float(100 + 50 * (d % 7))
+        rows.append((d, 1, "O", rev, base + datetime.timedelta(days=d), "P"))
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    r = revenue_forecast_eval(spark, str(tmp_path)).collect()[0]
+    assert r.n_days == 21
+    assert r.mae_seasonal7 == 0.0
+    assert r.mae_naive1 > 0
+
+
+def test_cusum_peaks_at_planted_level_shift(spark, tmp_path):
+    """Daily counts 10x5 then 20x5: |CUSUM| of deviations from the global
+    mean (15) peaks on the last low day."""
+    import datetime
+
+    from fpl_data_pipeline_spark.streaming.event_queries import (
+        events_cusum_changepoints,
+    )
+
+    rows = []
+    base = datetime.datetime(2024, 3, 1)
+    eid = 0
+    for d in range(10):
+        n = 10 if d < 5 else 20
+        for i in range(n):
+            rows.append((eid, base + datetime.timedelta(days=d, seconds=i), 1, "t", 0.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    top = events_cusum_changepoints(spark, str(tmp_path)).collect()[0]
+    assert top.day == base + datetime.timedelta(days=4)
+    assert top.cusum == -25.0
