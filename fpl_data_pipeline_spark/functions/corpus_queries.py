@@ -1256,3 +1256,76 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
         .limit(20)
     )
+
+
+# --- per-source volume trend (exact closed-form OLS) ------------------------
+@register(
+    "source_trend_slopes",
+    """
+    WITH base AS (
+      SELECT source, (doc_id % 30) AS x
+      FROM documents
+    ),
+    counts AS (SELECT source, x, COUNT(*) AS y FROM base GROUP BY source, x),
+    moments AS (
+      SELECT source,
+             COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM counts GROUP BY source
+    )
+    SELECT source, n AS n_points,
+           FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (n * sxx - sx * sx) * 1000000 + 0.5) / 1000000 AS slope,
+           FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS r2
+    FROM moments
+    ORDER BY source
+    """,
+)
+def source_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ingest-volume trend: closed-form OLS slope + r^2 of doc
+    count over a rolling 30-slot time proxy (doc_id % 30 — the synthetic
+    corpus has no ingest date; swap the x expression for
+    datediff(ingest_day, min_day) on real data; the estimator is
+    unchanged). A source whose slope turns negative is drying up; r^2
+    near 0 says the volume is noise, not trend — the feed-health monitor
+    next to source_token_divergence's CONTENT drift.
+
+    Exactness: every OLS moment (Σx, Σy, Σxy, Σx², Σy²) is an integer sum
+    — bitwise identical on both engines — and the only floating point is
+    the final slope/r² division, 6-dp portable-rounded. One two-key hash
+    aggregate + one per-source aggregate; no windows, no driver math."""
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select("source", (F.col("doc_id") % 30).alias("x"))
+        .groupBy("source", "x")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    m = counts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    a = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    b = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    c = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    q6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return (
+        m.select(
+            "source",
+            F.col("n").alias("n_points"),
+            q6(a.cast("double") / b).alias("slope"),
+            q6(a.cast("double") * a.cast("double") / (b.cast("double") * c.cast("double"))).alias("r2"),
+        )
+        .orderBy("source")
+    )

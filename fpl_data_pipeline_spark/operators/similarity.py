@@ -1173,3 +1173,79 @@ def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("margin").desc(), F.col("src_id").asc())
         .limit(20)
     )
+
+
+# --- contrastive hard-negative mining ---------------------------------------
+HN_ANCHORS = 8  # anchor block size per pass
+HN_K = 4  # negatives per anchor
+
+
+@register(
+    "contrastive_hard_negatives",
+    f"""
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, embedding AS av, label AS alabel
+      FROM embeddings WHERE vec_id < {HN_ANCHORS}
+    ),
+    scored AS (
+      SELECT a.anchor_id, e.vec_id AS neg_id,
+             FLOOR({_dot_sql('a.av', 'e.embedding')}
+                   / (sqrt({_dot_sql('a.av', 'a.av')})
+                      * sqrt({_dot_sql('e.embedding', 'e.embedding')}))
+                   * 1000000000 + 0.5) / 1000000000 AS cos9
+      FROM anchors a JOIN embeddings e
+        ON e.label <> a.alabel
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY anchor_id ORDER BY cos9 DESC, neg_id ASC) AS rk
+      FROM scored
+    )
+    SELECT anchor_id, neg_id, rk AS rank, cos9 AS cosine
+    FROM ranked WHERE rk <= {HN_K}
+    ORDER BY anchor_id ASC, rank ASC
+    """,
+)
+def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for each
+    anchor vector, the top-{HN_K} highest-cosine vectors with a DIFFERENT
+    label — the negatives that actually move an InfoNCE/triplet loss
+    (random negatives are trivially separable; hard ones define the
+    margin). The registered instantiation scores an {HN_ANCHORS}-anchor
+    block brute-force (the same broadcast-block shape as ann_batch_topk —
+    a full mining run loops blocks, or feeds candidates from the LSH
+    index so the corpus is never self-joined). Per-anchor top-k is a
+    keyed window over the anchor block's scores, not a global sort."""
+    e = table(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < HN_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("av"),
+        F.col("label").alias("alabel"),
+    )
+    scored = (
+        e.join(F.broadcast(anchors), e.label != F.col("alabel"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("neg_id"),
+            (
+                F.floor(
+                    _dot("av", "embedding")
+                    / (_norm("av") * _norm("embedding"))
+                    * 1000000000
+                    + F.lit(0.5)
+                )
+                / 1000000000
+            ).alias("cos9"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos9").desc(), F.col("neg_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= HN_K)
+        .select(
+            "anchor_id", "neg_id", F.col("rk").alias("rank"), F.col("cos9").alias("cosine")
+        )
+        .orderBy(F.col("anchor_id").asc(), F.col("rank").asc())
+    )

@@ -108,6 +108,8 @@ DRIVER_WINDOW_PRIORITY = [
     "kanonymity_audit",
     "revenue_forecast_eval",
     "events_cusum_changepoints",
+    "source_trend_slopes",
+    "contrastive_hard_negatives",
     # backfill: round-1 names last driver-proven in round 1 (stalest first
     # by family) — aggregates
     "agg_pricing_summary",

@@ -389,3 +389,42 @@ def test_cusum_peaks_at_planted_level_shift(spark, tmp_path):
     top = events_cusum_changepoints(spark, str(tmp_path)).collect()[0]
     assert top.day == base + datetime.timedelta(days=4)
     assert top.cusum == -25.0
+
+
+def test_trend_slope_exact_on_planted_line(spark, tmp_path):
+    """Docs arranged so source 'lin' has counts y = 2 + 3x over x=0..4:
+    slope exactly 3, r2 exactly 1."""
+    from fpl_data_pipeline_spark.functions.corpus_queries import (
+        source_trend_slopes,
+    )
+
+    rows = []
+    did = 0
+    # x = doc_id % 30; place doc_ids so each doc lands on the wanted slot
+    for x in range(5):
+        for _ in range(2 + 3 * x):
+            rows.append((x + 30 * did, "t", "en", "lin", 1))
+            did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    r = source_trend_slopes(spark, str(tmp_path)).collect()[0]
+    assert r.source == "lin" and r.n_points == 5
+    assert r.slope == 3.0
+    assert r.r2 == 1.0
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    from fpl_data_pipeline_spark.operators.similarity import (
+        HN_K,
+        contrastive_hard_negatives,
+    )
+    from fpl_data_pipeline_spark.tables import table
+
+    out = contrastive_hard_negatives(spark, SF).collect()
+    e = {r.vec_id: r.label for r in table(spark, SF, "embeddings").collect()}
+    assert len(out) == 8 * HN_K
+    for r in out:
+        assert e[r.anchor_id] != e[r.neg_id]
+        assert 1 <= r.rank <= HN_K

@@ -53,6 +53,14 @@ INTENTIONAL_CROSS = {
     "dupgraph_triangle_stats",
     # broadcast 1-row min/max grid bounds against the orders scan
     "zorder_layout_stats",
+    # broadcast 8-row anchor block against the embeddings scan (mining pass)
+    "contrastive_hard_negatives",
+    # broadcast 1-row totals / boundary arrays
+    "table_histogram_price",
+    "cms_join_size_estimate",
+    "events_cusum_changepoints",
+    # final 1-row sample-deciles x 1-row exact-deciles combine
+    "hash_sample_quantiles",
 }
 
 
