@@ -627,3 +627,91 @@ def emb_batch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("pos").asc())
     )
+
+
+# --- Neyman allocation: optimal stratified sample sizing --------------------
+NEYMAN_BUDGET = 1000  # total sample rows to allocate
+
+
+@register(
+    "stratified_neyman_allocation",
+    f"""
+    WITH s AS (
+      SELECT c_mktsegment,
+             COUNT(*) AS nh,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sx,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))
+                      * CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS sxx
+      FROM customer GROUP BY c_mktsegment
+    ),
+    sig AS (
+      SELECT c_mktsegment, nh,
+             sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / nh)
+                  / nh) AS sigma
+      FROM s
+    ),
+    tot AS (SELECT SUM(nh * sigma) AS denom FROM sig)
+    SELECT g.c_mktsegment, g.nh AS stratum_size,
+           FLOOR(g.sigma * 100 + 0.5) / 100 AS sigma,
+           FLOOR(g.nh * g.sigma / t.denom * 1000000 + 0.5) / 1000000
+             AS alloc_share,
+           CAST(FLOOR({NEYMAN_BUDGET} * g.nh * g.sigma / t.denom + 0.5) AS BIGINT)
+             AS alloc_rows
+    FROM sig g CROSS JOIN tot t
+    ORDER BY g.c_mktsegment
+    """,
+)
+def stratified_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling plan: allocate a {NEYMAN_BUDGET}-
+    row budget across strata proportionally to N_h * sigma_h — the
+    allocation that minimizes estimator variance for a fixed budget
+    (uniform and proportional allocation waste budget on homogeneous
+    strata). Pairs with stratified_sample_counts (which EXECUTES a
+    proportional plan); this PLANS the optimal one from one pass of
+    per-stratum moments.
+
+    Exactness: per-stratum Σx and Σx² are exact decimal sums (2-decimal
+    money), so sigma^2 = (Σx² - (Σx)²/N)/N is a ratio of exact values and
+    the sqrt/divisions are identical IEEE ops on both engines. The
+    denominator Σ N_h·σ_h is a sum of a handful of doubles whose
+    accumulation order can differ between engines by ~1e-16 relative —
+    far inside the 6-dp rounding band of every output column. One hash
+    aggregate + a broadcast 1-row total."""
+    c = table(spark, sf_dir, "customer")
+    money = F.col("c_acctbal").cast("decimal(12,2)")
+    s = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum(money).cast("decimal(38,2)").alias("sx"),
+        F.sum(money * money).cast("decimal(38,4)").alias("sxx"),
+    )
+    sigma = F.sqrt(
+        (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double") / F.col("nh")
+        )
+        / F.col("nh")
+    )
+    sig = s.select("c_mktsegment", "nh", sigma.alias("sigma"))
+    tot = sig.agg(F.sum(F.col("nh") * F.col("sigma")).alias("denom"))
+    return (
+        sig.crossJoin(F.broadcast(tot))
+        .select(
+            "c_mktsegment",
+            F.col("nh").alias("stratum_size"),
+            (F.floor(F.col("sigma") * 100 + F.lit(0.5)) / 100).alias("sigma"),
+            (
+                F.floor(
+                    F.col("nh") * F.col("sigma") / F.col("denom") * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("alloc_share"),
+            F.floor(
+                F.lit(NEYMAN_BUDGET) * F.col("nh") * F.col("sigma") / F.col("denom")
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("alloc_rows"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -440,3 +440,69 @@ def scalar_subquery_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
         """
     )
+
+
+# --- GDPR erasure cascade audit (right-to-be-forgotten) ---------------------
+@register(
+    "gdpr_erasure_audit",
+    """
+    WITH targets AS (SELECT c_custkey FROM customer WHERE c_custkey % 997 = 0),
+    ords AS (
+      SELECT o.o_orderkey FROM orders o
+      JOIN targets t ON t.c_custkey = o.o_custkey
+    ),
+    li AS (
+      SELECT l.l_orderkey FROM lineitem l
+      JOIN ords x ON x.o_orderkey = l.l_orderkey
+    ),
+    tot AS (SELECT COUNT(*) AS n_li FROM lineitem)
+    SELECT (SELECT COUNT(*) FROM targets) AS n_customers_erased,
+           (SELECT COUNT(*) FROM ords) AS n_orders_cascaded,
+           (SELECT COUNT(*) FROM li) AS n_lineitems_cascaded,
+           FLOOR(CAST((SELECT COUNT(*) FROM li) AS DOUBLE)
+                 / (SELECT n_li FROM tot) * 1000000 + 0.5) / 1000000
+             AS lineitem_row_frac
+    """,
+)
+def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade planning: given an erasure cohort (a
+    deterministic custkey predicate standing in for the deletion-request
+    list), count every row the FK graph drags along — orders, then their
+    line items — and the fact-table fraction the cascade rewrites. The
+    number a compliance pipeline needs BEFORE running the delete: whether
+    to rewrite files in place or tombstone + compact.
+
+    Shape: the cohort broadcasts into a semi-join on orders; the surviving
+    order keys broadcast (or shuffle at real scale — AQE decides) into
+    lineitem. Counts are side-free aggregates; nothing is deleted."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    targets = c.filter(F.col("c_custkey") % 997 == 0).select("c_custkey")
+    ords = o.join(
+        F.broadcast(targets), o.o_custkey == targets.c_custkey, "leftsemi"
+    ).select("o_orderkey")
+    lis = li.join(ords, li.l_orderkey == ords.o_orderkey, "leftsemi")
+    nt = targets.agg(F.count(F.lit(1)).alias("n_customers_erased"))
+    no = ords.agg(F.count(F.lit(1)).alias("n_orders_cascaded"))
+    nl = lis.agg(F.count(F.lit(1)).alias("n_lineitems_cascaded"))
+    ntot = li.agg(F.count(F.lit(1)).alias("n_li"))
+    return (
+        nt.crossJoin(F.broadcast(no))
+        .crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "n_customers_erased",
+            "n_orders_cascaded",
+            "n_lineitems_cascaded",
+            (
+                F.floor(
+                    F.col("n_lineitems_cascaded").cast("double")
+                    / F.col("n_li")
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("lineitem_row_frac"),
+        )
+    )

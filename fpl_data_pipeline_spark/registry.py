@@ -110,6 +110,8 @@ DRIVER_WINDOW_PRIORITY = [
     "events_cusum_changepoints",
     "source_trend_slopes",
     "contrastive_hard_negatives",
+    "gdpr_erasure_audit",
+    "stratified_neyman_allocation",
     # backfill: round-1 names last driver-proven in round 1 (stalest first
     # by family) — aggregates
     "agg_pricing_summary",

