@@ -142,3 +142,99 @@ def test_hash_split_disjoint_exhaustive_stable(ids):
     }
     assert one == two  # repartition-stable
     assert set(one) == set(ids)  # exhaustive
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    log=st.lists(
+        st.tuples(
+            st.integers(0, 6),  # key
+            st.integers(0, 50),  # seq
+            st.sampled_from(["I", "U", "D"]),
+            st.integers(-100, 100),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_cdc_apply_matches_sequential_replay(log):
+    """cdc_apply == a sequential dict replay of the changelog (ties on
+    (key, seq) broken by value column descending per the rank order —
+    avoid ties by deduping (key, seq) first)."""
+    from fpl_data_pipeline_spark.plans.changelog import cdc_apply
+
+    seen = {}
+    for k, seq, op, v in log:
+        seen[(k, seq)] = (op, v)  # last write per (key, seq) wins in input
+    replay = {}
+    for (k, seq) in sorted(seen):
+        op, v = seen[(k, seq)]
+        if op == "D":
+            replay.pop(k, None)
+            replay[k] = None  # dead until a later seq resurrects
+        else:
+            replay[k] = v
+    expected = {k: v for k, v in replay.items() if v is not None}
+
+    rows = [(k, s, op, v) for (k, s), (op, v) in seen.items()]
+    df = SPARK.createDataFrame(rows, "k long, seq long, op string, v long")
+    got = {r.k: r.v for r in cdc_apply(df, "k", ["seq"]).collect()}
+    assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=4), min_size=1, max_size=40
+    )
+)
+def test_cms_point_estimates_never_underestimate(words):
+    """For arbitrary word multisets, every CMS cell-min >= the true count
+    (one-sidedness is structural, not data-dependent)."""
+    from collections import Counter
+
+    from fpl_data_pipeline_spark.functions.text_queries import CMS_D, CMS_W
+
+    true = Counter(words)
+    import hashlib
+
+    cells = Counter()
+    for w, c in true.items():
+        for j in range(CMS_D):
+            h = int(hashlib.md5(f"{w}:{j}".encode()).hexdigest()[:8], 16) % CMS_W
+            cells[(j, h)] += c
+    for w, c in true.items():
+        est = min(
+            cells[(j, int(hashlib.md5(f"{w}:{j}".encode()).hexdigest()[:8], 16) % CMS_W)]
+            for j in range(CMS_D)
+        )
+        assert est >= c
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 1023), st.integers(0, 1023)), min_size=1, max_size=20
+    )
+)
+def test_zorder_key_preserves_locality_bound(pts):
+    """Morton keys of points equal on their top b bits in BOTH dims agree
+    on their top 2b z-bits (the data-skipping property)."""
+    from fpl_data_pipeline_spark.sources.bucketing import Z_BITS
+
+    def morton(x, y):
+        z = 0
+        for i in range(Z_BITS):
+            z |= ((x >> i) & 1) << (2 * i + 1)
+            z |= ((y >> i) & 1) << (2 * i)
+        return z
+
+    b = 3
+    for (x1, y1) in pts:
+        for (x2, y2) in pts:
+            if (x1 >> (Z_BITS - b)) == (x2 >> (Z_BITS - b)) and (
+                y1 >> (Z_BITS - b)
+            ) == (y2 >> (Z_BITS - b)):
+                assert morton(x1, y1) >> (2 * (Z_BITS - b)) == morton(x2, y2) >> (
+                    2 * (Z_BITS - b)
+                )
