@@ -2104,43 +2104,10 @@ def prefix_filter_pairs(d: DataFrame) -> DataFrame:
     measures the candidate-set reduction on a planted corpus.
     """
     sh = shingles(d).localCheckpoint()
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    wdoc = Window.partitionBy("doc_id").orderBy(
-        F.col("df").asc(), F.col("shingle").asc()
-    )
-    ranked = (
-        sh.join(freq, "shingle")
-        .withColumn("r", F.row_number().over(wdoc))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
-    )
-    prefix = ranked.filter(
-        F.col("r")
-        <= F.col("n")
-        - F.expr(f"({PF_NUM} * n + {PF_DEN - 1}) div {PF_DEN}")
-        + 1
-    ).select("doc_id", "shingle")
-    a = prefix.select(F.col("doc_id").alias("da"), "shingle")
-    b = prefix.select(F.col("doc_id").alias("db"), "shingle")
+    cand = prefix_candidate_pairs(d, sh=sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
-    # PPJoin length filter: Jaccard >= T forces T*max(na,nb) <= min(na,nb);
-    # pruning size-incompatible candidates BEFORE the verification join cuts
-    # its fan-out (the verify phase is linear in sum of candidate doc sizes)
-    cand = (
-        a.join(b, "shingle")
-        .filter(F.col("da") < F.col("db"))
-        .select("da", "db")
-        .distinct()
-        .join(sa, "da")
-        .join(sb, "db")
-        .filter(
-            F.lit(PF_NUM) * F.greatest("na", "nb")
-            <= F.lit(PF_DEN) * F.least("na", "nb")
-        )
-        .select("da", "db")
-        .localCheckpoint()
-    )
     ta = sh.select(F.col("doc_id").alias("da"), "shingle")
     tb = sh.select(F.col("doc_id").alias("db2"), F.col("shingle").alias("shingle_b"))
     inter = (
@@ -2167,4 +2134,50 @@ def prefix_filter_pairs(d: DataFrame) -> DataFrame:
         .filter(F.col("jaccard") >= float(PF_NUM) / PF_DEN)
         .orderBy(F.col("jaccard").desc(), F.col("doc_id_a").asc(), F.col("doc_id_b").asc())
         .limit(20)
+    )
+
+
+def prefix_candidate_pairs(d: DataFrame, sh: DataFrame | None = None) -> DataFrame:
+    """The prefix-filtering candidate stage (rarity-ordered prefixes +
+    PPJoin length filter) — split out so tools/scale_probe.py can measure
+    candidate growth across corpus scales. ``sh`` lets the caller share an
+    already-checkpointed shingle set."""
+    if sh is None:
+        sh = shingles(d).localCheckpoint()
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("shingle").asc()
+    )
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn("r", F.row_number().over(wdoc))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    prefix = ranked.filter(
+        F.col("r")
+        <= F.col("n")
+        - F.expr(f"({PF_NUM} * n + {PF_DEN - 1}) div {PF_DEN}")
+        + 1
+    ).select("doc_id", "shingle")
+    a = prefix.select(F.col("doc_id").alias("da"), "shingle")
+    b = prefix.select(F.col("doc_id").alias("db"), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    # PPJoin length filter: Jaccard >= T forces T*max(na,nb) <= min(na,nb);
+    # pruning size-incompatible candidates BEFORE the verification join cuts
+    # its fan-out (the verify phase is linear in sum of candidate doc sizes)
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+        .join(sa, "da")
+        .join(sb, "db")
+        .filter(
+            F.lit(PF_NUM) * F.greatest("na", "nb")
+            <= F.lit(PF_DEN) * F.least("na", "nb")
+        )
+        .select("da", "db")
+        .localCheckpoint()
     )

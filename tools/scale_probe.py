@@ -27,6 +27,7 @@ import pyspark.sql.functions as F  # noqa: E402
 from fpl_data_pipeline_spark import get_spark  # noqa: E402
 from fpl_data_pipeline_spark.operators.dedup import (  # noqa: E402
     _ngram_jaccard_pairs,
+    prefix_candidate_pairs,
     span_pair_spans,
     winnowing_candidate_pairs,
 )
@@ -122,6 +123,7 @@ def probe(spark, sf_dir: str) -> dict:
         ("ngram_jaccard", _ngram_jaccard_pairs(docs)),
         ("winnowing", winnowing_candidate_pairs(docs)),
         ("span_matches", span_pair_spans(docs)),
+        ("prefix_filter", prefix_candidate_pairs(docs)),
         ("emb_neardup", emb_neardup_candidates(emb)),
     ):
         t0 = time.perf_counter()
@@ -143,7 +145,7 @@ def main() -> None:
             "pair_ratio": round(blown[k]["pairs"] / max(base[k]["pairs"], 1), 2),
             "time_ratio": round(blown[k]["sec"] / max(base[k]["sec"], 1e-9), 2),
         }
-        for k in ("ngram_jaccard", "winnowing", "span_matches", "emb_neardup")
+        for k in ("ngram_jaccard", "winnowing", "span_matches", "prefix_filter", "emb_neardup")
     }
     print(
         json.dumps(
