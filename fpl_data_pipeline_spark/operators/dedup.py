@@ -2181,3 +2181,102 @@ def prefix_candidate_pairs(d: DataFrame, sh: DataFrame | None = None) -> DataFra
         .select("da", "db")
         .localCheckpoint()
     )
+
+
+# --- intra-document duplicate segments (within-doc repetition removal) ------
+INTRA_SEG_WORDS = 2  # segment width; production corpora use 8+ (see docstring)
+
+
+@register(
+    "dedup_intradoc_segments",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+    segs AS (
+      SELECT doc_id, u.seg AS seg, u.pos AS pos
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(ws) // {INTRA_SEG_WORDS}, 0) + 1),
+                 i -> {{'pos': i - 1,
+                        'seg': ws[(i-1) * {INTRA_SEG_WORDS} + 1] || ' '
+                               || ws[(i-1) * {INTRA_SEG_WORDS} + 2]}})) AS u
+        FROM words
+      )
+    ),
+    ranked AS (
+      SELECT doc_id, seg, pos,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, seg ORDER BY pos ASC) AS occ
+      FROM segs
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_segments,
+           FLOOR(CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) * 1000000 + 0.5) / 1000000 AS dup_fraction
+    FROM ranked
+    GROUP BY doc_id
+    ORDER BY n_dup_segments DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def dedup_intradoc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repetition: how much of each document is a repeat of
+    an earlier segment of ITSELF — the complement of the cross-document
+    families (navigation loops, templated sections, stuttering generation
+    artifacts all show up here; Gopher's repetition rules threshold this
+    family of signals, this operator emits the removable-segment inventory).
+    Keeps the FIRST occurrence of each segment per doc; later occurrences
+    are the removable set.
+
+    Segment width is {INTRA_SEG_WORDS} words here so the small-vocabulary
+    synthetic corpus exhibits real within-doc repeats; production corpora
+    use 8+ (the cross-doc boilerplate op's SEG_WORDS). Shape: one
+    fixed-stride segmentation (map-side), one (doc, segment) window —
+    partitioned by doc, never global — and a per-doc aggregate."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", _words(_norm_text(F.col("text"))).alias("ws"))
+    n_segs = F.floor(F.size("ws") / INTRA_SEG_WORDS).cast("int")
+    segs = words.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                n_segs >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), n_segs),
+                    lambda i: F.concat_ws(
+                        " ",
+                        *[
+                            F.element_at(
+                                F.col("ws"), (i - 1) * INTRA_SEG_WORDS + k + 1
+                            )
+                            for k in range(INTRA_SEG_WORDS)
+                        ],
+                    ),
+                ),
+            )
+        ).alias("pos", "seg"),
+    )
+    w = Window.partitionBy("doc_id", "seg").orderBy(F.col("pos").asc())
+    ranked = segs.withColumn("occ", F.row_number().over(w))
+    dup = F.when(F.col("occ") > 1, 1).otherwise(0)
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(dup).cast("bigint").alias("n_dup_segments"),
+            (
+                F.floor(
+                    F.sum(dup).cast("double") / F.count(F.lit(1)) * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("dup_fraction"),
+        )
+        .orderBy(F.col("n_dup_segments").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )

@@ -715,3 +715,108 @@ def stratified_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --- length-bucketed batching: padding-waste accounting ---------------------
+BATCH_SIZE = 8
+LEN_BUCKET = 32  # token-length bucket width
+
+
+@register(
+    "length_bucket_padding",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(string_split(
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+               w -> w <> '')) AS n
+      FROM documents
+    ),
+    unb AS (
+      SELECT 'arrival_order' AS strategy, doc_id // {BATCH_SIZE} AS batch, n
+      FROM toks
+    ),
+    bkt AS (
+      SELECT 'length_bucketed' AS strategy,
+             (n // {LEN_BUCKET}) * 1000000
+               + (ROW_NUMBER() OVER (PARTITION BY n // {LEN_BUCKET}
+                                     ORDER BY n ASC, doc_id ASC) - 1)
+                 // {BATCH_SIZE} AS batch,
+             n
+      FROM toks
+    ),
+    allb AS (SELECT * FROM unb UNION ALL SELECT * FROM bkt),
+    per_batch AS (
+      SELECT strategy, batch, COUNT(*) AS bsz,
+             CAST(SUM(n) AS BIGINT) AS tok, MAX(n) AS mx
+      FROM allb GROUP BY strategy, batch
+    )
+    SELECT strategy,
+           COUNT(*) AS n_batches,
+           CAST(SUM(tok) AS BIGINT) AS real_tokens,
+           CAST(SUM(bsz * mx - tok) AS BIGINT) AS padding_tokens,
+           FLOOR(CAST(SUM(bsz * mx - tok) AS DOUBLE)
+                 / SUM(bsz * mx) * 1000000 + 0.5) / 1000000 AS waste_frac
+    FROM per_batch
+    GROUP BY strategy
+    ORDER BY strategy
+    """,
+)
+def length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch padding efficiency: pad-to-longest batches of
+    {BATCH_SIZE} formed (a) in arrival order and (b) after grouping docs
+    into {LEN_BUCKET}-token length buckets — the measured case for length
+    bucketing in a training dataloader (padding tokens burn accelerator
+    FLOPs on masked positions; bucketing routinely halves the waste). All
+    arithmetic is integer-exact; the bucketed ranking window partitions by
+    length bucket (bounded, never global)."""
+    d = table(spark, sf_dir, "documents")
+    from fpl_data_pipeline_spark.operators.dedup import _norm_text, _words
+
+    toks = d.select(
+        "doc_id", F.size(_words(_norm_text(F.col("text")))).alias("n")
+    )
+    unb = toks.select(
+        F.lit("arrival_order").alias("strategy"),
+        F.expr(f"doc_id div {BATCH_SIZE}").alias("batch"),
+        "n",
+    )
+    wb = Window.partitionBy(F.expr(f"n div {LEN_BUCKET}")).orderBy(
+        F.col("n").asc(), F.col("doc_id").asc()
+    )
+    bkt = toks.select(
+        F.lit("length_bucketed").alias("strategy"),
+        (
+            F.expr(f"n div {LEN_BUCKET}") * 1000000
+            + F.expr(
+                f"(row_number() over (partition by n div {LEN_BUCKET} "
+                f"order by n asc, doc_id asc) - 1) div {BATCH_SIZE}"
+            )
+        ).alias("batch"),
+        "n",
+    )
+    both = unb.unionAll(bkt)
+    per_batch = both.groupBy("strategy", "batch").agg(
+        F.count(F.lit(1)).alias("bsz"),
+        F.sum("n").cast("bigint").alias("tok"),
+        F.max("n").alias("mx"),
+    )
+    pad = F.col("bsz") * F.col("mx") - F.col("tok")
+    return (
+        per_batch.groupBy("strategy")
+        .agg(
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum("tok").cast("bigint").alias("real_tokens"),
+            F.sum(pad).cast("bigint").alias("padding_tokens"),
+            (
+                F.floor(
+                    F.sum(pad).cast("double")
+                    / F.sum(F.col("bsz") * F.col("mx"))
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("waste_frac"),
+        )
+        .orderBy("strategy")
+    )

@@ -460,3 +460,30 @@ def test_neyman_allocation_optimality_shape(spark):
     assert abs(total - NEYMAN_BUDGET) <= len(rows)  # per-stratum rounding
     for r in rows:
         assert r.sigma >= 0 and r.alloc_rows >= 0
+
+
+def test_intradoc_segments_planted_repeat(spark, tmp_path):
+    """'x y x y x y' with 2-word segments = 3 segments, 2 duplicates."""
+    from fpl_data_pipeline_spark.operators.dedup import dedup_intradoc_segments
+
+    rows = [
+        (1, "x y x y x y", "en", "s", 0),
+        (2, "a b c d e f", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in dedup_intradoc_segments(spark, str(tmp_path)).collect()}
+    assert out[1].n_segments == 3 and out[1].n_dup_segments == 2
+    assert out[2].n_dup_segments == 0
+
+
+def test_length_bucketing_reduces_padding(spark):
+    from fpl_data_pipeline_spark.operators.sampling import length_bucket_padding
+
+    out = {r.strategy: r for r in length_bucket_padding(spark, SF).collect()}
+    a, b = out["arrival_order"], out["length_bucketed"]
+    assert a.real_tokens == b.real_tokens  # same corpus, both strategies
+    assert b.padding_tokens < a.padding_tokens
+    assert 0 <= b.waste_frac < a.waste_frac <= 1
