@@ -112,6 +112,8 @@ DRIVER_WINDOW_PRIORITY = [
     "contrastive_hard_negatives",
     "gdpr_erasure_audit",
     "stratified_neyman_allocation",
+    "dedup_intradoc_segments",
+    "length_bucket_padding",
     # backfill: round-1 names last driver-proven in round 1 (stalest first
     # by family) — aggregates
     "agg_pricing_summary",
