@@ -772,3 +772,81 @@ def table_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- join-key skew diagnosis (strategy picker) ------------------------------
+def _skew_sql(tbl: str, col: str) -> str:
+    return f"""
+    SELECT '{tbl}.{col}' AS join_key,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           COUNT(*) AS n_keys,
+           CAST(MAX(c) AS BIGINT) AS max_key_rows,
+           round(quantile_cont(c, 0.50), 3) AS p50_key_rows,
+           round(quantile_cont(c, 0.99), 3) AS p99_key_rows,
+           FLOOR(CAST(MAX(c) AS DOUBLE) / SUM(c) * 1000000 + 0.5) / 1000000
+             AS top1_share,
+           CASE
+             WHEN CAST(MAX(c) AS DOUBLE) / SUM(c) > 0.01
+                  OR CAST(MAX(c) AS DOUBLE) / quantile_cont(c, 0.50) > 100
+               THEN 'salt_or_aqe_skew_join'
+             WHEN COUNT(*) <= 1000 THEN 'broadcast_other_side'
+             ELSE 'hash_partition'
+           END AS recommended
+    FROM (SELECT COUNT(*) AS c FROM {tbl} GROUP BY {col})
+    """
+
+
+@register(
+    "join_skew_report",
+    " UNION ALL ".join(
+        [
+            _skew_sql("lineitem", "l_orderkey"),
+            _skew_sql("orders", "o_custkey"),
+            _skew_sql("events", "user_id"),
+        ]
+    )
+    + " ORDER BY join_key",
+)
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis across the three hot join columns: key-count
+    distribution stats (max / p50 / p99 key cardinality, hottest-key row
+    share) plus the strategy a planner should pick — salt/AQE-skew-join
+    when one key owns >1% of rows or max/median >100, broadcast when the
+    keyed side is tiny, plain hash partitioning otherwise. This is the
+    diagnosis that justifies salted_agg_user_activity /
+    salted_join_user_spend BEFORE paying their two-stage cost; at 100 TB
+    you run it once per table from the same per-key partial counts every
+    aggregate already computes (one shuffle per column, aggregate output
+    is one row)."""
+
+    def one(tbl: str, col: str) -> DataFrame:
+        keyed = table(spark, sf_dir, tbl).groupBy(col).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        max_c = F.max("c").cast("bigint")
+        sum_c = F.sum("c")
+        p50 = F.percentile("c", F.lit(0.50))
+        share = max_c.cast("double") / sum_c
+        return keyed.agg(
+            F.lit(f"{tbl}.{col}").alias("join_key"),
+            sum_c.cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            max_c.alias("max_key_rows"),
+            F.round(p50, 3).alias("p50_key_rows"),
+            F.round(F.percentile("c", F.lit(0.99)), 3).alias("p99_key_rows"),
+            (F.floor(share * 1000000 + F.lit(0.5)) / 1000000).alias("top1_share"),
+            F.when(
+                (share > 0.01) | (max_c.cast("double") / p50 > 100),
+                "salt_or_aqe_skew_join",
+            )
+            .when(F.count(F.lit(1)) <= 1000, "broadcast_other_side")
+            .otherwise("hash_partition")
+            .alias("recommended"),
+        )
+
+    return (
+        one("lineitem", "l_orderkey")
+        .unionAll(one("orders", "o_custkey"))
+        .unionAll(one("events", "user_id"))
+        .orderBy("join_key")
+    )

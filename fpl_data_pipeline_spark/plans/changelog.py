@@ -204,3 +204,63 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "scd2_asof_snapshot",
+    f"""
+    WITH versions AS (
+      SELECT o_custkey, o_totalprice, o_orderdate AS valid_from,
+             LEAD(o_orderdate) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC) AS valid_to
+      FROM orders
+    ),
+    snap AS (
+      SELECT o_custkey, o_totalprice
+      FROM versions
+      WHERE valid_from <= TIMESTAMP '2024-06-30 23:59:59'
+        AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-06-30 23:59:59')
+    )
+    SELECT c.c_mktsegment,
+           COUNT(a.o_custkey) AS n_keys_live_asof,
+           {dsum_sql('a.o_totalprice')} AS attr_sum_asof
+    FROM customer c
+    LEFT JOIN snap a ON a.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time reconstruction from the SCD2 history: the state of
+    every key AS OF a cut timestamp — the time-travel read that justifies
+    keeping Type-2 intervals at all (reproducing a past report, auditing a
+    decision input, training-serving skew checks against features as they
+    WERE). Exactly one version per key matches the half-open interval
+    [valid_from, valid_to) containing the cut. Same single-window +
+    broadcast-dim shape as scd2_customer_history."""
+    o = table(spark, sf_dir, "orders")
+    cut = F.lit("2024-06-30 23:59:59").cast("timestamp")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    versions = o.select(
+        "o_custkey",
+        "o_totalprice",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    asof = versions.filter(
+        (F.col("valid_from") <= cut)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > cut))
+    ).select(F.col("o_custkey").alias("ak"), F.col("o_totalprice").alias("av"))
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.join(asof, c.c_custkey == asof.ak, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("ak").alias("n_keys_live_asof"),
+            dsum("av", "attr_sum_asof"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -114,6 +114,10 @@ DRIVER_WINDOW_PRIORITY = [
     "stratified_neyman_allocation",
     "dedup_intradoc_segments",
     "length_bucket_padding",
+    # ROUND-5 ROTATION BACKLOG — oracled queries registered after the 50
+    # window slots filled (local-sweep green at sf0.01+sf0.001, never
+    # driver-windowed): scd2_asof_snapshot, join_skew_report. Rotate them
+    # in next round in place of the oldest regression anchors.
     # backfill: round-1 names last driver-proven in round 1 (stalest first
     # by family) — aggregates
     "agg_pricing_summary",

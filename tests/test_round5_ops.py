@@ -487,3 +487,54 @@ def test_length_bucketing_reduces_padding(spark):
     assert a.real_tokens == b.real_tokens  # same corpus, both strategies
     assert b.padding_tokens < a.padding_tokens
     assert 0 <= b.waste_frac < a.waste_frac <= 1
+
+
+def test_scd2_asof_exactly_one_version_per_key(spark):
+    """The as-of filter selects exactly one version per key that existed at
+    the cut (interval tiling guarantees it)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from fpl_data_pipeline_spark.tables import table
+
+    cut = F.lit("2024-06-30 23:59:59").cast("timestamp")
+    o = table(spark, SF, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    v = o.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("vf"),
+        F.lead("o_orderdate").over(w).alias("vt"),
+    )
+    hit = v.filter((F.col("vf") <= cut) & (F.col("vt").isNull() | (F.col("vt") > cut)))
+    dup_keys = hit.groupBy("o_custkey").count().filter(F.col("count") > 1).count()
+    assert dup_keys == 0
+    keys_started = v.filter(F.col("vf") <= cut).select("o_custkey").distinct().count()
+    assert hit.count() == keys_started
+
+
+def test_join_skew_report_flags_planted_hot_key(spark, tmp_path):
+    """A synthetic events table where one user owns 20% of rows must be
+    recommended for salting."""
+    import datetime
+
+    from fpl_data_pipeline_spark.plans.aggregates import join_skew_report
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(i, base, 999, "t", 0.0, "{}") for i in range(200)] + [
+        (1000 + i, base, i, "t", 0.0, "{}") for i in range(800)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    # reuse real lineitem/orders for the other two rows
+    for t in ("lineitem", "orders"):
+        spark.read.parquet(f"{SF}/{t}.parquet").write.mode("overwrite").parquet(
+            str(tmp_path / f"{t}.parquet")
+        )
+    rep = {r.join_key: r for r in join_skew_report(spark, str(tmp_path)).collect()}
+    assert rep["events.user_id"].recommended == "salt_or_aqe_skew_join"
+    assert rep["events.user_id"].top1_share >= 0.19
