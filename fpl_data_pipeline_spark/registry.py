@@ -47,14 +47,13 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # The driver's correctness gate checks the FIRST 50 registered queries per
 # round. Round 1's window proved the relational core (47 green); round 2's
 # the LLM-pipeline extension track (48 green); round 3 rotated onto the FPL
-# dashboard five + the round-2 red rows and went 50/50. Round 4 completes
-# driver-grade coverage: the 12 oracled queries that had never been inside
-# a window lead, the 9 NEW round-4 operators (segment boilerplate, dup-graph
-# degrees, minhash estimate error, bloom blocklist, event transitions, PQ
-# codebook stats, quality model, BPE pairs, embedding drift) take the next
-# slots so brand-new code gets driver-grade proof immediately, and the
-# remaining 28 slots backfill the longest-unchecked round-1 names (last
-# driver-proven three rounds ago) for regression coverage.
+# dashboard five + the round-2 red rows and went 50/50. Round 4's window:
+# the 12 oracled queries that had never been inside a window lead, then
+# EVERY operator built this round (9 early + 27 late-session additions) so
+# brand-new code gets driver-grade proof in the round it was written;
+# agg_pricing_summary keeps one round-1 regression slot. The remaining
+# round-1 names sit at #51+ — still exact-parity-checked every session by
+# the tools/parity.py full sweep.
 # flagship_customer_activity stays the cross-round continuity anchor.
 # kmeans_embeddings (no oracle by nature) stays OUT of the window so no
 # slot records err — it remains registered, rows-only checked by
