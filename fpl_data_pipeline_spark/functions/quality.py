@@ -243,3 +243,112 @@ def kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("suppressed_row_frac"),
     )
+
+
+# --- threshold source-bias audit (fair filtering) ---------------------------
+QB_GLOBAL_CUT = 0.7  # global quality-score cutoff under audit
+QB_KEEP_RATE = 0.5  # per-source normalized keep rate
+
+
+@register(
+    "quality_threshold_bias",
+    f"""
+    WITH feat AS (
+      SELECT doc_id, source,
+             (CASE WHEN len(list_filter(string_split(
+                     lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+                     w -> w <> '')) >= 10 THEN 0.4 ELSE 0.0 END
+              + CASE WHEN len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))
+                          < length(text) * 0.1 THEN 0.3 ELSE 0.0 END
+              + CASE WHEN length(text) >= 100 THEN 0.3 ELSE 0.0 END)
+               AS score
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *, PERCENT_RANK() OVER (PARTITION BY source
+                                     ORDER BY score ASC, doc_id ASC) AS pr
+      FROM feat
+    ),
+    overall AS (
+      SELECT CAST(SUM(CASE WHEN score >= {QB_GLOBAL_CUT} THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*) AS rate
+      FROM feat
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           FLOOR(CAST(SUM(CASE WHEN score >= {QB_GLOBAL_CUT} THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000
+             AS global_keep_frac,
+           FLOOR(CAST(SUM(CASE WHEN pr >= 1 - {QB_KEEP_RATE} THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000
+             AS norm_keep_frac,
+           FLOOR((CAST(SUM(CASE WHEN score >= {QB_GLOBAL_CUT} THEN 1 ELSE 0 END)
+                       AS DOUBLE) / COUNT(*) - o.rate) * 1000000 + 0.5) / 1000000
+             AS bias_vs_overall
+    FROM ranked CROSS JOIN overall o
+    GROUP BY source, o.rate
+    ORDER BY source
+    """,
+)
+def quality_threshold_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-fairness audit of a GLOBAL quality cutoff: per ingest source,
+    the fraction kept by one corpus-wide score threshold vs by a
+    source-NORMALIZED percentile rule (keep each source's top
+    {int(QB_KEEP_RATE * 100)}%), plus each source's deviation from the
+    corpus keep rate. The CCNet/RefinedWeb lesson quantified: global
+    perplexity/quality thresholds systematically over-filter domains whose
+    score distribution sits lower (code, forums, non-English), and the
+    bias_vs_overall column is exactly the evidence a curation review needs
+    before choosing global vs per-source calibration
+    (quality_threshold_calibration computes the per-source cutpoints).
+
+    One scan-side score, one per-source window (partitioned — never
+    global), one broadcast 1-row overall rate."""
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    ws = F.filter(
+        F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "),
+        lambda w: w != "",
+    )
+    score = (
+        F.when(F.size(ws) >= 10, 0.4).otherwise(0.0)
+        + F.when(
+            F.regexp_count("text", F.lit("[^a-zA-Z0-9 ]"))
+            < F.length("text") * 0.1,
+            0.3,
+        ).otherwise(0.0)
+        + F.when(F.length("text") >= 100, 0.3).otherwise(0.0)
+    )
+    feat = d.select("doc_id", "source", score.alias("score"))
+    w = Window.partitionBy("source").orderBy(F.col("score").asc(), F.col("doc_id").asc())
+    ranked = feat.withColumn("pr", F.percent_rank().over(w))
+    overall = F.broadcast(
+        feat.agg(
+            (
+                F.sum(F.when(F.col("score") >= QB_GLOBAL_CUT, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("rate")
+        )
+    )
+    kept_g = F.sum(F.when(F.col("score") >= QB_GLOBAL_CUT, 1).otherwise(0)).cast(
+        "double"
+    )
+    kept_n = F.sum(
+        F.when(F.col("pr") >= 1 - QB_KEEP_RATE, 1).otherwise(0)
+    ).cast("double")
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return (
+        ranked.crossJoin(overall)
+        .groupBy("source", "rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            q6(kept_g / F.count(F.lit(1))).alias("global_keep_frac"),
+            q6(kept_n / F.count(F.lit(1))).alias("norm_keep_frac"),
+            q6(kept_g / F.count(F.lit(1)) - F.first("rate")).alias("bias_vs_overall"),
+        )
+        .drop("rate")
+        .orderBy("source")
+    )

@@ -115,7 +115,8 @@ DRIVER_WINDOW_PRIORITY = [
     "length_bucket_padding",
     # ROUND-5 ROTATION BACKLOG — oracled queries registered after the 50
     # window slots filled (local-sweep green at sf0.01+sf0.001, never
-    # driver-windowed): scd2_asof_snapshot, join_skew_report. Rotate them
+    # driver-windowed): scd2_asof_snapshot, join_skew_report,
+    # quality_threshold_bias. Rotate them
     # in next round in place of the oldest regression anchors.
     # backfill: round-1 names last driver-proven in round 1 (stalest first
     # by family) — aggregates

@@ -538,3 +538,27 @@ def test_join_skew_report_flags_planted_hot_key(spark, tmp_path):
     rep = {r.join_key: r for r in join_skew_report(spark, str(tmp_path)).collect()}
     assert rep["events.user_id"].recommended == "salt_or_aqe_skew_join"
     assert rep["events.user_id"].top1_share >= 0.19
+
+
+def test_threshold_bias_planted_skewed_sources(spark, tmp_path):
+    """Source 'lo' (short, punct-heavy docs) scores low and is wiped out by
+    the global cut; 'hi' passes fully. The normalized rule keeps ~half of
+    EACH — the bias the audit must surface."""
+    from fpl_data_pipeline_spark.functions.quality import quality_threshold_bias
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "!!! ??? ...", "en", "lo", 0))  # short + punct -> 0.0
+        rows.append(
+            (100 + i, " ".join(f"w{i}x{j}" for j in range(30)), "en", "hi", 0)
+        )  # long, clean -> 1.0
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.source: r for r in quality_threshold_bias(spark, str(tmp_path)).collect()}
+    assert out["lo"].global_keep_frac == 0.0
+    assert out["hi"].global_keep_frac == 1.0
+    assert abs(out["lo"].norm_keep_frac - 0.5) <= 0.1
+    assert abs(out["hi"].norm_keep_frac - 0.5) <= 0.1
+    assert out["lo"].bias_vs_overall < 0 < out["hi"].bias_vs_overall

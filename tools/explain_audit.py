@@ -61,6 +61,16 @@ INTENTIONAL_CROSS = {
     "events_cusum_changepoints",
     # final 1-row sample-deciles x 1-row exact-deciles combine
     "hash_sample_quantiles",
+    # chained 1-row cohort/cascade count combines
+    "gdpr_erasure_audit",
+    # 1-row merged-sketch x 1-row exact-union combine
+    "kmv_distinct_union",
+    # 1-row leakage-summary combines
+    "split_leakage_safe",
+    # broadcast 1-row allocation denominator
+    "stratified_neyman_allocation",
+    # broadcast 1-row overall keep-rate
+    "quality_threshold_bias",
 }
 
 
