@@ -238,3 +238,38 @@ def test_zorder_key_preserves_locality_bound(pts):
                 assert morton(x1, y1) >> (2 * (Z_BITS - b)) == morton(x2, y2) >> (
                     2 * (Z_BITS - b)
                 )
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=5, max_size=12),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_prefix_filter_candidates_complete(docs):
+    """PPJoin completeness as a law: for arbitrary small corpora, EVERY pair
+    with exact shingle-Jaccard >= T appears in the prefix-filtered candidate
+    set (the planted test checks one corpus; this checks the rule)."""
+    from fpl_data_pipeline_spark.operators.dedup import (
+        PF_DEN,
+        PF_NUM,
+        _ngram_jaccard_pairs,
+        prefix_candidate_pairs,
+    )
+
+    rows = [
+        (i, " ".join(ws), "en", "s", 0) for i, ws in enumerate(docs)
+    ]
+    d = SPARK.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    t = PF_NUM / PF_DEN
+    truth = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in _ngram_jaccard_pairs(d).collect()
+        if r.jaccard >= t
+    }
+    cand = {(r.da, r.db) for r in prefix_candidate_pairs(d).collect()}
+    assert truth <= cand
