@@ -611,3 +611,62 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(25)
     )
+
+
+# --- as-of join, FORWARD direction with tolerance (pandas merge_asof parity)
+ASOF_TOL_MINUTES = 60
+
+
+@register(
+    "asof_join_forward_tolerance",
+    f"""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    j AS (
+      SELECT p.event_id, p.user_id, p.ts,
+             c.event_id AS click_event_id, c.ts AS click_ts,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY c.ts ASC, c.event_id ASC) AS rn
+      FROM p LEFT JOIN c
+        ON c.user_id = p.user_id
+       AND c.ts >= p.ts
+       AND c.ts <= p.ts + INTERVAL {ASOF_TOL_MINUTES} MINUTE
+    )
+    SELECT event_id, user_id, ts, click_event_id, click_ts
+    FROM j WHERE rn = 1 OR rn IS NULL
+    """,
+)
+def asof_join_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, FORWARD direction with a bounded tolerance — the other
+    half of pandas merge_asof semantics (asof_join_purchase_click is
+    backward/unbounded): for each purchase, the EARLIEST click by the same
+    user within the following {ASOF_TOL_MINUTES} minutes, or NULL if none.
+    The post-conversion attribution shape ("what did they click right
+    after buying") and, symmetrically, the sensor-alignment shape
+    (nearest-after reading within tolerance).
+
+    The tolerance bound matters at scale beyond semantics: it caps the
+    range-join fan-out per left row by the per-user event rate x window,
+    where the unbounded backward join's fan-out grows with history length.
+    Same keyed equi-join + range predicate + rank-1 prune as the backward
+    variant; bucketed-by-user storage co-locates it."""
+    p, c = _purchases_clicks(spark, sf_dir)
+    j = p.join(
+        c,
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("ts") + F.expr(f"INTERVAL {ASOF_TOL_MINUTES} MINUTE")
+        ),
+        "left",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("click_ts").asc_nulls_last(), F.col("click_event_id").asc_nulls_last()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts", "click_event_id", "click_ts")
+    )

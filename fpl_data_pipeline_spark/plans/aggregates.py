@@ -850,3 +850,78 @@ def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(one("events", "user_id"))
         .orderBy("join_key")
     )
+
+
+# --- deterministic ordered-set aggregates (mode / discrete median) ----------
+@register(
+    "ordered_set_aggs",
+    """
+    WITH counts AS (
+      SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    ),
+    modes AS (
+      SELECT c_mktsegment, c_nationkey AS mode_nation, cnt AS mode_count
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY cnt DESC, c_nationkey ASC) AS rn
+        FROM counts
+      ) WHERE rn = 1
+    ),
+    meds AS (
+      SELECT c_mktsegment,
+             CAST(CAST(quantile_disc(c_acctbal, 0.5) AS DECIMAL(12,2)) AS DOUBLE)
+               AS median_acctbal
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT m.c_mktsegment, m.mode_nation, CAST(m.mode_count AS BIGINT) AS mode_count,
+           d.median_acctbal
+    FROM modes m JOIN meds d USING (c_mktsegment)
+    ORDER BY m.c_mktsegment
+    """,
+)
+def ordered_set_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregates with DETERMINISTIC semantics: per segment,
+    the modal nation (most frequent; ties broken by lowest key — Spark's
+    built-in mode() picks an ARBITRARY tie winner, so the engine spells
+    the tiebreak out as count+rank) and the exact discrete median account
+    balance (percentile_disc: an actual data value, lower-of-middle-two —
+    matching DuckDB's quantile_disc tie rule, unlike interpolating
+    percentile()). The mode is a hash aggregate + a tiny window over the
+    per-(segment, nation) count table; the EXACT discrete median needs a
+    per-segment sort (row_number to the middle rank) — at 100 TB that is
+    the deliberate exact-eval path, with approx_percentile as the
+    production fast path (approx_quantiles_price covers the sketch
+    contract)."""
+    c = table(spark, sf_dir, "customer")
+    counts = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("cnt").desc(), F.col("c_nationkey").asc()
+    )
+    modes = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("c_nationkey").alias("mode_nation"),
+            F.col("cnt").cast("bigint").alias("mode_count"),
+        )
+    )
+    # discrete median == lower-of-middle-two == the value at row_number
+    # ceil(n/2) in ascending order — an exact data value on both engines
+    wv = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    meds = (
+        c.select("c_mktsegment", "c_acctbal", "c_custkey")
+        .withColumn("rn", F.row_number().over(wv))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("c_mktsegment")))
+        .filter(F.col("rn") == F.ceil(F.col("n") / 2))
+        .select(
+            "c_mktsegment",
+            F.col("c_acctbal").cast("decimal(12,2)").cast("double").alias("median_acctbal"),
+        )
+    )
+    return modes.join(meds, "c_mktsegment").orderBy("c_mktsegment")
