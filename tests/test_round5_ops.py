@@ -562,3 +562,70 @@ def test_threshold_bias_planted_skewed_sources(spark, tmp_path):
     assert abs(out["lo"].norm_keep_frac - 0.5) <= 0.1
     assert abs(out["hi"].norm_keep_frac - 0.5) <= 0.1
     assert out["lo"].bias_vs_overall < 0 < out["hi"].bias_vs_overall
+
+
+def test_zorder_write_prunes_files_on_both_dims(spark, tmp_path):
+    """STORAGE proof for the z-order layout (zorder_layout_stats measures
+    the abstract spans): write orders twice — range-partitioned by the
+    Morton key vs by custkey alone — then, from the parquet footers'
+    min/max stats alone, count which files a two-sided predicate could
+    skip. The z-layout must let a day-range predicate skip most files;
+    the custkey sort must force reading ~all of them."""
+    import pyarrow.parquet as pq
+    import glob
+    import os
+
+    from fpl_data_pipeline_spark.sources.bucketing import Z_BITS, zorder_key
+    from fpl_data_pipeline_spark.tables import table
+
+    o = table(spark, SF, "orders")
+    day = F.datediff("o_orderdate", F.lit("1970-01-01")).cast("bigint")
+    b = F.broadcast(
+        o.agg(
+            F.max("o_custkey").alias("mc"),
+            F.min(day).alias("mind"),
+            F.max(day).alias("maxd"),
+        )
+    )
+    px = F.expr(f"(o_custkey * {2 ** Z_BITS}) div (mc + 1)")
+    py = F.expr(f"((day - mind) * {2 ** Z_BITS}) div (maxd - mind + 1)")
+    keyed = (
+        o.withColumn("day", day)
+        .crossJoin(b)
+        .withColumn("zv", zorder_key(px, py))
+        .select("o_orderkey", "o_custkey", "day", "zv")
+    )
+    zdir, ldir = str(tmp_path / "z"), str(tmp_path / "lin")
+    keyed.repartitionByRange(64, "zv").sortWithinPartitions("zv").write.parquet(zdir)
+    keyed.repartitionByRange(64, "o_custkey").sortWithinPartitions(
+        "o_custkey"
+    ).write.parquet(ldir)
+
+    lo, hi = keyed.agg(F.min("day"), F.max("day")).first()
+    qlo = lo + (hi - lo) * 45 // 100
+    qhi = lo + (hi - lo) * 55 // 100  # a ~10%-wide day-range predicate
+
+    def files_touched(d):
+        touched = total = 0
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            fmin = min(
+                md.row_group(i).column(2).statistics.min for i in range(md.num_row_groups)
+            )
+            fmax = max(
+                md.row_group(i).column(2).statistics.max for i in range(md.num_row_groups)
+            )
+            total += 1
+            if fmax >= qlo and fmin <= qhi:
+                touched += 1
+        return touched, total
+
+    zt, ztot = files_touched(zdir)
+    lt, ltot = files_touched(ldir)
+    assert ztot >= 32 and ltot >= 32
+    # custkey layout: the day range hits essentially every file
+    assert lt >= ltot - 2
+    # z layout: most files are skippable from footer stats alone (finite
+    # file count means boundary files straddle grid cells, so the bound is
+    # a comfortable half, not the asymptotic strip fraction)
+    assert zt <= ztot // 2

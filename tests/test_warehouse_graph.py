@@ -95,3 +95,58 @@ def test_triangle_count_planted_graph(spark, monkeypatch):
     assert row.n_triangles == 1
     assert row.n_wedges == 5
     assert abs(row.clustering_coeff - 0.6) < 1e-9
+
+
+def test_pagerank_resumes_from_persisted_ranks(spark, tmp_path):
+    """Fault tolerance of the iterative operator: persist the rank vector
+    after iteration 1, 'restart', run 2 more iterations from the persisted
+    snapshot — final ranks must be bitwise identical to an uninterrupted
+    3-iteration run (the portable-rounding convention makes per-iteration
+    state exact, so resume cannot drift)."""
+    from fpl_data_pipeline_spark.operators.graph import pagerank
+
+    edges = _planted_edges(spark)
+    full = {r.doc_id: r.pr for r in pagerank(edges, n_iter=3).collect()}
+
+    snap_path = str(tmp_path / "pr_iter1")
+    pagerank(edges, n_iter=1).write.parquet(snap_path)
+
+    # resume: rebuild the iteration inputs, seed from the snapshot
+    import pyspark.sql.functions as F
+
+    sym = (
+        edges.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+        .unionAll(
+            edges.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nn = sym.select("src").distinct().agg(F.count(F.lit(1)).alias("n"))
+    from fpl_data_pipeline_spark.functions.exact import portable_round
+
+    pr = spark.read.parquet(snap_path)
+    for _ in range(2):
+        contrib = (
+            sym.join(pr.withColumnRenamed("doc_id", "src"), "src")
+            .join(deg, "src")
+            .select(
+                "dst",
+                portable_round(F.col("pr") / F.col("outdeg"), 12)
+                .cast("decimal(28,12)")
+                .alias("c"),
+            )
+        )
+        pr = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").cast("double").alias("s"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                F.col("dst").alias("doc_id"),
+                portable_round(
+                    F.lit(0.15) / F.col("n") + F.lit(0.85) * F.col("s"), 12
+                ).alias("pr"),
+            )
+        )
+    resumed = {r.doc_id: r.pr for r in pr.collect()}
+    assert resumed == full
