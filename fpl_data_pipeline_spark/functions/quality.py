@@ -352,3 +352,67 @@ def quality_threshold_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rate")
         .orderBy("source")
     )
+
+
+# --- monotonic-sequence gap/duplicate audit (ingestion QA) ------------------
+@register(
+    "sequence_gap_audit",
+    """
+    WITH ids AS (SELECT event_id FROM events),
+    stats AS (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(DISTINCT event_id) AS n_distinct,
+             MIN(event_id) AS lo, MAX(event_id) AS hi
+      FROM ids
+    ),
+    gaps AS (
+      SELECT event_id,
+             event_id - LAG(event_id) OVER (ORDER BY event_id ASC) AS step
+      FROM (SELECT DISTINCT event_id FROM ids)
+    )
+    SELECT s.n_rows,
+           CAST(s.n_rows - s.n_distinct AS BIGINT) AS n_duplicate_ids,
+           CAST(s.hi - s.lo + 1 - s.n_distinct AS BIGINT) AS n_missing_ids,
+           CAST((SELECT MAX(step) FROM gaps) AS BIGINT) AS max_gap,
+           CAST((SELECT COUNT(*) FROM gaps WHERE step > 1) AS BIGINT) AS n_gap_runs
+    FROM stats s
+    """,
+)
+def sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotonic-id integrity audit over the event stream: duplicate ids
+    (at-least-once re-delivery), missing ids vs the dense [min, max] range
+    (dropped offsets / partial ingest), the largest single gap and the
+    number of gap runs — the Kafka-offset / CDC-LSN completeness check
+    that runs before any event-derived table is trusted. One distinct +
+    one ordered window over the DISTINCT id set; at 100 TB the audit runs
+    per id-shard (the window keys on the shard) — the global dense-range
+    variant here is the single-sequence case."""
+    e = table(spark, sf_dir, "events").select("event_id")
+    from pyspark.sql import Window
+
+    stats = e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_distinct"),
+        F.min("event_id").alias("lo"),
+        F.max("event_id").alias("hi"),
+    )
+    dist = e.distinct()
+    w = Window.orderBy(F.col("event_id").asc())
+    gaps = dist.select(
+        (F.col("event_id") - F.lag("event_id").over(w)).alias("step")
+    )
+    gagg = gaps.agg(
+        F.max("step").cast("bigint").alias("max_gap"),
+        F.sum(F.when(F.col("step") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_gap_runs"),
+    )
+    return stats.crossJoin(F.broadcast(gagg)).select(
+        "n_rows",
+        (F.col("n_rows") - F.col("n_distinct")).cast("bigint").alias("n_duplicate_ids"),
+        (F.col("hi") - F.col("lo") + 1 - F.col("n_distinct"))
+        .cast("bigint")
+        .alias("n_missing_ids"),
+        "max_gap",
+        "n_gap_runs",
+    )

@@ -2280,3 +2280,59 @@ def dedup_intradoc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_dup_segments").desc(), F.col("doc_id").asc())
         .limit(20)
     )
+
+
+# --- cross-source duplication matrix (feed-mirroring attribution) -----------
+@register(
+    "dedup_cross_source_matrix",
+    """
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+      FROM documents
+    ),
+    pairs AS (
+      SELECT LEAST(a.source, b.source) AS source_a,
+             GREATEST(a.source, b.source) AS source_b,
+             COUNT(*) AS n_dup_pairs
+      FROM fp a JOIN fp b
+        ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, CAST(n_dup_pairs AS BIGINT) AS n_dup_pairs
+    FROM pairs
+    ORDER BY n_dup_pairs DESC, source_a ASC, source_b ASC
+    LIMIT 20
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHO duplicates WHOM: exact-duplicate pair counts per (source_a,
+    source_b) — the feed-mirroring attribution behind dedup accounting.
+    Diagonal entries (a == b) are within-feed re-crawls; heavy off-diagonal
+    entries are mirror/aggregator feeds whose ingestion should be demoted
+    BEFORE dedup burns compute on them (the operational decision
+    dedup_apply_summary's totals can't localize).
+
+    Same scale shape as every exact-dedup op: one md5 fingerprint per doc,
+    one equi-join on the fingerprint (fan-out bounded by duplicate-family
+    sizes), one two-key hash aggregate."""
+    d = table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id", "source", F.md5(_norm_text(F.col("text"))).alias("fp")
+    )
+    a = fp.select(F.col("doc_id").alias("ida"), F.col("source").alias("sa"), "fp")
+    b = fp.select(F.col("doc_id").alias("idb"), F.col("source").alias("sb"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("ida") < F.col("idb"))
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
+        .orderBy(
+            F.col("n_dup_pairs").desc(), F.col("source_a").asc(), F.col("source_b").asc()
+        )
+        .limit(20)
+    )

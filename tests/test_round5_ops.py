@@ -629,3 +629,48 @@ def test_zorder_write_prunes_files_on_both_dims(spark, tmp_path):
     # file count means boundary files straddle grid cells, so the bound is
     # a comfortable half, not the asymptotic strip fraction)
     assert zt <= ztot // 2
+
+
+def test_sequence_gap_audit_planted(spark, tmp_path):
+    """ids 0..9 with 7 missing and 3 duplicated: 1 missing, 1 dup, max_gap 2."""
+    import datetime
+
+    from fpl_data_pipeline_spark.functions.quality import sequence_gap_audit
+
+    base = datetime.datetime(2024, 1, 1)
+    ids = [0, 1, 2, 3, 3, 4, 5, 6, 8, 9]  # 7 missing; 3 twice
+    rows = [(i, base, 1, "t", 0.0, "{}") for i in ids]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    r = sequence_gap_audit(spark, str(tmp_path)).collect()[0]
+    assert r.n_rows == 10
+    assert r.n_duplicate_ids == 1
+    assert r.n_missing_ids == 1
+    assert r.max_gap == 2
+    assert r.n_gap_runs == 1
+
+
+def test_cross_source_matrix_planted_mirror(spark, tmp_path):
+    """Source 'mir' mirrors 3 of 'orig's docs: the (mir, orig) cell counts
+    exactly those pairs; a within-source re-crawl lands on the diagonal."""
+    from fpl_data_pipeline_spark.operators.dedup import dedup_cross_source_matrix
+
+    rows = []
+    for i in range(3):
+        body = f"shared body number {i} with words"
+        rows.append((i, body, "en", "orig", 0))
+        rows.append((100 + i, body, "en", "mir", 0))
+    rows.append((200, "recrawl text", "en", "orig", 0))
+    rows.append((201, "recrawl text", "en", "orig", 0))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        (r.source_a, r.source_b): r.n_dup_pairs
+        for r in dedup_cross_source_matrix(spark, str(tmp_path)).collect()
+    }
+    assert out[("mir", "orig")] == 3
+    assert out[("orig", "orig")] == 1
