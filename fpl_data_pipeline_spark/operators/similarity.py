@@ -1249,3 +1249,133 @@ def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("anchor_id").asc(), F.col("rank").asc())
     )
+
+
+# --- Matryoshka (truncated-dimension) retrieval eval ------------------------
+MRL_PREFIX_DIM = 16  # truncated prefix length under evaluation
+MRL_QUERIES = 8
+MRL_K = 10
+
+
+def _dot_sql_pfx(a: str, b: str, dim: int) -> str:
+    return _DOT_SQL.format(a=a, b=b, dim=dim)
+
+
+@register(
+    "emb_matryoshka_recall",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+      WHERE vec_id < {MRL_QUERIES}
+    ),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             {_dot_sql('e.embedding', 'q.qv')}
+               / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                  * sqrt({_dot_sql('q.qv', 'q.qv')})) AS cos_full,
+             {_dot_sql_pfx('e.embedding', 'q.qv', MRL_PREFIX_DIM)}
+               / (sqrt({_dot_sql_pfx('e.embedding', 'e.embedding', MRL_PREFIX_DIM)})
+                  * sqrt({_dot_sql_pfx('q.qv', 'q.qv', MRL_PREFIX_DIM)})) AS cos_pfx
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.q_id
+    ),
+    rf AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY cos_full DESC, vec_id ASC) AS r FROM scored),
+    rp AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY cos_pfx DESC, vec_id ASC) AS r FROM scored),
+    tf AS (SELECT q_id, vec_id FROM rf WHERE r <= {MRL_K}),
+    tp AS (SELECT q_id, vec_id FROM rp WHERE r <= {MRL_K})
+    SELECT tf.q_id,
+           CAST(COUNT(tp.vec_id) AS BIGINT) AS n_overlap,
+           FLOOR(CAST(COUNT(tp.vec_id) AS DOUBLE) / {MRL_K} * 1000000 + 0.5)
+             / 1000000 AS recall_at_{MRL_K}
+    FROM tf LEFT JOIN tp ON tp.q_id = tf.q_id AND tp.vec_id = tf.vec_id
+    GROUP BY tf.q_id
+    ORDER BY tf.q_id
+    """,
+)
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka/MRL dimension-truncation eval: recall@{MRL_K} of retrieval
+    using only the FIRST {MRL_PREFIX_DIM} of {DIM} embedding dimensions
+    against full-dimension exact retrieval, per query — the measurement
+    behind serving truncated vectors (4x smaller index, one number says
+    what it costs in recall; same eval harness shape as ann_recall_eval,
+    which scores the LSH index instead). Broadcast {MRL_QUERIES}-query
+    block, two keyed rank windows, one overlap join on the two top-k
+    sets."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < MRL_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    pfx = lambda c: F.slice(c, 1, MRL_PREFIX_DIM)  # noqa: E731
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (_dot("embedding", "qv") / (_norm("embedding") * _norm("qv"))).alias(
+                "cos_full"
+            ),
+            (
+                F.aggregate(
+                    F.zip_with(
+                        pfx(F.col("embedding")),
+                        pfx(F.col("qv")),
+                        lambda x, y: x.cast("double") * y.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                / (
+                    F.sqrt(
+                        F.aggregate(
+                            F.zip_with(
+                                pfx(F.col("embedding")),
+                                pfx(F.col("embedding")),
+                                lambda x, y: x.cast("double") * y.cast("double"),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, v: acc + v,
+                        )
+                    )
+                    * F.sqrt(
+                        F.aggregate(
+                            F.zip_with(
+                                pfx(F.col("qv")),
+                                pfx(F.col("qv")),
+                                lambda x, y: x.cast("double") * y.cast("double"),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, v: acc + v,
+                        )
+                    )
+                )
+            ).alias("cos_pfx"),
+        )
+        .localCheckpoint()
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.col("cos_full").desc(), F.col("vec_id").asc())
+    wp = Window.partitionBy("q_id").orderBy(F.col("cos_pfx").desc(), F.col("vec_id").asc())
+    tf = (
+        scored.withColumn("r", F.row_number().over(wf))
+        .filter(F.col("r") <= MRL_K)
+        .select("q_id", "vec_id")
+    )
+    tp = (
+        scored.withColumn("r", F.row_number().over(wp))
+        .filter(F.col("r") <= MRL_K)
+        .select(F.col("q_id").alias("q2"), F.col("vec_id").alias("v2"))
+    )
+    return (
+        tf.join(tp, (tf.q_id == tp.q2) & (tf.vec_id == tp.v2), "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("v2").cast("bigint").alias("n_overlap"),
+            (
+                F.floor(F.count("v2").cast("double") / MRL_K * 1000000 + F.lit(0.5))
+                / 1000000
+            ).alias(f"recall_at_{MRL_K}"),
+        )
+        .orderBy("q_id")
+    )

@@ -674,3 +674,15 @@ def test_cross_source_matrix_planted_mirror(spark, tmp_path):
     }
     assert out[("mir", "orig")] == 3
     assert out[("orig", "orig")] == 1
+
+
+def test_matryoshka_full_prefix_is_perfect_recall(spark, monkeypatch):
+    """When the 'truncated' prefix is the FULL dimension, both rankings are
+    identical and recall@k must be exactly 1 for every query."""
+    import fpl_data_pipeline_spark.operators.similarity as sim
+
+    monkeypatch.setattr(sim, "MRL_PREFIX_DIM", sim.DIM)
+    out = sim.emb_matryoshka_recall(spark, SF).collect()
+    assert len(out) == sim.MRL_QUERIES
+    for r in out:
+        assert r.n_overlap == sim.MRL_K
