@@ -1379,3 +1379,134 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+# --- MMR diversity re-ranking (RAG retrieval primitive) ---------------------
+MMR_LAMBDA = 0.7
+MMR_POOL = 8  # relevance-ranked candidate pool
+MMR_K = 3  # selections (each unrolled as one oracle CTE)
+
+_R9 = "FLOOR(({}) * 1000000000 + 0.5) / 1000000000"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+    )
+
+
+@register(
+    "rag_mmr_rerank",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT e.vec_id, e.embedding,
+             {_R9.format(_cos_sql('e.embedding', 'q.qv'))} AS rel
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+      ORDER BY rel DESC, e.vec_id ASC
+      LIMIT {MMR_POOL}
+    ),
+    sim AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             {_R9.format(_cos_sql('a.embedding', 'b.embedding'))} AS s
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    s1 AS (SELECT vec_id, rel FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1),
+    s2 AS (
+      SELECT c.vec_id, c.rel,
+             {MMR_LAMBDA} * c.rel - {1 - MMR_LAMBDA} * m.s AS mmr
+      FROM cand c
+      JOIN s1 ON c.vec_id <> s1.vec_id
+      JOIN sim m ON m.va = c.vec_id AND m.vb = s1.vec_id
+      ORDER BY mmr DESC, c.vec_id ASC LIMIT 1
+    ),
+    s3 AS (
+      SELECT c.vec_id, c.rel,
+             {MMR_LAMBDA} * c.rel - {1 - MMR_LAMBDA} * MAX(m.s) AS mmr
+      FROM cand c
+      JOIN s1 ON c.vec_id <> s1.vec_id
+      JOIN s2 ON c.vec_id <> s2.vec_id
+      JOIN sim m ON m.va = c.vec_id AND m.vb IN (s1.vec_id, s2.vec_id)
+      GROUP BY c.vec_id, c.rel
+      ORDER BY mmr DESC, c.vec_id ASC LIMIT 1
+    )
+    SELECT 1 AS rank, vec_id, rel, rel AS mmr_score FROM s1
+    UNION ALL SELECT 2, vec_id, rel, mmr FROM s2
+    UNION ALL SELECT 3, vec_id, rel, mmr FROM s3
+    ORDER BY rank
+    """,
+)
+def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: greedily pick {MMR_K} results
+    from the top-{MMR_POOL} relevance pool, each step trading relevance
+    against similarity to what is ALREADY selected (lambda={MMR_LAMBDA}) —
+    the diversity pass between retrieval (hybrid_search_topk) and the
+    context window (doc_packing_summary), killing the near-duplicate
+    results that burn prompt budget. Greedy selection is inherently
+    sequential, but each step is a k-bounded argmax over the broadcast
+    candidate pool — the unrolled dataflow below IS the scale shape (pool
+    size is a constant; the corpus-sized work happened in retrieval).
+
+    All cosines are 9-dp portable-rounded before any comparison so the
+    argmax ties identically across engines; the oracle unrolls the same
+    {MMR_K} selection steps as CTEs."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    r9 = lambda c: F.floor(c * 1000000000 + F.lit(0.5)) / 1000000000  # noqa: E731
+    cos = lambda a, b: _dot(a, b) / (_norm(a) * _norm(b))  # noqa: E731
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "embedding", r9(cos("embedding", "qv")).alias("rel"))
+        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(MMR_POOL)
+        .localCheckpoint()
+    )
+    a = cand.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = cand.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    sim = (
+        a.crossJoin(b)
+        .filter(F.col("va") != F.col("vb"))
+        .select("va", "vb", r9(cos("ea", "eb")).alias("s"))
+        .localCheckpoint()
+    )
+    lam = MMR_LAMBDA
+    s1 = (
+        cand.select("vec_id", "rel")
+        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(1)
+    )
+    s1v = s1.select(F.col("vec_id").alias("p1"))
+    s2 = (
+        cand.crossJoin(F.broadcast(s1v))
+        .filter(F.col("vec_id") != F.col("p1"))
+        .join(sim, (sim.va == cand.vec_id) & (sim.vb == F.col("p1")))
+        .select("vec_id", "rel", (F.lit(lam) * F.col("rel") - F.lit(1 - lam) * F.col("s")).alias("mmr"))
+        .orderBy(F.col("mmr").desc(), F.col("vec_id").asc())
+        .limit(1)
+    )
+    s2v = s2.select(F.col("vec_id").alias("p2"))
+    sel = s1v.crossJoin(s2v)
+    s3 = (
+        cand.crossJoin(F.broadcast(sel))
+        .filter((F.col("vec_id") != F.col("p1")) & (F.col("vec_id") != F.col("p2")))
+        .join(
+            sim,
+            (sim.va == cand.vec_id)
+            & ((sim.vb == F.col("p1")) | (sim.vb == F.col("p2"))),
+        )
+        .groupBy("vec_id", "rel")
+        .agg(
+            (F.lit(lam) * F.first("rel") - F.lit(1 - lam) * F.max("s")).alias("mmr")
+        )
+        .orderBy(F.col("mmr").desc(), F.col("vec_id").asc())
+        .limit(1)
+    )
+    out = (
+        s1.select(F.lit(1).alias("rank"), "vec_id", "rel", F.col("rel").alias("mmr_score"))
+        .unionAll(s2.select(F.lit(2).alias("rank"), "vec_id", "rel", F.col("mmr").alias("mmr_score")))
+        .unionAll(s3.select(F.lit(3).alias("rank"), "vec_id", "rel", F.col("mmr").alias("mmr_score")))
+        .orderBy("rank")
+    )
+    return out

@@ -117,7 +117,8 @@ DRIVER_WINDOW_PRIORITY = [
     # window slots filled (local-sweep green at sf0.01+sf0.001, never
     # driver-windowed): scd2_asof_snapshot, join_skew_report,
     # quality_threshold_bias, asof_join_forward_tolerance, ordered_set_aggs,
-    # sequence_gap_audit, dedup_cross_source_matrix, emb_matryoshka_recall.
+    # sequence_gap_audit, dedup_cross_source_matrix, emb_matryoshka_recall,
+    # rag_mmr_rerank.
     # Rotate them
     # in next round in place of the oldest regression anchors.
     # backfill: round-1 names last driver-proven in round 1 (stalest first

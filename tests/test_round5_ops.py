@@ -686,3 +686,28 @@ def test_matryoshka_full_prefix_is_perfect_recall(spark, monkeypatch):
     assert len(out) == sim.MRL_QUERIES
     for r in out:
         assert r.n_overlap == sim.MRL_K
+
+
+def test_mmr_prefers_diverse_over_duplicate(spark, tmp_path):
+    """Candidate A' is an exact duplicate of top hit A; B is less relevant
+    but diverse. Pure relevance ranks (A, A', B); MMR must rank (A, B, A')."""
+    from fpl_data_pipeline_spark.operators.similarity import DIM, rag_mmr_rerank
+
+    def vec(*comps):
+        v = [0.0] * DIM
+        for i, x in comps:
+            v[i] = x
+        return v
+
+    rows = [
+        (0, vec((0, 1.0)), 0),                     # query
+        (1, vec((0, 0.9), (1, 0.436)), 0),         # A
+        (2, vec((0, 0.9), (1, 0.436)), 0),         # A' == A
+        (3, vec((0, 0.8), (1, -0.6)), 0),          # B: diverse, rel 0.8
+        (4, vec((3, 1.0)), 0),                     # filler, rel 0
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = [r.vec_id for r in rag_mmr_rerank(spark, str(tmp_path)).collect()]
+    assert out == [1, 3, 2]
