@@ -1037,3 +1037,64 @@ def quality_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.sum("surprisal") / F.count(F.lit(1)), 6).alias("avg_surprisal"),
     )
+
+
+# --- lexical diversity per source (vocabulary-richness monitor) -------------
+@register(
+    "source_lexical_diversity",
+    f"""
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(string_split({_NORM}, ' '), w -> w <> '')) AS word
+      FROM documents
+    ),
+    cnt AS (SELECT source, word, COUNT(*) AS c FROM toks GROUP BY source, word),
+    stats AS (
+      SELECT source,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_types,
+             CAST(SUM(c * (c - 1)) AS BIGINT) AS pairs
+      FROM cnt GROUP BY source
+    )
+    SELECT source, n_tokens, CAST(n_types AS BIGINT) AS n_types,
+           FLOOR(CAST(n_types AS DOUBLE) / n_tokens * 1000000 + 0.5) / 1000000
+             AS type_token_ratio,
+           FLOOR(CAST(pairs AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * (n_tokens - 1))
+                 * 1000000 + 0.5) / 1000000 AS simpson_index
+    FROM stats
+    ORDER BY source
+    """,
+)
+def source_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary richness per ingest source: type-token ratio and the
+    Simpson repeat-probability index (the chance two tokens drawn without
+    replacement are the same word). A source whose TTR collapses or whose
+    Simpson index spikes has gone templated/boilerplate — the lexical
+    health gauge next to the volume (source_trend_slopes) and content-KL
+    (source_token_divergence) monitors. Integer-exact moments from one
+    (source, word) hash aggregate; only the two final ratios touch
+    floating point, portable-rounded."""
+    d = table(spark, sf_dir, "documents")
+    cnt = (
+        d.select("source", F.explode(_words(_norm_text(F.col("text")))).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = cnt.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint").alias("pairs"),
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return stats.select(
+        "source",
+        "n_tokens",
+        F.col("n_types").cast("bigint").alias("n_types"),
+        q6(F.col("n_types").cast("double") / F.col("n_tokens")).alias(
+            "type_token_ratio"
+        ),
+        q6(
+            F.col("pairs").cast("double")
+            / (F.col("n_tokens").cast("double") * (F.col("n_tokens") - 1))
+        ).alias("simpson_index"),
+    ).orderBy("source")

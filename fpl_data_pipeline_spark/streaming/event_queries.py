@@ -849,3 +849,60 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("abs_cusum_scaled").desc(), F.col("day").asc())
         .limit(10)
     )
+
+
+# --- behavioral entropy per user (engagement-diversity feature) -------------
+@register(
+    "events_user_entropy",
+    """
+    WITH pertype AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ),
+    peruser AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n FROM pertype GROUP BY user_id),
+    ent AS (
+      SELECT p.user_id, u.n,
+             CAST(SUM(CAST(FLOOR(
+               -1.0 * (CAST(p.c AS DOUBLE) / u.n) * ln(CAST(p.c AS DOUBLE) / u.n)
+               * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))) AS DOUBLE) AS h,
+             COUNT(*) AS n_types
+      FROM pertype p JOIN peruser u USING (user_id)
+      GROUP BY p.user_id, u.n
+    )
+    SELECT user_id, n AS n_events, CAST(n_types AS BIGINT) AS n_types,
+           h AS entropy_nats
+    FROM ent
+    ORDER BY entropy_nats DESC, user_id ASC
+    LIMIT 25
+    """,
+)
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the behavioral-
+    diversity feature (bots and single-purpose scripts sit near 0; engaged
+    users spread mass across types). Top-25 most-diverse users. Two keyed
+    hash aggregates; each -p*ln(p) term is 6-dp portable-rounded before
+    the order-independent exact-decimal sum, so per-user entropies match
+    the oracle bitwise (same convention as quality_model_scores)."""
+    e = table(spark, sf_dir, "events")
+    pertype = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    peruser = pertype.groupBy("user_id").agg(F.sum("c").cast("bigint").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    term = (
+        F.floor(-1.0 * p * F.log(p) * 1000000 + F.lit(0.5)) / 1000000
+    ).cast("decimal(18,6)")
+    ent = (
+        pertype.join(peruser, "user_id")
+        .select("user_id", "n", term.alias("t"))
+        .groupBy("user_id", "n")
+        .agg(F.sum("t").cast("double").alias("h"), F.count(F.lit(1)).alias("n_types"))
+    )
+    return (
+        ent.select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            F.col("n_types").cast("bigint").alias("n_types"),
+            F.col("h").alias("entropy_nats"),
+        )
+        .orderBy(F.col("entropy_nats").desc(), F.col("user_id").asc())
+        .limit(25)
+    )

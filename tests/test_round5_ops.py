@@ -711,3 +711,43 @@ def test_mmr_prefers_diverse_over_duplicate(spark, tmp_path):
     ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
     out = [r.vec_id for r in rag_mmr_rerank(spark, str(tmp_path)).collect()]
     assert out == [1, 3, 2]
+
+
+def test_user_entropy_extremes(spark, tmp_path):
+    """A single-type user scores exactly 0; a uniform-4-type user scores
+    ln(4) (within the 6-dp term rounding)."""
+    import datetime
+    import math
+
+    from fpl_data_pipeline_spark.streaming.event_queries import events_user_entropy
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(i, base, 1, "only", 0.0, "{}") for i in range(8)]
+    rows += [(100 + i, base, 2, f"t{i % 4}", 0.0, "{}") for i in range(8)]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r.user_id: r for r in events_user_entropy(spark, str(tmp_path)).collect()}
+    assert out[1].entropy_nats == 0.0 and out[1].n_types == 1
+    assert abs(out[2].entropy_nats - math.log(4)) < 1e-5
+
+
+def test_lexical_diversity_extremes(spark, tmp_path):
+    """All-distinct tokens -> TTR 1, Simpson 0; all-same token -> TTR ~0,
+    Simpson 1."""
+    from fpl_data_pipeline_spark.functions.text_queries import (
+        source_lexical_diversity,
+    )
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(20)), "en", "rich", 0),
+        (2, " ".join(["same"] * 20), "en", "flat", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.source: r for r in source_lexical_diversity(spark, str(tmp_path)).collect()}
+    assert out["rich"].type_token_ratio == 1.0 and out["rich"].simpson_index == 0.0
+    assert out["flat"].n_types == 1 and out["flat"].simpson_index == 1.0
