@@ -925,3 +925,107 @@ def ordered_set_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return modes.join(meds, "c_mktsegment").orderBy("c_mktsegment")
+
+
+# --- PSI (population stability index) drift monitor -------------------------
+PSI_BUCKETS = 10
+
+
+@register(
+    "psi_price_drift",
+    f"""
+    WITH days AS (
+      SELECT o_totalprice,
+             datediff('day', DATE '1970-01-01', o_orderdate) AS day
+      FROM orders
+    ),
+    med AS (SELECT (MIN(day) + MAX(day)) // 2 AS cut FROM days),
+    halves AS (
+      SELECT o_totalprice,
+             CASE WHEN day < med.cut THEN 'ref' ELSE 'cur' END AS half
+      FROM days CROSS JOIN med
+    ),
+    bounds AS (
+      SELECT list_transform(
+               quantile_cont(o_totalprice,
+                 list_transform(range(1, {PSI_BUCKETS}), i -> i / {PSI_BUCKETS}.0)),
+               q -> FLOOR(q * 1000000 + 0.5) / 1000000) AS bs
+      FROM halves WHERE half = 'ref'
+    ),
+    assigned AS (
+      SELECT half, len(list_filter(b.bs, x -> x < o_totalprice)) + 1 AS bucket
+      FROM halves CROSS JOIN bounds b
+    ),
+    counts AS (
+      SELECT bucket,
+             SUM(CASE WHEN half = 'ref' THEN 1 ELSE 0 END) AS nr,
+             SUM(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) AS nc
+      FROM assigned GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(nr) AS tr, SUM(nc) AS tc FROM counts)
+    SELECT c.bucket,
+           CAST(c.nr AS BIGINT) AS n_ref,
+           CAST(c.nc AS BIGINT) AS n_cur,
+           FLOOR((CAST(c.nc AS DOUBLE) / t.tc - CAST(c.nr AS DOUBLE) / t.tr)
+                 * ln((CAST(c.nc AS DOUBLE) / t.tc)
+                      / (CAST(c.nr AS DOUBLE) / t.tr))
+                 * 1000000 + 0.5) / 1000000 AS psi_term
+    FROM counts c CROSS JOIN tot t
+    ORDER BY c.bucket
+    """,
+)
+def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of the
+    order history (date-range midpoint split): equi-depth buckets fixed on the
+    REFERENCE half, per-bucket (p_cur - p_ref)·ln(p_cur/p_ref) terms —
+    sum > 0.25 is the standard retrain/alert threshold. THE deployment
+    drift monitor for any scored feature; here instantiated on price, the
+    same shape applies to model scores (quality_model_scores) or token
+    counts. Bucket bounds broadcast; assignment map-side; one conditional
+    hash aggregate. Per-bucket terms are emitted (not just the sum) so the
+    alert can localize WHERE the distribution moved."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("bigint").alias("day"),
+    )
+    med = F.broadcast(
+        o.agg(F.expr("(min(day) + max(day)) div 2").alias("cut"))
+    )
+    halves = o.crossJoin(med).select(
+        "o_totalprice",
+        F.when(F.col("day") < F.col("cut"), "ref").otherwise("cur").alias("half"),
+    )
+    qs = F.array(*[F.lit(i / PSI_BUCKETS) for i in range(1, PSI_BUCKETS)])
+    bounds = F.broadcast(
+        halves.filter(F.col("half") == "ref").agg(
+            F.transform(
+                F.percentile("o_totalprice", qs),
+                lambda q: F.floor(q * 1000000 + F.lit(0.5)) / 1000000,
+            ).alias("bs")
+        )
+    )
+    assigned = halves.crossJoin(bounds).select(
+        "half",
+        (F.size(F.filter("bs", lambda x: x < F.col("o_totalprice"))) + 1).alias(
+            "bucket"
+        ),
+    )
+    counts = assigned.groupBy("bucket").agg(
+        F.sum(F.when(F.col("half") == "ref", 1).otherwise(0)).alias("nr"),
+        F.sum(F.when(F.col("half") == "cur", 1).otherwise(0)).alias("nc"),
+    )
+    tot = F.broadcast(counts.agg(F.sum("nr").alias("tr"), F.sum("nc").alias("tc")))
+    pr = F.col("nr").cast("double") / F.col("tr")
+    pc = F.col("nc").cast("double") / F.col("tc")
+    return (
+        counts.crossJoin(tot)
+        .select(
+            "bucket",
+            F.col("nr").cast("bigint").alias("n_ref"),
+            F.col("nc").cast("bigint").alias("n_cur"),
+            (F.floor((pc - pr) * F.log(pc / pr) * 1000000 + F.lit(0.5)) / 1000000).alias(
+                "psi_term"
+            ),
+        )
+        .orderBy("bucket")
+    )

@@ -118,7 +118,8 @@ DRIVER_WINDOW_PRIORITY = [
     # driver-windowed): scd2_asof_snapshot, join_skew_report,
     # quality_threshold_bias, asof_join_forward_tolerance, ordered_set_aggs,
     # sequence_gap_audit, dedup_cross_source_matrix, emb_matryoshka_recall,
-    # rag_mmr_rerank, events_user_entropy, source_lexical_diversity.
+    # rag_mmr_rerank, events_user_entropy, source_lexical_diversity,
+    # psi_price_drift.
     # Rotate them
     # in next round in place of the oldest regression anchors.
     # backfill: round-1 names last driver-proven in round 1 (stalest first

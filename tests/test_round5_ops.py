@@ -751,3 +751,40 @@ def test_lexical_diversity_extremes(spark, tmp_path):
     out = {r.source: r for r in source_lexical_diversity(spark, str(tmp_path)).collect()}
     assert out["rich"].type_token_ratio == 1.0 and out["rich"].simpson_index == 0.0
     assert out["flat"].n_types == 1 and out["flat"].simpson_index == 1.0
+
+
+def test_psi_terms_nonneg_sum_and_identical_halves_zero(spark, tmp_path):
+    """PSI over two IDENTICAL half-distributions is exactly 0 per bucket;
+    on real data the term sum is finite and every bucket has ref mass
+    (bounds come from the ref half)."""
+    import datetime
+
+    from fpl_data_pipeline_spark.plans.aggregates import psi_price_drift
+
+    # planted: same price distribution in both halves -> all psi_terms == 0
+    rows = []
+    for half, day0 in (("a", 0), ("b", 1000)):
+        for i in range(200):
+            rows.append(
+                (
+                    len(rows),
+                    1,
+                    "O",
+                    float(100 + (i % 50)),
+                    datetime.datetime(2024, 1, 1)
+                    + datetime.timedelta(days=day0 + (i % 10)),
+                    "P",
+                )
+            )
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = psi_price_drift(spark, str(tmp_path)).collect()
+    assert all(r.psi_term == 0.0 for r in out)
+    assert sum(r.n_ref for r in out) == 200 and sum(r.n_cur for r in out) == 200
+
+    real = psi_price_drift(spark, SF).collect()
+    assert all(r.n_ref > 0 for r in real)
+    assert abs(sum(r.psi_term for r in real)) < 10  # finite, no inf/nan
