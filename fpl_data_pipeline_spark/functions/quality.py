@@ -416,3 +416,57 @@ def sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_gap",
         "n_gap_runs",
     )
+
+
+# --- Benford first-digit forensics audit ------------------------------------
+@register(
+    "benford_price_audit",
+    """
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS d
+      FROM orders WHERE o_totalprice > 0
+    ),
+    cnt AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT SUM(n) AS t FROM cnt)
+    SELECT c.d AS first_digit,
+           CAST(c.n AS BIGINT) AS n_values,
+           FLOOR(CAST(c.n AS DOUBLE) / t.t * 1000000 + 0.5) / 1000000
+             AS observed_freq,
+           FLOOR(ln(1.0 + 1.0 / c.d) / ln(10.0) * 1000000 + 0.5) / 1000000
+             AS benford_freq,
+           FLOOR((CAST(c.n AS DOUBLE) / t.t - ln(1.0 + 1.0 / c.d) / ln(10.0))
+                 * 1000000 + 0.5) / 1000000 AS deviation
+    FROM cnt c CROSS JOIN tot t
+    ORDER BY first_digit
+    """,
+)
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of the money column: observed vs
+    expected log10(1 + 1/d) frequency per leading digit — the forensic
+    screen for fabricated or unit-mangled numeric feeds (organic financial
+    magnitudes follow Benford; synthetic uniform generators, price floors
+    and currency mix-ups bend specific digits). Deviations localize WHICH
+    digit is off, the entry point of the audit. First digit comes from the
+    DECIMAL(18,2) string rendering (identical in both engines — no float
+    formatting); one digit-keyed hash aggregate + a broadcast total."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("bigint")
+    cnt = o.select(d.alias("d")).groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = F.broadcast(cnt.agg(F.sum("n").alias("t")))
+    obs = F.col("n").cast("double") / F.col("t")
+    ben = F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0))
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return (
+        cnt.crossJoin(tot)
+        .select(
+            F.col("d").alias("first_digit"),
+            F.col("n").cast("bigint").alias("n_values"),
+            q6(obs).alias("observed_freq"),
+            q6(ben).alias("benford_freq"),
+            q6(obs - ben).alias("deviation"),
+        )
+        .orderBy("first_digit")
+    )

@@ -820,3 +820,66 @@ def length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("strategy")
     )
+
+
+# --- weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES) -------
+ARES_K = 20
+
+
+@register(
+    "sample_weighted_ares",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             CAST(GREATEST(n_chars, 1) AS DOUBLE) AS weight,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ares'), 1, 8))::BIGINT
+              + 1.0) / 4294967297.0 AS u
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, source, weight,
+             FLOOR(ln(u) / weight * 1000000000 + 0.5) / 1000000000 AS k
+      FROM w
+    )
+    SELECT doc_id, source, CAST(weight AS BIGINT) AS weight,
+           k AS ares_key
+    FROM keyed
+    ORDER BY k DESC, doc_id ASC
+    LIMIT {ARES_K}
+    """,
+)
+def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: the
+    Efraimidis-Spirakis A-ES scheme — each row gets key ln(u)/w for a
+    hash-derived uniform u (equivalently u^(1/w) in log space, avoiding
+    pow()'s cross-platform last-ulp drift), and the top-{ARES_K} keys ARE
+    an exact weighted sample without replacement. Complements
+    sample_quality_weighted (per-tier rates, WITH replacement semantics):
+    this is the draw-k-distinct-docs-by-length shape a curriculum or
+    eval-set builder needs, reproducible across runs and mergeable across
+    shards (top-k of unioned keys == top-k of the union).
+
+    Keys are 9-dp portable-rounded before ranking (ties then break on
+    doc_id identically in both engines); selection is a distributed
+    TakeOrdered, never a global sort."""
+    d = table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ares"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / 4294967297.0
+    weight = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    k = F.floor(F.log(u) / weight * 1000000000 + F.lit(0.5)) / 1000000000
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            weight.cast("bigint").alias("weight"),
+            k.alias("ares_key"),
+        )
+        .orderBy(F.col("ares_key").desc(), F.col("doc_id").asc())
+        .limit(ARES_K)
+    )

@@ -119,7 +119,7 @@ DRIVER_WINDOW_PRIORITY = [
     # quality_threshold_bias, asof_join_forward_tolerance, ordered_set_aggs,
     # sequence_gap_audit, dedup_cross_source_matrix, emb_matryoshka_recall,
     # rag_mmr_rerank, events_user_entropy, source_lexical_diversity,
-    # psi_price_drift.
+    # psi_price_drift, benford_price_audit, sample_weighted_ares.
     # Rotate them
     # in next round in place of the oldest regression anchors.
     # backfill: round-1 names last driver-proven in round 1 (stalest first

@@ -788,3 +788,30 @@ def test_psi_terms_nonneg_sum_and_identical_halves_zero(spark, tmp_path):
     real = psi_price_drift(spark, SF).collect()
     assert all(r.n_ref > 0 for r in real)
     assert abs(sum(r.psi_term for r in real)) < 10  # finite, no inf/nan
+
+
+def test_benford_freqs_sum_to_one(spark):
+    from fpl_data_pipeline_spark.functions.quality import benford_price_audit
+
+    rows = benford_price_audit(spark, SF).collect()
+    assert {r.first_digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.observed_freq for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.benford_freq for r in rows) - 1.0) < 1e-3
+
+
+def test_ares_weights_bias_selection(spark, tmp_path):
+    """With 200 light docs (w=1) and 20 heavy docs (w=10000), the A-ES
+    top-20 must be dominated by heavy docs, and re-running reproduces the
+    identical sample (determinism)."""
+    import fpl_data_pipeline_spark.operators.sampling as sam
+
+    rows = [(i, "x", "en", "light", 1) for i in range(200)]
+    rows += [(1000 + i, "x", "en", "heavy", 10000) for i in range(20)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    s1 = [r.doc_id for r in sam.sample_weighted_ares(spark, str(tmp_path)).collect()]
+    s2 = [r.doc_id for r in sam.sample_weighted_ares(spark, str(tmp_path)).collect()]
+    assert s1 == s2
+    n_heavy = sum(1 for i in s1 if i >= 1000)
+    assert n_heavy >= 15
