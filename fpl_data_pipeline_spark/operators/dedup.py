@@ -752,8 +752,10 @@ def winnowing_candidate_pairs(d: DataFrame, fp_cap: int = WINNOW_FP_CAP) -> Data
     array (array_min over slices) rather than by posexplode + a
     doc-partitioned window: identical fingerprints (verified pair-for-pair
     at sf0.1), but the min-selection becomes map-side whole-stage-codegen
-    work and the per-doc window SHUFFLE disappears — 7x faster at sf0.1
-    (6.9 s -> 1.0 s for the full candidate count; round-4 optimization).
+    work and the per-doc window SHUFFLE disappears (6.9 s -> 1.0 s for the
+    cold full-candidate count at sf0.1; the warm top-20 query gains less
+    because its capped pair join dominates — the structural win is one
+    fewer corpus-wide exchange; round-4 optimization).
     The tail slices are shorter than w, matching the window's
     CURRENT..w-1 FOLLOWING frame exactly."""
     words = d.select("doc_id", _words(_norm_text(F.col("text"))).alias("ws"))
