@@ -120,7 +120,7 @@ DRIVER_WINDOW_PRIORITY = [
     # sequence_gap_audit, dedup_cross_source_matrix, emb_matryoshka_recall,
     # rag_mmr_rerank, events_user_entropy, source_lexical_diversity,
     # psi_price_drift, benford_price_audit, sample_weighted_ares,
-    # ivm_delta_view.
+    # ivm_delta_view, compaction_plan.
     # Rotate them
     # in next round in place of the oldest regression anchors.
     # backfill: round-1 names last driver-proven in round 1 (stalest first
@@ -193,6 +193,7 @@ def load_all() -> None:
     from fpl_data_pipeline_spark.functions import corpus_queries  # noqa: F401
     from fpl_data_pipeline_spark.sources import python_datasource  # noqa: F401
     from fpl_data_pipeline_spark.operators import ivm  # noqa: F401
+    from fpl_data_pipeline_spark.sources import compaction  # noqa: F401
 
     missing = [n for n in DRIVER_WINDOW_PRIORITY if n not in QUERIES]
     if missing:
