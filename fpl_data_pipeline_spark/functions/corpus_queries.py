@@ -1329,3 +1329,96 @@ def source_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- per-document n-gram novelty: the data-valuation signal ------------------
+# "How much of this document's content exists nowhere else in the corpus?"
+# is the selection signal data-pruning work ranks training documents by
+# (high-novelty docs carry information the model sees nowhere else; zero-
+# novelty docs are pure boilerplate/mirrors). Novelty(doc) = fraction of its
+# DISTINCT word-3-gram shingles whose corpus document-frequency is 1. Exact,
+# corpus-relative, and cheap: one shingle explode (shared shape with the
+# dedup family), one df hash-agg, one per-doc hash-agg — NO pair join at
+# all, so unlike the Jaccard family it needs no df cap to stay linear.
+@register(
+    "doc_novelty_scores",
+    """
+    WITH norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(ws) - 1, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs
+      FROM words
+    ),
+    exploded AS (SELECT doc_id, unnest(gs) AS shingle FROM grams),
+    freq AS (SELECT shingle, COUNT(*) AS df FROM exploded GROUP BY shingle),
+    per_doc AS (
+      SELECT e.doc_id,
+             COUNT(*) AS n_shingles,
+             SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS n_unique
+      FROM exploded e JOIN freq f USING (shingle)
+      GROUP BY e.doc_id
+    ),
+    scored AS (
+      SELECT d.source, p.n_shingles, p.n_unique,
+             CAST(FLOOR(CAST(p.n_unique AS DOUBLE) / p.n_shingles * 1000000
+                        + 0.5) AS BIGINT) AS nov6
+      FROM per_doc p JOIN documents d USING (doc_id)
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nov6) AS DOUBLE) / COUNT(*) / 1000000 AS avg_novelty,
+           CAST(SUM(CASE WHEN n_unique = n_shingles THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_fully_novel,
+           CAST(SUM(CASE WHEN n_unique = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_novel
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source novelty profile: mean share of corpus-unique 3-gram
+    shingles per document, plus the fully-novel and zero-novel (pure
+    boilerplate) document counts — the corpus-curation ranking signal.
+
+    Portability: per-doc novelty is quantized to integer micro-units
+    (floor(x*1e6+0.5) -> BIGINT) so the per-source mean is a ratio of exact
+    integers on both engines — no double-accumulation order anywhere."""
+    d = table(spark, sf_dir, "documents")
+    sh = shingles(d)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_unique"),
+        )
+    )
+    scored = per_doc.join(d.select("doc_id", "source"), "doc_id").withColumn(
+        "nov6",
+        F.floor(
+            F.col("n_unique").cast("double") / F.col("n_shingles") * 1000000
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum("nov6").cast("double") / F.count(F.lit(1)) / F.lit(1000000)
+            ).alias("avg_novelty"),
+            F.sum((F.col("n_unique") == F.col("n_shingles")).cast("long")).alias(
+                "n_fully_novel"
+            ),
+            F.sum((F.col("n_unique") == 0).cast("long")).alias("n_zero_novel"),
+        )
+        .orderBy("source")
+    )

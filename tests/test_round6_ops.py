@@ -1,0 +1,47 @@
+"""Semantics invariants for the round-4 continuation additions (beyond
+oracle parity): novelty extremes on planted corpora."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from fpl_data_pipeline_spark.operators.dedup import shingles
+
+
+def _novelty(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingles(df)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return {
+        r["doc_id"]: (r["n_unique"], r["n_shingles"])
+        for r in sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_unique"),
+        )
+        .collect()
+    }
+
+
+def test_novelty_extremes(spark):
+    """Mirrored docs score zero novelty; a globally unique doc scores 1."""
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    uniq = "completely singular content about fermionic condensates tonight"
+    nov = _novelty(
+        spark, [(1, dup), (2, dup), (3, uniq)]
+    )
+    n_u1, n_s1 = nov[1]
+    assert n_u1 == 0  # every shingle of doc 1 also occurs in doc 2
+    n_u3, n_s3 = nov[3]
+    assert n_u3 == n_s3 > 0  # unique doc: fully novel
+
+
+def test_novelty_partial(spark):
+    """A doc sharing half its content with a mirror scores strictly between
+    the extremes."""
+    shared = "alpha beta gamma delta epsilon zeta"
+    a = shared + " eta theta iota kappa lambda mu"
+    nov = _novelty(spark, [(1, a), (2, shared), (3, "nu xi omicron pi rho sigma")])
+    n_u, n_s = nov[1]
+    assert 0 < n_u < n_s
