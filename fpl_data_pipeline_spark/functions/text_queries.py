@@ -1098,3 +1098,113 @@ def source_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_tokens").cast("double") * (F.col("n_tokens") - 1))
         ).alias("simpson_index"),
     ).orderBy("source")
+
+
+# --- model-calibration audit: reliability bins + gap ------------------------
+# A quality model gates million-dollar corpus decisions; before its scores
+# are trusted as probabilities (e.g. for quality-weighted sampling), the
+# standard check is a reliability diagram: bucket predictions into deciles
+# and compare each bucket's mean predicted score against the observed
+# positive rate (here: the independent rule-based quality gate passing at
+# >= 0.7). |gap| per bin is the calibration error the ECE weights by bin
+# mass. One scan computes both scorers' features, one 1-key hash agg bins
+# them — no shuffle before the agg, no Python.
+@register(
+    "quality_calibration_bins",
+    f"""
+    WITH feat AS (
+      SELECT doc_id,
+             length(text) AS n_chars_actual,
+             len(list_filter(string_split({_NORM}, ' '), w -> w <> '')) AS n_tokens,
+             len(list_filter(string_split({_NORM}, ' '),
+                             w -> w IN {tuple(_STOPWORDS)!r})) AS n_stop,
+             len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct
+      FROM documents
+    ),
+    both_scores AS (
+      SELECT doc_id,
+             floor((0.5 + z / (2 * (1 + abs(z)))) * 1000000 + 0.5) / 1000000
+               AS score_q,
+             CASE WHEN rule_score >= 0.7 THEN 1 ELSE 0 END AS label
+      FROM (
+        SELECT doc_id,
+               {QM_BIAS} + {QM_W_STOP} * (CAST(n_stop AS DOUBLE) / n_tokens)
+                 + {QM_W_TOK} * n_tokens
+                 + {QM_W_PUNCT} * (CAST(n_punct AS DOUBLE) / n_chars_actual)
+                 + {QM_W_DIGIT} * (CAST(n_digits AS DOUBLE) / n_chars_actual)
+                 AS z,
+               (CASE WHEN n_tokens >= 10 THEN 0.4 ELSE 0.0 END
+                + CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens
+                         BETWEEN 0.05 AND 0.6 THEN 0.3 ELSE 0.0 END
+                + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars_actual < 0.1
+                       THEN 0.2 ELSE 0.0 END
+                + CASE WHEN CAST(n_digits AS DOUBLE) / n_chars_actual < 0.2
+                       THEN 0.1 ELSE 0.0 END) AS rule_score
+        FROM feat
+      )
+    )
+    SELECT CAST(least(floor(score_q * 10), 9) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(score_q AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS mean_pred,
+           CAST(SUM(label) AS DOUBLE) / COUNT(*) AS pos_rate
+    FROM both_scores
+    GROUP BY 1
+    ORDER BY bin
+    """,
+)
+def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the model-based quality scorer against the
+    independent rule-based gate: decile bins of predicted score vs observed
+    pass rate — the audit run before scores are used as sampling weights.
+
+    Per-bin mean prediction goes through the 6-dp-quantized exact-decimal
+    convention; pass rate is a ratio of exact integers."""
+    d = table(spark, sf_dir, "documents")
+    ws = _words(_norm_text(F.col("text")))
+    feat = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        F.size(ws).alias("n_tokens"),
+        F.size(F.filter(ws, lambda w: w.isin(*_STOPWORDS))).alias("n_stop"),
+        F.regexp_count("text", F.lit("[0-9]")).alias("n_digits"),
+        F.regexp_count("text", F.lit("[^a-zA-Z0-9 ]")).alias("n_punct"),
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    digit_ratio = F.col("n_digits").cast("double") / F.col("n_chars_actual")
+    punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars_actual")
+    z = (
+        F.lit(QM_BIAS)
+        + F.lit(QM_W_STOP) * stop_ratio
+        + F.lit(QM_W_TOK) * F.col("n_tokens")
+        + F.lit(QM_W_PUNCT) * punct_ratio
+        + F.lit(QM_W_DIGIT) * digit_ratio
+    )
+    rule_score = (
+        F.when(F.col("n_tokens") >= 10, 0.4).otherwise(0.0)
+        + F.when((stop_ratio >= 0.05) & (stop_ratio <= 0.6), 0.3).otherwise(0.0)
+        + F.when(punct_ratio < 0.1, 0.2).otherwise(0.0)
+        + F.when(digit_ratio < 0.2, 0.1).otherwise(0.0)
+    )
+    score = F.lit(0.5) + z / (F.lit(2) * (F.lit(1) + F.abs(z)))
+    scored = feat.select(
+        (F.floor(score * 1000000 + F.lit(0.5)) / 1000000).alias("score_q"),
+        F.when(rule_score >= 0.7, F.lit(1)).otherwise(F.lit(0)).alias("label"),
+    )
+    return (
+        scored.groupBy(
+            F.least(F.floor(F.col("score_q") * 10), F.lit(9))
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(F.col("score_q").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_pred"),
+            (F.sum("label").cast("double") / F.count(F.lit(1))).alias("pos_rate"),
+        )
+        .orderBy("bin")
+    )

@@ -45,3 +45,21 @@ def test_novelty_partial(spark):
     nov = _novelty(spark, [(1, a), (2, shared), (3, "nu xi omicron pi rho sigma")])
     n_u, n_s = nov[1]
     assert 0 < n_u < n_s
+
+
+def test_calibration_bins_invariants(spark):
+    """Bins partition the corpus; each bin's mean prediction lies inside
+    the bin's score interval (bin 9 is clamped, upper bound inclusive)."""
+    from fpl_data_pipeline_spark.functions.text_queries import (
+        quality_calibration_bins,
+    )
+    from fpl_data_pipeline_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    rows = quality_calibration_bins(spark, sf).collect()
+    n_docs = table(spark, sf, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        lo, hi = r["bin"] / 10, (r["bin"] + 1) / 10 if r["bin"] < 9 else 1.0
+        assert lo <= r["mean_pred"] <= hi + 1e-9
+        assert 0.0 <= r["pos_rate"] <= 1.0
