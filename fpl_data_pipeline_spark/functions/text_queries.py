@@ -1208,3 +1208,100 @@ def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --- encoding-health audit: mojibake / control chars / invisible chars ------
+# Web-crawl corpora arrive with three classic encoding wounds: U+FFFD
+# replacement chars (decode already failed upstream), UTF-8-read-as-Latin-1
+# mojibake ("â€™", "Ã©"), and invisible characters (zero-width space/BOM,
+# NBSP) that poison tokenization and dedup (visually identical docs hash
+# apart). This audits all three plus raw C0 controls, per source.
+# The synthetic corpus is clean ASCII, so — same protocol as
+# pii_scrub_summary — a deterministic doc_id-keyed injection plants each
+# wound class; the oracle replays the injection and the audit must find
+# EXACTLY the planted population (plus any organic hits). One scan,
+# map-side regexp counts, one hash agg.
+_ENC_CTRL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+_ENC_MOJI_RE = "(â€™|â€œ|Ã©|Â )"
+_ENC_REP = "�"
+_ENC_ZW = "​"
+
+
+@register(
+    "text_encoding_audit",
+    f"""
+    WITH injected AS (
+      SELECT doc_id, source,
+             text
+               || CASE WHEN doc_id % 11 = 0 THEN ' caf' || chr(65533) ELSE '' END
+               || CASE WHEN doc_id % 13 = 0 THEN ' donâ€™t' ELSE '' END
+               || CASE WHEN doc_id % 17 = 0 THEN chr(7) ELSE '' END
+               || CASE WHEN doc_id % 19 = 0 THEN 'a' || chr(8203) || 'b' ELSE '' END
+               AS t
+      FROM documents
+    ),
+    audited AS (
+      SELECT source,
+             len(regexp_extract_all(t, chr(65533))) AS n_rep,
+             len(regexp_extract_all(t, '{_ENC_CTRL_RE}')) AS n_ctrl,
+             len(regexp_extract_all(t, '{_ENC_MOJI_RE}')) AS n_moji,
+             len(regexp_extract_all(t, chr(8203))) AS n_zw
+      FROM injected
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_rep > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_replacement,
+           CAST(SUM(CASE WHEN n_ctrl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_control,
+           CAST(SUM(CASE WHEN n_moji > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_mojibake,
+           CAST(SUM(CASE WHEN n_zw > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_zerowidth,
+           CAST(SUM(CASE WHEN n_rep = 0 AND n_ctrl = 0 AND n_moji = 0
+                          AND n_zw = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_clean
+    FROM audited
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source encoding-health audit over the deterministically wounded
+    corpus: documents carrying replacement chars, C0 controls, Latin-1
+    mojibake signatures, and zero-width characters, plus the clean count.
+    The injection is the oracle's ground truth; on a real crawl the same
+    query runs un-injected."""
+    d = table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" caf" + _ENC_REP)).otherwise(""),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" donâ€™t")).otherwise(""),
+        F.when(F.col("doc_id") % 17 == 0, F.lit("\x07")).otherwise(""),
+        F.when(F.col("doc_id") % 19 == 0, F.lit("a" + _ENC_ZW + "b")).otherwise(""),
+    )
+    audited = d.select(
+        "source",
+        F.regexp_count(t, F.lit(_ENC_REP)).alias("n_rep"),
+        F.regexp_count(t, F.lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")).alias("n_ctrl"),
+        F.regexp_count(t, F.lit(_ENC_MOJI_RE)).alias("n_moji"),
+        F.regexp_count(t, F.lit(_ENC_ZW)).alias("n_zw"),
+    )
+    clean = (
+        (F.col("n_rep") == 0)
+        & (F.col("n_ctrl") == 0)
+        & (F.col("n_moji") == 0)
+        & (F.col("n_zw") == 0)
+    )
+    return (
+        audited.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_rep") > 0).cast("long")).alias("docs_replacement"),
+            F.sum((F.col("n_ctrl") > 0).cast("long")).alias("docs_control"),
+            F.sum((F.col("n_moji") > 0).cast("long")).alias("docs_mojibake"),
+            F.sum((F.col("n_zw") > 0).cast("long")).alias("docs_zerowidth"),
+            F.sum(clean.cast("long")).alias("docs_clean"),
+        )
+        .orderBy("source")
+    )

@@ -63,3 +63,35 @@ def test_calibration_bins_invariants(spark):
         lo, hi = r["bin"] / 10, (r["bin"] + 1) / 10 if r["bin"] < 9 else 1.0
         assert lo <= r["mean_pred"] <= hi + 1e-9
         assert 0.0 <= r["pos_rate"] <= 1.0
+
+
+def test_encoding_audit_finds_exactly_planted(spark):
+    """On a clean ASCII corpus the audit's positives are exactly the
+    injected population (no false positives, none missed)."""
+    import pyspark.sql.functions as F
+    from fpl_data_pipeline_spark.functions.text_queries import (
+        text_encoding_audit,
+    )
+    from fpl_data_pipeline_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    d = table(spark, sf, "documents").select("doc_id", "source")
+    expect = d.agg(
+        F.sum((F.col("doc_id") % 11 == 0).cast("long")).alias("rep"),
+        F.sum((F.col("doc_id") % 13 == 0).cast("long")).alias("moji"),
+        F.sum((F.col("doc_id") % 17 == 0).cast("long")).alias("ctrl"),
+        F.sum((F.col("doc_id") % 19 == 0).cast("long")).alias("zw"),
+    ).first()
+    got = (
+        text_encoding_audit(spark, sf)
+        .agg(
+            F.sum("docs_replacement").alias("rep"),
+            F.sum("docs_mojibake").alias("moji"),
+            F.sum("docs_control").alias("ctrl"),
+            F.sum("docs_zerowidth").alias("zw"),
+        )
+        .first()
+    )
+    assert (got["rep"], got["moji"], got["ctrl"], got["zw"]) == (
+        expect["rep"], expect["moji"], expect["ctrl"], expect["zw"],
+    )
