@@ -906,3 +906,130 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("entropy_nats").desc(), F.col("user_id").asc())
         .limit(25)
     )
+
+
+# --- multi-touch attribution: first- vs last-touch revenue credit -----------
+# The canonical product-analytics question over a clickstream: which touch
+# channel gets credit for each conversion? For every purchase, find the
+# user's first and last touch (click/view) inside a 7-day lookback and
+# credit the purchase value to that touch's type under each attribution
+# model. Implementation is ONE pass, no self-join: per-user RANGE window
+# over integer epoch micros; the windowed argmin/argmax is made portable by
+# encoding each touch as a zero-padded sortable string
+# "epoch:event_id:type" — lexicographic MIN/MAX == (epoch, event_id) argmin
+# /argmax on both engines, ties included identically by RANGE-frame peer
+# semantics. At 100 TB this is a single shuffle on user_id (the same
+# partitioning every other per-user query uses) and the frame is bounded by
+# the lookback, so state per row is O(1).
+ATTR_LOOKBACK_US = 7 * 86400 * 1000000
+
+
+@register(
+    "events_attribution_credit",
+    f"""
+    WITH keyed AS (
+      SELECT user_id, event_type, value, epoch_us(ts) AS ep, event_id,
+             CASE WHEN event_type IN ('click', 'view')
+                  THEN lpad(CAST(epoch_us(ts) AS VARCHAR), 16, '0') || ':'
+                       || lpad(CAST(event_id AS VARCHAR), 10, '0') || ':'
+                       || event_type
+             END AS touch_key
+      FROM events
+    ),
+    windowed AS (
+      SELECT user_id, event_type, value,
+             min(touch_key) OVER (
+               PARTITION BY user_id ORDER BY ep
+               RANGE BETWEEN {ATTR_LOOKBACK_US} PRECEDING AND CURRENT ROW
+             ) AS first_key,
+             max(touch_key) OVER (
+               PARTITION BY user_id ORDER BY ep
+               RANGE BETWEEN {ATTR_LOOKBACK_US} PRECEDING AND CURRENT ROW
+             ) AS last_key
+      FROM keyed
+    ),
+    purchases AS (
+      SELECT value,
+             COALESCE(string_split(first_key, ':')[3], 'unattributed')
+               AS first_touch,
+             COALESCE(string_split(last_key, ':')[3], 'unattributed')
+               AS last_touch
+      FROM windowed WHERE event_type = 'purchase'
+    ),
+    credited AS (
+      SELECT 'first_touch' AS model, first_touch AS channel, value
+      FROM purchases
+      UNION ALL
+      SELECT 'last_touch' AS model, last_touch AS channel, value
+      FROM purchases
+    )
+    SELECT model, channel,
+           COUNT(*) AS n_purchases,
+           {dsum_sql('value')} AS revenue
+    FROM credited
+    GROUP BY model, channel
+    ORDER BY model, channel
+    """,
+)
+def events_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch attribution of purchase revenue to the
+    click/view channel inside a 7-day lookback — one per-user RANGE window,
+    portable argmin/argmax via sortable key encoding, exact-decimal sums."""
+    e = table(spark, sf_dir, "events")
+    is_touch = F.col("event_type").isin("click", "view")
+    keyed = e.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("ep"),
+        "event_id",
+    ).withColumn(
+        "touch_key",
+        F.when(
+            is_touch,
+            F.concat_ws(
+                ":",
+                F.lpad(F.col("ep").cast("string"), 16, "0"),
+                F.lpad(F.col("event_id").cast("string"), 10, "0"),
+                F.col("event_type"),
+            ),
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ep")
+        .rangeBetween(-ATTR_LOOKBACK_US, 0)
+    )
+    windowed = keyed.select(
+        "event_type",
+        "value",
+        F.min("touch_key").over(w).alias("first_key"),
+        F.max("touch_key").over(w).alias("last_key"),
+    )
+    split_type = lambda c: F.coalesce(  # noqa: E731
+        F.split(F.col(c), ":").getItem(2), F.lit("unattributed")
+    )
+    purchases = windowed.filter(F.col("event_type") == "purchase").select(
+        "value",
+        split_type("first_key").alias("first_touch"),
+        split_type("last_key").alias("last_touch"),
+    )
+    credited = purchases.select(
+        F.lit("first_touch").alias("model"),
+        F.col("first_touch").alias("channel"),
+        "value",
+    ).unionAll(
+        purchases.select(
+            F.lit("last_touch").alias("model"),
+            F.col("last_touch").alias("channel"),
+            "value",
+        )
+    )
+    return (
+        credited.groupBy("model", "channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum("value", "revenue"),
+        )
+        .orderBy("model", "channel")
+    )

@@ -95,3 +95,54 @@ def test_encoding_audit_finds_exactly_planted(spark):
     assert (got["rep"], got["moji"], got["ctrl"], got["zw"]) == (
         expect["rep"], expect["moji"], expect["ctrl"], expect["zw"],
     )
+
+
+def test_attribution_planted_stream(spark):
+    """Hand-built stream: last-touch credits the view at t=90, first-touch
+    credits the click at t=10; a click 8 days before the purchase is outside
+    the 7-day lookback and must NOT be credited; a touch-less purchaser is
+    unattributed under both models."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+    from fpl_data_pipeline_spark.streaming.event_queries import ATTR_LOOKBACK_US
+
+    DAY = 86400 * 1000000
+    base = 1700000000000000
+    rows = [
+        # user 1: old click (outside window), click, view, purchase
+        (1, 1, base - 8 * DAY, "click", 0.0),
+        (2, 1, base + 10, "click", 0.0),
+        (3, 1, base + 90, "view", 0.0),
+        (4, 1, base + 100, "purchase", 50.0),
+        # user 2: purchase with no touches at all
+        (5, 2, base + 100, "purchase", 10.0),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, ep long, event_type string, value double"
+    )
+    keyed = e.withColumn(
+        "touch_key",
+        F.when(
+            F.col("event_type").isin("click", "view"),
+            F.concat_ws(
+                ":",
+                F.lpad(F.col("ep").cast("string"), 16, "0"),
+                F.lpad(F.col("event_id").cast("string"), 10, "0"),
+                F.col("event_type"),
+            ),
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy("ep").rangeBetween(-ATTR_LOOKBACK_US, 0)
+    got = {
+        (r["user_id"]): (r["ft"], r["lt"])
+        for r in keyed.select(
+            "user_id",
+            "event_type",
+            F.split(F.min("touch_key").over(w), ":").getItem(2).alias("ft"),
+            F.split(F.max("touch_key").over(w), ":").getItem(2).alias("lt"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .collect()
+    }
+    assert got[1] == ("click", "view")  # old click excluded by the lookback
+    assert got[2] == (None, None)  # unattributed
