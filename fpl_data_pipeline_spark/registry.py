@@ -121,7 +121,8 @@ DRIVER_WINDOW_PRIORITY = [
     # rag_mmr_rerank, events_user_entropy, source_lexical_diversity,
     # psi_price_drift, benford_price_audit, sample_weighted_ares,
     # ivm_delta_view, compaction_plan, doc_novelty_scores,
-    # quality_calibration_bins, text_encoding_audit, events_attribution_credit.
+    # quality_calibration_bins, text_encoding_audit, events_attribution_credit,
+    # events_ab_readout.
     # Rotate them
     # in next round in place of the oldest regression anchors.
     # backfill: round-1 names last driver-proven in round 1 (stalest first

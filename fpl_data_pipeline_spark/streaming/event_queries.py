@@ -1033,3 +1033,121 @@ def events_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model", "channel")
     )
+
+
+# --- A/B experiment readout: Welch z on per-user revenue --------------------
+# The standard experimentation query: users are deterministically hashed
+# into control/treatment (same md5-bucket convention as the sampling
+# family — assignment reproducible on any engine, stable under
+# repartition) and the primary metric is per-user purchase revenue. The
+# readout is the Welch z statistic over the two arm means. All moments
+# (sum, sum of squares of integer cents) are exact DECIMAL(38,0) integers,
+# so means/variances are ratios of exact integers — the only doubles are
+# the final divisions and sqrt (correctly-rounded IEEE), 6-dp-quantized.
+# Note on the metric choice: a conversion-proportion z-test degenerates on
+# this corpus (user cardinality is tiny at small sf and every user
+# purchases, so the pooled variance is 0); a mean-revenue test is the shape
+# real readouts use anyway.
+# Distributed shape: one per-user agg (shuffle on user_id), one per-arm
+# agg, then an intentional single-row readout combine.
+@register(
+    "events_ab_readout",
+    """
+    WITH users AS (
+      SELECT user_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS DECIMAL(38,0)) AS cents
+      FROM events
+      GROUP BY user_id
+    ),
+    arms AS (
+      SELECT arm,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             SUM(cents) AS sx,
+             SUM(cents * cents) AS sxx
+      FROM users GROUP BY arm
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN arm = 'A' THEN n END) AS na,
+        MAX(CASE WHEN arm = 'A' THEN sx END) AS sxa,
+        MAX(CASE WHEN arm = 'A' THEN sxx END) AS sxxa,
+        MAX(CASE WHEN arm = 'B' THEN n END) AS nb,
+        MAX(CASE WHEN arm = 'B' THEN sx END) AS sxb,
+        MAX(CASE WHEN arm = 'B' THEN sxx END) AS sxxb
+      FROM arms
+    )
+    SELECT CAST(na AS BIGINT) AS a_users,
+           CAST(nb AS BIGINT) AS b_users,
+           FLOOR(CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) / 100 * 1000000
+                 + 0.5) / 1000000 AS a_mean_revenue,
+           FLOOR(CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) / 100 * 1000000
+                 + 0.5) / 1000000 AS b_mean_revenue,
+           FLOOR((CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)
+                  - CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE))
+                 / sqrt(
+                     CAST(na * sxxa - sxa * sxa AS DOUBLE)
+                       / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE)
+                          * CAST(na - 1 AS DOUBLE))
+                     + CAST(nb * sxxb - sxb * sxb AS DOUBLE)
+                       / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)
+                          * CAST(nb - 1 AS DOUBLE)))
+                 * 1000000 + 0.5) / 1000000 AS z_score
+    FROM wide
+    """,
+)
+def events_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: md5-hash arm assignment, per-user purchase
+    revenue as the primary metric, Welch z over the arm means from exact
+    integer-cent moments (6-dp portable rounding on the final doubles)."""
+    e = table(spark, sf_dir, "events")
+    cents = F.sum(
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+        ).otherwise(F.lit(0))
+    ).cast("decimal(38,0)")
+    users = (
+        e.groupBy("user_id")
+        .agg(cents.alias("cents"))
+        .withColumn(
+            "arm",
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 2) < "80",
+                "A",
+            ).otherwise("B"),
+        )
+    )
+    arms = users.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("cents") * F.col("cents")).cast("decimal(38,0)").alias("sxx"),
+    )
+    pick = lambda a, c: F.max(F.when(F.col("arm") == a, F.col(c)))  # noqa: E731
+    wide = arms.agg(
+        pick("A", "n").alias("na"),
+        pick("A", "sx").alias("sxa"),
+        pick("A", "sxx").alias("sxxa"),
+        pick("B", "n").alias("nb"),
+        pick("B", "sx").alias("sxb"),
+        pick("B", "sxx").alias("sxxb"),
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    ma = dbl("sxa") / dbl("na")
+    mb = dbl("sxb") / dbl("nb")
+    var_term = lambda n, sx, sxx: (  # noqa: E731
+        (F.col(n) * F.col(sxx) - F.col(sx) * F.col(sx)).cast("double")
+        / (dbl(n) * dbl(n) * (F.col(n) - 1).cast("double"))
+    )
+    se = F.sqrt(var_term("na", "sxa", "sxxa") + var_term("nb", "sxb", "sxxb"))
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return wide.select(
+        F.col("na").cast("long").alias("a_users"),
+        F.col("nb").cast("long").alias("b_users"),
+        q6(ma / 100).alias("a_mean_revenue"),
+        q6(mb / 100).alias("b_mean_revenue"),
+        q6((ma - mb) / se).alias("z_score"),
+    )

@@ -146,3 +146,42 @@ def test_attribution_planted_stream(spark):
     }
     assert got[1] == ("click", "view")  # old click excluded by the lookback
     assert got[2] == (None, None)  # unattributed
+
+
+def test_ab_readout_sanity(spark):
+    """Arms partition the user population; Welch z agrees with a NumPy
+    recomputation to quantization precision."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    from fpl_data_pipeline_spark.streaming.event_queries import events_ab_readout
+    from fpl_data_pipeline_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    row = events_ab_readout(spark, sf).first()
+    e = table(spark, sf, "events")
+    n_users = e.select("user_id").distinct().count()
+    assert row["a_users"] + row["b_users"] == n_users
+
+    pdf = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("cents")
+        )
+        .withColumn(
+            "arm",
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 2) < "80", "A"
+            ).otherwise("B"),
+        )
+        .toPandas()
+    )
+    a = pdf[pdf.arm == "A"].cents.to_numpy(dtype=float)
+    b = pdf[pdf.arm == "B"].cents.to_numpy(dtype=float)
+    se = np.sqrt(a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
+    z = (a.mean() - b.mean()) / se
+    assert abs(row["z_score"] - z) < 1e-5
