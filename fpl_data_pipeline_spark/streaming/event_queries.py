@@ -1151,3 +1151,128 @@ def events_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(mb / 100).alias("b_mean_revenue"),
         q6((ma - mb) / se).alias("z_score"),
     )
+
+
+# --- Kaplan-Meier retention curve (right-censored) --------------------------
+# "How long do customers stay?" answered properly: naive lifetime curves
+# are biased because recently-acquired customers haven't had TIME to churn
+# yet. The Kaplan-Meier estimator handles that with right-censoring: a
+# customer whose last order is within CENSOR_DAYS of the observation edge
+# is 'still alive', contributing to risk sets but not to deaths. Lifetime
+# is integer days between a customer's first and last order; survival S(t)
+# is the running product of (1 - d_t/n_t) over death times. (Run on the
+# orders fact rather than the events feed: the synthetic event stream keeps
+# every user active to the edge, so there ALL users are censored and the
+# curve is empty — the orders table has real churn.)
+#
+# Distributed shape: one per-customer agg (shuffle on o_custkey), one
+# per-lifetime agg (<= observation-window rows), one tiny window cumsum —
+# the curve is computed from counts, never from customer rows. Portability:
+# d_t/n_t is one IEEE division of exact integers; the running product is
+# carried as a cumulative sum of 9-dp-rounded log factors in exact decimal
+# (libm ln's last-ulp spread absorbed by the round — the KL-divergence
+# convention), exponentiated once and 6-dp-quantized.
+CENSOR_DAYS = 90
+
+
+@register(
+    "customer_survival_curve",
+    f"""
+    WITH days AS (
+      SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS day
+      FROM orders
+    ),
+    bounds AS (SELECT MAX(day) AS max_day FROM days),
+    custs AS (
+      SELECT o_custkey, MIN(day) AS first_day, MAX(day) AS last_day
+      FROM days GROUP BY o_custkey
+    ),
+    lifetimes AS (
+      SELECT CAST(c.last_day - c.first_day AS BIGINT) AS lifetime,
+             CASE WHEN b.max_day - c.last_day < {CENSOR_DAYS}
+                  THEN 1 ELSE 0 END AS censored
+      FROM custs c CROSS JOIN bounds b
+    ),
+    by_t AS (
+      SELECT lifetime,
+             CAST(SUM(1 - censored) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS ending
+      FROM lifetimes GROUP BY lifetime
+    ),
+    risk AS (
+      SELECT lifetime, d,
+             CAST(CAST((SELECT COUNT(*) FROM lifetimes) AS BIGINT)
+               - (SUM(ending) OVER (ORDER BY lifetime
+                                    ROWS UNBOUNDED PRECEDING) - ending)
+               AS BIGINT) AS n_at_risk
+      FROM by_t
+    ),
+    factors AS (
+      SELECT lifetime, d, n_at_risk,
+             CAST(FLOOR(ln(1 - CAST(d AS DOUBLE) / n_at_risk) * 1000000000
+                        + 0.5) AS DECIMAL(28,0)) AS logf9
+      FROM risk
+      WHERE d > 0 AND d < n_at_risk
+    )
+    SELECT lifetime, d AS n_churned, n_at_risk,
+           FLOOR(exp(CAST(SUM(logf9) OVER (ORDER BY lifetime
+                                           ROWS UNBOUNDED PRECEDING)
+                          AS DOUBLE) / 1000000000) * 1000000 + 0.5)
+             / 1000000 AS survival
+    FROM factors
+    ORDER BY lifetime
+    """,
+)
+def customer_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier customer-retention curve with right-censoring at the
+    observation edge — per-lifetime churn counts, risk sets via one window
+    cumsum, survival as an exact-decimal cumulative log product.
+
+    Death times where every remaining customer churns at once
+    (d = n_at_risk, survival exactly 0) are excluded from the curve rows —
+    ln(0) — which at most drops the final collapse point; the counts
+    columns still report it upstream."""
+    o = table(spark, sf_dir, "orders")
+    day = F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+    custs = o.groupBy("o_custkey").agg(
+        F.min(day).alias("first_day"), F.max(day).alias("last_day")
+    )
+    max_day = custs.agg(F.max("last_day").alias("max_day"))
+    lifetimes = custs.crossJoin(F.broadcast(max_day)).select(
+        (F.col("last_day") - F.col("first_day")).cast("long").alias("lifetime"),
+        F.when(
+            F.col("max_day") - F.col("last_day") < CENSOR_DAYS, F.lit(1)
+        ).otherwise(F.lit(0)).alias("censored"),
+    )
+    n_total = lifetimes.agg(F.count(F.lit(1)).alias("n_total"))
+    by_t = lifetimes.groupBy("lifetime").agg(
+        F.sum(F.lit(1) - F.col("censored")).cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("ending"),
+    )
+    w = Window.orderBy("lifetime").rowsBetween(Window.unboundedPreceding, 0)
+    risk = by_t.crossJoin(F.broadcast(n_total)).select(
+        "lifetime",
+        "d",
+        (
+            F.col("n_total")
+            - (F.sum("ending").over(w) - F.col("ending"))
+        ).cast("long").alias("n_at_risk"),
+    )
+    logf9 = F.floor(
+        F.log(F.lit(1) - F.col("d").cast("double") / F.col("n_at_risk"))
+        * 1000000000
+        + F.lit(0.5)
+    ).cast("decimal(28,0)")
+    factors = risk.filter(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_at_risk"))
+    ).withColumn("logf9", logf9)
+    surv = F.floor(
+        F.exp(F.sum("logf9").over(w).cast("double") / 1000000000) * 1000000
+        + F.lit(0.5)
+    ) / 1000000
+    return factors.select(
+        "lifetime",
+        F.col("d").alias("n_churned"),
+        "n_at_risk",
+        surv.alias("survival"),
+    ).orderBy("lifetime")

@@ -185,3 +185,21 @@ def test_ab_readout_sanity(spark):
     se = np.sqrt(a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
     z = (a.mean() - b.mean()) / se
     assert abs(row["z_score"] - z) < 1e-5
+
+
+def test_survival_curve_invariants(spark):
+    """KM survival is non-increasing in (0,1); risk sets strictly decrease;
+    churned count never exceeds the risk set."""
+    from fpl_data_pipeline_spark.streaming.event_queries import (
+        customer_survival_curve,
+    )
+
+    rows = customer_survival_curve(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "curve should be non-empty on orders"
+    prev_s, prev_n = 1.0, None
+    for r in rows:
+        assert 0.0 < r["survival"] <= prev_s + 1e-9
+        assert 0 < r["n_churned"] < r["n_at_risk"]
+        if prev_n is not None:
+            assert r["n_at_risk"] < prev_n
+        prev_s, prev_n = r["survival"], r["n_at_risk"]
