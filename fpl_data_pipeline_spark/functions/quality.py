@@ -470,3 +470,124 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_digit")
     )
+
+
+# --- content fingerprints: the replication / data-diff primitive ------------
+# "Are these two copies of the table identical?" at 100 TB cannot be
+# answered by comparing rows across clusters; the lake answer is an
+# ORDER-INDEPENDENT content fingerprint: canonicalize each row to a stable
+# string, hash it, and SUM the hashes (sum is commutative/associative, so
+# the fingerprint is partition-order-free, mergeable across shards, and
+# incrementally maintainable — a Z-set delta adjusts it by adding/
+# subtracting row hashes, the ivm_delta_view algebra). Two sides agree ⟺
+# contents equal up to 48-bit-collision probability. The canonicalization
+# contract is the load-bearing part: doubles go through integer cents and
+# timestamps through epoch days, because raw float/timestamp FORMATTING is
+# engine-specific while integer rendering is universal.
+def row_fingerprint_sum(df: DataFrame, canon: "F.Column") -> DataFrame:
+    """SUM of 48-bit md5 row hashes + row count over ``df``; one scan, one
+    partial-aggregated global agg — bytes of output at any input size."""
+    h = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h.cast("decimal(38,0)")).cast("decimal(38,0)").cast("string").alias(
+            "fingerprint"
+        ),
+    )
+
+
+@register(
+    "table_content_fingerprints",
+    f"""
+    WITH o AS (
+      SELECT COUNT(*) AS n_rows,
+             CAST(CAST(SUM(CAST(CAST(('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' ||
+               o_orderstatus || '|' ||
+               CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+                 || '|' ||
+               CAST(epoch_us(o_orderdate) // 86400000000 AS VARCHAR) || '|' ||
+               o_orderpriority), 1, 12)) AS BIGINT) AS DECIMAL(38,0)))
+               AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
+      FROM orders
+    ),
+    c AS (
+      SELECT COUNT(*) AS n_rows,
+             CAST(CAST(SUM(CAST(CAST(('0x' || substr(md5(
+               CAST(c_custkey AS VARCHAR) || '|' ||
+               c_name || '|' ||
+               CAST(c_nationkey AS VARCHAR) || '|' ||
+               CAST(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS VARCHAR)
+                 || '|' ||
+               c_mktsegment), 1, 12)) AS BIGINT) AS DECIMAL(38,0)))
+               AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
+      FROM customer
+    ),
+    s AS (
+      SELECT COUNT(*) AS n_rows,
+             CAST(CAST(SUM(CAST(CAST(('0x' || substr(md5(
+               CAST(s_suppkey AS VARCHAR) || '|' ||
+               s_name || '|' ||
+               CAST(s_nationkey AS VARCHAR)), 1, 12)) AS BIGINT)
+               AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
+      FROM supplier
+    )
+    SELECT 'orders' AS table_name, n_rows, fingerprint FROM o
+    UNION ALL
+    SELECT 'customer' AS table_name, n_rows, fingerprint FROM c
+    UNION ALL
+    SELECT 'supplier' AS table_name, n_rows, fingerprint FROM s
+    ORDER BY table_name
+    """,
+)
+def table_content_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content fingerprint + row count for three tables —
+    the cross-cluster replication check. The fingerprint is a VARCHAR-
+    rendered DECIMAL(38,0) sum of 48-bit row hashes over the documented
+    canonicalization (ints verbatim, money as cents, timestamps as epoch
+    days)."""
+    cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long").cast("string")  # noqa: E731
+    o = table(spark, sf_dir, "orders")
+    o_canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        cents("o_totalprice"),
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").cast(
+            "string"
+        ),
+        F.col("o_orderpriority"),
+    )
+    c = table(spark, sf_dir, "customer")
+    c_canon = F.concat_ws(
+        "|",
+        F.col("c_custkey").cast("string"),
+        F.col("c_name"),
+        F.col("c_nationkey").cast("string"),
+        cents("c_acctbal"),
+        F.col("c_mktsegment"),
+    )
+    s = table(spark, sf_dir, "supplier")
+    s_canon = F.concat_ws(
+        "|",
+        F.col("s_suppkey").cast("string"),
+        F.col("s_name"),
+        F.col("s_nationkey").cast("string"),
+    )
+    parts = [
+        row_fingerprint_sum(o, o_canon).select(
+            F.lit("orders").alias("table_name"), "n_rows", "fingerprint"
+        ),
+        row_fingerprint_sum(c, c_canon).select(
+            F.lit("customer").alias("table_name"), "n_rows", "fingerprint"
+        ),
+        row_fingerprint_sum(s, s_canon).select(
+            F.lit("supplier").alias("table_name"), "n_rows", "fingerprint"
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("table_name")

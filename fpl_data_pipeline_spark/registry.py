@@ -122,7 +122,7 @@ DRIVER_WINDOW_PRIORITY = [
     # psi_price_drift, benford_price_audit, sample_weighted_ares,
     # ivm_delta_view, compaction_plan, doc_novelty_scores,
     # quality_calibration_bins, text_encoding_audit, events_attribution_credit,
-    # events_ab_readout, customer_survival_curve.
+    # events_ab_readout, customer_survival_curve, table_content_fingerprints.
     # Rotate them
     # in next round in place of the oldest regression anchors.
     # backfill: round-1 names last driver-proven in round 1 (stalest first

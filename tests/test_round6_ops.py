@@ -203,3 +203,28 @@ def test_survival_curve_invariants(spark):
         if prev_n is not None:
             assert r["n_at_risk"] < prev_n
         prev_s, prev_n = r["survival"], r["n_at_risk"]
+
+
+def test_fingerprint_order_independent_and_sensitive(spark):
+    """The content fingerprint is invariant under repartition/shuffle but
+    changes when any single row's content changes."""
+    import pyspark.sql.functions as F
+    from fpl_data_pipeline_spark.functions.quality import row_fingerprint_sum
+    from fpl_data_pipeline_spark.tables import table
+
+    c = table(spark, "/root/testdata/sf0.001", "customer")
+    canon = F.concat_ws(
+        "|", F.col("c_custkey").cast("string"), F.col("c_name")
+    )
+    base = row_fingerprint_sum(c, canon).first()
+    shuffled = row_fingerprint_sum(c.repartition(17, "c_nationkey"), canon).first()
+    assert base["fingerprint"] == shuffled["fingerprint"]
+    assert base["n_rows"] == shuffled["n_rows"]
+
+    mutated = c.withColumn(
+        "c_name",
+        F.when(F.col("c_custkey") == 7, F.lit("EVIL")).otherwise(F.col("c_name")),
+    )
+    mut = row_fingerprint_sum(mutated, canon).first()
+    assert mut["fingerprint"] != base["fingerprint"]
+    assert mut["n_rows"] == base["n_rows"]
