@@ -228,3 +228,16 @@ def test_fingerprint_order_independent_and_sensitive(spark):
     mut = row_fingerprint_sum(mutated, canon).first()
     assert mut["fingerprint"] != base["fingerprint"]
     assert mut["n_rows"] == base["n_rows"]
+
+
+def test_record_linkage_recall_and_precision(spark):
+    """Every planted twin is recovered and, with the balance evidence in
+    the model, nothing else clears the threshold (perfect P/R on the
+    planted corpus)."""
+    from fpl_data_pipeline_spark.operators.fuzzy_join import record_linkage_scores
+
+    r = record_linkage_scores(spark, "/root/testdata/sf0.001").first()
+    assert r["n_twins_planted"] > 0
+    assert r["n_true_twins_linked"] == r["n_twins_planted"]  # recall 1.0
+    assert r["n_linked"] == r["n_true_twins_linked"]  # precision 1.0
+    assert r["n_pairs_scored"] > r["n_linked"]  # blocking really scored more
