@@ -1,0 +1,174 @@
+"""Subword tokenizer ENCODE — the apply side of tokenizer training.
+
+bpe_pair_stats (functions/corpus_queries.py) counts merge candidates — the
+training side. This module applies a trained subword vocabulary to the
+corpus: greedy longest-match-first segmentation (the WordPiece/BPE-dropout-
+free inference algorithm; Wu et al. 2016 §4.1 "greedy longest-match-first"),
+with a fixed literal vocab standing in for the trained merge table (the
+same protocol as the quality model's literal weights).
+
+Scale design — the vocab-first collapse, same insight as bpe_pair_stats:
+the corpus is NOT tokenized row by row. Distinct normalized words are
+encoded ONCE each (|distinct words| ~ 10^5-10^6 even at 100 TB — Heaps'
+law), then the per-word subword counts are joined back onto per-source word
+frequencies and weighted. The Python segmentation loop therefore runs on
+the word VOCABULARY, not the corpus: an Arrow-batched pandas UDF over at
+most a few hundred thousand short strings, while every corpus-sized
+operation is a scan-side explode and two hash aggs.
+
+Determinism: greedy segmentation over a fixed vocab is a pure string
+function — integer outputs, no floats until the final weighted averages
+(which follow the exact-decimal ratio convention). The DuckDB oracle
+replays the EXACT greedy algorithm as a recursive CTE (one recursion level
+per emitted subword, bounded by max word length), so the driver
+value-checks the tokenizer itself, not just its aggregate shape.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import pandas_udf
+
+from fpl_data_pipeline_spark.registry import register
+from fpl_data_pipeline_spark.tables import table
+
+# The trained-vocab stand-in: multi-char subword units + every lowercase
+# letter and digit as fallback singles. Characters outside the vocab
+# (punctuation bound into words, unicode) emit <unk> and advance one char.
+VOCAB_UNITS = [
+    "the", "ing", "tion", "and", "ent", "ion", "ter", "ate", "ers",
+    "est", "ed", "er", "re", "an", "at", "in", "on", "or", "en", "es",
+    "th", "ti", "st", "ar", "al", "le", "is", "it", "ou", "of",
+] + [chr(c) for c in range(ord("a"), ord("z") + 1)] + [str(d) for d in range(10)]
+
+_BY_LEN: dict[int, frozenset] = {}
+for _u in VOCAB_UNITS:
+    _BY_LEN.setdefault(len(_u), set()).add(_u)
+_BY_LEN = {k: frozenset(v) for k, v in _BY_LEN.items()}
+_MAX_UNIT = max(_BY_LEN)
+
+
+def greedy_encode_counts(word: str) -> tuple[int, int]:
+    """(n_subwords, n_unk) for one word under greedy longest-match-first.
+
+    The reference semantics the oracle CTE replays: at each position take
+    the LONGEST vocab unit matching there; if none matches, emit one <unk>
+    and advance a single character. <unk> counts as a subword."""
+    pos, n_sub, n_unk = 0, 0, 0
+    n = len(word)
+    while pos < n:
+        step = 0
+        for length in range(min(_MAX_UNIT, n - pos), 0, -1):
+            if word[pos : pos + length] in _BY_LEN.get(length, ()):
+                step = length
+                break
+        if step == 0:
+            step, n_unk = 1, n_unk + 1
+        pos += step
+        n_sub += 1
+    return n_sub, n_unk
+
+
+def _make_encode_udf():
+    # built lazily: pandas_udf resolves its DDL return type against the
+    # active session, so it must not be constructed at import time
+    @pandas_udf("n_subwords int, n_unk int")
+    def _encode_udf(words: pd.Series) -> pd.DataFrame:
+        out = [greedy_encode_counts(w) for w in words]
+        return pd.DataFrame(out, columns=["n_subwords", "n_unk"])
+
+    return _encode_udf
+
+
+def encode_words(distinct_words: DataFrame, word_col: str = "word") -> DataFrame:
+    """word -> (word, n_subwords, n_unk); input should already be distinct."""
+    enc = _make_encode_udf()(F.col(word_col)).alias("enc")
+    return distinct_words.select(word_col, enc).select(
+        word_col, F.col("enc.n_subwords").alias("n_subwords"),
+        F.col("enc.n_unk").alias("n_unk"),
+    )
+
+
+_VOCAB_VALUES = ", ".join(f"('{u}')" for u in VOCAB_UNITS)
+
+
+@register(
+    "wordpiece_encode_stats",
+    f"""
+    WITH RECURSIVE vocab(u) AS (SELECT * FROM (VALUES {_VOCAB_VALUES})),
+    toks AS (
+      SELECT source,
+             unnest(list_filter(string_split(
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+               w -> w <> '')) AS word
+      FROM documents
+    ),
+    word_freq AS (
+      SELECT source, word, COUNT(*) AS cnt FROM toks GROUP BY source, word
+    ),
+    distinct_words AS (SELECT DISTINCT word FROM word_freq),
+    seg AS (
+      SELECT word, 1 AS pos, 0 AS n_sub, 0 AS n_unk FROM distinct_words
+      UNION ALL
+      SELECT word,
+             pos + COALESCE(best_len, 1),
+             n_sub + 1,
+             n_unk + CASE WHEN best_len IS NULL THEN 1 ELSE 0 END
+      FROM (
+        SELECT word, pos, n_sub, n_unk,
+               (SELECT MAX(length(u)) FROM vocab
+                 WHERE substr(word, pos, length(u)) = u) AS best_len
+        FROM seg WHERE pos <= length(word)
+      )
+    ),
+    encoded AS (
+      SELECT word, n_sub AS n_subwords, n_unk
+      FROM seg WHERE pos > length(word)
+    )
+    SELECT f.source,
+           CAST(SUM(f.cnt) AS BIGINT) AS n_words,
+           CAST(SUM(f.cnt * e.n_subwords) AS BIGINT) AS n_subwords,
+           CAST(SUM(f.cnt * e.n_unk) AS BIGINT) AS n_unk,
+           FLOOR(CAST(SUM(f.cnt * e.n_subwords) AS DOUBLE)
+                 / SUM(f.cnt) * 1000000 + 0.5) / 1000000
+             AS subwords_per_word
+    FROM word_freq f JOIN encoded e USING (word)
+    GROUP BY f.source
+    ORDER BY f.source
+    """,
+)
+def wordpiece_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the subword vocab to the corpus via the vocab-first collapse:
+    encode each distinct word once (pandas UDF over the word vocabulary),
+    weight by per-source word frequency, report fertility (subwords/word)
+    and <unk> volume per source — the serving-cost audit run before a
+    tokenizer change ships."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    toks = d.select(
+        "source", F.explode(F.filter(F.split(norm, " "), lambda w: w != "")).alias("word")
+    )
+    word_freq = toks.groupBy("source", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    encoded = encode_words(word_freq.select("word").distinct())
+    joined = word_freq.join(encoded, "word")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_subwords")).cast("long").alias("n_subwords"),
+            F.sum(F.col("cnt") * F.col("n_unk")).cast("long").alias("n_unk"),
+            (
+                F.floor(
+                    F.sum(F.col("cnt") * F.col("n_subwords")).cast("double")
+                    / F.sum("cnt")
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("subwords_per_word"),
+        )
+        .orderBy("source")
+    )

@@ -241,3 +241,35 @@ def test_record_linkage_recall_and_precision(spark):
     assert r["n_true_twins_linked"] == r["n_twins_planted"]  # recall 1.0
     assert r["n_linked"] == r["n_true_twins_linked"]  # precision 1.0
     assert r["n_pairs_scored"] > r["n_linked"]  # blocking really scored more
+
+
+def test_greedy_encode_reference_cases():
+    """Hand-checked greedy longest-match-first segmentations."""
+    from fpl_data_pipeline_spark.operators.tokenizer import greedy_encode_counts
+
+    # 'the' is a whole unit; 'theory' -> the|or|y (greedy takes 'the' first)
+    assert greedy_encode_counts("the") == (1, 0)
+    assert greedy_encode_counts("theory") == (3, 0)
+    # 'nation' -> n|ation? greedy at pos0: 'n' (no multi-char unit starts
+    # 'na' in vocab? 'an','at' don't match at pos 0) -> n|ation: at pos1,
+    # 'ati' no, 'at' yes -> n|at|ion -> ion is a unit
+    assert greedy_encode_counts("nation") == (3, 0)
+    # unknown chars each cost one <unk> subword
+    assert greedy_encode_counts("a+b") == (3, 1)
+    assert greedy_encode_counts("++") == (2, 2)
+    # pure digits segment as single-char units
+    assert greedy_encode_counts("2024") == (4, 0)
+
+
+def test_greedy_encode_covers_positions():
+    """Property: emitted subwords always tile the word exactly (n_sub is
+    between ceil(len/max_unit) and len)."""
+    from fpl_data_pipeline_spark.operators.tokenizer import (
+        _MAX_UNIT,
+        greedy_encode_counts,
+    )
+
+    for w in ["internationalization", "zzzzz", "a", "ingestion", "x1y2z3"]:
+        n_sub, n_unk = greedy_encode_counts(w)
+        assert (len(w) + _MAX_UNIT - 1) // _MAX_UNIT <= n_sub <= len(w)
+        assert 0 <= n_unk <= n_sub
