@@ -123,7 +123,7 @@ DRIVER_WINDOW_PRIORITY = [
     # ivm_delta_view, compaction_plan, doc_novelty_scores,
     # quality_calibration_bins, text_encoding_audit, events_attribution_credit,
     # events_ab_readout, customer_survival_curve, table_content_fingerprints,
-    # record_linkage_scores, wordpiece_encode_stats.
+    # record_linkage_scores, wordpiece_encode_stats, phrase_search_topdocs.
     # Rotate them
     # in next round in place of the oldest regression anchors.
     # backfill: round-1 names last driver-proven in round 1 (stalest first
@@ -199,6 +199,7 @@ def load_all() -> None:
     from fpl_data_pipeline_spark.sources import compaction  # noqa: F401
     from fpl_data_pipeline_spark.operators import fuzzy_join  # noqa: F401
     from fpl_data_pipeline_spark.operators import tokenizer  # noqa: F401
+    from fpl_data_pipeline_spark.operators import search_index  # noqa: F401
 
     missing = [n for n in DRIVER_WINDOW_PRIORITY if n not in QUERIES]
     if missing:

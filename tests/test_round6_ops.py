@@ -273,3 +273,42 @@ def test_greedy_encode_covers_positions():
         n_sub, n_unk = greedy_encode_counts(w)
         assert (len(w) + _MAX_UNIT - 1) // _MAX_UNIT <= n_sub <= len(w)
         assert 0 <= n_unk <= n_sub
+
+
+def test_phrase_search_planted(spark):
+    """Positional phrase match finds exactly the planted adjacent
+    occurrences — not bag-of-words co-occurrence, and not reversed order."""
+    from fpl_data_pipeline_spark.operators.search_index import (
+        build_positional_index,
+        phrase_match_positions,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "red fox red fox jumps"),      # 2 matches of 'red fox'
+            (2, "fox red and nothing else"),   # reversed order: no match
+            (3, "red and fox far apart"),      # co-occur, not adjacent: no
+            (4, "red fox"),                    # 1 match
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_positional_index(docs)
+    m = phrase_match_positions(idx, ["red", "fox"])
+    counts = {r["doc_id"]: r["n"] for r in
+              m.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()}
+    assert counts == {1: 2, 4: 1}
+
+
+def test_phrase_search_trigram(spark):
+    """k-term phrases chain k-1 positional joins."""
+    from fpl_data_pipeline_spark.operators.search_index import (
+        build_positional_index,
+        phrase_match_positions,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d a b c"), (2, "a b x c")], "doc_id long, text string"
+    )
+    idx = build_positional_index(docs)
+    m = phrase_match_positions(idx, ["a", "b", "c"]).collect()
+    assert sorted((r["doc_id"], r["pos"]) for r in m) == [(1, 0), (1, 4)]
