@@ -883,3 +883,74 @@ def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ares_key").desc(), F.col("doc_id").asc())
         .limit(ARES_K)
     )
+
+
+# --- embedding health audit: degenerate-vector screen ------------------------
+# Vector stores assume unit-norm embeddings (cosine == dot); encoder crashes
+# and version mixups break that silently: all-zero vectors (failed encode)
+# make cosine undefined, off-scale norms (a checkpoint trained without
+# normalization) corrupt every dot-product ranking. This is the gate run on
+# every embedding batch before it reaches the index. The synthetic corpus
+# is perfectly unit-norm, so — the injection protocol again — deterministic
+# vec_id-keyed wounds plant both failure classes and the oracle replays
+# them: % 23 -> zeroed vector, % 29 -> scaled by 2.5. One scan, per-row
+# array fold (vector never leaves the row), one hash agg per label.
+@register(
+    "emb_health_audit",
+    """
+    WITH wounded AS (
+      SELECT vec_id, label,
+             CASE WHEN vec_id % 23 = 0
+                  THEN list_transform(embedding, x -> x * 0.0)
+                  WHEN vec_id % 29 = 0
+                  THEN list_transform(embedding, x -> x * 2.5)
+                  ELSE embedding END AS v
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT label,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS l2
+      FROM wounded
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CASE WHEN l2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           CAST(SUM(CASE WHEN l2 > 0 AND abs(l2 - 1) > 0.01
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_offscale,
+           CAST(SUM(CASE WHEN abs(l2 - 1) <= 0.01 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ok
+    FROM norms
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def emb_health_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label degenerate-vector counts over the deterministically
+    wounded embedding table: zero vectors, off-scale norms, healthy rest.
+    On a real feed the same query runs un-injected."""
+    e = table(spark, sf_dir, "embeddings")
+    v = (
+        F.when(
+            F.col("vec_id") % 23 == 0,
+            F.transform("embedding", lambda x: x * F.lit(0.0)),
+        )
+        .when(
+            F.col("vec_id") % 29 == 0,
+            F.transform("embedding", lambda x: x * F.lit(2.5)),
+        )
+        .otherwise(F.col("embedding"))
+    )
+    l2 = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    norms = e.select("label", l2.alias("l2"))
+    return (
+        norms.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum((F.col("l2") == 0).cast("long")).alias("n_zero"),
+            F.sum(
+                ((F.col("l2") > 0) & (F.abs(F.col("l2") - 1) > 0.01)).cast("long")
+            ).alias("n_offscale"),
+            F.sum((F.abs(F.col("l2") - 1) <= 0.01).cast("long")).alias("n_ok"),
+        )
+        .orderBy("label")
+    )

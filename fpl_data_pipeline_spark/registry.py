@@ -123,7 +123,8 @@ DRIVER_WINDOW_PRIORITY = [
     # ivm_delta_view, compaction_plan, doc_novelty_scores,
     # quality_calibration_bins, text_encoding_audit, events_attribution_credit,
     # events_ab_readout, customer_survival_curve, table_content_fingerprints,
-    # record_linkage_scores, wordpiece_encode_stats, phrase_search_topdocs.
+    # record_linkage_scores, wordpiece_encode_stats, phrase_search_topdocs,
+    # emb_health_audit.
     # Rotate them
     # in next round in place of the oldest regression anchors.
     # backfill: round-1 names last driver-proven in round 1 (stalest first

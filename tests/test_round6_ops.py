@@ -312,3 +312,35 @@ def test_phrase_search_trigram(spark):
     idx = build_positional_index(docs)
     m = phrase_match_positions(idx, ["a", "b", "c"]).collect()
     assert sorted((r["doc_id"], r["pos"]) for r in m) == [(1, 0), (1, 4)]
+
+
+def test_emb_health_audit_exactly_planted(spark):
+    """Audit totals match the injected wound populations exactly (note a
+    vec_id divisible by both 23 and 29 is zeroed — the zero branch wins)."""
+    import pyspark.sql.functions as F
+    from fpl_data_pipeline_spark.operators.sampling import emb_health_audit
+    from fpl_data_pipeline_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    e = table(spark, sf, "embeddings")
+    expect = e.agg(
+        F.sum((F.col("vec_id") % 23 == 0).cast("long")).alias("zero"),
+        F.sum(
+            ((F.col("vec_id") % 23 != 0) & (F.col("vec_id") % 29 == 0)).cast("long")
+        ).alias("off"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    got = (
+        emb_health_audit(spark, sf)
+        .agg(
+            F.sum("n_zero").alias("zero"),
+            F.sum("n_offscale").alias("off"),
+            F.sum("n_vecs").alias("n"),
+            F.sum("n_ok").alias("ok"),
+        )
+        .first()
+    )
+    assert (got["zero"], got["off"], got["n"]) == (
+        expect["zero"], expect["off"], expect["n"],
+    )
+    assert got["ok"] == got["n"] - got["zero"] - got["off"]
