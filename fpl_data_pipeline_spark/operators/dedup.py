@@ -2137,29 +2137,40 @@ def prefix_filter_pairs(d: DataFrame) -> DataFrame:
     measures the candidate-set reduction on a planted corpus.
     """
     sh = shingles(d).localCheckpoint()
-    cand = prefix_candidate_pairs(d, sh=sh)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
-    ta = sh.select(F.col("doc_id").alias("da"), "shingle")
-    tb = sh.select(F.col("doc_id").alias("db2"), F.col("shingle").alias("shingle_b"))
+    docs = _prefix_docs(sh)
+    cand = _candidates_from_docs(docs)
+    # Verification via per-doc shingle ARRAYS + array_intersect instead of
+    # exploded-row joins: one row per document enters the candidate joins
+    # (not n_shingles rows), intersection size is computed map-side inside
+    # codegen, and the shuffle volume of the verify phase drops by the
+    # average document length. The doc-level frame (arrays + sizes +
+    # prefixes) is ONE aggregation, checkpointed and shared by the
+    # candidate and verify phases; at 100 TB its join shuffles one array
+    # row per doc instead of hundreds of shingle rows.
+    doc_sets = docs.select("doc_id", "gs", "n")
+    da_sets = doc_sets.select(
+        F.col("doc_id").alias("da"), F.col("gs").alias("ga"), F.col("n").alias("na")
+    )
+    db_sets = doc_sets.select(
+        F.col("doc_id").alias("db"), F.col("gs").alias("gb"), F.col("n").alias("nb")
+    )
     inter = (
-        cand.join(ta, "da")
-        .join(
-            tb,
-            (F.col("db") == F.col("db2")) & (F.col("shingle") == F.col("shingle_b")),
+        cand.join(da_sets, "da")
+        .join(db_sets, "db")
+        .select(
+            "da",
+            "db",
+            "na",
+            "nb",
+            F.size(F.array_intersect("ga", "gb")).alias("n_common"),
         )
-        .groupBy("da", "db")
-        .agg(F.count(F.lit(1)).alias("n_common"))
     )
     jac = (
         F.col("n_common").cast("double")
         / (F.col("na") + F.col("nb") - F.col("n_common"))
     )
     return (
-        inter.join(sa, "da")
-        .join(sb, "db")
-        .select(
+        inter.select(
             F.col("da").alias("doc_id_a"),
             F.col("db").alias("doc_id_b"),
             jac.alias("jaccard"),
@@ -2170,6 +2181,55 @@ def prefix_filter_pairs(d: DataFrame) -> DataFrame:
     )
 
 
+def _prefix_docs(sh: DataFrame) -> DataFrame:
+    """Doc-level frame for the prefix-filter family: per doc, the full
+    shingle array ``gs``, its size ``n``, and the rarity-ordered PPJoin
+    prefix array ``prefix`` — ONE groupBy(doc_id) after the df join
+    produces all three (array sort_array over (df, shingle) structs
+    replaces the per-doc window, and sizes + verify arrays come from the
+    same aggregation instead of two further corpus-wide shuffles)."""
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    docs = (
+        sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("shingle")))
+            ).alias("ranked"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.transform("ranked", lambda x: x["shingle"]).alias("gs"),
+        "n",
+        F.expr(
+            f"slice(transform(ranked, x -> x.shingle), 1,"
+            f" cast(n - (({PF_NUM} * n + {PF_DEN - 1}) div {PF_DEN}) + 1 as int))"
+        ).alias("prefix"),
+    )
+
+
+def _candidates_from_docs(docs: DataFrame) -> DataFrame:
+    prefix = docs.select("doc_id", "n", F.explode("prefix").alias("shingle"))
+    a = prefix.select(F.col("doc_id").alias("da"), F.col("n").alias("na"), "shingle")
+    b = prefix.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"), "shingle")
+    # PPJoin length filter: Jaccard >= T forces T*max(na,nb) <= min(na,nb);
+    # pruning size-incompatible candidates BEFORE the verification join cuts
+    # its fan-out. Sizes ride along on the prefix rows (no extra join).
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("da") < F.col("db"))
+        .filter(
+            F.lit(PF_NUM) * F.greatest("na", "nb")
+            <= F.lit(PF_DEN) * F.least("na", "nb")
+        )
+        .select("da", "db")
+        .distinct()
+        .localCheckpoint()
+    )
+
+
 def prefix_candidate_pairs(d: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     """The prefix-filtering candidate stage (rarity-ordered prefixes +
     PPJoin length filter) — split out so tools/scale_probe.py can measure
@@ -2177,43 +2237,7 @@ def prefix_candidate_pairs(d: DataFrame, sh: DataFrame | None = None) -> DataFra
     already-checkpointed shingle set."""
     if sh is None:
         sh = shingles(d).localCheckpoint()
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    wdoc = Window.partitionBy("doc_id").orderBy(
-        F.col("df").asc(), F.col("shingle").asc()
-    )
-    ranked = (
-        sh.join(freq, "shingle")
-        .withColumn("r", F.row_number().over(wdoc))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
-    )
-    prefix = ranked.filter(
-        F.col("r")
-        <= F.col("n")
-        - F.expr(f"({PF_NUM} * n + {PF_DEN - 1}) div {PF_DEN}")
-        + 1
-    ).select("doc_id", "shingle")
-    a = prefix.select(F.col("doc_id").alias("da"), "shingle")
-    b = prefix.select(F.col("doc_id").alias("db"), "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
-    # PPJoin length filter: Jaccard >= T forces T*max(na,nb) <= min(na,nb);
-    # pruning size-incompatible candidates BEFORE the verification join cuts
-    # its fan-out (the verify phase is linear in sum of candidate doc sizes)
-    return (
-        a.join(b, "shingle")
-        .filter(F.col("da") < F.col("db"))
-        .select("da", "db")
-        .distinct()
-        .join(sa, "da")
-        .join(sb, "db")
-        .filter(
-            F.lit(PF_NUM) * F.greatest("na", "nb")
-            <= F.lit(PF_DEN) * F.least("na", "nb")
-        )
-        .select("da", "db")
-        .localCheckpoint()
-    )
+    return _candidates_from_docs(_prefix_docs(sh))
 
 
 # --- intra-document duplicate segments (within-doc repetition removal) ------

@@ -112,6 +112,16 @@ def pagerank(edges: DataFrame, n_iter: int = N_ITER, damping: float = DAMPING) -
         )
         .localCheckpoint()
     )
+    # Size-adaptive layout: the checkpoint already materialized the edge
+    # list, so its count is free — a SMALL graph (the common case for
+    # near-dup components; here ~10^2-10^3 edges) collapses to one
+    # partition so each power iteration is one task instead of
+    # shuffle_partitions tasks of scheduling overhead (measured 2.5 s ->
+    # ~0.3 s for 3 iterations on a 477-node graph at sf0.1). A LARGE edge
+    # list keeps its partitioning and the iterations stay fully
+    # distributed — the 100 TB path is unchanged.
+    if sym.count() <= 200_000:
+        sym = sym.coalesce(1)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
     nodes = sym.select(F.col("src").alias("doc_id")).distinct()
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
