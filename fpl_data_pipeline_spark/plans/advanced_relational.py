@@ -670,3 +670,236 @@ def asof_join_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_id", "user_id", "ts", "click_event_id", "click_ts")
     )
+
+
+# --- item-item collaborative filtering: cosine over co-occurrence ------------
+# basket_part_pairs above gives raw support; a recommender needs it
+# NORMALIZED, or popular items dominate every list. The classic item-item
+# CF similarity (Sarwar et al. WWW'01, Amazon's item-to-item) is cosine
+# over the binary customer-item matrix: sim(i,j) = |U_i ∩ U_j| /
+# sqrt(|U_i| |U_j|). Baskets here are CUSTOMERS (cross-order affinity, the
+# recommendation signal), not single orders. Pair fan-out is bounded by
+# per-customer basket size exactly like the basket query; popularity
+# decoration is a broadcast of the per-item counts. Cosine is one IEEE
+# division of exact integers (sqrt correctly rounded), 6-dp-quantized;
+# support floor >= 3 keeps noise pairs out of the top list.
+@register(
+    "cf_item_similarity",
+    """
+    WITH baskets AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    pop AS (SELECT item, COUNT(*) AS n_users FROM baskets GROUP BY item),
+    co AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_common
+      FROM baskets a JOIN baskets b
+        ON a.cust = b.cust AND a.item < b.item
+      GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, n_common,
+           FLOOR(CAST(n_common AS DOUBLE)
+                 / sqrt(CAST(pa.n_users AS DOUBLE) * pb.n_users)
+                 * 1000000 + 0.5) / 1000000 AS cosine_sim
+    FROM co
+    JOIN pop pa ON pa.item = item_a
+    JOIN pop pb ON pb.item = item_b
+    WHERE n_common >= 3
+    ORDER BY cosine_sim DESC, item_a ASC, item_b ASC
+    LIMIT 25
+    """,
+)
+def cf_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 item-item cosine similarities over the binary customer-item
+    matrix — the item-to-item collaborative-filtering primitive, with
+    support floor 3 and popularity normalization."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    baskets = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    pop = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("n_users"))
+    a = baskets.select("cust", F.col("item").alias("item_a"))
+    b = baskets.select("cust", F.col("item").alias("item_b"))
+    co = (
+        a.join(b, "cust")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= 3)
+    )
+    pa = pop.select(F.col("item").alias("item_a"), F.col("n_users").alias("na"))
+    pb = pop.select(F.col("item").alias("item_b"), F.col("n_users").alias("nb"))
+    sim = F.floor(
+        F.col("n_common").cast("double")
+        / F.sqrt(F.col("na").cast("double") * F.col("nb"))
+        * 1000000
+        + F.lit(0.5)
+    ) / 1000000
+    return (
+        co.join(pa, "item_a")
+        .join(pb, "item_b")
+        .select("item_a", "item_b", "n_common", sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col("item_a").asc(), F.col("item_b").asc())
+        .limit(25)
+    )
+
+
+# --- RFM customer segmentation ----------------------------------------------
+# The marketing-analytics classic: score every customer by Recency (days
+# since last order), Frequency (order count) and Monetary (total spend),
+# cut each into quintiles, and read the segment grid (R5F5M5 = champions,
+# R1F5M5 = at-risk big spenders...). One per-customer agg, three ntile
+# windows over the 1-row-per-customer frame (tiny vs the fact scan), one
+# grid agg. Determinism: ntile needs a TOTAL order, so every ORDER BY
+# carries the custkey tiebreak (SURVEY §4.3.2); monetary goes through the
+# exact-decimal sum so the rank order itself is engine-identical.
+@register(
+    "customer_rfm_segments",
+    """
+    WITH maxd AS (
+      SELECT MAX(epoch_us(o_orderdate) // 86400000000) AS max_day FROM orders
+    ),
+    per_cust AS (
+      SELECT o_custkey,
+             CAST((SELECT max_day FROM maxd)
+                  - MAX(epoch_us(o_orderdate) // 86400000000) AS BIGINT)
+               AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, recency_days, frequency, monetary,
+             NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r,
+             NTILE(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f,
+             NTILE(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m
+      FROM per_cust
+    )
+    SELECT r, f, m,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE) AS segment_revenue
+    FROM scored
+    GROUP BY r, f, m
+    ORDER BY r, f, m
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile grid: customer counts and revenue per (R,F,M) cell —
+    the segmentation every retention campaign starts from. Quintile 1 is
+    best on each axis (most recent, most frequent, highest spend).
+
+    Scale note: the ntile windows run over the PER-CUSTOMER frame (one row
+    per customer — already 4-6 orders collapsed), but a global ntile is a
+    single-partition sort; beyond ~10^8 customers swap it for precomputed
+    quantile cutpoints (the table_histogram_price pattern: boundaries
+    broadcast, assignment map-side) at the cost of boundary-tie exactness."""
+    o = table(spark, sf_dir, "orders")
+    day = F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(day).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    maxd = per_cust.agg(F.max("last_day").alias("max_day"))
+    per_cust = per_cust.crossJoin(F.broadcast(maxd)).select(
+        "o_custkey",
+        (F.col("max_day") - F.col("last_day")).cast("long").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc()))
+        .alias("r"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc()))
+        .alias("f"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc()))
+        .alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("monetary").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("segment_revenue"),
+        )
+        .orderBy("r", "f", "m")
+    )
+
+
+# --- supplier concentration (HHI) per part ----------------------------------
+# Supply-chain risk analytics: the Herfindahl-Hirschman index of each
+# part's supplier shares (sum of squared quantity shares, 0..1; 1 = single
+# sourced). Shares come from exact integer quantity sums, the square and
+# sum are integer-exact (cents-free), and the final ratio is one IEEE
+# division, 6-dp-quantized. Two hash aggs on (part, supplier) then (part);
+# top-20 most concentrated HIGH-VOLUME parts (volume floor filters the
+# trivially single-sourced tail).
+@register(
+    "part_supply_hhi",
+    """
+    WITH per AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * 100)
+                  AS BIGINT) AS q
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (
+      SELECT l_partkey,
+             CAST(SUM(q) AS BIGINT) AS qt,
+             CAST(SUM(CAST(q AS DECIMAL(38,0)) * q) AS DOUBLE) AS sq,
+             COUNT(*) AS n_suppliers
+      FROM per GROUP BY l_partkey
+    )
+    SELECT l_partkey,
+           CAST(n_suppliers AS BIGINT) AS n_suppliers, qt AS total_qty_cents,
+           FLOOR(sq / (CAST(qt AS DOUBLE) * qt) * 1000000 + 0.5) / 1000000
+             AS hhi
+    FROM tot
+    WHERE qt >= 10000
+    ORDER BY hhi DESC, l_partkey ASC
+    LIMIT 20
+    """,
+)
+def part_supply_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most supplier-concentrated high-volume parts by HHI over
+    quantity shares — the single-sourcing risk screen."""
+    li = table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("q")
+    )
+    tot = per.groupBy("l_partkey").agg(
+        F.sum("q").cast("bigint").alias("qt"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q"))
+        .cast("double")
+        .alias("sq"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    hhi = F.floor(
+        F.col("sq") / (F.col("qt").cast("double") * F.col("qt")) * 1000000
+        + F.lit(0.5)
+    ) / 1000000
+    return (
+        tot.filter(F.col("qt") >= 10000)
+        .select(
+            "l_partkey",
+            F.col("n_suppliers").cast("long").alias("n_suppliers"),
+            F.col("qt").alias("total_qty_cents"),
+            hhi.alias("hhi"),
+        )
+        .orderBy(F.col("hhi").desc(), F.col("l_partkey").asc())
+        .limit(20)
+    )

@@ -344,3 +344,61 @@ def test_emb_health_audit_exactly_planted(spark):
         expect["zero"], expect["off"], expect["n"],
     )
     assert got["ok"] == got["n"] - got["zero"] - got["off"]
+
+
+def test_cf_similarity_bounds_and_floor(spark):
+    """Cosine similarity lies in (0,1]; every reported pair respects the
+    support floor."""
+    from fpl_data_pipeline_spark.plans.advanced_relational import cf_item_similarity
+
+    rows = cf_item_similarity(spark, "/root/testdata/sf0.001").collect()
+    for r in rows:
+        assert 0.0 < r["cosine_sim"] <= 1.0
+        assert r["n_common"] >= 3
+        assert r["item_a"] < r["item_b"]
+
+
+def test_rfm_partitions_customers(spark):
+    """The RFM grid partitions the customer base and conserves revenue."""
+    import pyspark.sql.functions as F
+    from fpl_data_pipeline_spark.plans.advanced_relational import (
+        customer_rfm_segments,
+    )
+    from fpl_data_pipeline_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    o = table(spark, sf, "orders")
+    grid = customer_rfm_segments(spark, sf)
+    tot = grid.agg(
+        F.sum("n_customers").alias("nc"), F.sum("segment_revenue").alias("rev")
+    ).first()
+    n_cust = o.select("o_custkey").distinct().count()
+    exact_rev = float(
+        o.agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).first()[0]
+    )
+    assert tot["nc"] == n_cust
+    assert abs(tot["rev"] - exact_rev) < 1e-6 * max(1.0, exact_rev)
+    for r in grid.collect():
+        assert 1 <= r["r"] <= 5 and 1 <= r["f"] <= 5 and 1 <= r["m"] <= 5
+
+
+def test_hhi_extremes(spark):
+    """HHI is 1 for single-sourced parts and 1/k for k equal suppliers."""
+    import pyspark.sql.functions as F
+    from fpl_data_pipeline_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    li = table(spark, sf, "lineitem")
+    per = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint").alias("q")
+    )
+    tot = per.groupBy("l_partkey").agg(
+        F.sum("q").cast("double").alias("qt"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).cast("double").alias("sq"),
+        F.count(F.lit(1)).alias("k"),
+    ).collect()
+    for r in tot:
+        hhi = r["sq"] / (r["qt"] * r["qt"])
+        assert 1.0 / r["k"] - 1e-9 <= hhi <= 1.0 + 1e-9
+        if r["k"] == 1:
+            assert abs(hhi - 1.0) < 1e-9
