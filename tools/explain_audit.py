@@ -58,6 +58,10 @@ INTENTIONAL_CROSS = {
     # broadcast 1-row totals / boundary arrays
     "table_histogram_price",
     "cms_join_size_estimate",
+    # broadcast 1-row max-day scalar onto the per-customer frame
+    "customer_rfm_segments",
+    # broadcast 1-row max-day / n-total scalars (bounds, risk-set totals)
+    "customer_survival_curve",
     "events_cusum_changepoints",
     # final 1-row sample-deciles x 1-row exact-deciles combine
     "hash_sample_quantiles",
