@@ -1276,3 +1276,102 @@ def customer_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_at_risk",
         surv.alias("survival"),
     ).orderBy("lifetime")
+
+
+# --- peak concurrency: sweep-line over session intervals --------------------
+# Capacity planning's first question: how many sessions are EVER active at
+# once? Answered exactly by the sweep line: explode each session interval
+# into a (+1 at start, -1 after end) event pair, order by time, and the
+# running sum IS the concurrency curve; its per-day max is the sizing
+# number. Sessions come from the same 30-minute-gap islands as
+# events_sessions. The running sum is one window over 2x sessions rows
+# (tiny vs the event scan); ties resolve identically on both engines
+# because the order key includes the delta. Intervals are CLOSED (the -1
+# lands at end+1, so a session ending at t is still active at t): two
+# sessions touching at one instant count as concurrent — the conservative
+# reading for capacity sizing; the planted test pins this.
+@register(
+    "events_peak_concurrency",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessioned AS (
+      SELECT user_id, ts,
+             SUM(is_new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered
+    ),
+    intervals AS (
+      SELECT user_id, session_no,
+             MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) AS e
+      FROM sessioned GROUP BY user_id, session_no
+    ),
+    sweep AS (
+      SELECT s AS t, 1 AS delta FROM intervals
+      UNION ALL
+      SELECT e + 1 AS t, -1 AS delta FROM intervals
+    ),
+    curve AS (
+      SELECT t, delta,
+             CAST(SUM(delta) OVER (ORDER BY t, delta
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS concurrent
+      FROM sweep
+    )
+    SELECT CAST(to_timestamp((t // 1000000 // 86400) * 86400) AS TIMESTAMP)
+             AS day,
+           MAX(concurrent) AS peak_concurrent,
+           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS sessions_started
+    FROM curve
+    GROUP BY 1
+    ORDER BY day
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day peak concurrent sessions via an exact sweep line over
+    30-minute-gap session intervals, plus sessions started that day."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    ordered = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap > 1800000000, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0)
+        .alias("is_new_session"),
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    sessioned = ordered.select(
+        "user_id", "ts", F.sum("is_new_session").over(wc).alias("session_no")
+    )
+    intervals = sessioned.groupBy("user_id", "session_no").agg(
+        F.min(F.unix_micros("ts")).alias("s"), F.max(F.unix_micros("ts")).alias("e")
+    )
+    sweep = intervals.select(F.col("s").alias("t"), F.lit(1).alias("delta")).unionAll(
+        intervals.select((F.col("e") + 1).alias("t"), F.lit(-1).alias("delta"))
+    )
+    wsweep = Window.orderBy("t", "delta").rowsBetween(Window.unboundedPreceding, 0)
+    curve = sweep.select(
+        "t",
+        "delta",
+        F.sum("delta").over(wsweep).cast("long").alias("concurrent"),
+    )
+    day = F.expr("cast(to_timestamp((t div 1000000 div 86400) * 86400) as timestamp)")
+    return (
+        curve.groupBy(day.alias("day"))
+        .agg(
+            F.max("concurrent").alias("peak_concurrent"),
+            F.sum((F.col("delta") == 1).cast("long")).alias("sessions_started"),
+        )
+        .orderBy("day")
+    )

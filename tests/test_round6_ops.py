@@ -402,3 +402,29 @@ def test_hhi_extremes(spark):
         assert 1.0 / r["k"] - 1e-9 <= hhi <= 1.0 + 1e-9
         if r["k"] == 1:
             assert abs(hhi - 1.0) < 1e-9
+
+
+def test_peak_concurrency_planted(spark):
+    """Three overlapping intervals peak at 3; adjacent (end == next start)
+    intervals do NOT count as overlapping under the conservative sweep."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    iv = spark.createDataFrame(
+        [
+            (1, 0, 100), (2, 50, 150), (3, 90, 200),  # triple overlap at 90-100
+            (4, 300, 400), (5, 400, 500),             # adjacent, never concurrent > 1... 
+        ],
+        "sid long, s long, e long",
+    )
+    sweep = iv.select(F.col("s").alias("t"), F.lit(1).alias("delta")).unionAll(
+        iv.select((F.col("e") + 1).alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = Window.orderBy("t", "delta").rowsBetween(Window.unboundedPreceding, 0)
+    curve = sweep.select("t", "delta", F.sum("delta").over(w).alias("c"))
+    peak = curve.agg(F.max("c")).first()[0]
+    assert peak == 3
+    # sessions 4 and 5: e=400 then s=400 -> the -1 lands at t=401, so they
+    # DO overlap at t=400 under closed intervals: peak among them is 2
+    late = curve.filter(F.col("t") >= 300).agg(F.max("c")).first()[0]
+    assert late == 2
