@@ -591,3 +591,84 @@ def table_content_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("table_name")
+
+
+# --- differential privacy: Laplace-noised release counts --------------------
+# The release mechanism for aggregate statistics over user data: add
+# Laplace(sensitivity/epsilon) noise to each count (Dwork et al., TCC'06).
+# Counting queries have sensitivity 1; epsilon 1.0 here. Production DP uses
+# a cryptographic RNG; an ENGINE needs the mechanism REPRODUCIBLE to test
+# and to keep the driver oracle meaningful, so the uniform draw is hash-
+# derived per release key (md5(release_tag:key) -> 48-bit uniform) — the
+# same derandomization the sampling family uses. The inverse-CDF transform
+# u -> -b*sign(u-1/2)*ln(1-2|u-1/2|) is exact-input (the uniform is a
+# dyadic rational, representable in a double bit-for-bit) and the ln is
+# 9-dp-rounded (the KL convention), so both engines produce the identical
+# noisy release. The epsilon ledger is the caller's job: each release_tag
+# spends its budget once.
+DP_EPSILON = 1.0
+DP_RELEASE_TAG = "release-2026-08"
+
+
+@register(
+    "dp_noisy_segment_counts",
+    f"""
+    WITH counts AS (
+      SELECT c_mktsegment, COUNT(*) AS true_count
+      FROM customer GROUP BY c_mktsegment
+    ),
+    draw AS (
+      SELECT c_mktsegment, true_count,
+             (CAST(('0x' || substr(md5('{DP_RELEASE_TAG}:' || c_mktsegment),
+                                   1, 12)) AS BIGINT) + 0.5)
+               / 281474976710656.0 AS u
+      FROM counts
+    ),
+    noised AS (
+      SELECT c_mktsegment, true_count,
+             FLOOR(-(1.0 / {DP_EPSILON})
+                   * (CASE WHEN u < 0.5 THEN -1.0 ELSE 1.0 END)
+                   * ln(1 - 2 * abs(u - 0.5)) * 1000000000 + 0.5)
+               / 1000000000 AS noise
+      FROM draw
+    )
+    SELECT c_mktsegment, true_count,
+           FLOOR(noise * 1000000 + 0.5) / 1000000 AS noise,
+           FLOOR((true_count + noise) * 1000000 + 0.5) / 1000000
+             AS noisy_count
+    FROM noised
+    ORDER BY c_mktsegment
+    """,
+)
+def dp_noisy_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace mechanism over per-segment customer counts (sensitivity 1,
+    epsilon 1.0, reproducible hash-derived noise). The true_count column is
+    kept for the mechanism audit — a real release ships only noisy_count."""
+    c = table(spark, sf_dir, "customer")
+    counts = c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("true_count"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(DP_RELEASE_TAG + ":"), F.col("c_mktsegment"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(281474976710656.0)
+    sign = F.when(u < 0.5, F.lit(-1.0)).otherwise(F.lit(1.0))
+    raw_noise = (
+        F.lit(-1.0 / DP_EPSILON) * sign * F.log(F.lit(1) - 2 * F.abs(u - F.lit(0.5)))
+    )
+    q = lambda c_, m: F.floor(c_ * m + F.lit(0.5)) / m  # noqa: E731
+    noised = counts.select(
+        "c_mktsegment", "true_count", q(raw_noise, 1000000000).alias("noise9")
+    )
+    return noised.select(
+        "c_mktsegment",
+        "true_count",
+        q(F.col("noise9"), 1000000).alias("noise"),
+        q(F.col("true_count") + F.col("noise9"), 1000000).alias("noisy_count"),
+    ).orderBy("c_mktsegment")

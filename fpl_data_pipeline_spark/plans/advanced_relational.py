@@ -903,3 +903,72 @@ def part_supply_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("hhi").desc(), F.col("l_partkey").asc())
         .limit(20)
     )
+
+
+# --- weekday seasonality index ----------------------------------------------
+# The seasonal-adjustment primitive behind the forecast-eval query's
+# seasonal-naive baseline: an index per day-of-week = that weekday's mean
+# daily revenue / the overall mean daily day revenue (index > 1 = above-
+# trend weekday). Deseasonalizing by this index is the first step of any
+# classical decomposition (X-11 style). All means are ratios of exact
+# decimal sums over integer day counts; the index is one IEEE division,
+# 6-dp-quantized. Day-of-week from integer epoch-day arithmetic
+# ((day + 4) % 7: epoch day 0 = Thursday), identical on both engines —
+# no locale-dependent DAYNAME anywhere.
+@register(
+    "revenue_seasonality_index",
+    """
+    WITH daily AS (
+      SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(20,2))
+               AS rev
+      FROM orders GROUP BY 1
+    ),
+    by_dow AS (
+      SELECT CAST((day + 4) % 7 AS BIGINT) AS dow,
+             COUNT(*) AS n_days,
+             CAST(SUM(rev) AS DOUBLE) AS rev_sum
+      FROM daily GROUP BY 1
+    ),
+    overall AS (
+      SELECT CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS mean_daily FROM daily
+    )
+    SELECT dow, n_days,
+           FLOOR(rev_sum / n_days * 100 + 0.5) / 100 AS mean_revenue,
+           FLOOR(rev_sum / n_days / (SELECT mean_daily FROM overall)
+                 * 1000000 + 0.5) / 1000000 AS seasonality_index
+    FROM by_dow
+    ORDER BY dow
+    """,
+)
+def revenue_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week revenue seasonality indices (0 = Monday ... 6 = Sunday
+    under the (epoch_day + 4) % 7 convention): the deseasonalization
+    factors the forecast baseline divides by."""
+    o = table(spark, sf_dir, "orders")
+    day = F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+    daily = o.groupBy(day.alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(20,2)")
+        .alias("rev")
+    )
+    by_dow = daily.groupBy(((F.col("day") + 4) % 7).cast("long").alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("rev").cast("double").alias("rev_sum"),
+    )
+    overall = daily.agg(
+        (F.sum("rev").cast("double") / F.count(F.lit(1))).alias("mean_daily")
+    )
+    q = lambda c, m: F.floor(c * m + F.lit(0.5)) / m  # noqa: E731
+    return (
+        by_dow.crossJoin(F.broadcast(overall))
+        .select(
+            "dow",
+            "n_days",
+            q(F.col("rev_sum") / F.col("n_days"), 100).alias("mean_revenue"),
+            q(
+                F.col("rev_sum") / F.col("n_days") / F.col("mean_daily"), 1000000
+            ).alias("seasonality_index"),
+        )
+        .orderBy("dow")
+    )

@@ -125,7 +125,8 @@ DRIVER_WINDOW_PRIORITY = [
     # events_ab_readout, customer_survival_curve, table_content_fingerprints,
     # record_linkage_scores, wordpiece_encode_stats, phrase_search_topdocs,
     # emb_health_audit, cf_item_similarity, customer_rfm_segments,
-    # part_supply_hhi.
+    # part_supply_hhi, events_peak_concurrency, revenue_seasonality_index,
+    # dp_noisy_segment_counts.
     # Rotate them
     # in next round in place of the oldest regression anchors.
     # backfill: round-1 names last driver-proven in round 1 (stalest first

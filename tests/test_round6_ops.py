@@ -428,3 +428,36 @@ def test_peak_concurrency_planted(spark):
     # DO overlap at t=400 under closed intervals: peak among them is 2
     late = curve.filter(F.col("t") >= 300).agg(F.max("c")).first()[0]
     assert late == 2
+
+
+def test_seasonality_index_mass_conservation(spark):
+    """Day-count-weighted mean of the seasonality indices is 1 (the index
+    redistributes but never creates revenue)."""
+    from fpl_data_pipeline_spark.plans.advanced_relational import (
+        revenue_seasonality_index,
+    )
+
+    rows = revenue_seasonality_index(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 7
+    n = sum(r["n_days"] for r in rows)
+    weighted = sum(r["seasonality_index"] * r["n_days"] for r in rows) / n
+    assert abs(weighted - 1.0) < 1e-3
+
+
+def test_dp_noise_is_laplace_shaped_and_reproducible():
+    """The hash-derived Laplace transform: median |noise| near b*ln(2),
+    symmetric-ish, and bit-reproducible across calls."""
+    import hashlib
+    import math
+
+    def noise(key: str, tag: str = "release-2026-08", eps: float = 1.0) -> float:
+        h = int(hashlib.md5(f"{tag}:{key}".encode()).hexdigest()[:12], 16)
+        u = (h + 0.5) / 2**48
+        s = -1.0 if u < 0.5 else 1.0
+        return round(-(1.0 / eps) * s * math.log(1 - 2 * abs(u - 0.5)), 9)
+
+    draws = [noise(f"k{i}") for i in range(2000)]
+    assert draws == [noise(f"k{i}") for i in range(2000)]  # reproducible
+    med = sorted(abs(d) for d in draws)[1000]
+    assert 0.55 < med < 0.85  # Laplace(b=1): median |x| = ln 2 ~ 0.693
+    assert abs(sum(d > 0 for d in draws) - 1000) < 100  # symmetric
