@@ -268,3 +268,44 @@ def test_map_in_arrow_matches_map_in_pandas(spark):
     total_meta = media.agg(F.sum("byte_len")).first()[0]
     assert total_arrow == total_meta
     assert via_arrow.count() == media.count()
+
+
+def test_stream_static_dim_join_matches_batch(spark, event_files, tmp_path):
+    """Stream-static join: the streaming micro-batches enrich against a
+    STATIC broadcastable dim (user_id -> tier) and the drained result
+    equals the equivalent batch join — the standard streaming dim-
+    decoration shape (the static side is re-read per micro-batch, so dim
+    updates between batches are picked up; here it is fixed)."""
+    dim = spark.range(0, 2000).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") % 3).cast("int").alias("tier"),
+    )
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(str(event_files / "source"))
+        .join(F.broadcast(dim), "user_id")
+        .groupBy("tier", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    target = tmp_path / "tiered"
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tiered_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["tier"], r["event_type"]): r["n"]
+        for r in spark.sql("select * from tiered_counts").collect()
+    }
+    batch = (
+        spark.read.schema(EVENT_SCHEMA)
+        .parquet(str(event_files / "source"))
+        .join(dim, "user_id")
+        .groupBy("tier", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    expected = {(r["tier"], r["event_type"]): r["n"] for r in batch.collect()}
+    assert got == expected and got
