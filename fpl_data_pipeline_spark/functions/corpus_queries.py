@@ -1422,3 +1422,149 @@ def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- held-out LM perplexity: train/eval split hygiene -----------------------
+# quality_bigram_surprisal scores the corpus with a model fitted on the
+# SAME corpus — fine for relative filtering, but a real LM quality gate
+# must evaluate on text the model never counted, or memorized boilerplate
+# looks like fluency. This query does the split properly: the bigram model
+# (add-k smoothed, k=1/2) is fitted ONLY on the md5-bucket train 80%, and
+# perplexity is measured ONLY on the held-out 20% — the hash split is the
+# same repartition-stable one split_train_test uses, so train/test
+# membership is reproducible anywhere. Surprisal terms are 9-dp-rounded
+# lns summed in exact decimal (the KL convention); the model join is a
+# plain equi-join on the bigram (no broadcast assumption: the count table
+# scales with train vocab).
+LM_ADDK_NUM, LM_ADDK_DEN = 1, 2  # add-k with k = 1/2, exact rational
+
+
+@register(
+    "lm_heldout_perplexity",
+    f"""
+    WITH split AS (
+      SELECT doc_id, source,
+             list_filter(string_split(
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+               w -> w <> '') AS ws,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                  THEN 'train' ELSE 'test' END AS part
+      FROM documents
+    ),
+    train_bi AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM (
+        SELECT unnest(list_transform(range(1, greatest(len(ws), 1)),
+                                     i -> {{'w1': ws[i], 'w2': ws[i+1]}})) AS u
+        FROM split WHERE part = 'train'
+      ) t, LATERAL (SELECT u.w1 AS w1, u.w2 AS w2) x
+      GROUP BY w1, w2
+    ),
+    train_uni AS (
+      SELECT w1, SUM(c12) AS c1 FROM train_bi GROUP BY w1
+    ),
+    vocab AS (SELECT COUNT(*) AS v FROM (SELECT DISTINCT w1 FROM train_bi)),
+    test_bi AS (
+      SELECT source, u.w1 AS w1, u.w2 AS w2 FROM (
+        SELECT source,
+               unnest(list_transform(range(1, greatest(len(ws), 1)),
+                                     i -> {{'w1': ws[i], 'w2': ws[i+1]}})) AS u
+        FROM split WHERE part = 'test'
+      ) t
+    ),
+    scored AS (
+      SELECT s.source,
+             CASE WHEN b.c12 IS NULL AND u.c1 IS NULL THEN 1 ELSE 0 END AS oov,
+             CAST(FLOOR(-ln(
+               (COALESCE(b.c12, 0) + CAST({LM_ADDK_NUM} AS DOUBLE) / {LM_ADDK_DEN})
+               / (COALESCE(u.c1, 0)
+                  + CAST({LM_ADDK_NUM} AS DOUBLE) / {LM_ADDK_DEN} * (SELECT v FROM vocab))
+             ) * 1000000000 + 0.5) AS DECIMAL(28,0)) AS s9
+      FROM test_bi s
+      LEFT JOIN train_bi b ON b.w1 = s.w1 AND b.w2 = s.w2
+      LEFT JOIN train_uni u ON u.w1 = s.w1
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_test_bigrams,
+           CAST(SUM(CASE WHEN oov = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov_history,
+           FLOOR(CAST(SUM(s9) AS DOUBLE) / 1000000000 / COUNT(*) * 1000000
+                 + 0.5) / 1000000 AS avg_surprisal
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def lm_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram-LM surprisal per source: model counts fitted on the
+    80% hash-split train docs only, evaluated on the 20% held-out docs with
+    add-1/2 smoothing over the train vocabulary."""
+    d = table(spark, sf_dir, "documents")
+    ws = _words_col(F.col("text"))
+    split = d.select(
+        "doc_id",
+        "source",
+        ws.alias("ws"),
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cc", "train"
+        ).otherwise("test").alias("part"),
+    )
+    bigrams = F.when(
+        F.size("ws") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("ws"), i).alias("w1"),
+                F.element_at(F.col("ws"), i + 1).alias("w2"),
+            ),
+        ),
+    )
+    train_bi = (
+        split.filter(F.col("part") == "train")
+        .select(F.explode(bigrams).alias("u"))
+        .select(F.col("u.w1").alias("w1"), F.col("u.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    train_uni = train_bi.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = train_bi.select("w1").distinct().count()
+    test_bi = (
+        split.filter(F.col("part") == "test")
+        .select("source", F.explode(bigrams).alias("u"))
+        .select("source", F.col("u.w1").alias("w1"), F.col("u.w2").alias("w2"))
+    )
+    k = float(LM_ADDK_NUM) / LM_ADDK_DEN
+    prob = (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(k)) / (
+        F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k) * F.lit(float(v))
+    )
+    s9 = F.floor(-F.log(prob) * 1000000000 + F.lit(0.5)).cast("decimal(28,0)")
+    scored = (
+        test_bi.join(train_bi, ["w1", "w2"], "left")
+        .join(train_uni, "w1", "left")
+        .select(
+            "source",
+            (F.col("c12").isNull() & F.col("c1").isNull()).cast("int").alias("oov"),
+            s9.alias("s9"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_test_bigrams"),
+            F.sum((F.col("oov") == 1).cast("long")).alias("n_oov_history"),
+            (
+                F.floor(
+                    F.sum("s9").cast("double") / 1000000000 / F.count(F.lit(1))
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("avg_surprisal"),
+        )
+        .orderBy("source")
+    )
+
+
+def _words_col(col):
+    """normalized word array (module-local mirror of the dedup helper)."""
+    norm = F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+    return F.filter(F.split(norm, " "), lambda w: w != "")

@@ -1510,3 +1510,72 @@ def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rank")
     )
     return out
+
+
+# --- label-noise screen: farthest-from-own-centroid vectors ------------------
+# Mislabeled examples poison contrastive and classifier training; the
+# cheap first-pass screen is distance-to-own-class-centroid (a vector far
+# from its label's centroid is either mislabeled or an interesting hard
+# example — either way, reviewed first). Centroids are the same
+# distributed per-(label, dim) reduction emb_cluster_centroids uses
+# (6-dp-quantized so both engines carry identical centroids); squared
+# deviations are quantized per-dimension to 9 dp and summed in exact
+# decimal, so the ranking is engine-identical with no fp-order dependence.
+# The centroid table is label_count x dim rows — broadcast side of the
+# join; the corpus is touched once.
+@register(
+    "emb_label_outliers",
+    """
+    WITH flat AS (
+      SELECT vec_id, label,
+             UNNEST(embedding) AS val,
+             UNNEST(range(1, len(embedding) + 1)) AS pos
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT label, pos, round(avg(val), 6) AS c_val
+      FROM flat GROUP BY label, pos
+    ),
+    devs AS (
+      SELECT f.vec_id, f.label,
+             CAST(FLOOR((f.val - c.c_val) * (f.val - c.c_val) * 1000000000
+                        + 0.5) AS DECIMAL(28,0)) AS d9
+      FROM flat f JOIN cents c ON c.label = f.label AND c.pos = f.pos
+    )
+    SELECT vec_id, label,
+           FLOOR(CAST(SUM(d9) AS DOUBLE) / 1000000000 * 1000000 + 0.5)
+             / 1000000 AS dist2
+    FROM devs
+    GROUP BY vec_id, label
+    ORDER BY dist2 DESC, vec_id ASC
+    LIMIT 20
+    """,
+)
+def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 vectors farthest from their own label centroid — the
+    mislabeling/hard-example review queue."""
+    emb = table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "val")
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "val")
+    cents = flat.groupBy("label", "pos").agg(
+        F.round(F.avg("val"), 6).alias("c_val")
+    )
+    dev = F.col("val") - F.col("c_val")
+    d9 = F.floor(dev * dev * 1000000000 + F.lit(0.5)).cast("decimal(28,0)")
+    devs = flat.join(F.broadcast(cents), ["label", "pos"]).select(
+        "vec_id", "label", d9.alias("d9")
+    )
+    return (
+        devs.groupBy("vec_id", "label")
+        .agg(
+            (
+                F.floor(
+                    F.sum("d9").cast("double") / 1000000000 * 1000000 + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("dist2")
+        )
+        .orderBy(F.col("dist2").desc(), F.col("vec_id").asc())
+        .limit(20)
+    )

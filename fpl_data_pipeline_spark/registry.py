@@ -126,7 +126,8 @@ DRIVER_WINDOW_PRIORITY = [
     # record_linkage_scores, wordpiece_encode_stats, phrase_search_topdocs,
     # emb_health_audit, cf_item_similarity, customer_rfm_segments,
     # part_supply_hhi, events_peak_concurrency, revenue_seasonality_index,
-    # dp_noisy_segment_counts.
+    # dp_noisy_segment_counts, events_conversion_latency,
+    # lm_heldout_perplexity, emb_label_outliers.
     # Rotate them
     # in next round in place of the oldest regression anchors.
     # backfill: round-1 names last driver-proven in round 1 (stalest first

