@@ -264,3 +264,93 @@ def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --- changelog net-effect compaction ----------------------------------------
+# A CDC feed replayed from the beginning is mostly redundant: per key, only
+# the NET effect matters downstream (Delta's change-data-feed consumers and
+# Kafka compacted topics both rely on this). The net rule, given the first
+# and last op in each key's run:
+#   first=I, last=D  -> nothing (created and destroyed inside the window)
+#   first=I, last!=D -> net INSERT carrying the final values
+#   first!=I, last=D -> net DELETE
+#   else             -> net UPDATE carrying the final values
+# One window per key (first_value/last_value over the same total order the
+# CDC apply uses), so compaction costs exactly one shuffle — then the
+# summary accounts rows-in vs rows-out: the compaction-ratio sizing number.
+@register(
+    "cdc_net_effect_summary",
+    f"""
+    WITH changelog AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             {_OP_SQL} AS op
+      FROM orders
+    ),
+    runs AS (
+      SELECT o_custkey,
+             FIRST_VALUE(op) OVER w AS first_op,
+             LAST_VALUE(op) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_op,
+             COUNT(*) OVER w2 AS n_ops,
+             ROW_NUMBER() OVER w AS rn
+      FROM changelog
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             w2 AS (PARTITION BY o_custkey)
+    ),
+    per_key AS (
+      SELECT o_custkey, first_op, last_op, n_ops
+      FROM runs WHERE rn = 1
+    ),
+    net AS (
+      SELECT o_custkey, n_ops,
+             CASE WHEN first_op = 'I' AND last_op = 'D' THEN 'elided'
+                  WHEN first_op = 'I' THEN 'net_insert'
+                  WHEN last_op = 'D' THEN 'net_delete'
+                  ELSE 'net_update' END AS net_op
+      FROM per_key
+    )
+    SELECT net_op,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n_ops) AS BIGINT) AS ops_in,
+           CAST(SUM(CASE WHEN net_op = 'elided' THEN 0 ELSE 1 END) AS BIGINT)
+             AS ops_out
+    FROM net
+    GROUP BY net_op
+    ORDER BY net_op
+    """,
+)
+def cdc_net_effect_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction accounting for the deterministic orders changelog: per
+    net-op class, keys affected, raw ops replayed vs net ops emitted —
+    the compaction-ratio input for CDC feed sizing."""
+    o = table(spark, sf_dir, "orders").withColumn("op", _op_col())
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    runs = o.select(
+        "o_custkey",
+        F.first("op").over(w).alias("first_op"),
+        F.last("op").over(wfull).alias("last_op"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_custkey")).alias("n_ops"),
+        F.row_number().over(w).alias("rn"),
+    )
+    per_key = runs.filter(F.col("rn") == 1)
+    net_op = (
+        F.when((F.col("first_op") == "I") & (F.col("last_op") == "D"), "elided")
+        .when(F.col("first_op") == "I", "net_insert")
+        .when(F.col("last_op") == "D", "net_delete")
+        .otherwise("net_update")
+    )
+    net = per_key.select("o_custkey", "n_ops", net_op.alias("net_op"))
+    return (
+        net.groupBy("net_op")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n_ops").cast("long").alias("ops_in"),
+            F.sum(F.when(F.col("net_op") == "elided", 0).otherwise(1))
+            .cast("long")
+            .alias("ops_out"),
+        )
+        .orderBy("net_op")
+    )

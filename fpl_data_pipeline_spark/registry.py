@@ -127,7 +127,8 @@ DRIVER_WINDOW_PRIORITY = [
     # emb_health_audit, cf_item_similarity, customer_rfm_segments,
     # part_supply_hhi, events_peak_concurrency, revenue_seasonality_index,
     # dp_noisy_segment_counts, events_conversion_latency,
-    # lm_heldout_perplexity, emb_label_outliers.
+    # lm_heldout_perplexity, emb_label_outliers, geo_proximity_pairs,
+    # cdc_net_effect_summary.
     # Rotate them
     # in next round in place of the oldest regression anchors.
     # backfill: round-1 names last driver-proven in round 1 (stalest first
@@ -204,6 +205,7 @@ def load_all() -> None:
     from fpl_data_pipeline_spark.operators import fuzzy_join  # noqa: F401
     from fpl_data_pipeline_spark.operators import tokenizer  # noqa: F401
     from fpl_data_pipeline_spark.operators import search_index  # noqa: F401
+    from fpl_data_pipeline_spark.operators import geo  # noqa: F401
 
     missing = [n for n in DRIVER_WINDOW_PRIORITY if n not in QUERIES]
     if missing:

