@@ -30,6 +30,15 @@ from fpl_data_pipeline_spark.tables import table
 
 GEO_CELL_DEG = 1.0  # grid pitch in degrees; search radius <= one cell
 EARTH_KM = 6371.0
+# Hot-cell guard: a cell with P points contributes ~P^2/2 candidates; one
+# urban-density cell can straggle the whole join. Cells above the cap are
+# excluded from candidate generation on BOTH engines (production systems
+# instead sub-divide the cell — H3 resolution step — which preserves
+# recall; the cap documents the bound the coarse grid needs). Far above
+# any cell this corpus produces, so results here are unchanged. Point
+# DENSIFICATION inherently grows true close-pair counts quadratically —
+# output size, not wasted work (scale-probe note in BENCH_NOTES).
+GEO_CELL_CAP = 10000
 
 
 def grid_neighbor_pairs(
@@ -67,6 +76,8 @@ def grid_neighbor_pairs(
         F.floor(F.col(lon) / cell_deg).cast("long").alias("jx"),
         F.floor(F.col(lat) / cell_deg).cast("long").alias("jy"),
     )
+    occ = b.groupBy("jx", "jy").agg(F.count(F.lit(1)).alias("occ"))
+    b = b.join(occ, ["jx", "jy"]).filter(F.col("occ") <= GEO_CELL_CAP).drop("occ")
     return a.join(b, ["jx", "jy"]).filter(F.col("id_a") < F.col("id_b")).select(
         "id_a", "id_b", "lat_a", "lon_a", "lat_b", "lon_b"
     )
@@ -100,15 +111,19 @@ _LON_SQL = "(CAST(('0x' || substr(md5('lon:' || c_custkey), 1, 10)) AS BIGINT) /
              {_LON_SQL} AS lon
       FROM customer
     ),
-    b AS (
+    b0 AS (
       SELECT id, lat, lon,
              CAST(FLOOR(lon / {GEO_CELL_DEG}) AS BIGINT) AS jx,
              CAST(FLOOR(lat / {GEO_CELL_DEG}) AS BIGINT) AS jy
       FROM pts
     ),
+    occ AS (SELECT jx, jy, COUNT(*) AS o FROM b0 GROUP BY jx, jy),
+    b AS (
+      SELECT b0.* FROM b0 JOIN occ USING (jx, jy) WHERE occ.o <= {GEO_CELL_CAP}
+    ),
     a AS (
       SELECT id, lat, lon, jx + dx.o AS jx, jy + dy.o AS jy
-      FROM b,
+      FROM b0,
            (SELECT unnest([-1, 0, 1]) AS o) dx,
            (SELECT unnest([-1, 0, 1]) AS o) dy
     ),

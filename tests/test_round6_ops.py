@@ -585,3 +585,36 @@ def test_cdc_net_effect_rules(spark):
         for r in per_key.collect()
     }
     assert net == {1: "net_insert", 2: "elided", 3: "net_update", 4: "net_delete"}
+
+
+def test_geo_hot_cell_cap_bounds_candidates(spark):
+    """Points in a cell above GEO_CELL_CAP stop generating candidate pairs
+    with each other (skew guard), while sparse-cell pairs are unaffected."""
+    import pyspark.sql.functions as F
+    from fpl_data_pipeline_spark.operators import geo as G
+
+    orig = G.GEO_CELL_CAP
+    G.GEO_CELL_CAP = 5
+    try:
+        hot = [(i, 10.1 + i * 1e-4, 10.1) for i in range(10)]       # one cell, 10 pts
+        sparse = [(100, 40.2, 40.2), (101, 40.3, 40.3)]             # same cell, 2 pts
+        pts = spark.createDataFrame(hot + sparse, "id long, lat double, lon double")
+        cand = G.grid_neighbor_pairs(pts, "id", "lat", "lon", G.GEO_CELL_DEG)
+        pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+        assert (100, 101) in pairs
+        assert not any(a < 100 and b < 100 for a, b in pairs)  # hot cell silenced
+    finally:
+        G.GEO_CELL_CAP = orig
+
+
+def test_linkage_block_cap_preserves_twin_recall(spark):
+    """With the production cap, planted-twin recall on the real corpus is
+    untouched (blocks are far below the cap)."""
+    from fpl_data_pipeline_spark.operators.fuzzy_join import (
+        FS_BLOCK_CAP,
+        record_linkage_scores,
+    )
+
+    assert FS_BLOCK_CAP >= 1000
+    r = record_linkage_scores(spark, "/root/testdata/sf0.001").first()
+    assert r["n_true_twins_linked"] == r["n_twins_planted"]
