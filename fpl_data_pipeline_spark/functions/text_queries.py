@@ -1305,3 +1305,109 @@ def text_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- distinctive terms per source: weighted log-odds ------------------------
+# "Which words CHARACTERIZE this source?" — TF-IDF answers for documents;
+# for corpus-vs-corpus comparison the standard is the log-odds ratio with
+# an informative Dirichlet prior (Monroe, Colaresi & Quinn 2008, "Fightin'
+# Words"): delta = ln((y_i + a_i)/(n + a0 - y_i - a_i))
+#               - ln((Y_i + a_i)/(N + a0 - Y_i - a_i)),
+# z = delta / sqrt(1/(y_i + a_i) + 1/(Y_i + a_i)), where Y/N are the rest
+# of the corpus and the prior a is the corpus distribution scaled to a0.
+# Unlike raw ratios it damps rare-word noise; unlike TF-IDF it is
+# comparative and signed. All counts integer-exact; lns 9-dp-rounded (KL
+# convention); top-3 terms per source by z with full tiebreak.
+LOGODDS_A0 = 100  # prior strength (pseudo-token budget)
+
+
+@register(
+    "source_distinctive_terms",
+    f"""
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(string_split({_NORM}, ' '), w -> w <> ''))
+               AS word
+      FROM documents
+    ),
+    sw AS (SELECT source, word, COUNT(*) AS y FROM toks GROUP BY source, word),
+    wtot AS (SELECT word, CAST(SUM(y) AS BIGINT) AS yc FROM sw GROUP BY word),
+    stot AS (SELECT source, CAST(SUM(y) AS BIGINT) AS n FROM sw GROUP BY source),
+    ctot AS (SELECT CAST(SUM(y) AS BIGINT) AS nc FROM sw),
+    scored AS (
+      SELECT s.source, s.word,
+             s.y, t.yc - s.y AS yr, st.n, ct.nc - st.n AS nr,
+             CAST(t.yc AS DOUBLE) * {LOGODDS_A0} / ct.nc AS a
+      FROM sw s
+      JOIN wtot t USING (word)
+      JOIN stot st ON st.source = s.source
+      CROSS JOIN ctot ct
+    ),
+    z AS (
+      SELECT source, word, y,
+             FLOOR((
+               FLOOR(ln((y + a) / (n + {LOGODDS_A0} - y - a)) * 1000000000
+                     + 0.5) / 1000000000
+               - FLOOR(ln((yr + a) / (nr + {LOGODDS_A0} - yr - a))
+                       * 1000000000 + 0.5) / 1000000000
+             ) / sqrt(1.0 / (y + a) + 1.0 / (yr + a)) * 1000000 + 0.5)
+               / 1000000 AS zscore
+      FROM scored
+    ),
+    ranked AS (
+      SELECT source, word, y AS n_occurrences, zscore,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY zscore DESC, word ASC) AS r
+      FROM z
+    )
+    SELECT source, word, n_occurrences, zscore
+    FROM ranked WHERE r <= 3
+    ORDER BY source, zscore DESC, word ASC
+    """,
+)
+def source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 source-characterizing words by prior-damped weighted log-odds
+    z (Monroe et al. 'Fightin' Words') — the comparative complement to
+    TF-IDF for corpus composition reporting."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(_words(_norm_text(F.col("text")))).alias("word")
+    )
+    sw = toks.groupBy("source", "word").agg(F.count(F.lit(1)).alias("y"))
+    wtot = sw.groupBy("word").agg(F.sum("y").cast("long").alias("yc"))
+    stot = sw.groupBy("source").agg(F.sum("y").cast("long").alias("n"))
+    ctot = sw.agg(F.sum("y").cast("long").alias("nc"))
+    scored = (
+        sw.join(wtot, "word")
+        .join(stot, "source")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "source",
+            "word",
+            "y",
+            (F.col("yc") - F.col("y")).alias("yr"),
+            "n",
+            (F.col("nc") - F.col("n")).alias("nr"),
+            (F.col("yc").cast("double") * LOGODDS_A0 / F.col("nc")).alias("a"),
+        )
+    )
+    ln9 = lambda c: F.floor(F.log(c) * 1000000000 + F.lit(0.5)) / 1000000000  # noqa: E731
+    delta = ln9(
+        (F.col("y") + F.col("a"))
+        / (F.col("n") + F.lit(LOGODDS_A0) - F.col("y") - F.col("a"))
+    ) - ln9(
+        (F.col("yr") + F.col("a"))
+        / (F.col("nr") + F.lit(LOGODDS_A0) - F.col("yr") - F.col("a"))
+    )
+    se = F.sqrt(
+        F.lit(1.0) / (F.col("y") + F.col("a")) + F.lit(1.0) / (F.col("yr") + F.col("a"))
+    )
+    zscore = F.floor(delta / se * 1000000 + F.lit(0.5)) / 1000000
+    z = scored.select("source", "word", F.col("y").alias("n_occurrences"), zscore.alias("zscore"))
+    w = Window.partitionBy("source").orderBy(F.col("zscore").desc(), F.col("word").asc())
+    return (
+        z.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 3)
+        .drop("r")
+        .orderBy("source", F.col("zscore").desc(), F.col("word").asc())
+    )

@@ -954,3 +954,169 @@ def emb_health_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- Poisson bootstrap: distributed confidence intervals ---------------------
+# The bootstrap at 100 TB cannot resample rows with replacement (that needs
+# global coordination); the standard trick (Chamandy et al., Google 2012,
+# "Estimating Uncertainty for Massive Data Streams") is the POISSON
+# bootstrap: each row enters replica b with weight ~ Poisson(1),
+# independently per (row, replica) — one scan computes every replica's
+# statistic as a weighted aggregate, embarrassingly parallel. Here the
+# Poisson draw is hash-derived (inverse CDF of a 48-bit uniform from
+# md5(row:replica) truncated at k=8, exact dyadic-rational thresholds), so
+# replicas are deterministic and both engines draw identical weights. The
+# CI is the empirical spread of the replica means: bootstrap-SE and the
+# replica-min/max envelope, reported with the point estimate.
+BOOT_B = 32  # replicas; each adds one conditional-sum column, not a pass
+
+# P(Poisson(1) <= k) thresholds scaled to 2^48, computed once in exact
+# integer arithmetic from the series e^-1 * sum 1/i! (floor at 12 dp then
+# scaled): the CDF cut points both engines compare the uniform against.
+_POIS_CDF = []
+_acc = 0.0
+_fact = 1
+import math as _math  # noqa: E402
+
+for _k in range(9):
+    if _k:
+        _fact *= _k
+    _acc += _math.exp(-1.0) / _fact
+    _POIS_CDF.append(min(int(_acc * (1 << 48)), (1 << 48) - 1))
+
+
+def _poisson_weight_sql(u_expr: str) -> str:
+    """SQL CASE mapping a 48-bit uniform to a Poisson(1) draw."""
+    branches = "".join(
+        f" WHEN {u_expr} < {t} THEN {k}" for k, t in enumerate(_POIS_CDF)
+    )
+    return f"(CASE{branches} ELSE {len(_POIS_CDF)} END)"
+
+
+def poisson_weight(u: "F.Column"):
+    w = F.lit(len(_POIS_CDF))
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < _POIS_CDF[k], F.lit(k)).otherwise(w)
+    return w
+
+
+@register(
+    "poisson_bootstrap_ci",
+    f"""
+    WITH rows_u AS (
+      SELECT o_totalprice,
+             b.b AS b,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+                                      || CAST(b.b AS VARCHAR)), 1, 12))
+                  AS BIGINT) AS u
+      FROM orders, (SELECT unnest(range(0, {BOOT_B})) AS b) b
+    ),
+    weighted AS (
+      SELECT b, {_poisson_weight_sql('u')} AS w, o_totalprice
+      FROM rows_u
+    ),
+    replicas AS (
+      SELECT b,
+             CAST(SUM(w * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / SUM(w) AS rep_mean
+      FROM weighted GROUP BY b
+    ),
+    point AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS mean_price
+      FROM orders
+    ),
+    q AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_replicas,
+             MIN(rep_mean) AS rep_min,
+             MAX(rep_mean) AS rep_max,
+             CAST(SUM(CAST(FLOOR(rep_mean * 1000000 + 0.5) AS BIGINT))
+                  AS DOUBLE) / COUNT(*) / 1000000 AS rep_mean_avg,
+             CAST(SUM(CAST(FLOOR(rep_mean * rep_mean * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) / COUNT(*) / 100 AS rep_mean_sq_avg
+      FROM replicas
+    )
+    SELECT (SELECT FLOOR(mean_price * 1000000 + 0.5) / 1000000 FROM point)
+             AS mean_price,
+           n_replicas,
+           FLOOR(rep_min * 1000000 + 0.5) / 1000000 AS rep_min,
+           FLOOR(rep_max * 1000000 + 0.5) / 1000000 AS rep_max,
+           FLOOR(sqrt(rep_mean_sq_avg - rep_mean_avg * rep_mean_avg)
+                 * 1000000 + 0.5) / 1000000 AS bootstrap_se
+    FROM q
+    """,
+)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap uncertainty for the mean order price via {B} deterministic
+    Poisson(1) replicas: point estimate, replica envelope, bootstrap SE —
+    one weighted-aggregate pass, no resampling shuffle anywhere.""".replace(
+        "{B}", str(BOOT_B)
+    )
+    o = table(spark, sf_dir, "orders")
+    b = spark.range(BOOT_B).select(F.col("id").cast("int").alias("b"))
+    rows_u = o.select("o_orderkey", "o_totalprice").crossJoin(F.broadcast(b)).select(
+        "o_totalprice",
+        "b",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long").alias("u"),
+    )
+    weighted = rows_u.select("b", poisson_weight(F.col("u")).alias("w"), "o_totalprice")
+    replicas = weighted.groupBy("b").agg(
+        (
+            F.sum(F.col("w") * F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                "double"
+            )
+            / F.sum("w")
+        ).alias("rep_mean")
+    )
+    point = o.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_price")
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    qstats = replicas.agg(
+        F.count(F.lit(1)).alias("n_replicas"),
+        F.min("rep_mean").alias("rep_min"),
+        F.max("rep_mean").alias("rep_max"),
+        (
+            F.sum(F.floor(F.col("rep_mean") * 1000000 + F.lit(0.5)).cast("long"))
+            .cast("double")
+            / F.count(F.lit(1))
+            / 1000000
+        ).alias("rep_mean_avg"),
+        (
+            F.sum(
+                F.floor(
+                    F.col("rep_mean") * F.col("rep_mean") * 100 + F.lit(0.5)
+                ).cast("long")
+            ).cast("double")
+            / F.count(F.lit(1))
+            / 100
+        ).alias("rep_mean_sq_avg"),
+    )
+    return qstats.crossJoin(F.broadcast(point)).select(
+        q6(F.col("mean_price")).alias("mean_price"),
+        "n_replicas",
+        q6(F.col("rep_min")).alias("rep_min"),
+        q6(F.col("rep_max")).alias("rep_max"),
+        q6(
+            F.sqrt(
+                F.col("rep_mean_sq_avg") - F.col("rep_mean_avg") * F.col("rep_mean_avg")
+            )
+        ).alias("bootstrap_se"),
+    )

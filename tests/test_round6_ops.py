@@ -618,3 +618,82 @@ def test_linkage_block_cap_preserves_twin_recall(spark):
     assert FS_BLOCK_CAP >= 1000
     r = record_linkage_scores(spark, "/root/testdata/sf0.001").first()
     assert r["n_true_twins_linked"] == r["n_twins_planted"]
+
+
+def test_poisson_weights_mean_one():
+    """The hash-derived Poisson(1) draw: mean ~= 1, P(0) ~= 1/e — the
+    weight distribution that makes each bootstrap replica a valid
+    with-replacement resample in expectation."""
+    import hashlib
+    import math
+
+    from fpl_data_pipeline_spark.operators.sampling import _POIS_CDF
+
+    def draw(key: str) -> int:
+        u = int(hashlib.md5(key.encode()).hexdigest()[:12], 16)
+        for k, t in enumerate(_POIS_CDF):
+            if u < t:
+                return k
+        return len(_POIS_CDF)
+
+    ws = [draw(f"{i}:{b}") for i in range(500) for b in range(8)]
+    mean = sum(ws) / len(ws)
+    p0 = sum(w == 0 for w in ws) / len(ws)
+    assert abs(mean - 1.0) < 0.05
+    assert abs(p0 - math.exp(-1)) < 0.03
+
+
+def test_bootstrap_ci_covers_point_estimate(spark):
+    """The replica envelope brackets the point estimate and the SE is
+    positive and small relative to the mean."""
+    from fpl_data_pipeline_spark.operators.sampling import poisson_bootstrap_ci
+
+    r = poisson_bootstrap_ci(spark, "/root/testdata/sf0.001").first()
+    assert r["rep_min"] <= r["mean_price"] <= r["rep_max"]
+    assert 0 < r["bootstrap_se"] < 0.2 * r["mean_price"]
+
+
+def test_distinctive_terms_planted_marker(spark):
+    """A word concentrated in one source tops that source's z list."""
+    import pyspark.sql.functions as F
+    from fpl_data_pipeline_spark.functions.text_queries import (
+        LOGODDS_A0,
+        _norm_text,
+        _words,
+    )
+    from pyspark.sql import Window
+
+    common = "the cat sat on the mat with a dog and a bird "
+    docs = [(i, "s_a", common + "zyzzyva " * 5) for i in range(10)] + [
+        (100 + i, "s_b", common) for i in range(10)
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    toks = d.select("source", F.explode(_words(_norm_text(F.col("text")))).alias("word"))
+    sw = toks.groupBy("source", "word").agg(F.count(F.lit(1)).alias("y"))
+    wtot = sw.groupBy("word").agg(F.sum("y").cast("long").alias("yc"))
+    stot = sw.groupBy("source").agg(F.sum("y").cast("long").alias("n"))
+    ctot = sw.agg(F.sum("y").cast("long").alias("nc"))
+    scored = (
+        sw.join(wtot, "word").join(stot, "source").crossJoin(F.broadcast(ctot))
+        .select(
+            "source", "word", "y",
+            (F.col("yc") - F.col("y")).alias("yr"),
+            "n", (F.col("nc") - F.col("n")).alias("nr"),
+            (F.col("yc").cast("double") * LOGODDS_A0 / F.col("nc")).alias("a"),
+        )
+    )
+    delta = F.log(
+        (F.col("y") + F.col("a"))
+        / (F.col("n") + F.lit(LOGODDS_A0) - F.col("y") - F.col("a"))
+    ) - F.log(
+        (F.col("yr") + F.col("a"))
+        / (F.col("nr") + F.lit(LOGODDS_A0) - F.col("yr") - F.col("a"))
+    )
+    se = F.sqrt(1.0 / (F.col("y") + F.col("a")) + 1.0 / (F.col("yr") + F.col("a")))
+    w = Window.partitionBy("source").orderBy((delta / se).desc(), F.col("word").asc())
+    top = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter((F.col("r") == 1) & (F.col("source") == "s_a"))
+        .first()
+    )
+    assert top["word"] == "zyzzyva"
