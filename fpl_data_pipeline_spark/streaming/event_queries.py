@@ -1462,3 +1462,79 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_conv).cast("long").alias("n_converted"),
         F.lit(n_not).cast("long").alias("n_not_converted"),
     ).orderBy("percentile")
+
+
+# --- SLO error-budget burn rate (multi-window alert) ------------------------
+# The SRE-workbook alerting shape: alert when the error-budget BURN RATE
+# (observed error ratio / budgeted error ratio) is high in BOTH a short
+# and a long window — fast windows catch fresh incidents, the long window
+# suppresses blips. Here: SLO 95% non-error events, short = 1 h, long =
+# 6 h (rolling via a RANGE frame over integer epoch-hours, so frames are
+# event-time-correct even with missing hours). Ratios are exact-integer
+# divisions, 6-dp-quantized; the page condition is burn > 2 in both
+# windows.
+SLO_ERR_BUDGET_NUM, SLO_ERR_BUDGET_DEN = 5, 100  # 5% budget, exact rational
+
+
+@register(
+    "events_slo_burn",
+    f"""
+    WITH hourly AS (
+      SELECT epoch_us(ts) // 3600000000 AS h,
+             COUNT(*) AS n,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS e
+      FROM events GROUP BY 1
+    ),
+    windowed AS (
+      SELECT h, n, e,
+             CAST(SUM(n) OVER w6 AS BIGINT) AS n6,
+             CAST(SUM(e) OVER w6 AS BIGINT) AS e6
+      FROM hourly
+      WINDOW w6 AS (ORDER BY h RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(to_timestamp(h * 3600) AS TIMESTAMP) AS hour_start,
+           n AS events_1h, e AS errors_1h,
+           FLOOR(CAST(e AS DOUBLE) / n * {SLO_ERR_BUDGET_DEN}
+                 / {SLO_ERR_BUDGET_NUM} * 1000000 + 0.5) / 1000000
+             AS burn_1h,
+           FLOOR(CAST(e6 AS DOUBLE) / n6 * {SLO_ERR_BUDGET_DEN}
+                 / {SLO_ERR_BUDGET_NUM} * 1000000 + 0.5) / 1000000
+             AS burn_6h,
+           CASE WHEN CAST(e AS DOUBLE) / n * {SLO_ERR_BUDGET_DEN}
+                     / {SLO_ERR_BUDGET_NUM} > 2
+                 AND CAST(e6 AS DOUBLE) / n6 * {SLO_ERR_BUDGET_DEN}
+                     / {SLO_ERR_BUDGET_NUM} > 2
+                THEN 1 ELSE 0 END AS page
+    FROM windowed
+    ORDER BY hour_start
+    """,
+)
+def events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window error-budget burn rates per hour (1 h + rolling 6 h
+    RANGE frame over epoch-hours) with the page-when-both-burn>2 flag."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.expr("unix_micros(ts) div 3600000000").alias("h")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("e"),
+    )
+    w6 = Window.orderBy("h").rangeBetween(-5, 0)
+    windowed = hourly.select(
+        "h",
+        "n",
+        "e",
+        F.sum("n").over(w6).cast("long").alias("n6"),
+        F.sum("e").over(w6).cast("long").alias("e6"),
+    )
+    budget = float(SLO_ERR_BUDGET_DEN) / SLO_ERR_BUDGET_NUM
+    burn1 = F.col("e").cast("double") / F.col("n") * budget
+    burn6 = F.col("e6").cast("double") / F.col("n6") * budget
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return windowed.select(
+        F.expr("cast(to_timestamp(h * 3600) as timestamp)").alias("hour_start"),
+        F.col("n").alias("events_1h"),
+        F.col("e").alias("errors_1h"),
+        q6(burn1).alias("burn_1h"),
+        q6(burn6).alias("burn_6h"),
+        F.when((burn1 > 2) & (burn6 > 2), 1).otherwise(0).alias("page"),
+    ).orderBy("hour_start")
