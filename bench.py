@@ -51,6 +51,10 @@ HEADLINE = [
     # iterative graph op — the two heaviest new plan shapes
     "dedup_prefix_filter_pairs",
     "pagerank_dupgraph",
+    # round-4 continuation additions: the pandas-UDF tokenizer encode
+    # (vocab-first collapse) and the largest new pair join (CF co-occur)
+    "wordpiece_encode_stats",
+    "cf_item_similarity",
 ]
 
 

@@ -354,3 +354,116 @@ def cdc_net_effect_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("net_op")
     )
+
+
+# --- bitemporal as-of reporting ---------------------------------------------
+# SCD2 above tracks VALID time (when a fact was true in the world); a
+# finance-grade warehouse also tracks TRANSACTION time (when the warehouse
+# LEARNED it), because numbers must be reproducible "as reported": last
+# month's revenue report must be re-derivable even after late corrections
+# restate the underlying orders. The bitemporal read picks, per fact, the
+# newest version whose transaction time <= the knowledge date K, then
+# aggregates over valid time.
+#
+# Deterministic version stream: every order has its original version
+# (tx = o_orderdate); orders with o_orderkey % 11 = 0 receive a correction
+# landing 30 days later that restates the price +10% (3-decimal exact).
+# The query reports monthly revenue under two knowledge dates — the live
+# edge (all corrections known) vs 45 days before it (recent corrections
+# not yet known) — and the restatement delta per month.
+BT_CORRECTION_LAG_DAYS = 30
+BT_EARLY_OFFSET_DAYS = 45
+
+
+@register(
+    "bitemporal_revenue_asof",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             epoch_us(o_orderdate) // 86400000000 AS valid_day,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price0,
+             o_orderkey % 11 = 0 AS corrected
+      FROM orders
+    ),
+    maxd AS (SELECT MAX(valid_day) AS k_late FROM base),
+    priced AS (
+      SELECT b.o_orderkey, b.valid_day, b.price0, b.corrected,
+             b.valid_day + {BT_CORRECTION_LAG_DAYS} AS tx_corr,
+             CAST(b.price0 * CAST(1.1 AS DECIMAL(3,1)) AS DECIMAL(19,3))
+               AS price1,
+             m.k_late, m.k_late - {BT_EARLY_OFFSET_DAYS} AS k_early
+      FROM base b CROSS JOIN maxd m
+    ),
+    resolved AS (
+      SELECT valid_day,
+             CASE WHEN corrected AND tx_corr <= k_early
+                  THEN price1 ELSE CAST(price0 AS DECIMAL(19,3)) END AS p_early,
+             CASE WHEN corrected AND tx_corr <= k_late
+                  THEN price1 ELSE CAST(price0 AS DECIMAL(19,3)) END AS p_late,
+             CASE WHEN corrected AND tx_corr <= k_late
+                       AND NOT (corrected AND tx_corr <= k_early)
+                  THEN 1 ELSE 0 END AS newly_corrected
+      FROM priced
+    )
+    SELECT CAST(valid_day // 30 AS BIGINT) AS month_bucket,
+           CAST(SUM(p_early) AS DOUBLE) AS revenue_asof_early,
+           CAST(SUM(p_late) AS DOUBLE) AS revenue_asof_late,
+           CAST(SUM(CAST(p_late - p_early AS DECIMAL(19,3))) AS DOUBLE)
+             AS restatement,
+           CAST(SUM(newly_corrected) AS BIGINT) AS n_restated_orders
+    FROM resolved
+    GROUP BY 1
+    ORDER BY month_bucket
+    """,
+)
+def bitemporal_revenue_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue under two knowledge dates (bitemporal as-of): the
+    as-reported-then vs as-known-now numbers and the restatement between
+    them. Version selection is a pure CASE over (tx_time <= K) — one scan,
+    no join beyond the 1-row max-date broadcast."""
+    o = table(spark, sf_dir, "orders")
+    day = F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+    base = o.select(
+        "o_orderkey",
+        day.alias("valid_day"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price0"),
+        (F.col("o_orderkey") % 11 == 0).alias("corrected"),
+    )
+    maxd = base.agg(F.max("valid_day").alias("k_late"))
+    priced = base.crossJoin(F.broadcast(maxd)).select(
+        "valid_day",
+        "price0",
+        "corrected",
+        (F.col("valid_day") + BT_CORRECTION_LAG_DAYS).alias("tx_corr"),
+        (F.col("price0") * F.lit("1.1").cast("decimal(3,1)"))
+        .cast("decimal(19,3)")
+        .alias("price1"),
+        "k_late",
+        (F.col("k_late") - BT_EARLY_OFFSET_DAYS).alias("k_early"),
+    )
+    known_early = F.col("corrected") & (F.col("tx_corr") <= F.col("k_early"))
+    known_late = F.col("corrected") & (F.col("tx_corr") <= F.col("k_late"))
+    resolved = priced.select(
+        "valid_day",
+        F.when(known_early, F.col("price1"))
+        .otherwise(F.col("price0").cast("decimal(19,3)"))
+        .alias("p_early"),
+        F.when(known_late, F.col("price1"))
+        .otherwise(F.col("price0").cast("decimal(19,3)"))
+        .alias("p_late"),
+        (known_late & ~known_early).cast("int").alias("newly_corrected"),
+    )
+    return (
+        resolved.groupBy(
+            F.expr("valid_day div 30").cast("long").alias("month_bucket")
+        )
+        .agg(
+            F.sum("p_early").cast("double").alias("revenue_asof_early"),
+            F.sum("p_late").cast("double").alias("revenue_asof_late"),
+            F.sum((F.col("p_late") - F.col("p_early")).cast("decimal(19,3)"))
+            .cast("double")
+            .alias("restatement"),
+            F.sum("newly_corrected").cast("long").alias("n_restated_orders"),
+        )
+        .orderBy("month_bucket")
+    )

@@ -697,3 +697,37 @@ def test_distinctive_terms_planted_marker(spark):
         .first()
     )
     assert top["word"] == "zyzzyva"
+
+
+def test_bitemporal_restatement_consistency(spark):
+    """Late knowledge >= early knowledge revenue (corrections only raise
+    prices here); restatement equals the difference exactly; restated
+    orders are exactly the corrections landing inside the 45-day blind
+    window."""
+    import pyspark.sql.functions as F
+    from fpl_data_pipeline_spark.plans.changelog import (
+        BT_CORRECTION_LAG_DAYS,
+        BT_EARLY_OFFSET_DAYS,
+        bitemporal_revenue_asof,
+    )
+    from fpl_data_pipeline_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    rows = bitemporal_revenue_asof(spark, sf).collect()
+    assert rows
+    tot_restate = 0.0
+    for r in rows:
+        assert r["revenue_asof_late"] >= r["revenue_asof_early"] - 1e-9
+        assert abs(
+            (r["revenue_asof_late"] - r["revenue_asof_early"]) - r["restatement"]
+        ) < 1e-6
+        tot_restate += r["n_restated_orders"]
+    o = table(spark, sf, "orders")
+    day = F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+    k_late = o.agg(F.max(day)).first()[0]
+    expect = o.filter(
+        (F.col("o_orderkey") % 11 == 0)
+        & (day + BT_CORRECTION_LAG_DAYS <= k_late)
+        & (day + BT_CORRECTION_LAG_DAYS > k_late - BT_EARLY_OFFSET_DAYS)
+    ).count()
+    assert tot_restate == expect
