@@ -731,3 +731,16 @@ def test_bitemporal_restatement_consistency(spark):
         & (day + BT_CORRECTION_LAG_DAYS > k_late - BT_EARLY_OFFSET_DAYS)
     ).count()
     assert tot_restate == expect
+
+
+def test_rollup_router_rejects_non_subset(spark):
+    """Routing is refused when the requested grouping is not a subset of
+    the view keys (the fallback-to-base contract)."""
+    import pytest
+    from fpl_data_pipeline_spark.plans.rollup_router import can_route, route_rollup
+
+    assert can_route(["a"], ["a", "b"])
+    assert not can_route(["c"], ["a", "b"])
+    df = spark.createDataFrame([(1, 2, 3.0, 4)], "a int, b int, s double, n long")
+    with pytest.raises(ValueError):
+        route_rollup(df, ["c"], ["a", "b"], ["s"], "n")
