@@ -672,3 +672,70 @@ def dp_noisy_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         q(F.col("noise9"), 1000000).alias("noise"),
         q(F.col("true_count") + F.col("noise9"), 1000000).alias("noisy_count"),
     ).orderBy("c_mktsegment")
+
+
+# --- l-diversity audit (the k-anonymity companion) ---------------------------
+# k-anonymity alone fails the HOMOGENEITY attack: a group of k identical
+# quasi-identifier rows that all share one sensitive value reveals it
+# anyway. l-diversity (Machanavajjhala et al., ICDE'06) additionally
+# requires >= l distinct sensitive values per group. Here: QI =
+# (c_mktsegment, c_nationkey), sensitive attribute = the customer's
+# account-balance SIGN band (debt / low / high — a plausible sensitive
+# financial attribute), l = 2. Same shapes as the k-anonymity gate: one
+# hash agg on the QI key + a 1-row summary of violating groups.
+LDIV_L = 2
+
+
+@register(
+    "ldiversity_audit",
+    f"""
+    WITH banded AS (
+      SELECT c_mktsegment, c_nationkey,
+             CASE WHEN c_acctbal < 0 THEN 'debt'
+                  WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS sens
+      FROM customer
+    ),
+    groups AS (
+      SELECT c_mktsegment, c_nationkey,
+             COUNT(*) AS group_size,
+             COUNT(DISTINCT sens) AS n_sens
+      FROM banded GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n_sens < {LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_homogeneous_groups,
+           CAST(SUM(CASE WHEN n_sens < {LDIV_L} THEN group_size ELSE 0 END)
+                AS BIGINT) AS rows_at_risk,
+           CAST(MIN(n_sens) AS BIGINT) AS min_diversity
+    FROM groups
+    """,
+)
+def ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity gate (l=2) over the (segment, nation) quasi-identifier
+    with balance band as the sensitive attribute: groups whose sensitive
+    values are homogeneous leak under the homogeneity attack even when
+    k-anonymous — the release blocks until they are generalized."""
+    c = table(spark, sf_dir, "customer")
+    sens = (
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    groups = (
+        c.select("c_mktsegment", "c_nationkey", sens.alias("sens"))
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.countDistinct("sens").alias("n_sens"),
+        )
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("n_sens") < LDIV_L).cast("long")).alias("n_homogeneous_groups"),
+        F.sum(
+            F.when(F.col("n_sens") < LDIV_L, F.col("group_size")).otherwise(0)
+        )
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.min("n_sens").cast("long").alias("min_diversity"),
+    )

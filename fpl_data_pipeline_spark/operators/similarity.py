@@ -1579,3 +1579,136 @@ def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dist2").desc(), F.col("vec_id").asc())
         .limit(20)
     )
+
+
+# --- ranking-quality eval: nDCG@10 + reciprocal rank per query ---------------
+# ann_recall_eval measures SET overlap (did the index return the right
+# candidates); a retrieval system is judged on RANKING quality too. Using
+# the label column as graded-relevance ground truth (relevant = same label
+# as the query vector — the standard proxy-label protocol for embedding
+# eval), this computes per query: nDCG@10 of the exact cosine ranking and
+# the reciprocal rank of the first relevant hit. IDCG uses the true
+# corpus-wide relevant count capped at 10, so nDCG is comparable across
+# queries with few relevant docs. log2 terms are 9-dp-rounded and summed
+# in exact decimal (KL convention); ranks come from a per-query window
+# over the top-10 only.
+RANK_K = 10
+
+
+@register(
+    "ann_ranking_metrics",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS qv, label AS q_label
+      FROM embeddings WHERE vec_id < {N_RECALL_QUERIES}
+    ),
+    scored AS (
+      SELECT q.q_id, q.q_label, e.vec_id, e.label,
+             FLOOR({_RECALL_COS_SQL} * 1000000000 + 0.5) / 1000000000 AS cos9
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, q_label, vec_id, label,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos9 DESC, vec_id ASC) AS r
+      FROM scored
+    ),
+    topk AS (SELECT * FROM ranked WHERE r <= {RANK_K}),
+    nrel AS (
+      SELECT q.q_id,
+             CAST(LEAST(COUNT(*), {RANK_K}) AS BIGINT) AS m
+      FROM embeddings e JOIN q
+        ON e.label = q.q_label AND e.vec_id <> q.q_id
+      GROUP BY q.q_id
+    ),
+    dcg AS (
+      SELECT q_id,
+             CAST(SUM(CASE WHEN label = q_label
+                           THEN CAST(FLOOR(1.0 / (ln(r + 1) / ln(2))
+                                           * 1000000000 + 0.5)
+                                     AS DECIMAL(28,0))
+                           ELSE CAST(0 AS DECIMAL(28,0)) END)
+                  AS DOUBLE) / 1000000000 AS dcg_v,
+             MIN(CASE WHEN label = q_label THEN r END) AS first_rel
+      FROM topk GROUP BY q_id
+    ),
+    idcg AS (
+      SELECT n.q_id,
+             CAST(SUM(CAST(FLOOR(1.0 / (ln(i.i + 1) / ln(2))
+                                 * 1000000000 + 0.5) AS DECIMAL(28,0)))
+                  AS DOUBLE) / 1000000000 AS idcg_v
+      FROM nrel n JOIN (SELECT unnest(range(1, {RANK_K} + 1)) AS i) i
+        ON i.i <= n.m
+      GROUP BY n.q_id
+    )
+    SELECT d.q_id,
+           FLOOR(d.dcg_v / i.idcg_v * 1000000 + 0.5) / 1000000 AS ndcg_at_10,
+           CASE WHEN d.first_rel IS NULL THEN 0.0
+                ELSE FLOOR(1.0 / d.first_rel * 1000000 + 0.5) / 1000000 END
+             AS reciprocal_rank
+    FROM dcg d JOIN idcg i ON i.q_id = d.q_id
+    ORDER BY d.q_id
+    """,
+)
+def ann_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query nDCG@10 and reciprocal rank of exact cosine retrieval with
+    label-match relevance — the ranking-quality half of the retrieval eval
+    harness (ann_recall_eval is the set-overlap half)."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_RECALL_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("q_label"),
+    )
+    cos = _dot("embedding", "qv") / (
+        F.sqrt(_dot("embedding", "embedding")) * F.sqrt(_dot("qv", "qv"))
+    )
+    cos9 = F.floor(cos * 1000000000 + F.lit(0.5)) / 1000000000
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "q_label", "vec_id", "label", cos9.alias("cos9"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos9").desc(), F.col("vec_id").asc())
+    topk = scored.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= RANK_K)
+    nrel = (
+        emb.crossJoin(F.broadcast(q.select("q_id", "q_label")))
+        .filter((F.col("label") == F.col("q_label")) & (F.col("vec_id") != F.col("q_id")))
+        .groupBy("q_id")
+        .agg(F.least(F.count(F.lit(1)), F.lit(RANK_K)).cast("long").alias("m"))
+    )
+    ln2 = F.log(F.lit(2.0))
+    gain9 = lambda rc: F.floor(  # noqa: E731
+        F.lit(1.0) / (F.log(rc + 1) / ln2) * 1000000000 + F.lit(0.5)
+    ).cast("decimal(28,0)")
+    dcg = topk.groupBy("q_id").agg(
+        (
+            F.sum(
+                F.when(F.col("label") == F.col("q_label"), gain9(F.col("r"))).otherwise(
+                    F.lit(0).cast("decimal(28,0)")
+                )
+            ).cast("double")
+            / 1000000000
+        ).alias("dcg_v"),
+        F.min(F.when(F.col("label") == F.col("q_label"), F.col("r"))).alias("first_rel"),
+    )
+    ranks = spark.range(1, RANK_K + 1).select(F.col("id").alias("i"))
+    idcg = (
+        nrel.crossJoin(F.broadcast(ranks))
+        .filter(F.col("i") <= F.col("m"))
+        .groupBy("q_id")
+        .agg((F.sum(gain9(F.col("i"))).cast("double") / 1000000000).alias("idcg_v"))
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return (
+        dcg.join(idcg, "q_id")
+        .select(
+            "q_id",
+            q6(F.col("dcg_v") / F.col("idcg_v")).alias("ndcg_at_10"),
+            F.when(F.col("first_rel").isNull(), F.lit(0.0))
+            .otherwise(q6(F.lit(1.0) / F.col("first_rel")))
+            .alias("reciprocal_rank"),
+        )
+        .orderBy("q_id")
+    )

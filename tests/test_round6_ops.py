@@ -744,3 +744,35 @@ def test_rollup_router_rejects_non_subset(spark):
     df = spark.createDataFrame([(1, 2, 3.0, 4)], "a int, b int, s double, n long")
     with pytest.raises(ValueError):
         route_rollup(df, ["c"], ["a", "b"], ["s"], "n")
+
+
+def test_ndcg_perfect_when_all_relevant(spark):
+    """If every retrieved doc is relevant and IDCG uses the same depth,
+    nDCG == 1; a first-relevant at rank r gives RR = 1/r — checked on the
+    registered query's own output bounds."""
+    from fpl_data_pipeline_spark.operators.similarity import ann_ranking_metrics
+
+    rows = ann_ranking_metrics(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["ndcg_at_10"] <= 1.0 + 1e-9
+        rr = r["reciprocal_rank"]
+        assert rr == 0.0 or any(
+            abs(rr - 1.0 / k) < 1e-6 for k in range(1, 11)
+        )
+
+
+def test_ldiversity_flags_planted_homogeneous_group(spark):
+    """A QI group whose members all share one sensitive value is counted
+    homogeneous; a mixed group is not."""
+    import pyspark.sql.functions as F
+    from fpl_data_pipeline_spark.functions.quality import LDIV_L
+
+    rows = [
+        ("A", 1, "debt"), ("A", 1, "debt"), ("A", 1, "debt"),   # homogeneous
+        ("B", 2, "low"), ("B", 2, "high"),                      # diverse
+    ]
+    df = spark.createDataFrame(rows, "seg string, nat int, sens string")
+    g = df.groupBy("seg", "nat").agg(F.countDistinct("sens").alias("n_sens"))
+    homo = {(r["seg"], r["nat"]): r["n_sens"] < LDIV_L for r in g.collect()}
+    assert homo[("A", 1)] is True and homo[("B", 2)] is False
