@@ -972,3 +972,163 @@ def revenue_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+# --- recommender eval: leave-last-order-out hit rate ------------------------
+# cf_item_similarity builds the model; this is its OFFLINE EVAL — the
+# protocol every recsys paper uses (leave-one-out): hide each customer's
+# LAST order, train co-occurrence on the earlier orders only, recommend
+# top-K items their training basket co-occurs with (summed support,
+# owned items excluded), and score a hit if any hidden-order item appears
+# in the top-K. No leakage: test interactions never enter the training
+# counts (the temporal split is per customer by order date with orderkey
+# tiebreak). Shapes: per-customer window for the split, basket-bounded
+# co-occurrence join on the train half, per-customer top-K window over
+# candidate scores.
+REC_K = 10
+
+
+@register(
+    "cf_holdout_hitrate",
+    f"""
+    WITH interactions AS (
+      SELECT DISTINCT o.o_custkey AS cust, o.o_orderkey AS ok,
+             o.o_orderdate AS od, l.l_partkey AS item
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    last_order AS (
+      SELECT cust, ok AS test_ok FROM (
+        SELECT cust, ok,
+               ROW_NUMBER() OVER (PARTITION BY cust
+                                  ORDER BY od DESC, ok DESC) AS rn
+        FROM (SELECT DISTINCT cust, ok, od FROM interactions)
+      ) WHERE rn = 1
+    ),
+    eligible AS (
+      SELECT cust FROM (SELECT DISTINCT cust, ok FROM interactions)
+      GROUP BY cust HAVING COUNT(*) >= 2
+    ),
+    train AS (
+      SELECT DISTINCT i.cust, i.item
+      FROM interactions i
+      JOIN last_order lo ON lo.cust = i.cust
+      JOIN eligible e ON e.cust = i.cust
+      WHERE i.ok <> lo.test_ok
+    ),
+    test AS (
+      SELECT DISTINCT i.cust, i.item
+      FROM interactions i
+      JOIN last_order lo ON lo.cust = i.cust AND lo.test_ok = i.ok
+      JOIN eligible e ON e.cust = i.cust
+    ),
+    co AS (
+      SELECT a.item AS ia, b.item AS ib, COUNT(*) AS s
+      FROM train a JOIN train b ON a.cust = b.cust AND a.item <> b.item
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT t.cust, c.ib AS rec_item, SUM(c.s) AS score
+      FROM train t JOIN co c ON c.ia = t.item
+      WHERE NOT EXISTS (
+        SELECT 1 FROM train t2 WHERE t2.cust = t.cust AND t2.item = c.ib
+      )
+      GROUP BY t.cust, c.ib
+    ),
+    topk AS (
+      SELECT cust, rec_item FROM (
+        SELECT cust, rec_item,
+               ROW_NUMBER() OVER (PARTITION BY cust
+                                  ORDER BY score DESC, rec_item ASC) AS rn
+        FROM cand
+      ) WHERE rn <= {REC_K}
+    ),
+    hits AS (
+      SELECT DISTINCT t.cust
+      FROM test t JOIN topk k ON k.cust = t.cust AND k.rec_item = t.item
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM eligible) AS n_eval_customers,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits,
+           FLOOR((SELECT CAST(COUNT(*) AS DOUBLE) FROM hits)
+                 / (SELECT COUNT(*) FROM eligible) * 1000000 + 0.5)
+             / 1000000 AS hit_rate_at_{REC_K}
+    """,
+)
+def cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-last-order-out evaluation of co-occurrence recommendations:
+    hit-rate@10 over customers with >= 2 orders, leakage-free temporal
+    split."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    inter = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_orderdate").alias("od"),
+            F.col("l_partkey").alias("item"),
+        )
+        .distinct()
+    )
+    orders_per_cust = inter.select("cust", "ok", "od").distinct()
+    w = Window.partitionBy("cust").orderBy(F.col("od").desc(), F.col("ok").desc())
+    last_order = (
+        orders_per_cust.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cust", F.col("ok").alias("test_ok"))
+    )
+    eligible = (
+        orders_per_cust.groupBy("cust")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("cust")
+    )
+    base = inter.join(last_order, "cust").join(eligible, "cust")
+    train = (
+        base.filter(F.col("ok") != F.col("test_ok")).select("cust", "item").distinct()
+    )
+    test = (
+        base.filter(F.col("ok") == F.col("test_ok")).select("cust", "item").distinct()
+    )
+    a = train.select(F.col("cust").alias("c2"), F.col("item").alias("ia"))
+    b = train.select(F.col("cust").alias("c2"), F.col("item").alias("ib"))
+    co = (
+        a.join(b, "c2")
+        .filter(F.col("ia") != F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    cand = (
+        train.join(co, train.item == co.ia)
+        .groupBy("cust", "ib")
+        .agg(F.sum("s").alias("score"))
+        .join(
+            train.select(F.col("cust").alias("cust"), F.col("item").alias("ib")),
+            ["cust", "ib"],
+            "left_anti",
+        )
+        .select("cust", F.col("ib").alias("rec_item"), "score")
+    )
+    wk = Window.partitionBy("cust").orderBy(F.col("score").desc(), F.col("rec_item").asc())
+    topk = (
+        cand.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= REC_K)
+        .select("cust", "rec_item")
+    )
+    hits = (
+        test.join(
+            topk,
+            (test.cust == topk.cust) & (test.item == topk.rec_item),
+        )
+        .select(test.cust)
+        .distinct()
+    )
+    n_eligible = eligible.count()
+    n_hits = hits.count()
+    q6 = F.floor(
+        F.lit(float(n_hits)) / F.lit(float(n_eligible)) * 1000000 + F.lit(0.5)
+    ) / 1000000
+    return spark.range(1).select(
+        F.lit(n_eligible).cast("long").alias("n_eval_customers"),
+        F.lit(n_hits).cast("long").alias("n_hits"),
+        q6.alias(f"hit_rate_at_{REC_K}"),
+    )

@@ -130,7 +130,7 @@ DRIVER_WINDOW_PRIORITY = [
     # lm_heldout_perplexity, emb_label_outliers, geo_proximity_pairs,
     # cdc_net_effect_summary, poisson_bootstrap_ci, source_distinctive_terms,
     # events_slo_burn, bitemporal_revenue_asof, rollup_routed_revenue,
-    # ann_ranking_metrics, ldiversity_audit.
+    # ann_ranking_metrics, ldiversity_audit, cf_holdout_hitrate.
     # Rotate them
     # in next round in place of the oldest regression anchors.
     # backfill: round-1 names last driver-proven in round 1 (stalest first

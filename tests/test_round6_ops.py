@@ -776,3 +776,45 @@ def test_ldiversity_flags_planted_homogeneous_group(spark):
     g = df.groupBy("seg", "nat").agg(F.countDistinct("sens").alias("n_sens"))
     homo = {(r["seg"], r["nat"]): r["n_sens"] < LDIV_L for r in g.collect()}
     assert homo[("A", 1)] is True and homo[("B", 2)] is False
+
+
+def test_cf_holdout_no_leakage(spark):
+    """The training interaction set never contains a (cust, item) pair
+    that exists ONLY in the held-out order — the leakage check on the
+    temporal split construction."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+    from fpl_data_pipeline_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    o = table(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    inter = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_orderdate").alias("od"),
+            F.col("l_partkey").alias("item"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("cust").orderBy(F.col("od").desc(), F.col("ok").desc())
+    last = (
+        inter.select("cust", "ok", "od").distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cust", F.col("ok").alias("test_ok"))
+    )
+    joined = inter.join(last, "cust")
+    train = joined.filter(F.col("ok") != F.col("test_ok")).select("cust", "item")
+    test = joined.filter(F.col("ok") == F.col("test_ok")).select("cust", "item")
+    # no row of train matches a test order's orderkey by construction:
+    # verify via the item-level property that train ∩ test rows only occur
+    # when the item ALSO appears in an earlier order
+    only_in_test = test.join(train, ["cust", "item"], "left_anti")
+    earlier_items = joined.filter(F.col("ok") != F.col("test_ok")).select(
+        "cust", "item"
+    )
+    leak = only_in_test.join(earlier_items, ["cust", "item"])
+    assert leak.count() == 0
