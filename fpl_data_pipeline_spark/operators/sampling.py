@@ -1120,3 +1120,71 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bootstrap_se"),
     )
+
+
+# --- group-safe k-fold cross-validation assignment ---------------------------
+# split_leakage_safe proves the 2-way split; model selection needs K folds
+# with the same guarantee: every member of a duplicate group lands in the
+# SAME fold (otherwise each fold's eval half contains near-copies of its
+# train half). Fold = md5 bucket of the GROUP fingerprint (the doc's exact-
+# dedup fingerprint), so assignment is a map-side expression, repartition-
+# stable, and adding corpus later never moves existing docs between folds.
+# The in-query audit proves zero torn groups.
+KFOLDS = 5
+
+
+@register(
+    "kfold_group_assignment",
+    f"""
+    WITH fps AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+      FROM documents
+    ),
+    folded AS (
+      SELECT doc_id, fp,
+             CAST(('0x' || substr(md5(fp), 1, 8)) AS BIGINT) % {KFOLDS}
+               AS fold
+      FROM fps
+    ),
+    torn AS (
+      SELECT fp FROM folded GROUP BY fp
+      HAVING COUNT(DISTINCT fold) > 1
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_groups,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM torn) AS n_torn_groups
+    FROM folded
+    GROUP BY fold
+    ORDER BY fold
+    """,
+)
+def kfold_group_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold assignment keyed on the duplicate-group fingerprint: per-fold
+    doc/group counts plus the in-query zero-torn-groups proof."""
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))))
+    folded = d.select("doc_id", fp.alias("fp")).withColumn(
+        "fold",
+        F.pmod(
+            F.conv(F.substring(F.md5("fp"), 1, 8), 16, 10).cast("long"),
+            F.lit(KFOLDS),
+        ).cast("long"),
+    )
+    torn = (
+        folded.groupBy("fp")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .filter(F.col("nf") > 1)
+        .count()
+    )
+    return (
+        folded.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_groups"),
+        )
+        .withColumn("n_torn_groups", F.lit(torn).cast("long"))
+        .select("fold", "n_docs", "n_groups", "n_torn_groups")
+        .orderBy("fold")
+    )

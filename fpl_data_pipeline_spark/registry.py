@@ -130,7 +130,8 @@ DRIVER_WINDOW_PRIORITY = [
     # lm_heldout_perplexity, emb_label_outliers, geo_proximity_pairs,
     # cdc_net_effect_summary, poisson_bootstrap_ci, source_distinctive_terms,
     # events_slo_burn, bitemporal_revenue_asof, rollup_routed_revenue,
-    # ann_ranking_metrics, ldiversity_audit, cf_holdout_hitrate.
+    # ann_ranking_metrics, ldiversity_audit, cf_holdout_hitrate,
+    # json_dead_letter_summary, kfold_group_assignment.
     # Rotate them
     # in next round in place of the oldest regression anchors.
     # backfill: round-1 names last driver-proven in round 1 (stalest first
@@ -209,6 +210,7 @@ def load_all() -> None:
     from fpl_data_pipeline_spark.operators import search_index  # noqa: F401
     from fpl_data_pipeline_spark.operators import geo  # noqa: F401
     from fpl_data_pipeline_spark.plans import rollup_router  # noqa: F401
+    from fpl_data_pipeline_spark.sources import ingest  # noqa: F401
 
     missing = [n for n in DRIVER_WINDOW_PRIORITY if n not in QUERIES]
     if missing:

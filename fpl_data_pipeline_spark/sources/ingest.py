@@ -159,3 +159,88 @@ def typed_fact_view(fact: DataFrame) -> DataFrame:
             "ict_index_num": F.col("ict_index").cast("decimal(18,2)"),
         }
     )
+
+
+# --- corrupt-record dead-letter routing --------------------------------------
+# At-scale ingestion MUST route malformed records to a dead-letter set
+# instead of failing the job (the reference's row loops just crash on bad
+# JSON; includes.py has no malformed-payload path). Spark's JSON reader
+# has PERMISSIVE mode built in: from_json yields NULL on parse failure, so
+# routing is a null-split — one scan, two outputs. The registered query
+# plants malformed payloads deterministically (doc_id-keyed, the injection
+# protocol) in an otherwise-valid JSON stream and accounts both routes;
+# the planted population is the oracle's ground truth.
+from pyspark.sql import SparkSession as _SparkSession
+from fpl_data_pipeline_spark.registry import register as _register
+from fpl_data_pipeline_spark.tables import table as _table
+
+
+def route_dead_letters(parsed: "DataFrame", parsed_col: str, raw_col: str):
+    """(good, dead) split of a PERMISSIVE-parsed frame: rows whose struct
+    is NULL carry their raw payload to the dead-letter side."""
+    good = parsed.filter(F.col(parsed_col).isNotNull())
+    dead = parsed.filter(F.col(parsed_col).isNull()).select(raw_col)
+    return good, dead
+
+
+@_register(
+    "json_dead_letter_summary",
+    """
+    WITH payloads AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 13 = 0 THEN '{"n_chars": '
+                  WHEN doc_id % 17 = 0 THEN 'not json at all'
+                  ELSE '{"n_chars": ' || CAST(n_chars AS VARCHAR) || '}'
+             END AS payload
+      FROM documents
+    ),
+    parsed AS (
+      SELECT source,
+             CASE WHEN json_valid(payload)
+                       AND json_type(payload) = 'OBJECT'
+                  THEN CAST(json_extract(payload, '$.n_chars') AS BIGINT)
+             END AS n_chars_parsed
+      FROM payloads
+    )
+    SELECT source,
+           COUNT(*) AS n_records,
+           CAST(SUM(CASE WHEN n_chars_parsed IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dead_lettered,
+           CAST(SUM(COALESCE(n_chars_parsed, 0)) AS BIGINT) AS chars_ingested
+    FROM parsed
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def json_dead_letter_summary(spark: _SparkSession, sf_dir: str) -> "DataFrame":
+    """Per-source ingest accounting over a JSON stream with planted
+    malformed payloads: records parsed vs dead-lettered, and the ingested
+    measure total — the PERMISSIVE-mode split every 100 TB landing zone
+    runs. On clean input the dead-letter side is empty."""
+    d = _table(spark, sf_dir, "documents")
+    payload = (
+        F.when(F.col("doc_id") % 13 == 0, F.lit('{"n_chars": '))
+        .when(F.col("doc_id") % 17 == 0, F.lit("not json at all"))
+        .otherwise(
+            F.concat(
+                F.lit('{"n_chars": '), F.col("n_chars").cast("string"), F.lit("}")
+            )
+        )
+    )
+    parsed = d.select(
+        "source",
+        F.from_json(payload, "n_chars long").alias("p"),
+    ).select("source", F.col("p.n_chars").alias("n_chars_parsed"))
+    return (
+        parsed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum(F.col("n_chars_parsed").isNull().cast("long")).alias(
+                "n_dead_lettered"
+            ),
+            F.sum(F.coalesce(F.col("n_chars_parsed"), F.lit(0)))
+            .cast("long")
+            .alias("chars_ingested"),
+        )
+        .orderBy("source")
+    )

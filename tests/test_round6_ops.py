@@ -818,3 +818,35 @@ def test_cf_holdout_no_leakage(spark):
     )
     leak = only_in_test.join(earlier_items, ["cust", "item"])
     assert leak.count() == 0
+
+
+def test_dead_letter_exactly_planted(spark):
+    """Dead-lettered count equals the planted malformed population; clean
+    records all ingest their measure."""
+    import pyspark.sql.functions as F
+    from fpl_data_pipeline_spark.sources.ingest import json_dead_letter_summary
+    from fpl_data_pipeline_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    d = table(spark, sf, "documents")
+    planted = d.filter(
+        (F.col("doc_id") % 13 == 0) | ((F.col("doc_id") % 13 != 0) & (F.col("doc_id") % 17 == 0))
+    ).count()
+    got = json_dead_letter_summary(spark, sf).agg(
+        F.sum("n_dead_lettered").alias("dl"), F.sum("n_records").alias("n")
+    ).first()
+    assert got["dl"] == planted
+    assert got["n"] == d.count()
+
+
+def test_kfold_groups_never_torn(spark):
+    """Every duplicate group maps to exactly one fold and folds partition
+    the corpus."""
+    import pyspark.sql.functions as F
+    from fpl_data_pipeline_spark.operators.sampling import kfold_group_assignment
+    from fpl_data_pipeline_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    rows = kfold_group_assignment(spark, sf).collect()
+    assert all(r["n_torn_groups"] == 0 for r in rows)
+    assert sum(r["n_docs"] for r in rows) == table(spark, sf, "documents").count()
