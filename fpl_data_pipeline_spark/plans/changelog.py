@@ -467,3 +467,93 @@ def bitemporal_revenue_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month_bucket")
     )
+
+
+# --- fact-to-versioned-dimension temporal join -------------------------------
+# THE dimensional-correctness join: a fact row must be decorated with the
+# dimension attributes that were true AT THE FACT'S EVENT TIME, not
+# today's (joining facts to a current-only dim silently rewrites history).
+# With the SCD2 history (scd2_customer_history's lead()-closed intervals),
+# this is fact JOIN dim ON key AND valid_from <= t < valid_to — a range
+# join whose fan-out is bounded by versions-per-key (small by
+# construction), so at scale it runs as an equi-join on the key with an
+# interval filter, never a blind interval cross. Proof-by-construction
+# here: each fact matches EXACTLY ONE version (intervals tile), asserted
+# in-query via the match-count histogram.
+@register(
+    "fact_temporal_dim_join",
+    f"""
+    WITH changelog AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             {_OP_SQL} AS op
+      FROM orders
+    ),
+    versions AS (
+      SELECT o_custkey,
+             o_orderdate AS valid_from,
+             LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey)
+               AS valid_to,
+             op AS version_op
+      FROM changelog
+    ),
+    joined AS (
+      SELECT f.o_orderkey, f.o_totalprice, v.version_op
+      FROM changelog f
+      JOIN versions v
+        ON v.o_custkey = f.o_custkey
+       AND f.o_orderdate >= v.valid_from
+       AND (v.valid_to IS NULL OR f.o_orderdate < v.valid_to)
+    ),
+    match_counts AS (
+      SELECT o_orderkey, COUNT(*) AS n_matches FROM joined GROUP BY o_orderkey
+    )
+    SELECT version_op,
+           CAST(COUNT(*) AS BIGINT) AS n_facts,
+           {dsum_sql('o_totalprice')} AS revenue,
+           (SELECT CAST(MAX(n_matches) AS BIGINT) FROM match_counts)
+             AS max_versions_matched
+    FROM joined
+    GROUP BY version_op
+    ORDER BY version_op
+    """,
+)
+def fact_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decorate each order with the dimension version valid at its order
+    date (the orders changelog doubles as the versioned dim — each key's
+    versions tile time). Output: revenue per version-op plus the in-query
+    proof that every fact matched exactly one version (max matches = 1,
+    because same-timestamp versions are closed by the orderkey tiebreak —
+    a fact at a version boundary takes the later version's open interval).
+    """
+    o = table(spark, sf_dir, "orders").withColumn("op", _op_col())
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    versions = o.select(
+        F.col("o_custkey").alias("v_key"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.col("op").alias("version_op"),
+    )
+    joined = o.join(
+        versions,
+        (o.o_custkey == versions.v_key)
+        & (o.o_orderdate >= versions.valid_from)
+        & (versions.valid_to.isNull() | (o.o_orderdate < versions.valid_to)),
+    )
+    max_match = (
+        joined.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    from fpl_data_pipeline_spark.functions.exact import dsum
+
+    return (
+        joined.groupBy("version_op")
+        .agg(
+            F.count(F.lit(1)).alias("n_facts"),
+            dsum("o_totalprice", "revenue"),
+        )
+        .withColumn("max_versions_matched", F.lit(int(max_match)).cast("long"))
+        .orderBy("version_op")
+    )

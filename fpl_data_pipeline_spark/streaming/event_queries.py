@@ -1538,3 +1538,64 @@ def events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(burn6).alias("burn_6h"),
         F.when((burn1 > 2) & (burn6 > 2), 1).otherwise(0).alias("page"),
     ).orderBy("hour_start")
+
+
+# --- sequence pattern matching (MATCH_RECOGNIZE emulation) -------------------
+# SQL:2016 MATCH_RECOGNIZE finds ordered row patterns inside partitions;
+# Spark has no native operator, but fixed-length patterns compile to LEAD
+# chains over the per-user event order — each pattern row becomes "this
+# event matches step 1 AND the next matches step 2 AND ...", a pure window
+# projection (one shuffle on user_id, zero joins). The canonical funnel
+# pattern here: a STRICTLY CONSECUTIVE view -> click -> purchase run (no
+# intervening events — stricter than events_funnel's eventually-ordered
+# semantics), plus the same-session constraint (gaps < 30 min between
+# steps).
+@register(
+    "events_pattern_matches",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ep,
+             LEAD(event_type, 1) OVER w AS t1,
+             LEAD(event_type, 2) OVER w AS t2,
+             LEAD(epoch_us(ts), 1) OVER w AS ep1,
+             LEAD(epoch_us(ts), 2) OVER w AS ep2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    matches AS (
+      SELECT user_id
+      FROM ordered
+      WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+        AND ep1 - ep <= 1800000000 AND ep2 - ep1 <= 1800000000
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM matches
+    """,
+)
+def events_pattern_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-consecutive view->click->purchase pattern matches within
+    session gaps — MATCH_RECOGNIZE compiled to a LEAD chain."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.unix_micros("ts")
+    ordered = e.select(
+        "user_id",
+        "event_type",
+        ep.alias("ep"),
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead(ep, 1).over(w).alias("ep1"),
+        F.lead(ep, 2).over(w).alias("ep2"),
+    )
+    m = ordered.filter(
+        (F.col("event_type") == "view")
+        & (F.col("t1") == "click")
+        & (F.col("t2") == "purchase")
+        & (F.col("ep1") - F.col("ep") <= 1800000000)
+        & (F.col("ep2") - F.col("ep1") <= 1800000000)
+    )
+    return m.agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -850,3 +850,39 @@ def test_kfold_groups_never_torn(spark):
     rows = kfold_group_assignment(spark, sf).collect()
     assert all(r["n_torn_groups"] == 0 for r in rows)
     assert sum(r["n_docs"] for r in rows) == table(spark, sf, "documents").count()
+
+
+def test_pattern_match_planted_sequence(spark):
+    """Strict consecutiveness: view->click->purchase with an intervening
+    event does NOT match; the clean triple does."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    base = 1700000000000000
+    rows = [
+        (1, 1, base + 0, "view"), (2, 1, base + 10, "click"),
+        (3, 1, base + 20, "purchase"),                       # clean triple
+        (4, 2, base + 0, "view"), (5, 2, base + 10, "error"),
+        (6, 2, base + 20, "click"), (7, 2, base + 30, "purchase"),  # broken
+    ]
+    e = spark.createDataFrame(rows, "event_id long, user_id long, ep long, event_type string")
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    m = (
+        e.select(
+            "user_id", "event_type", "ep",
+            F.lead("event_type", 1).over(w).alias("t1"),
+            F.lead("event_type", 2).over(w).alias("t2"),
+        )
+        .filter((F.col("event_type") == "view") & (F.col("t1") == "click") & (F.col("t2") == "purchase"))
+        .collect()
+    )
+    assert [r["user_id"] for r in m] == [1]
+
+
+def test_temporal_dim_join_exactly_one_version(spark):
+    """Every fact matches exactly one dimension version (interval tiling)."""
+    from fpl_data_pipeline_spark.plans.changelog import fact_temporal_dim_join
+
+    rows = fact_temporal_dim_join(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    assert all(r["max_versions_matched"] == 1 for r in rows)
