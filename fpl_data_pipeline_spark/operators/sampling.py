@@ -1188,3 +1188,133 @@ def kfold_group_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("fold", "n_docs", "n_groups", "n_torn_groups")
         .orderBy("fold")
     )
+
+
+# --- negative sampling for implicit-feedback training ------------------------
+# Implicit-feedback recommenders (BPR, ALS-implicit, two-tower retrieval)
+# train on (user, positive, negative) triples, but the data only RECORDS
+# positives; negatives must be sampled from the unobserved items. The
+# production concerns this op encodes: determinism (hash-derived draws —
+# reproducible epochs), rejection of accidental positives (sampled item
+# the user actually bought -> rejected via anti-join), and the
+# popularity-bias question (uniform draws over the catalog under-sample
+# popular items relative to their exposure — reported, since BPR wants
+# popularity-weighted negatives). Draw shape: per (customer, slot) the
+# candidate item = hash(user:slot) mod |catalog| — a map-side expression
+# against the broadcast catalog size; NO per-user catalog scan.
+NEG_PER_USER = 5
+
+
+@register(
+    "cf_negative_samples",
+    f"""
+    WITH catalog AS (
+      SELECT l_partkey AS item,
+             ROW_NUMBER() OVER (ORDER BY l_partkey) - 1 AS idx
+      FROM (SELECT DISTINCT l_partkey FROM lineitem)
+    ),
+    csize AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM catalog),
+    owned AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    users AS (SELECT DISTINCT cust FROM owned),
+    draws AS (
+      SELECT u.cust, s.s AS slot,
+             CAST(('0x' || substr(md5(CAST(u.cust AS VARCHAR) || ':'
+                                      || CAST(s.s AS VARCHAR)), 1, 12))
+                  AS BIGINT) % (SELECT nc FROM csize) AS idx
+      FROM users u, (SELECT unnest(range(0, {NEG_PER_USER})) AS s) s
+    ),
+    candidates AS (
+      SELECT d.cust, d.slot, c.item
+      FROM draws d JOIN catalog c ON c.idx = d.idx
+    ),
+    kept AS (
+      SELECT cd.cust, cd.item
+      FROM candidates cd
+      LEFT JOIN owned ow ON ow.cust = cd.cust AND ow.item = cd.item
+      WHERE ow.item IS NULL
+    ),
+    pop AS (
+      SELECT item, COUNT(*) AS n_buyers FROM owned GROUP BY item
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM users) AS n_users,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM candidates) AS n_drawn,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           FLOOR(CAST((SELECT COUNT(*) FROM candidates) - COUNT(*) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM candidates) * 1000000 + 0.5)
+             / 1000000 AS accidental_positive_rate,
+           FLOOR(CAST(SUM(COALESCE(p.n_buyers, 0)) AS DOUBLE) / COUNT(*)
+                 * 1000000 + 0.5) / 1000000 AS mean_negative_popularity
+    FROM kept k LEFT JOIN pop p ON p.item = k.item
+    """,
+)
+def cf_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative-sampling accounting: draws per user,
+    accidental positives rejected, and the mean popularity of kept
+    negatives (the uniform-vs-exposure bias number BPR cares about)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    owned = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    catalog = (
+        owned.select("item")
+        .distinct()
+        .withColumn(
+            "idx", F.row_number().over(Window.orderBy("item")) - 1
+        )
+    )
+    # NOTE: catalog here = items with >= 1 sale == lineitem's distinct
+    # parts, matching the oracle's catalog CTE
+    nc = catalog.count()
+    users = owned.select("cust").distinct()
+    slots = users.sparkSession.range(NEG_PER_USER).select(
+        F.col("id").cast("int").alias("slot")
+    )
+    draws = users.crossJoin(F.broadcast(slots)).select(
+        "cust",
+        "slot",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("cust").cast("string"),
+                            F.lit(":"),
+                            F.col("slot").cast("string"),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(nc),
+        ).alias("idx"),
+    )
+    candidates = draws.join(catalog, "idx").select("cust", "slot", "item")
+    n_drawn = candidates.count()
+    kept = candidates.join(owned, ["cust", "item"], "left_anti")
+    pop = owned.groupBy("item").agg(F.count(F.lit(1)).alias("n_buyers"))
+    stats = kept.join(pop, "item", "left").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.coalesce("n_buyers", F.lit(0))).alias("pop_sum"),
+    )
+    n_users = users.count()
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return stats.select(
+        F.lit(n_users).cast("long").alias("n_users"),
+        F.lit(n_drawn).cast("long").alias("n_drawn"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        q6(
+            (F.lit(n_drawn) - F.col("n_kept")).cast("double") / F.lit(float(n_drawn))
+        ).alias("accidental_positive_rate"),
+        q6(F.col("pop_sum").cast("double") / F.col("n_kept")).alias(
+            "mean_negative_popularity"
+        ),
+    )

@@ -1132,3 +1132,105 @@ def cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_hits).cast("long").alias("n_hits"),
         q6.alias(f"hit_rate_at_{REC_K}"),
     )
+
+
+# --- mix-shift decomposition (period-over-period bridge) ---------------------
+# "Revenue moved -4%: was it volume, per-order value, or segment mix?" —
+# the FP&A bridge every period close produces. Split the order history
+# into two halves at the median day; per segment, decompose the revenue
+# delta into: volume effect (order-count change at old value), value
+# effect (per-order value change at old volume), and the cross term
+# (delta x delta) — an exact additive bridge: the three effects sum to the
+# segment's revenue delta to the cent. All inputs are exact-decimal sums
+# and integer counts; the effects are quantized to cents so the additivity
+# is exact on both engines.
+@register(
+    "revenue_mix_shift",
+    """
+    WITH days AS (
+      SELECT o_custkey, o_totalprice,
+             epoch_us(o_orderdate) // 86400000000 AS day
+      FROM orders
+    ),
+    cut AS (
+      SELECT CAST((MIN(day) + MAX(day)) // 2 AS BIGINT) AS mid FROM days
+    ),
+    seg AS (
+      SELECT c.c_mktsegment,
+             CASE WHEN d.day < (SELECT mid FROM cut) THEN 'p1' ELSE 'p2' END
+               AS period,
+             d.o_totalprice
+      FROM days d JOIN customer c ON c.c_custkey = d.o_custkey
+    ),
+    agg AS (
+      SELECT c_mktsegment, period,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM seg GROUP BY c_mktsegment, period
+    ),
+    wide AS (
+      SELECT c_mktsegment,
+             MAX(CASE WHEN period = 'p1' THEN n END) AS n1,
+             MAX(CASE WHEN period = 'p2' THEN n END) AS n2,
+             MAX(CASE WHEN period = 'p1' THEN rev END) AS r1,
+             MAX(CASE WHEN period = 'p2' THEN rev END) AS r2
+      FROM agg GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment,
+           CAST(n1 AS BIGINT) AS n_orders_p1,
+           CAST(n2 AS BIGINT) AS n_orders_p2,
+           FLOOR((r2 - r1) * 100 + 0.5) / 100 AS revenue_delta,
+           FLOOR((n2 - n1) * (r1 / n1) * 100 + 0.5) / 100 AS volume_effect,
+           FLOOR(n1 * (r2 / n2 - r1 / n1) * 100 + 0.5) / 100 AS value_effect,
+           FLOOR(((r2 - r1) - (n2 - n1) * (r1 / n1)
+                  - n1 * (r2 / n2 - r1 / n1)) * 100 + 0.5) / 100
+             AS cross_effect
+    FROM wide
+    ORDER BY c_mktsegment
+    """,
+)
+def revenue_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period revenue bridge per segment: volume, per-order
+    value, and cross effects (cent-quantized, additive to the delta up to
+    the three rounding cents)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    day = F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+    days = o.select("o_custkey", "o_totalprice", day.alias("day"))
+    cut = days.agg(
+        F.expr("cast((min(day) + max(day)) div 2 as bigint)").alias("mid")
+    )
+    seg = (
+        days.crossJoin(F.broadcast(cut))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_mktsegment",
+            F.when(F.col("day") < F.col("mid"), "p1").otherwise("p2").alias("period"),
+            "o_totalprice",
+        )
+    )
+    agg = seg.groupBy("c_mktsegment", "period").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("rev"),
+    )
+    pick = lambda p, col: F.max(F.when(F.col("period") == p, F.col(col)))  # noqa: E731
+    wide = agg.groupBy("c_mktsegment").agg(
+        pick("p1", "n").alias("n1"),
+        pick("p2", "n").alias("n2"),
+        pick("p1", "rev").alias("r1"),
+        pick("p2", "rev").alias("r2"),
+    )
+    q2 = lambda col: F.floor(col * 100 + F.lit(0.5)) / 100  # noqa: E731
+    v1 = F.col("r1") / F.col("n1")
+    v2 = F.col("r2") / F.col("n2")
+    vol = (F.col("n2") - F.col("n1")) * v1
+    val = F.col("n1") * (v2 - v1)
+    return wide.select(
+        "c_mktsegment",
+        F.col("n1").cast("long").alias("n_orders_p1"),
+        F.col("n2").cast("long").alias("n_orders_p2"),
+        q2(F.col("r2") - F.col("r1")).alias("revenue_delta"),
+        q2(vol).alias("volume_effect"),
+        q2(val).alias("value_effect"),
+        q2((F.col("r2") - F.col("r1")) - vol - val).alias("cross_effect"),
+    ).orderBy("c_mktsegment")

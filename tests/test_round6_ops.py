@@ -886,3 +886,27 @@ def test_temporal_dim_join_exactly_one_version(spark):
     rows = fact_temporal_dim_join(spark, "/root/testdata/sf0.001").collect()
     assert rows
     assert all(r["max_versions_matched"] == 1 for r in rows)
+
+
+def test_mix_shift_bridge_is_additive(spark):
+    """volume + value + cross effects reconstruct the revenue delta to
+    within the rounding cents."""
+    from fpl_data_pipeline_spark.plans.advanced_relational import revenue_mix_shift
+
+    for r in revenue_mix_shift(spark, "/root/testdata/sf0.001").collect():
+        recon = r["volume_effect"] + r["value_effect"] + r["cross_effect"]
+        assert abs(recon - r["revenue_delta"]) <= 0.03
+
+
+def test_negative_samples_never_positive(spark):
+    """No kept negative is an owned item (the rejection contract), and
+    each user drew exactly NEG_PER_USER candidates."""
+    from fpl_data_pipeline_spark.operators.sampling import (
+        NEG_PER_USER,
+        cf_negative_samples,
+    )
+
+    r = cf_negative_samples(spark, "/root/testdata/sf0.001").first()
+    assert r["n_drawn"] == r["n_users"] * NEG_PER_USER
+    assert 0 <= r["accidental_positive_rate"] < 1
+    assert r["n_kept"] == round(r["n_drawn"] * (1 - r["accidental_positive_rate"]))
