@@ -133,3 +133,84 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- encoding advisor: RLE run counts under candidate sort orders ------------
+# Parquet's RLE/dictionary encodings compress in proportion to how few
+# value RUNS a column has within each file — which the WRITE-TIME SORT
+# ORDER controls. This advisor measures, for candidate layouts, the run
+# count of each column (a run boundary = value != previous value in layout
+# order): the direct proxy for encoded size that lets a table owner pick
+# the sort key before rewriting terabytes (the zorder_layout_stats
+# companion: that one measures read-side skipping, this one write-side
+# compression). Runs are counted with one lag() window per layout — the
+# window orders by the layout's sort key, tie-broken to a total order so
+# both engines count identical boundaries.
+@register(
+    "layout_rle_advisor",
+    """
+    WITH nat_flags AS (
+      SELECT CASE WHEN o_orderstatus <> LAG(o_orderstatus) OVER w
+                   OR LAG(o_orderstatus) OVER w IS NULL THEN 1 ELSE 0 END AS sb,
+             CASE WHEN o_orderpriority <> LAG(o_orderpriority) OVER w
+                   OR LAG(o_orderpriority) OVER w IS NULL THEN 1 ELSE 0 END AS pb
+      FROM orders WINDOW w AS (ORDER BY o_orderkey)
+    ),
+    srt_flags AS (
+      SELECT CASE WHEN o_orderstatus <> LAG(o_orderstatus) OVER w
+                   OR LAG(o_orderstatus) OVER w IS NULL THEN 1 ELSE 0 END AS sb,
+             CASE WHEN o_orderpriority <> LAG(o_orderpriority) OVER w
+                   OR LAG(o_orderpriority) OVER w IS NULL THEN 1 ELSE 0 END AS pb
+      FROM orders
+      WINDOW w AS (ORDER BY o_orderstatus, o_orderpriority, o_orderkey)
+    ),
+    natural_runs AS (
+      SELECT 'natural(orderkey)' AS layout,
+             SUM(sb) AS status_runs, SUM(pb) AS priority_runs
+      FROM nat_flags
+    ),
+    sorted_runs AS (
+      SELECT 'sorted(status, priority)' AS layout,
+             SUM(sb) AS status_runs, SUM(pb) AS priority_runs
+      FROM srt_flags
+    )
+    SELECT layout, CAST(status_runs AS BIGINT) AS status_runs,
+           CAST(priority_runs AS BIGINT) AS priority_runs
+    FROM natural_runs
+    UNION ALL
+    SELECT layout, CAST(status_runs AS BIGINT), CAST(priority_runs AS BIGINT)
+    FROM sorted_runs
+    ORDER BY layout
+    """,
+)
+def layout_rle_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run counts of the low-cardinality order columns under the natural
+    vs status-sorted layout — the write-side compression advisor (sorted
+    layout collapses status to ~3 runs and priority to ~15).
+
+    Scale note: the exact global run count needs a total-order window; at
+    fact-table scale run the advisor per FILE (runs are per-file in
+    parquet anyway — partition by input_file_name) or on a hash sample,
+    both of which keep the window partitioned."""
+    o = table(spark, sf_dir, "orders")
+
+    def runs(layout_name: str, order_cols: list) -> DataFrame:
+        w = Window.orderBy(*order_cols)
+        boundary = lambda c: (  # noqa: E731
+            (F.col(c) != F.lag(c).over(w)) | F.lag(c).over(w).isNull()
+        ).cast("long")
+        return o.select(
+            boundary("o_orderstatus").alias("sb"),
+            boundary("o_orderpriority").alias("pb"),
+        ).agg(
+            F.lit(layout_name).alias("layout"),
+            F.sum("sb").alias("status_runs"),
+            F.sum("pb").alias("priority_runs"),
+        ).select("layout", "status_runs", "priority_runs")
+
+    nat = runs("natural(orderkey)", [F.col("o_orderkey")])
+    srt = runs(
+        "sorted(status, priority)",
+        [F.col("o_orderstatus"), F.col("o_orderpriority"), F.col("o_orderkey")],
+    )
+    return nat.unionAll(srt).orderBy("layout")

@@ -910,3 +910,17 @@ def test_negative_samples_never_positive(spark):
     assert r["n_drawn"] == r["n_users"] * NEG_PER_USER
     assert 0 <= r["accidental_positive_rate"] < 1
     assert r["n_kept"] == round(r["n_drawn"] * (1 - r["accidental_positive_rate"]))
+
+
+def test_rle_advisor_sorted_layout_collapses_runs(spark):
+    """The sorted layout's status runs equal the distinct status count (the
+    theoretical minimum) and are far below the natural layout's."""
+    import pyspark.sql.functions as F
+    from fpl_data_pipeline_spark.sources.compaction import layout_rle_advisor
+    from fpl_data_pipeline_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["layout"]: r for r in layout_rle_advisor(spark, sf).collect()}
+    n_status = table(spark, sf, "orders").select("o_orderstatus").distinct().count()
+    assert rows["sorted(status, priority)"]["status_runs"] == n_status
+    assert rows["natural(orderkey)"]["status_runs"] > 10 * n_status
