@@ -280,3 +280,109 @@ def dupgraph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("clustering_coeff"),
     )
+
+
+# --- k-core peeling (bounded rounds) ----------------------------------------
+# The dedup planner's cluster-shape question, sharpened: the 2-CORE of the
+# near-dup graph (maximal subgraph where every node keeps degree >= 2)
+# separates robust duplicate communities from fragile chain/pendant
+# attachments that transitive-closure dedup should NOT merge through.
+# Peeling is iterative (remove degree<k nodes, recompute, repeat); rounds
+# are BOUNDED here (3) so the oracle can unroll them as CTEs — each round
+# is one degree agg + one semi-join on the retained node set, the same
+# one-shuffle-per-iteration shape as pagerank. Peeling monotonically
+# shrinks, so round counts also certify convergence (round 3 == round 2
+# means the fixpoint was reached).
+KCORE_K = 2
+KCORE_ROUNDS = 3
+
+
+def _peel_sql(prev_edges: str, out: str) -> str:
+    return f"""
+    deg_{out} AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT doc_id_a AS v FROM {prev_edges}
+        UNION ALL SELECT doc_id_b AS v FROM {prev_edges}
+      ) GROUP BY v
+    ),
+    keep_{out} AS (SELECT v FROM deg_{out} WHERE d >= {KCORE_K}),
+    {out} AS (
+      SELECT e.doc_id_a, e.doc_id_b FROM {prev_edges} e
+      JOIN keep_{out} ka ON ka.v = e.doc_id_a
+      JOIN keep_{out} kb ON kb.v = e.doc_id_b
+    )"""
+
+
+@register(
+    "dupgraph_kcore_peel",
+    _EDGES_SQL
+    + f""",
+    e0 AS (SELECT doc_id_a, doc_id_b FROM ed),
+    {_peel_sql('e0', 'e1')},
+    {_peel_sql('e1', 'e2')},
+    {_peel_sql('e2', 'e3')},
+    rounds AS (
+      SELECT 0 AS round,
+             (SELECT COUNT(*) FROM (
+                SELECT DISTINCT v FROM (SELECT doc_id_a AS v FROM e0
+                                        UNION ALL SELECT doc_id_b FROM e0)))
+               AS n_nodes,
+             (SELECT COUNT(*) FROM e0) AS n_edges
+      UNION ALL SELECT 1, (SELECT COUNT(*) FROM keep_e1 k
+                            WHERE EXISTS (SELECT 1 FROM e1
+                                          WHERE doc_id_a = k.v OR doc_id_b = k.v)),
+                (SELECT COUNT(*) FROM e1)
+      UNION ALL SELECT 2, (SELECT COUNT(*) FROM keep_e2 k
+                            WHERE EXISTS (SELECT 1 FROM e2
+                                          WHERE doc_id_a = k.v OR doc_id_b = k.v)),
+                (SELECT COUNT(*) FROM e2)
+      UNION ALL SELECT 3, (SELECT COUNT(*) FROM keep_e3 k
+                            WHERE EXISTS (SELECT 1 FROM e3
+                                          WHERE doc_id_a = k.v OR doc_id_b = k.v)),
+                (SELECT COUNT(*) FROM e3)
+    )
+    SELECT CAST(round AS BIGINT) AS round,
+           CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges
+    FROM rounds ORDER BY round
+    """,
+)
+def dupgraph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three peel rounds toward the 2-core of the near-dup graph: nodes
+    and edges surviving each round (node counts are nodes with >= 1
+    incident edge after the peel — isolated survivors drop out, matching
+    the edge-derived universe)."""
+    d = table(spark, sf_dir, "documents")
+    edges = _dup_edges(d).localCheckpoint()
+
+    def node_edge_counts(e: DataFrame) -> tuple:
+        nodes = (
+            e.select(F.col("doc_id_a").alias("v"))
+            .unionAll(e.select(F.col("doc_id_b").alias("v")))
+            .distinct()
+            .count()
+        )
+        return nodes, e.count()
+
+    rows = []
+    cur = edges
+    n, m = node_edge_counts(cur)
+    rows.append((0, n, m))
+    for rnd in range(1, KCORE_ROUNDS + 1):
+        deg = (
+            cur.select(F.col("doc_id_a").alias("v"))
+            .unionAll(cur.select(F.col("doc_id_b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= KCORE_K).select("v").localCheckpoint()
+        cur = (
+            cur.join(keep.withColumnRenamed("v", "doc_id_a"), "doc_id_a", "left_semi")
+            .join(keep.withColumnRenamed("v", "doc_id_b"), "doc_id_b", "left_semi")
+            .localCheckpoint()
+        )
+        n, m = node_edge_counts(cur)
+        rows.append((rnd, n, m))
+    return spark.createDataFrame(rows, "round long, n_nodes long, n_edges long").orderBy(
+        "round"
+    )

@@ -924,3 +924,34 @@ def test_rle_advisor_sorted_layout_collapses_runs(spark):
     n_status = table(spark, sf, "orders").select("o_orderstatus").distinct().count()
     assert rows["sorted(status, priority)"]["status_runs"] == n_status
     assert rows["natural(orderkey)"]["status_runs"] > 10 * n_status
+
+
+def test_kcore_peel_monotone_and_converged(spark):
+    """Peeling never grows the graph; a planted triangle+pendant graph
+    keeps exactly the triangle in its 2-core."""
+    import pyspark.sql.functions as F
+    from fpl_data_pipeline_spark.operators.graph import KCORE_K
+    from fpl_data_pipeline_spark.operators.graph import dupgraph_kcore_peel
+
+    rows = dupgraph_kcore_peel(spark, "/root/testdata/sf0.001").collect()
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_edges"] <= a["n_edges"] and b["n_nodes"] <= a["n_nodes"]
+
+    # planted: triangle 1-2-3 plus pendant 3-4 -> 2-core = the triangle
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "doc_id_a long, doc_id_b long"
+    )
+    cur = e
+    for _ in range(3):
+        deg = (
+            cur.select(F.col("doc_id_a").alias("v"))
+            .unionAll(cur.select(F.col("doc_id_b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= KCORE_K).select("v")
+        cur = cur.join(
+            keep.withColumnRenamed("v", "doc_id_a"), "doc_id_a", "left_semi"
+        ).join(keep.withColumnRenamed("v", "doc_id_b"), "doc_id_b", "left_semi")
+    left = sorted((r["doc_id_a"], r["doc_id_b"]) for r in cur.collect())
+    assert left == [(1, 2), (1, 3), (2, 3)]
