@@ -273,3 +273,70 @@ def test_prefix_filter_candidates_complete(docs):
     }
     cand = {(r.da, r.db) for r in prefix_candidate_pairs(d).collect()}
     assert truth <= cand
+
+
+# --- IVM delta algebra: maintain == recompute under arbitrary deltas --------
+zset_rows = st.lists(
+    st.tuples(
+        st.integers(0, 4),            # group key
+        st.integers(0, 999),          # 2-decimal cents measure
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(base=zset_rows, ins=zset_rows)
+def test_ivm_maintain_equals_recompute_random(base, ins):
+    """For random base sets and random insert deltas plus a retraction of
+    every 3rd base row, the maintained view equals the from-scratch
+    recompute exactly (the Z-set linearity law behind ivm_delta_view)."""
+    from fpl_data_pipeline_spark.operators.ivm import (
+        finalize_view,
+        merge_view_delta,
+        zset_agg_view,
+    )
+
+    def mk(rows, w):
+        if not rows:
+            return SPARK.createDataFrame(
+                [], "k long, cents long, w int"
+            )
+        return SPARK.createDataFrame(
+            [(k, c, w) for k, c in rows], "k long, cents long, w int"
+        )
+
+    base_df = mk(base, 1).withColumn("m", F.col("cents") / 100.0)
+    ins_df = mk(ins, 1).withColumn("m", F.col("cents") / 100.0)
+    dels = base[::3]
+    dels_df = mk(dels, -1).withColumn("m", F.col("cents") / 100.0)
+    delta = ins_df.unionByName(dels_df)
+
+    keys, sums = ["k"], {"s": "m"}
+    maintained = finalize_view(
+        merge_view_delta(
+            zset_agg_view(base_df, keys, "w", sums),
+            zset_agg_view(delta, keys, "w", sums),
+            keys,
+            ["s"],
+        ),
+        keys,
+        ["s"],
+    )
+    # net multiset: base minus one copy of each retracted row plus inserts
+    from collections import Counter
+
+    net = Counter(base)
+    for r in dels:
+        net[r] -= 1
+    net += Counter(ins)
+    net_rows = [t for t, n in net.items() for _ in range(n)]
+    recomputed = finalize_view(
+        zset_agg_view(mk(net_rows, 1).withColumn("m", F.col("cents") / 100.0), keys, "w", sums),
+        keys,
+        ["s"],
+    )
+    got = sorted(tuple(r) for r in maintained.collect())
+    want = sorted(tuple(r) for r in recomputed.collect())
+    assert got == want
