@@ -1599,3 +1599,140 @@ def events_pattern_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_matches"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# --- sliding-window distinct users via mergeable KMV partials ----------------
+# "Distinct users in the last 6 hours, every hour" at 100 TB cannot
+# re-scan 6 hours of events per window; the production answer is sketch
+# PARTIALS: each hour materializes a bottom-k KMV sketch of its user ids
+# (k smallest 48-bit hashes — plans/aggregates.py's kmv_distinct_union
+# proved the sketch), and every window MERGES the 6 hourly sketches
+# (union -> distinct -> k smallest: associative, order-free) instead of
+# touching events again. Window cost: 6 arrays of <= k hashes per row.
+# The query reports exact vs estimated distinct per window (exact side
+# re-scans — affordable here, impossible at scale; the estimate column is
+# the production path) with the realized relative error.
+SLIDE_KMV_K = 64
+SLIDE_WIN_HOURS = 6
+
+
+@register(
+    "events_sliding_distinct_kmv",
+    f"""
+    WITH hashed AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) AS hv
+      FROM events
+    ),
+    hourly AS (
+      SELECT h,
+             list_slice(list_sort(list_distinct(list(hv))), 1, {SLIDE_KMV_K})
+               AS sk
+      FROM hashed GROUP BY h
+    ),
+    windows AS (
+      SELECT h,
+             flatten(list(sk) OVER (ORDER BY h
+                                    RANGE BETWEEN {SLIDE_WIN_HOURS - 1} PRECEDING
+                                    AND CURRENT ROW)) AS merged
+      FROM hourly
+    ),
+    sketched AS (
+      SELECT h,
+             list_slice(list_sort(list_distinct(merged)), 1, {SLIDE_KMV_K})
+               AS sk
+      FROM windows
+    ),
+    est AS (
+      SELECT h,
+             CASE WHEN len(sk) < {SLIDE_KMV_K}
+                  THEN CAST(len(sk) AS DOUBLE)
+                  ELSE FLOOR(({SLIDE_KMV_K} - 1) * 281474976710656.0
+                             / sk[{SLIDE_KMV_K}] * 1000000 + 0.5) / 1000000
+             END AS est_distinct
+      FROM sketched
+    ),
+    exact AS (
+      SELECT w.h, COUNT(DISTINCT e.user_id) AS exact_distinct
+      FROM (SELECT DISTINCT h FROM hourly) w
+      JOIN hashed e ON e.h BETWEEN w.h - {SLIDE_WIN_HOURS - 1} AND w.h
+      GROUP BY w.h
+    )
+    SELECT CAST(to_timestamp(e.h * 3600) AS TIMESTAMP) AS window_end_hour,
+           CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+           e.est_distinct,
+           FLOOR(abs(e.est_distinct - x.exact_distinct)
+                 / x.exact_distinct * 1000000 + 0.5) / 1000000 AS rel_error
+    FROM est e JOIN exact x ON x.h = e.h
+    ORDER BY window_end_hour
+    """,
+)
+def events_sliding_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 6-hour distinct-user estimates from merged hourly bottom-k
+    KMV partials vs the exact re-scan, with realized relative error —
+    the mergeable-sketch windowed rollup."""
+    e = table(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    hashed = e.select(
+        F.expr("unix_micros(ts) div 3600000000").alias("h"),
+        "user_id",
+        hv.alias("hv"),
+    )
+    hourly = hashed.groupBy("h").agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.collect_list("hv"))), 1, SLIDE_KMV_K
+        ).alias("sk")
+    )
+    w = Window.orderBy("h").rangeBetween(-(SLIDE_WIN_HOURS - 1), 0)
+    windows = hourly.select(
+        "h", F.flatten(F.collect_list("sk").over(w)).alias("merged")
+    )
+    sketched = windows.select(
+        "h",
+        F.slice(F.array_sort(F.array_distinct("merged")), 1, SLIDE_KMV_K).alias("sk"),
+    )
+    est = sketched.select(
+        "h",
+        F.when(
+            F.size("sk") < SLIDE_KMV_K, F.size("sk").cast("double")
+        ).otherwise(
+            F.floor(
+                F.lit(float(SLIDE_KMV_K - 1))
+                * F.lit(281474976710656.0)
+                / F.element_at("sk", SLIDE_KMV_K)
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("est_distinct"),
+    )
+    win_hours = hourly.select("h")
+    exact = (
+        win_hours.alias("w")
+        .join(
+            hashed.alias("e"),
+            (F.col("e.h") >= F.col("w.h") - (SLIDE_WIN_HOURS - 1))
+            & (F.col("e.h") <= F.col("w.h")),
+        )
+        .groupBy(F.col("w.h").alias("h"))
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return (
+        est.join(exact, "h")
+        .select(
+            F.expr("cast(to_timestamp(h * 3600) as timestamp)").alias(
+                "window_end_hour"
+            ),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            "est_distinct",
+            q6(
+                F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+            ).alias("rel_error"),
+        )
+        .orderBy("window_end_hour")
+    )

@@ -955,3 +955,22 @@ def test_kcore_peel_monotone_and_converged(spark):
         ).join(keep.withColumnRenamed("v", "doc_id_b"), "doc_id_b", "left_semi")
     left = sorted((r["doc_id_a"], r["doc_id_b"]) for r in cur.collect())
     assert left == [(1, 2), (1, 3), (2, 3)]
+
+
+def test_sliding_kmv_error_bounded(spark):
+    """Sketch estimates track the exact counts within the KMV error
+    envelope (~4/sqrt(k) with slack), and windows below k distinct are
+    EXACT (the small-regime guarantee)."""
+    from fpl_data_pipeline_spark.streaming.event_queries import (
+        SLIDE_KMV_K,
+        events_sliding_distinct_kmv,
+    )
+
+    rows = events_sliding_distinct_kmv(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    bound = 4.0 / (SLIDE_KMV_K ** 0.5)
+    for r in rows:
+        if r["exact_distinct"] < SLIDE_KMV_K:
+            assert r["est_distinct"] == r["exact_distinct"]
+        else:
+            assert r["rel_error"] <= bound, (r["window_end_hour"], r["rel_error"])
