@@ -739,3 +739,101 @@ def ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rows_at_risk"),
         F.min("n_sens").cast("long").alias("min_diversity"),
     )
+
+
+# --- user-level DP: bounded-contribution counts ------------------------------
+# dp_noisy_segment_counts noises ROW counts (sensitivity 1 assumes each
+# user contributes one row). Event streams violate that: one hyperactive
+# user contributes thousands of rows, so USER-LEVEL privacy requires
+# CONTRIBUTION BOUNDING first — keep at most C rows per (user, partition)
+# (the core primitive of DP-SQL / PINQ restricted sensitivity): then the
+# per-partition count has user-sensitivity C and Laplace(C/eps) noise
+# gives user-level epsilon-DP. The bounding itself is one window rank per
+# (user, partition) — and the DETERMINISTIC row selection (order by
+# event_id) makes the release reproducible. Reported: raw vs bounded vs
+# noised counts per event type, so the clipping bias and the noise scale
+# are both visible to the analyst.
+DP_USER_CAP = 3  # C: max rows one user contributes per partition
+DP_USER_EPS = 1.0
+
+
+@register(
+    "dp_user_bounded_counts",
+    f"""
+    WITH ranked AS (
+      SELECT event_type, user_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    bounded AS (
+      SELECT event_type, COUNT(*) AS bounded_count
+      FROM ranked WHERE rn <= {DP_USER_CAP}
+      GROUP BY event_type
+    ),
+    raw AS (
+      SELECT event_type, COUNT(*) AS raw_count FROM events GROUP BY event_type
+    ),
+    noised AS (
+      SELECT b.event_type, r.raw_count, b.bounded_count,
+             (CAST(('0x' || substr(md5('dp-user:' || b.event_type), 1, 12))
+                   AS BIGINT) + 0.5) / 281474976710656.0 AS u
+      FROM bounded b JOIN raw r ON r.event_type = b.event_type
+    )
+    SELECT event_type,
+           CAST(raw_count AS BIGINT) AS raw_count,
+           CAST(bounded_count AS BIGINT) AS bounded_count,
+           FLOOR((bounded_count
+                  - ({DP_USER_CAP} / {DP_USER_EPS})
+                    * (CASE WHEN u < 0.5 THEN -1.0 ELSE 1.0 END)
+                    * FLOOR(ln(1 - 2 * abs(u - 0.5)) * 1000000000 + 0.5)
+                      / 1000000000)
+                 * 1000000 + 0.5) / 1000000 AS released_count
+    FROM noised
+    ORDER BY event_type
+    """,
+)
+def dp_user_bounded_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-level DP release of per-event-type counts: deterministic
+    contribution bounding (<= C rows per user per type), then
+    Laplace(C/eps) noise from the reproducible hash draw. Raw and bounded
+    columns stay for the mechanism audit; a real release ships
+    released_count only."""
+    e = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    bounded = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= DP_USER_CAP)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("bounded_count"))
+    )
+    raw = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("raw_count"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dp-user:"), F.col("event_type"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(281474976710656.0)
+    sign = F.when(u < 0.5, F.lit(-1.0)).otherwise(F.lit(1.0))
+    ln9 = (
+        F.floor(F.log(F.lit(1) - 2 * F.abs(u - F.lit(0.5))) * 1000000000 + F.lit(0.5))
+        / 1000000000
+    )
+    noise = -F.lit(DP_USER_CAP / DP_USER_EPS) * sign * ln9
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return (
+        bounded.join(raw, "event_type")
+        .select(
+            "event_type",
+            F.col("raw_count").cast("long").alias("raw_count"),
+            F.col("bounded_count").cast("long").alias("bounded_count"),
+            q6(F.col("bounded_count") + noise).alias("released_count"),
+        )
+        .orderBy("event_type")
+    )

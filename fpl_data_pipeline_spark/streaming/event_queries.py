@@ -1736,3 +1736,119 @@ def events_sliding_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_end_hour")
     )
+
+
+# --- difference-in-differences readout --------------------------------------
+# When a feature ships to a hash-selected arm mid-period (no clean A/B
+# from day one), the causal estimate is diff-in-differences: the
+# treatment arm's pre->post change minus the control arm's — the control
+# differencing removes the shared time trend the naive pre/post
+# comparison confounds. Grid: arm x period mean per-user purchase
+# revenue (exact integer-cent moments, same conventions as
+# events_ab_readout); the DiD point estimate is the double difference,
+# 6-dp-quantized. The parallel-trends assumption is the analyst's to
+# check (events_cusum_changepoints is the companion diagnostic).
+@register(
+    "events_diff_in_diff",
+    """
+    WITH bounds AS (
+      SELECT CAST((MIN(epoch_us(ts) // 86400000000)
+                   + MAX(epoch_us(ts) // 86400000000)) // 2 AS BIGINT) AS mid
+      FROM events
+    ),
+    cells AS (
+      SELECT user_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'
+                  THEN 'treat' ELSE 'control' END AS arm,
+             CASE WHEN epoch_us(ts) // 86400000000 < (SELECT mid FROM bounds)
+                  THEN 'pre' ELSE 'post' END AS period,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS DECIMAL(38,0)) AS cents
+      FROM events
+      GROUP BY user_id, arm, period
+    ),
+    grid AS (
+      SELECT arm, period,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100 AS mean_revenue
+      FROM cells GROUP BY arm, period
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN arm = 'treat' AND period = 'pre' THEN mean_revenue END) AS tp,
+        MAX(CASE WHEN arm = 'treat' AND period = 'post' THEN mean_revenue END) AS tq,
+        MAX(CASE WHEN arm = 'control' AND period = 'pre' THEN mean_revenue END) AS cp,
+        MAX(CASE WHEN arm = 'control' AND period = 'post' THEN mean_revenue END) AS cq
+      FROM grid
+    )
+    SELECT arm, period, n_users,
+           FLOOR(mean_revenue * 1000000 + 0.5) / 1000000 AS mean_revenue,
+           (SELECT FLOOR(((tq - tp) - (cq - cp)) * 1000000 + 0.5) / 1000000
+            FROM wide) AS did_estimate
+    FROM grid
+    ORDER BY arm, period
+    """,
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arm x period mean per-user purchase revenue plus the
+    diff-in-differences point estimate (the same value repeated on each
+    grid row for the single-relation output contract)."""
+    e = table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    bounds = e.agg(
+        F.expr(
+            "cast((min(unix_micros(ts) div 86400000000)"
+            " + max(unix_micros(ts) div 86400000000)) div 2 as bigint)"
+        ).alias("mid")
+    )
+    cents = F.sum(
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+        ).otherwise(F.lit(0))
+    ).cast("decimal(38,0)")
+    cells = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "user_id",
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 2) < "80",
+                "treat",
+            ).otherwise("control").alias("arm"),
+            F.when(day < F.col("mid"), "pre").otherwise("post").alias("period"),
+        )
+        .agg(cents.alias("cents"))
+    )
+    grid = cells.groupBy("arm", "period").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        (F.sum("cents").cast("double") / F.count(F.lit(1)) / 100).alias(
+            "mean_revenue"
+        ),
+    )
+    pick = lambda a, p: F.max(  # noqa: E731
+        F.when((F.col("arm") == a) & (F.col("period") == p), F.col("mean_revenue"))
+    )
+    wide = grid.agg(
+        pick("treat", "pre").alias("tp"),
+        pick("treat", "post").alias("tq"),
+        pick("control", "pre").alias("cp"),
+        pick("control", "post").alias("cq"),
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    did = wide.select(
+        q6((F.col("tq") - F.col("tp")) - (F.col("cq") - F.col("cp"))).alias(
+            "did_estimate"
+        )
+    )
+    return (
+        grid.crossJoin(F.broadcast(did))
+        .select(
+            "arm",
+            "period",
+            F.col("n_users").cast("long").alias("n_users"),
+            q6(F.col("mean_revenue")).alias("mean_revenue"),
+            "did_estimate",
+        )
+        .orderBy("arm", "period")
+    )

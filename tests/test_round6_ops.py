@@ -974,3 +974,44 @@ def test_sliding_kmv_error_bounded(spark):
             assert r["est_distinct"] == r["exact_distinct"]
         else:
             assert r["rel_error"] <= bound, (r["window_end_hour"], r["rel_error"])
+
+
+def test_dp_user_bounding_caps_contributions(spark):
+    """bounded <= raw always; bounded < raw wherever any user exceeded the
+    cap; with cap = infinity the two coincide."""
+    import pyspark.sql.functions as F
+    from fpl_data_pipeline_spark.functions.quality import (
+        DP_USER_CAP,
+        dp_user_bounded_counts,
+    )
+    from fpl_data_pipeline_spark.tables import table
+
+    sf = "/root/testdata/sf0.01"
+    rows = dp_user_bounded_counts(spark, sf).collect()
+    e = table(spark, sf, "events")
+    over = (
+        e.groupBy("event_type", "user_id")
+        .count()
+        .filter(F.col("count") > DP_USER_CAP)
+        .select("event_type")
+        .distinct()
+    )
+    over_types = {r["event_type"] for r in over.collect()}
+    for r in rows:
+        assert r["bounded_count"] <= r["raw_count"]
+        if r["event_type"] in over_types:
+            assert r["bounded_count"] < r["raw_count"]
+
+
+def test_did_double_difference_arithmetic(spark):
+    """The reported DiD equals the hand-computed double difference of the
+    grid means."""
+    from fpl_data_pipeline_spark.streaming.event_queries import events_diff_in_diff
+
+    rows = events_diff_in_diff(spark, "/root/testdata/sf0.001").collect()
+    g = {(r["arm"], r["period"]): r["mean_revenue"] for r in rows}
+    did = rows[0]["did_estimate"]
+    hand = (g[("treat", "post")] - g[("treat", "pre")]) - (
+        g[("control", "post")] - g[("control", "pre")]
+    )
+    assert abs(did - hand) < 5e-6
