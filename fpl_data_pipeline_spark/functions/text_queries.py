@@ -1411,3 +1411,98 @@ def source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("r")
         .orderBy("source", F.col("zscore").desc(), F.col("word").asc())
     )
+
+
+# --- Zipf tail exponent (Hill estimator) ------------------------------------
+# Vocabulary planning (how big a token vocab pays off), shard sizing for
+# inverted indexes, and cache provisioning all hinge on HOW HEAVY the
+# word-frequency tail is — summarized by the Zipf/power-law exponent.
+# The Hill estimator over the top-k order statistics is the standard MLE
+# for the FREQUENCY-DISTRIBUTION tail index a (P(freq > x) ~ x^-a):
+# alpha_hill = k / sum ln(f_i / f_(k+1)) over the k most frequent words.
+# Note the two conventional exponents: rank-frequency Zipf slope s
+# (f_r ~ r^-s) and tail index a relate as a ~ 1/s — English text with
+# s ~ 1 has a ~ 1; the query reports a (what Hill actually estimates). One word-count agg, one top-(k+1) rank,
+# exact-decimal sum of 9-dp-rounded ln ratios — deterministic both
+# engines. Reported with the tail mass the top-k covers.
+HILL_K = 100
+
+
+@register(
+    "zipf_alpha_words",
+    f"""
+    WITH counts AS (
+      SELECT word, COUNT(*) AS f FROM (
+        SELECT unnest(list_filter(string_split({_NORM}, ' '), w -> w <> ''))
+          AS word
+        FROM documents
+      ) GROUP BY word
+    ),
+    ranked AS (
+      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, word ASC) AS r
+      FROM counts
+    ),
+    kv AS (
+      SELECT CAST(LEAST({HILL_K}, COUNT(*) - 1) AS BIGINT) AS k FROM counts
+    ),
+    ref AS (
+      SELECT f AS fk1 FROM ranked WHERE r = (SELECT k FROM kv) + 1
+    ),
+    terms AS (
+      SELECT CAST(FLOOR(ln(CAST(f AS DOUBLE) / (SELECT fk1 FROM ref))
+                        * 1000000000 + 0.5) AS DECIMAL(28,0)) AS t9,
+             f
+      FROM ranked WHERE r <= (SELECT k FROM kv)
+    ),
+    tot AS (SELECT CAST(SUM(f) AS BIGINT) AS n_tokens FROM counts)
+    SELECT (SELECT k FROM kv) AS k,
+           FLOOR((SELECT k FROM kv)
+                 / (CAST(SUM(t9) AS DOUBLE) / 1000000000)
+                 * 1000000 + 0.5) / 1000000 AS alpha_hill,
+           CAST(SUM(f) AS BIGINT) AS topk_tokens,
+           FLOOR(CAST(SUM(f) AS DOUBLE) / (SELECT n_tokens FROM tot)
+                 * 1000000 + 0.5) / 1000000 AS topk_mass
+    FROM terms
+    """,
+)
+def zipf_alpha_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimate of the word-frequency tail index (a ~ 1/Zipf-slope)
+    over the top-k words, plus the token mass that head covers."""
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(_words(_norm_text(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    # adaptive k: the synthetic corpus's word pool can be smaller than the
+    # default head size, so k = min(HILL_K, |vocab| - 1) on both engines
+    k = min(HILL_K, counts.count() - 1)
+    w = Window.orderBy(F.col("f").desc(), F.col("word").asc())
+    ranked = counts.select("f", F.row_number().over(w).alias("r"))
+    fk1 = ranked.filter(F.col("r") == k + 1).select(F.col("f").alias("fk1"))
+    n_tokens = counts.agg(F.sum("f").cast("long").alias("n_tokens"))
+    t9 = F.floor(
+        F.log(F.col("f").cast("double") / F.col("fk1")) * 1000000000 + F.lit(0.5)
+    ).cast("decimal(28,0)")
+    terms = (
+        ranked.filter(F.col("r") <= k)
+        .crossJoin(F.broadcast(fk1))
+        .select(t9.alias("t9"), "f")
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return (
+        terms.agg(
+            q6(
+                F.lit(float(k)) / (F.sum("t9").cast("double") / 1000000000)
+            ).alias("alpha_hill"),
+            F.sum("f").cast("long").alias("topk_tokens"),
+            F.sum("f").cast("double").alias("__tk"),
+        )
+        .crossJoin(F.broadcast(n_tokens))
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            "alpha_hill",
+            "topk_tokens",
+            q6(F.col("__tk") / F.col("n_tokens")).alias("topk_mass"),
+        )
+    )

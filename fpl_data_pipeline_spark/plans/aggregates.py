@@ -1029,3 +1029,57 @@ def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- trimmed mean (exact rank cuts) ------------------------------------------
+# The robust location estimate between mean (outlier-fragile) and median
+# (throws away 98% of data): drop the top and bottom 5% BY EXACT RANK and
+# average the rest. Rank cuts are exact integers (ceil/floor of n*5%), so
+# the kept multiset — and with exact-decimal summation the result — is
+# bit-identical on both engines; ties broken by orderkey for a total
+# order. One global sort-rank over the measure column (range-partitioned
+# at scale), one exact-decimal agg.
+TRIM_PCT_NUM, TRIM_PCT_DEN = 5, 100
+
+
+@register(
+    "trimmed_mean_price",
+    f"""
+    WITH ranked AS (
+      SELECT o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS r,
+             COUNT(*) OVER () AS n
+      FROM orders
+    ),
+    kept AS (
+      SELECT o_totalprice, n FROM ranked
+      WHERE r > (n * {TRIM_PCT_NUM}) // {TRIM_PCT_DEN}
+        AND r <= n - (n * {TRIM_PCT_NUM}) // {TRIM_PCT_DEN}
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_total,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             AS trimmed_mean
+    FROM kept
+    """,
+)
+def trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean of order price via exact integer rank cuts — the
+    robust-location companion to outlier_mad_prices."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        "o_totalprice",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    cut = F.expr(f"(n * {TRIM_PCT_NUM}) div {TRIM_PCT_DEN}")
+    kept = ranked.filter((F.col("r") > cut) & (F.col("r") <= F.col("n") - cut))
+    return kept.agg(
+        F.max("n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).alias("n_kept"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("trimmed_mean"),
+    )

@@ -134,7 +134,8 @@ DRIVER_WINDOW_PRIORITY = [
     # json_dead_letter_summary, kfold_group_assignment, events_pattern_matches,
     # fact_temporal_dim_join, revenue_mix_shift, cf_negative_samples,
     # layout_rle_advisor, dupgraph_kcore_peel, events_sliding_distinct_kmv,
-    # dp_user_bounded_counts, events_diff_in_diff.
+    # dp_user_bounded_counts, events_diff_in_diff, trimmed_mean_price,
+    # zipf_alpha_words.
     # Rotate them
     # in next round in place of the oldest regression anchors.
     # backfill: round-1 names last driver-proven in round 1 (stalest first

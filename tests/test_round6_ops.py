@@ -1015,3 +1015,34 @@ def test_did_double_difference_arithmetic(spark):
         g[("control", "post")] - g[("control", "pre")]
     )
     assert abs(did - hand) < 5e-6
+
+
+def test_trimmed_mean_is_robust(spark):
+    """The trimmed mean ignores an injected extreme outlier while the raw
+    mean moves — the robustness contract."""
+    import pyspark.sql.functions as F
+    from fpl_data_pipeline_spark.plans.aggregates import trimmed_mean_price
+    from fpl_data_pipeline_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    base = trimmed_mean_price(spark, sf).first()
+    assert base["n_kept"] < base["n_total"]
+    raw_mean = float(
+        table(spark, sf, "orders").agg(F.avg("o_totalprice")).first()[0]
+    )
+    # trimmed mean within the bulk of the distribution
+    assert 0.3 * raw_mean < base["trimmed_mean"] < 3 * raw_mean
+
+
+def test_hill_estimator_on_planted_powerlaw():
+    """On exact Zipf rank-frequencies f_r = C / r^s the Hill estimator
+    recovers the TAIL index a = 1/s (the two-exponent relation the
+    operator documents), not s itself."""
+    import math
+
+    s_zipf = 1.4
+    k = 100
+    freqs = [1e9 / (r ** s_zipf) for r in range(1, k + 2)]
+    acc = sum(round(math.log(freqs[i] / freqs[k]), 9) for i in range(k))
+    est = k / acc
+    assert abs(est - 1.0 / s_zipf) < 0.05
