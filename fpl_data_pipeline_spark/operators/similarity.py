@@ -1712,3 +1712,104 @@ def ann_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+# --- embedding covariance diagnostics (the PCA/whitening precursor) ----------
+# Before PCA/whitening/dimension-pruning decisions, the covariance
+# structure tells you whether dimensions are already decorrelated (ready
+# for per-dim quantization) or redundant (candidates for MRL truncation —
+# emb_matryoshka_recall's input question). Computing a DxD covariance at
+# corpus scale is one pass of outer-product partial sums: explode each
+# vector to (i, j, xi*xj) contributions... for D=64 that is 4096 cells per
+# row — so instead the per-PAIR sums come from joining the flattened
+# (pos, val) relation with itself PER VECTOR (i <= j), a within-row join
+# the optimizer keeps local to the vector. Reported: trace, mean/max
+# |off-diagonal| correlation-scale mass, and effective rank proxy
+# (trace^2 / sum of squared entries — the participation ratio), each from
+# 9-dp-quantized exact-decimal cell sums.
+@register(
+    "emb_covariance_stats",
+    """
+    WITH flat AS (
+      SELECT vec_id, UNNEST(embedding) AS val,
+             UNNEST(range(1, len(embedding) + 1)) AS pos
+      FROM embeddings
+    ),
+    nrows AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    means AS (
+      SELECT pos, CAST(FLOOR(AVG(val) * 1000000 + 0.5) AS BIGINT) / 1000000.0
+               AS mu
+      FROM flat GROUP BY pos
+    ),
+    centered AS (
+      SELECT f.vec_id, f.pos, f.val - m.mu AS c
+      FROM flat f JOIN means m ON m.pos = f.pos
+    ),
+    cells AS (
+      SELECT a.pos AS i, b.pos AS j,
+             CAST(SUM(CAST(FLOOR(a.c * b.c * 1000000000 + 0.5)
+                           AS DECIMAL(28,0))) AS DOUBLE) / 1000000000
+               / (SELECT n FROM nrows) AS cov
+      FROM centered a JOIN centered b
+        ON a.vec_id = b.vec_id AND a.pos <= b.pos
+      GROUP BY a.pos, b.pos
+    )
+    SELECT
+      FLOOR(SUM(CASE WHEN i = j THEN cov ELSE 0 END) * 1000000 + 0.5)
+        / 1000000 AS trace,
+      FLOOR(MAX(CASE WHEN i < j THEN abs(cov) END) * 1000000 + 0.5)
+        / 1000000 AS max_offdiag,
+      FLOOR(SUM(CASE WHEN i = j THEN cov ELSE 0 END)
+            * SUM(CASE WHEN i = j THEN cov ELSE 0 END)
+            / (SUM(CASE WHEN i = j THEN cov * cov
+                        ELSE 2 * cov * cov END))
+            * 1000000 + 0.5) / 1000000 AS participation_ratio
+    FROM cells
+    """,
+)
+def emb_covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance diagnostics of the embedding space: trace (total
+    variance), worst off-diagonal covariance, and the participation ratio
+    (trace^2 / ||C||_F^2 — an effective-rank proxy; D for white spaces,
+    ~1 for collapsed ones)."""
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "val")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "val")
+    means = flat.groupBy("pos").agg(
+        (F.floor(F.avg("val") * 1000000 + F.lit(0.5)).cast("long") / F.lit(1000000.0)).alias("mu")
+    )
+    centered = flat.join(F.broadcast(means), "pos").select(
+        "vec_id", "pos", (F.col("val") - F.col("mu")).alias("c")
+    )
+    a = centered.select("vec_id", F.col("pos").alias("i"), F.col("c").alias("ca"))
+    b = centered.select("vec_id", F.col("pos").alias("j"), F.col("c").alias("cb"))
+    cells = (
+        a.join(b, "vec_id")
+        .filter(F.col("i") <= F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("ca") * F.col("cb") * 1000000000 + F.lit(0.5)
+                    ).cast("decimal(28,0)")
+                ).cast("double")
+                / 1000000000
+                / n
+            ).alias("cov")
+        )
+    )
+    diag = F.when(F.col("i") == F.col("j"), F.col("cov")).otherwise(F.lit(0))
+    sq = F.when(
+        F.col("i") == F.col("j"), F.col("cov") * F.col("cov")
+    ).otherwise(F.lit(2) * F.col("cov") * F.col("cov"))
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return cells.agg(
+        q6(F.sum(diag)).alias("trace"),
+        q6(F.max(F.when(F.col("i") < F.col("j"), F.abs(F.col("cov"))))).alias(
+            "max_offdiag"
+        ),
+        q6(F.sum(diag) * F.sum(diag) / F.sum(sq)).alias("participation_ratio"),
+    )

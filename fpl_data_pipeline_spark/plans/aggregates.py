@@ -1083,3 +1083,75 @@ def trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("trimmed_mean"),
     )
+
+
+# --- order-to-ship cycle time percentiles ------------------------------------
+# The operations metric behind every SLA conversation: days from order to
+# line shipment, profiled per order priority as exact discrete p50/p90
+# (the ordered_set_aggs rank convention — the value AT rank ceil(p*n), no
+# interpolation, engine-identical). One join (lineitem to its order), one
+# per-priority rank window over integer day latencies.
+@register(
+    "order_cycle_time_percentiles",
+    """
+    WITH lat AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(epoch_us(l.l_shipdate) // 86400000000
+                  - epoch_us(o.o_orderdate) // 86400000000 AS BIGINT)
+               AS days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    ranked AS (
+      SELECT priority, days,
+             ROW_NUMBER() OVER (PARTITION BY priority ORDER BY days) AS r,
+             COUNT(*) OVER (PARTITION BY priority) AS n
+      FROM lat
+    )
+    SELECT priority,
+           CAST(MAX(n) AS BIGINT) AS n_lines,
+           CAST(MIN(CASE WHEN r >= CAST(CEIL(n * 0.5) AS BIGINT)
+                         THEN days END) AS BIGINT) AS p50_days,
+           CAST(MIN(CASE WHEN r >= CAST(CEIL(n * 0.9) AS BIGINT)
+                         THEN days END) AS BIGINT) AS p90_days,
+           CAST(MAX(days) AS BIGINT) AS max_days
+    FROM ranked
+    GROUP BY priority
+    ORDER BY priority
+    """,
+)
+def order_cycle_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete p50/p90/max order-to-ship latency in days per order
+    priority — the fulfillment SLA profile."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    days = F.expr(
+        "unix_micros(cast(l_shipdate as timestamp)) div 86400000000"
+        " - unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+    ).cast("long")
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"), days.alias("days")
+    )
+    w = Window.partitionBy("priority").orderBy("days")
+    ranked = lat.select(
+        "priority",
+        "days",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("priority")).alias("n"),
+    )
+    pick = lambda p: F.min(  # noqa: E731
+        F.when(
+            F.col("r") >= F.ceil(F.col("n") * p).cast("long"), F.col("days")
+        )
+    ).cast("long")
+    return (
+        ranked.groupBy("priority")
+        .agg(
+            F.max("n").cast("long").alias("n_lines"),
+            pick(0.5).alias("p50_days"),
+            pick(0.9).alias("p90_days"),
+            F.max("days").cast("long").alias("max_days"),
+        )
+        .orderBy("priority")
+    )

@@ -1046,3 +1046,30 @@ def test_hill_estimator_on_planted_powerlaw():
     acc = sum(round(math.log(freqs[i] / freqs[k]), 9) for i in range(k))
     est = k / acc
     assert abs(est - 1.0 / s_zipf) < 0.05
+
+
+def test_covariance_participation_ratio_bounds(spark):
+    """1 <= participation ratio <= D; trace positive; unit-norm vectors
+    give trace <= 1 + eps (variance can't exceed the norm budget)."""
+    from fpl_data_pipeline_spark.operators.similarity import (
+        DIM,
+        emb_covariance_stats,
+    )
+
+    r = emb_covariance_stats(spark, "/root/testdata/sf0.001").first()
+    assert r["trace"] > 0
+    assert r["trace"] <= 1.0 + 1e-3  # unit-norm embeddings
+    assert 1.0 - 1e-6 <= r["participation_ratio"] <= DIM + 1e-6
+    assert r["max_offdiag"] >= 0
+
+
+def test_cycle_time_percentiles_ordered(spark):
+    """p50 <= p90 <= max per priority; ship never precedes order."""
+    from fpl_data_pipeline_spark.plans.aggregates import (
+        order_cycle_time_percentiles,
+    )
+
+    rows = order_cycle_time_percentiles(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["p50_days"] <= r["p90_days"] <= r["max_days"]
