@@ -1,0 +1,439 @@
+"""Cluster-scale primitives that replace single-partition global operations.
+
+Three classic 100 TB trouble spots get scale-safe re-expressions here, plus a
+distributed classifier-evaluation statistic:
+
+- **Global row numbering** (`global_row_number`): the naive
+  ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY collapses the
+  whole relation into ONE task — the canonical Spark scale bug.  The
+  scalable plan is the TeraSort shape: range-partition on the sort key,
+  number rows locally per partition, then add per-partition offsets
+  (a prefix sum over the tiny partition-count relation, broadcast back).
+  One range exchange, no global sort on a single executor.
+- **ROC AUC** (`quality_score_auc`): rank-based AUC also looks like a global
+  sort.  Quantizing the score to fixed precision first bounds the distinct
+  score values (<= 10^4 at 4 dp) regardless of corpus size, so the rank
+  cumulation runs over a bounded aggregate — the corpus itself is touched
+  only by one hash aggregation.  The Mann-Whitney U statistic is kept in
+  exact integer arithmetic (doubled to absorb the tie half-credit) so the
+  result is bit-identical across engines and row orders.
+- **Weighted sampling without replacement** (`sample_weighted_reservoir`):
+  the A-ES / exponential-jumps scheme (Efraimidis & Spirakis 2006) as a pure
+  projection + top-k: key_i = ln(u_i) / w_i with u_i a deterministic
+  md5-derived uniform — the top-k rows by key are exactly a weighted sample
+  without replacement.  No shuffle except the TakeOrdered; reproducible on
+  any engine with md5 (oracle-checkable), stable under repartitioning.
+- **Chi-square term-class association** (`chi2_term_class_assoc`): the
+  feature-selection scan that finds vocabulary most associated with a class
+  label (here: language).  Inverted-index shape — explode distinct doc
+  terms, three hash aggregations for the 2x2 contingency marginals, exact
+  integer cross-products inside the chi^2 formula, top-k readout.
+
+The reference has no distributed surface for any of these (its single Pandas
+process sorts in memory, `includes.py` throughout); these are the shapes the
+same computations must take on a cluster.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from fpl_data_pipeline_spark.registry import register
+from fpl_data_pipeline_spark.tables import table
+
+# --- global row numbering without a single-partition window -----------------
+
+RANGE_PARTS = 32  # number of range partitions for the global numbering
+RN_STRIDE = 997  # emit every 997th row so the readout stays small while the
+# filter's survivors depend on EVERY partition offset being correct
+
+
+@register(
+    "global_row_number",
+    f"""
+    WITH numbered AS (
+      SELECT o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)
+               AS global_rn
+      FROM orders
+    )
+    SELECT o_orderkey, o_totalprice, global_rn
+    FROM numbered
+    WHERE (global_rn - 1) % {RN_STRIDE} = 0
+    ORDER BY global_rn ASC
+    """,
+)
+def global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank every order globally by (o_totalprice DESC, o_orderkey ASC)
+    WITHOUT the single-partition global window.
+
+    Plan: ``repartitionByRange`` on the sort key (non-overlapping, ordered
+    ranges — partition i's keys all sort before partition i+1's), local
+    ``row_number`` within each range partition, then global_rn = local rank +
+    the sum of row counts of all earlier partitions.  The offset relation has
+    one row per partition (32 here, a few thousand on a cluster), so its
+    prefix-sum window and the broadcast join back are both negligible; the
+    corpus pays exactly one range exchange.
+
+    The locally-numbered frame is localCheckpoint()ed before being consumed
+    by both the count branch and the join branch: partition ids must come
+    from the SAME physical exchange in both uses (range-boundary sampling is
+    not guaranteed identical across re-executions; on a cluster this pin is
+    the same checkpoint-or-ReusedExchange discipline any two-pass numbering
+    needs).
+
+    The emitted stride rows make the check sensitive to every offset: a
+    wrong count in any partition shifts all later global_rn values off the
+    stride.  Reference has no ranking surface at all (single-process pandas
+    sorts, includes.py); this is the cluster-correct shape of ROW_NUMBER
+    OVER (ORDER BY ...).
+    """
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    numbered = global_row_numbers(
+        o, [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
+    )
+    return (
+        numbered.select("o_orderkey", "o_totalprice", "global_rn")
+        .filter((F.col("global_rn") - F.lit(1)) % RN_STRIDE == 0)
+        .orderBy(F.col("global_rn").asc())
+    )
+
+
+def global_row_numbers(df: DataFrame, sort_cols, n_parts: int = RANGE_PARTS) -> DataFrame:
+    """Append ``global_rn`` = 1-based rank of each row under ``sort_cols``
+    (a list of Column sort expressions forming a total order) using the
+    range-partition + local-number + offset scheme described above.  The
+    result is layout-independent: any repartitioning of ``df`` yields the
+    same numbering because the range exchange re-sorts on content."""
+    ranged = df.repartitionByRange(n_parts, *sort_cols).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("pid").orderBy(*sort_cols)
+    local = ranged.withColumn("lrn", F.row_number().over(w_local)).localCheckpoint()
+    counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    # prefix sum over <= n_parts rows — the window's single partition holds
+    # the partition-count relation, not the corpus
+    w_off = Window.orderBy(F.col("pid").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .withColumn("global_rn", (F.col("off") + F.col("lrn")).cast("long"))
+        .drop("pid", "lrn", "off")
+    )
+
+
+# --- distributed ROC AUC over a quantized score -----------------------------
+
+_AUC_STOP = "'the','and','of','to','in','is','that','it','for','on'"
+
+
+@register(
+    "quality_score_auc",
+    f"""
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+             floor(
+               CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                    x -> x IN ({_AUC_STOP}))) AS DOUBLE)
+               / NULLIF(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                        x -> x <> '')), 0)
+               * 10000 + 0.5) / 10000 AS score_q
+      FROM documents
+    ),
+    by_score AS (
+      SELECT score_q,
+             CAST(SUM(pos) AS BIGINT) AS p,
+             CAST(SUM(1 - pos) AS BIGINT) AS n
+      FROM scored
+      WHERE score_q IS NOT NULL
+      GROUP BY score_q
+    ),
+    cum AS (
+      SELECT score_q, p, n,
+             COALESCE(SUM(n) OVER (ORDER BY score_q ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS cneg_below
+      FROM by_score
+    )
+    SELECT CAST(SUM(p * (2 * cneg_below + n)) AS DOUBLE)
+             / (2.0 * SUM(p) * SUM(n)) AS auc,
+           CAST(SUM(p) AS BIGINT) AS n_pos,
+           CAST(SUM(n) AS BIGINT) AS n_neg,
+           COUNT(*) AS n_distinct_scores
+    FROM cum
+    """,
+)
+def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the English-stopword-density score as a detector for
+    lang='en' — the evaluation every learned quality/language classifier in
+    a data pipeline needs, computed without a global sort.
+
+    AUC = P(score_pos > score_neg) + 0.5 * P(score_pos = score_neg) is the
+    normalized Mann-Whitney U.  The scalable decomposition: quantize the
+    score to 4 dp (bounding distinct values at 10^4 independent of corpus
+    size), hash-aggregate (pos, neg) counts per distinct score — the only
+    pass over the corpus — then a cumulative window over the BOUNDED
+    aggregate: U = sum_s p_s * (cneg_below(s) + n_s / 2).  Doubling keeps U
+    in exact integers (tie half-credit absorbed), so the final division is
+    one double op on exact operands — order-independent and bit-identical
+    in DuckDB.
+
+    Quantization uses floor(x*1e4+0.5)/1e4, the repo's portable-rounding
+    convention (Spark HALF_UP vs DuckDB HALF_EVEN on doubles differ at the
+    .5 boundary; floor(+0.5) is identical everywhere).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.col("lang") == "en").cast("int").alias("pos"),
+        F.split(F.lower("text"), r"[^a-z]+").alias("w"),
+    )
+    scored = toks.select(
+        "pos",
+        (
+            F.floor(
+                F.expr(f"size(filter(w, x -> x IN ({_AUC_STOP})))").cast("double")
+                / F.nullif(F.expr("size(filter(w, x -> x <> ''))"), F.lit(0))
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("score_q"),
+    )
+    return mann_whitney_auc(scored)
+
+
+def mann_whitney_auc(scored: DataFrame) -> DataFrame:
+    """AUC from a (pos: 0/1, score_q: quantized double) frame via the
+    integer-exact Mann-Whitney decomposition described above.  One hash
+    aggregation over the input; the cumulative window runs over the bounded
+    distinct-score aggregate only."""
+    by_score = scored.filter(F.col("score_q").isNotNull()).groupBy("score_q").agg(
+        F.sum("pos").alias("p"), F.sum(F.lit(1) - F.col("pos")).alias("n")
+    )
+    w_cum = Window.orderBy(F.col("score_q").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = by_score.withColumn(
+        "cneg_below", F.coalesce(F.sum("n").over(w_cum), F.lit(0))
+    )
+    return cum.agg(
+        (
+            F.sum(F.col("p") * (2 * F.col("cneg_below") + F.col("n"))).cast("double")
+            / (F.lit(2.0) * F.sum("p") * F.sum("n"))
+        ).alias("auc"),
+        F.sum("p").alias("n_pos"),
+        F.sum("n").alias("n_neg"),
+        F.count(F.lit(1)).alias("n_distinct_scores"),
+    )
+
+
+# --- weighted sampling without replacement (Efraimidis-Spirakis) ------------
+
+RESERVOIR_K = 20
+
+
+@register(
+    "sample_weighted_reservoir",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             floor(
+               ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   + 1) / 4294967296.0)
+               / n_chars * 1000000000 + 0.5) / 1000000000 AS es_key
+      FROM documents
+    )
+    SELECT doc_id, n_chars, es_key
+    FROM keyed
+    ORDER BY es_key DESC, doc_id ASC
+    LIMIT {RESERVOIR_K}
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample WITHOUT replacement, size k=20, weight = n_chars —
+    the Efraimidis-Spirakis A-ES scheme as a pure projection + top-k.
+
+    Each doc gets key = ln(u) / w with u an md5-derived deterministic
+    uniform in (0, 1]; the k largest keys are distributed exactly as a
+    sequential weighted draw without replacement (ES 2006, via the
+    u^(1/w) formulation — ln(u)/w ranks identically and avoids pow).
+    Heavier docs get keys closer to 0, so they win proportionally more.
+
+    Scale shape: no shuffle at all until the TakeOrderedAndProject — each
+    partition keeps its local top-k, the driver merges k*parts candidate
+    rows.  Deterministic (md5 of doc_id), so the sample is reproducible
+    across engines and stable under repartitioning — same contract as the
+    rest of the sampling suite (operators/sampling.py module docstring).
+    ln() is quantized at 9 dp via the portable floor(+0.5) convention
+    before ranking so a last-ulp libm difference between engines cannot
+    flip the selection order.
+    """
+    d = table(spark, sf_dir, "documents")
+    return weighted_reservoir(d, "doc_id", "n_chars", RESERVOIR_K)
+
+
+def weighted_reservoir(
+    df: DataFrame, id_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """A-ES weighted sample without replacement: top-k rows by the
+    deterministic key ln(md5-uniform(id)) / weight (quantized at 9 dp)."""
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        + 1
+    ) / F.lit(4294967296.0)
+    keyed = df.select(
+        id_col,
+        weight_col,
+        (
+            F.floor(F.log(u) / F.col(weight_col) * 1000000000 + F.lit(0.5))
+            / 1000000000
+        ).alias("es_key"),
+    )
+    return keyed.orderBy(F.col("es_key").desc(), F.col(id_col).asc()).limit(k)
+
+
+# --- chi-square term-class association (feature selection) ------------------
+
+CHI2_MIN_DF = 5  # ignore terms in fewer docs — unstable 2x2 tables
+CHI2_TOP = 15
+
+
+@register(
+    "chi2_term_class_assoc",
+    f"""
+    WITH doc_terms AS (
+      SELECT DISTINCT doc_id, lang, term FROM (
+        SELECT doc_id, lang,
+               UNNEST(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> length(x) >= 3)) AS term
+        FROM documents
+      )
+    ),
+    term_lang AS (
+      SELECT term, lang, COUNT(*) AS a FROM doc_terms GROUP BY term, lang
+    ),
+    term_tot AS (
+      SELECT term, COUNT(*) AS df_t FROM doc_terms GROUP BY term
+    ),
+    lang_tot AS (
+      SELECT lang, COUNT(DISTINCT doc_id) AS n_l FROM doc_terms GROUP BY lang
+    ),
+    corpus AS (SELECT COUNT(DISTINCT doc_id) AS n FROM doc_terms),
+    cells AS (
+      SELECT tl.term, tl.lang, tl.a,
+             tt.df_t - tl.a AS b,
+             lt.n_l - tl.a AS c,
+             corpus.n - tt.df_t - (lt.n_l - tl.a) AS d,
+             corpus.n AS n
+      FROM term_lang tl
+      JOIN term_tot tt ON tl.term = tt.term
+      JOIN lang_tot lt ON tl.lang = lt.lang
+      CROSS JOIN corpus
+      WHERE tt.df_t >= {CHI2_MIN_DF}
+    )
+    SELECT lang, term,
+           CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0 THEN 0.0
+                ELSE floor(CAST(n AS DOUBLE) * (a * d - b * c) * (a * d - b * c)
+                           / ((a + b) * (c + d) * (a + c) * (b + d))
+                           * 10000 + 0.5) / 10000 END AS chi2_q,
+           a, b, c, d
+    FROM cells
+    ORDER BY chi2_q DESC, lang ASC, term ASC
+    LIMIT {CHI2_TOP}
+    """,
+)
+def chi2_term_class_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary most associated with a language class by chi-square on the
+    2x2 (term present/absent x lang/other) contingency table — the classic
+    feature-selection scan a corpus curator runs to find class-marker terms
+    (and, in a training pipeline, to catch label leakage: a term with an
+    absurd chi2 against a 'quality' label is usually an artifact).
+
+    Inverted-index shape: explode DISTINCT (doc, term) pairs (linear in
+    corpus token count), then the 2x2 marginals are three hash aggregations
+    — (term, lang), (term), (lang) — joined back; the lang marginal and the
+    corpus total are broadcast (5 rows / 1 row).  chi2's cross-products are
+    exact integer arithmetic cast to double only for the final quotient, so
+    the statistic is order-independent; the 4 dp portable quantization pins
+    the top-k ordering across engines.
+
+    a = docs in lang containing term, b = other-lang docs containing term,
+    c = lang docs without term, d = other-lang docs without term.
+    chi2 = n * (ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d)).
+    """
+    d = table(spark, sf_dir, "documents")
+    doc_terms = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr("filter(split(lower(text), '[^a-z]+'), x -> length(x) >= 3)")
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    return chi2_assoc(doc_terms, CHI2_MIN_DF, CHI2_TOP)
+
+
+def chi2_assoc(doc_terms: DataFrame, min_df: int, top: int) -> DataFrame:
+    """Chi-square 2x2 association of each (term, lang) pair from a distinct
+    (doc_id, lang, term) presence frame; top rows by quantized chi2."""
+    term_lang = doc_terms.groupBy("term", "lang").agg(F.count(F.lit(1)).alias("a"))
+    term_tot = doc_terms.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    lang_tot = doc_terms.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_l")
+    )
+    corpus = doc_terms.agg(F.countDistinct("doc_id").alias("n"))
+    cells = (
+        term_lang.join(term_tot, "term")
+        .filter(F.col("df_t") >= min_df)
+        .join(F.broadcast(lang_tot), "lang")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "term",
+            "lang",
+            "a",
+            (F.col("df_t") - F.col("a")).alias("b"),
+            (F.col("n_l") - F.col("a")).alias("c"),
+            (F.col("n") - F.col("df_t") - (F.col("n_l") - F.col("a"))).alias("d"),
+            "n",
+        )
+    )
+    ad_bc = F.col("a") * F.col("d") - F.col("b") * F.col("c")
+    denom = (
+        (F.col("a") + F.col("b"))
+        * (F.col("c") + F.col("d"))
+        * (F.col("a") + F.col("c"))
+        * (F.col("b") + F.col("d"))
+    )
+    return (
+        cells.select(
+            "lang",
+            "term",
+            # a term in every doc (or every doc of one class) zeroes a
+            # marginal: chi2 is 0 by convention (no discrimination), and the
+            # guard keeps ANSI mode from raising DIVIDE_BY_ZERO
+            F.when(denom == 0, F.lit(0.0))
+            .otherwise(
+                F.floor(
+                    F.col("n").cast("double") * ad_bc * ad_bc / denom * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            )
+            .alias("chi2_q"),
+            "a",
+            "b",
+            "c",
+            "d",
+        )
+        .orderBy(F.col("chi2_q").desc(), F.col("lang").asc(), F.col("term").asc())
+        .limit(top)
+    )

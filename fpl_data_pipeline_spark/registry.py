@@ -215,6 +215,7 @@ def load_all() -> None:
     from fpl_data_pipeline_spark.operators import geo  # noqa: F401
     from fpl_data_pipeline_spark.plans import rollup_router  # noqa: F401
     from fpl_data_pipeline_spark.sources import ingest  # noqa: F401
+    from fpl_data_pipeline_spark.plans import scale_primitives  # noqa: F401
 
     missing = [n for n in DRIVER_WINDOW_PRIORITY if n not in QUERIES]
     if missing:

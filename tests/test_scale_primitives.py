@@ -1,0 +1,150 @@
+"""Semantics invariants for plans/scale_primitives.py beyond oracle parity:
+layout independence of the distributed global numbering, AUC extremes on
+planted separations, weighted-reservoir determinism + formula replay, and
+chi2 extremes on planted class-marker terms.
+
+All tests feed the refactored HELPERS a constructed DataFrame (not the
+parquet tables), so repartitioned inputs genuinely exercise the layout-
+independence claims (the round-3 advice flagged a vacuous variant of this
+pattern — these helpers accept the frame under test directly)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pyspark.sql.functions as F
+
+from fpl_data_pipeline_spark.plans.scale_primitives import (
+    chi2_assoc,
+    global_row_numbers,
+    mann_whitney_auc,
+    weighted_reservoir,
+)
+
+
+# --- global_row_numbers ------------------------------------------------------
+
+
+def _ranking(spark, rows, n_parts):
+    df = spark.createDataFrame(rows, "k long, v double").repartition(7)  # scramble
+    out = global_row_numbers(
+        df, [F.col("v").desc(), F.col("k").asc()], n_parts=n_parts
+    )
+    return {r["k"]: r["global_rn"] for r in out.collect()}
+
+
+def test_global_row_number_matches_sorted_order(spark):
+    rows = [(k, float((k * 37) % 101)) for k in range(200)]
+    got = _ranking(spark, rows, n_parts=8)
+    expected = {
+        k: i + 1
+        for i, (k, _) in enumerate(sorted(rows, key=lambda r: (-r[1], r[0])))
+    }
+    assert got == expected
+
+
+def test_global_row_number_layout_and_parts_independent(spark):
+    """Same numbering for 1, 3, and 16 range partitions and any input
+    layout — the offsets must compose identically."""
+    rows = [(k, float(k % 13)) for k in range(150)]
+    base = _ranking(spark, rows, n_parts=1)
+    assert _ranking(spark, rows, n_parts=3) == base
+    assert _ranking(spark, rows, n_parts=16) == base
+
+
+def test_global_row_number_dense_and_complete(spark):
+    rows = [(k, 5.0) for k in range(50)]  # all-equal sort values: tiebreaker
+    got = _ranking(spark, rows, n_parts=4)
+    assert sorted(got.values()) == list(range(1, 51))
+    assert got[0] == 1 and got[49] == 50  # ties break by key asc
+
+
+# --- mann_whitney_auc --------------------------------------------------------
+
+
+def _auc(spark, pairs):
+    df = spark.createDataFrame(pairs, "pos int, score_q double")
+    return mann_whitney_auc(df).collect()[0]
+
+
+def test_auc_perfect_separation(spark):
+    r = _auc(spark, [(1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)])
+    assert r["auc"] == 1.0 and r["n_pos"] == 2 and r["n_neg"] == 2
+
+
+def test_auc_reversed_separation(spark):
+    assert _auc(spark, [(1, 0.1), (1, 0.2), (0, 0.8), (0, 0.9)])["auc"] == 0.0
+
+
+def test_auc_all_tied_is_half(spark):
+    r = _auc(spark, [(1, 0.5), (1, 0.5), (0, 0.5), (0, 0.5)])
+    assert r["auc"] == 0.5 and r["n_distinct_scores"] == 1
+
+
+def test_auc_matches_pairwise_definition(spark):
+    """AUC equals the brute-force pairwise P(s_pos > s_neg) + 0.5 P(=)."""
+    pairs = [(1, 0.3), (1, 0.7), (1, 0.7), (0, 0.3), (0, 0.5), (0, 0.1), (0, 0.7)]
+    pos = [s for p, s in pairs if p == 1]
+    neg = [s for p, s in pairs if p == 0]
+    brute = sum(
+        1.0 if sp > sn else (0.5 if sp == sn else 0.0) for sp in pos for sn in neg
+    ) / (len(pos) * len(neg))
+    assert abs(_auc(spark, pairs)["auc"] - brute) < 1e-12
+
+
+# --- weighted_reservoir ------------------------------------------------------
+
+
+def _es_key(doc_id, w):
+    u = (int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) + 1) / 2**32
+    return math.floor(math.log(u) / w * 1e9 + 0.5) / 1e9
+
+
+def test_weighted_reservoir_replays_formula(spark):
+    rows = [(i, 100 + (i * 53) % 900) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = [r["doc_id"] for r in weighted_reservoir(df, "doc_id", "n_chars", 25).collect()]
+    expect = [
+        i for i, _ in sorted(rows, key=lambda r: (-_es_key(r[0], r[1]), r[0]))[:25]
+    ]
+    assert got == expect
+
+
+def test_weighted_reservoir_layout_independent(spark):
+    rows = [(i, 50 + i) for i in range(200)]
+    a = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    b = a.repartition(13)
+    sel = lambda d: [r["doc_id"] for r in weighted_reservoir(d, "doc_id", "n_chars", 10).collect()]
+    assert sel(a) == sel(b)
+
+
+def test_weighted_reservoir_weight_bias(spark):
+    """With weights 1 vs 1000 split half/half over many ids, the heavy half
+    must dominate the sample (A-ES selects prob proportional to weight)."""
+    rows = [(i, 1000 if i < 500 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = [r["doc_id"] for r in weighted_reservoir(df, "doc_id", "n_chars", 50).collect()]
+    heavy = sum(1 for i in got if i < 500)
+    assert heavy >= 45  # overwhelming odds under the weight ratio
+
+
+# --- chi2_assoc --------------------------------------------------------------
+
+
+def test_chi2_planted_marker_term(spark):
+    """A term present in every doc of one lang and absent elsewhere tops the
+    ranking; a term uniform across all docs scores zero."""
+    rows = []
+    for i in range(40):
+        lang = "en" if i < 20 else "fr"
+        terms = ["common"] + (["marker"] if lang == "en" else ["autre"])
+        for t in terms:
+            rows.append((i, lang, t))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, term string")
+    out = chi2_assoc(df, min_df=5, top=10).collect()
+    by_term = {(r["lang"], r["term"]): r for r in out}
+    assert out[0]["term"] in ("marker", "autre")  # the planted markers lead
+    m = by_term[("en", "marker")]
+    assert m["a"] == 20 and m["b"] == 0 and m["c"] == 0 and m["d"] == 20
+    assert by_term[("en", "common")]["chi2_q"] == 0.0
