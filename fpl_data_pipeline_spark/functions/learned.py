@@ -1,0 +1,201 @@
+"""A classifier TRAINED from the corpus, distributed end-to-end.
+
+`text_lang_id` (functions/text_queries.py) ships a fixed trigram scorer;
+`quality_model_scores` applies fixed weights.  This module closes the loop a
+real training-data pipeline runs: FIT the model from one part of the corpus,
+EVALUATE it on a held-out part, all inside the engine — multinomial Naive
+Bayes with Laplace smoothing over word unigrams, the classic strong-baseline
+language identifier (and the shape of every count-based model a pipeline
+distills: the "model" is a handful of hash aggregations).
+
+Scale shape: the train pass is two hash aggregations over the token stream
+((lang, term) counts and per-lang totals); the fitted model is a
+vocab x n_langs relation — a broadcast dimension, never corpus-sized.  The
+eval pass joins each held-out document's term counts against that broadcast
+model (eval_terms x 5 langs fan-out), one more hash aggregation per doc to
+sum log-likelihoods, and an argmax window partitioned BY DOC (no global
+sort).  Nothing collects to the driver.
+
+Determinism discipline: every per-term log-probability is quantized to 6 dp
+and scaled to an exact BIGINT before summation, so the per-doc score is an
+integer sum — order-independent and bit-identical in DuckDB — and the argmax
+cannot flip on float accumulation order (same exact-sum convention as the
+surprisal queries in corpus_queries.py).  The train/eval split reuses the
+md5-bucket convention of operators/sampling.py (hash < 0xcc ~= 80% train),
+so membership is content-determined and layout-independent.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from fpl_data_pipeline_spark.registry import register
+from fpl_data_pipeline_spark.tables import table
+
+NB_TRAIN_CUT = "cc"  # md5 2-hex prefix < 'cc' = 204/256 ~= 80% train split
+NB_MIN_LEN = 2  # drop 1-char fragments from the token stream
+
+_NB_TOKS = (
+    "list_filter(string_split_regex(lower(text), '[^a-z]+'), "
+    f"x -> length(x) >= {NB_MIN_LEN})"
+)
+
+
+@register(
+    "nb_lang_train_eval",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, term FROM (
+        SELECT doc_id, lang, UNNEST({_NB_TOKS}) AS term FROM documents
+      )
+    ),
+    tf AS (
+      SELECT doc_id, lang, term, COUNT(*) AS tf
+      FROM toks GROUP BY doc_id, lang, term
+    ),
+    train AS (
+      SELECT * FROM tf
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{NB_TRAIN_CUT}'
+    ),
+    ev AS (
+      SELECT * FROM tf
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '{NB_TRAIN_CUT}'
+    ),
+    lang_tot AS (
+      SELECT lang, CAST(SUM(tf) AS BIGINT) AS total_l FROM train GROUP BY lang
+    ),
+    vocab AS (SELECT COUNT(DISTINCT term) AS v FROM train),
+    tl AS (
+      SELECT lang, term, CAST(SUM(tf) AS BIGINT) AS cnt
+      FROM train GROUP BY lang, term
+    ),
+    docs AS (
+      SELECT lang, COUNT(DISTINCT doc_id) AS docs_l FROM train GROUP BY lang
+    ),
+    dtot AS (SELECT CAST(SUM(docs_l) AS BIGINT) AS docs_tot FROM docs),
+    priors AS (
+      SELECT lang,
+             CAST(floor(ln(CAST(docs_l AS DOUBLE) / docs_tot) * 1000000 + 0.5)
+                  AS BIGINT) AS prior_q
+      FROM docs CROSS JOIN dtot
+    ),
+    scored AS (
+      SELECT e.doc_id, e.lang AS true_lang, lt.lang AS cand_lang,
+             CAST(SUM(e.tf * CAST(floor(
+               ln((COALESCE(tl.cnt, 0) + 1)
+                  / CAST(lt.total_l + vocab.v AS DOUBLE)) * 1000000 + 0.5)
+               AS BIGINT)) AS BIGINT) AS sum_lp
+      FROM ev e
+      CROSS JOIN lang_tot lt
+      CROSS JOIN vocab
+      LEFT JOIN tl ON tl.lang = lt.lang AND tl.term = e.term
+      GROUP BY e.doc_id, e.lang, lt.lang
+    ),
+    ranked AS (
+      SELECT s.doc_id, s.true_lang, s.cand_lang,
+             ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                                ORDER BY s.sum_lp + p.prior_q DESC,
+                                         s.cand_lang ASC) AS rk
+      FROM scored s JOIN priors p ON p.lang = s.cand_lang
+    )
+    SELECT true_lang, cand_lang AS pred_lang, COUNT(*) AS n
+    FROM ranked WHERE rk = 1
+    GROUP BY true_lang, cand_lang
+    ORDER BY true_lang ASC, pred_lang ASC
+    """,
+)
+def nb_lang_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit multinomial Naive Bayes P(lang | words) on the 80% md5-hash train
+    split of `documents`, classify the held-out 20%, and return the held-out
+    confusion matrix (true_lang, pred_lang, n) — the trained-model
+    counterpart of `lang_id_confusion` (which audits the FIXED trigram
+    scorer).  Laplace-1 smoothing over the train vocabulary; priors from
+    train doc counts; argmax with lang-asc tiebreak.
+
+    See the module docstring for the scale shape (broadcast model, per-doc
+    argmax window) and the exact-integer score discipline.
+    """
+    return nb_confusion(table(spark, sf_dir, "documents"))
+
+
+def nb_confusion(d: DataFrame) -> DataFrame:
+    """Train/eval NB over any (doc_id, lang, text) frame; see the registered
+    query's docstring.  Separate helper so tests can feed planted corpora
+    (and arbitrary repartitionings) directly."""
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "filter(split(lower(text), '[^a-z]+'), "
+                f"x -> length(x) >= {NB_MIN_LEN})"
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    train = tf.filter(bucket < NB_TRAIN_CUT)
+    ev = tf.filter(bucket >= NB_TRAIN_CUT)
+
+    lang_tot = train.groupBy("lang").agg(F.sum("tf").alias("total_l"))
+    vocab = train.agg(F.countDistinct("term").alias("v"))
+    tl = train.groupBy("lang", "term").agg(F.sum("tf").alias("cnt"))
+    docs = train.select("doc_id", "lang").distinct().groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs_l")
+    )
+    dtot = docs.agg(F.sum("docs_l").alias("docs_tot"))
+    priors = docs.crossJoin(F.broadcast(dtot)).select(
+        "lang",
+        F.floor(
+            F.log(F.col("docs_l").cast("double") / F.col("docs_tot")) * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("prior_q"),
+    )
+
+    cand = (
+        ev.withColumnRenamed("lang", "true_lang")
+        .crossJoin(F.broadcast(lang_tot.withColumnRenamed("lang", "cand_lang")))
+        .crossJoin(F.broadcast(vocab))
+        .join(
+            F.broadcast(
+                tl.withColumnRenamed("lang", "tl_lang").withColumnRenamed(
+                    "term", "t_term"
+                )
+            ),
+            (F.col("tl_lang") == F.col("cand_lang"))
+            & (F.col("t_term") == F.col("term")),
+            "left",
+        )
+    )
+    lp_q = (
+        F.floor(
+            F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+                / (F.col("total_l") + F.col("v")).cast("double")
+            )
+            * 1000000
+            + F.lit(0.5)
+        )
+    ).cast("long")
+    scored = cand.groupBy("doc_id", "true_lang", "cand_lang").agg(
+        F.sum(F.col("tf") * lp_q).alias("sum_lp")
+    )
+    ranked = scored.join(
+        F.broadcast(priors.withColumnRenamed("lang", "cand_lang")), "cand_lang"
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                (F.col("sum_lp") + F.col("prior_q")).desc(), F.col("cand_lang").asc()
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .groupBy("true_lang", F.col("cand_lang").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("true_lang").asc(), F.col("pred_lang").asc())
+    )

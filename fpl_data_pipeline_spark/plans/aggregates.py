@@ -1155,3 +1155,147 @@ def order_cycle_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# --- mergeable fixed-width histogram quantile sketch ------------------------
+HQ_BIN_W = 2000.0  # price bin width; l_extendedprice spans ~900..105000
+HQ_QS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "histogram_quantile_sketch",
+    f"""
+    WITH bins AS (
+      SELECT CAST(floor(l_extendedprice / {HQ_BIN_W}) AS BIGINT) AS bin,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM bins),
+    cum AS (
+      SELECT bin, cnt,
+             COALESCE(CAST(SUM(cnt) OVER (ORDER BY bin ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      AS BIGINT), 0) AS cum_before
+      FROM bins
+    ),
+    qs AS (SELECT UNNEST([{", ".join(str(q) for q in HQ_QS)}]) AS q),
+    hit AS (
+      SELECT q, bin, cnt, cum_before, n,
+             ROW_NUMBER() OVER (PARTITION BY q ORDER BY bin ASC) AS rk
+      FROM qs CROSS JOIN cum CROSS JOIN tot
+      WHERE cum_before + cnt >= q * n
+    ),
+    est AS (
+      SELECT q,
+             floor((bin * {HQ_BIN_W}
+                    + {HQ_BIN_W} * (q * n - cum_before) / cnt) * 1000 + 0.5)
+               / 1000 AS est_q
+      FROM hit WHERE rk = 1
+    ),
+    ex AS (
+      SELECT UNNEST([{", ".join(str(q) for q in HQ_QS)}]) AS q,
+             UNNEST(list_transform(
+               quantile_cont(l_extendedprice, [{", ".join(str(q) for q in HQ_QS)}]),
+               v -> floor(v * 1000 + 0.5) / 1000)) AS exact_q
+      FROM lineitem
+    )
+    SELECT e.q AS q, e.est_q AS est_q, x.exact_q AS exact_q,
+           floor(abs(e.est_q - x.exact_q) * 1000 + 0.5) / 1000 AS abs_err
+    FROM est e JOIN ex x ON e.q = x.q
+    ORDER BY q ASC
+    """,
+)
+def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles of l_extendedprice from a MERGEABLE fixed-width
+    histogram sketch, reported alongside the exact percentile and the
+    realized absolute error — the quantile member of the mergeable-sketch
+    family (KMV for distinct counts, CMS for frequencies, Bloom for
+    membership).
+
+    The sketch is the binned-count relation {{bin -> cnt}}: partials from any
+    data split union-and-re-aggregate into the whole-corpus sketch (the
+    groupBy IS the merge — map-side partial aggregation makes each executor's
+    contribution a local sketch; tests/test_scale_primitives.py proves the
+    merge law on disjoint halves).  Estimation interpolates linearly inside
+    the bin that crosses the q*n cumulative rank; the cumulative window runs
+    over the BOUNDED bin relation (~55 bins at width {HQ_BIN_W}), never the
+    corpus, so the whole estimator is one corpus scan + bounded small-data
+    math — the shape that replaces an exact global sort at 100 TB.  Error is
+    bounded by the bin width; the exact percentile (which DOES pay a
+    per-group sort, fine at readout granularity) quantifies it.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bins = li.groupBy(
+        F.floor(F.col("l_extendedprice") / HQ_BIN_W).cast("long").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy(F.col("bin").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = bins.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(w_cum), F.lit(0))
+    )
+    tot = bins.agg(F.sum("cnt").alias("n"))
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in HQ_QS])).alias("q")
+    )
+    hit = (
+        qs.crossJoin(cum)
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cum_before") + F.col("cnt") >= F.col("q") * F.col("n"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("q").orderBy(F.col("bin").asc())
+            ),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    est = hit.select(
+        "q",
+        (
+            F.floor(
+                (
+                    F.col("bin") * HQ_BIN_W
+                    + HQ_BIN_W
+                    * (F.col("q") * F.col("n") - F.col("cum_before"))
+                    / F.col("cnt")
+                )
+                * 1000
+                + F.lit(0.5)
+            )
+            / 1000
+        ).alias("est_q"),
+    )
+    exact = li.agg(
+        *[
+            (F.floor(F.percentile("l_extendedprice", F.lit(q)) * 1000 + F.lit(0.5)) / 1000).alias(
+                f"ex_{int(q * 100)}"
+            )
+            for q in HQ_QS
+        ]
+    )
+    ex = exact.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"), F.col(f"ex_{int(q * 100)}").alias("exact_q")
+                    )
+                    for q in HQ_QS
+                ]
+            )
+        ).alias("s")
+    ).select("s.q", "s.exact_q")
+    return (
+        est.join(ex, "q")
+        .select(
+            "q",
+            "est_q",
+            "exact_q",
+            (
+                F.floor(F.abs(F.col("est_q") - F.col("exact_q")) * 1000 + F.lit(0.5))
+                / 1000
+            ).alias("abs_err"),
+        )
+        .orderBy(F.col("q").asc())
+    )

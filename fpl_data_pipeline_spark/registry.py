@@ -135,7 +135,9 @@ DRIVER_WINDOW_PRIORITY = [
     # fact_temporal_dim_join, revenue_mix_shift, cf_negative_samples,
     # layout_rle_advisor, dupgraph_kcore_peel, events_sliding_distinct_kmv,
     # dp_user_bounded_counts, events_diff_in_diff, trimmed_mean_price,
-    # zipf_alpha_words.
+    # zipf_alpha_words, global_row_number, quality_score_auc,
+    # sample_weighted_reservoir, chi2_term_class_assoc, nb_lang_train_eval,
+    # histogram_quantile_sketch.
     # Rotate them
     # in next round in place of the oldest regression anchors.
     # backfill: round-1 names last driver-proven in round 1 (stalest first
@@ -216,6 +218,7 @@ def load_all() -> None:
     from fpl_data_pipeline_spark.plans import rollup_router  # noqa: F401
     from fpl_data_pipeline_spark.sources import ingest  # noqa: F401
     from fpl_data_pipeline_spark.plans import scale_primitives  # noqa: F401
+    from fpl_data_pipeline_spark.functions import learned  # noqa: F401
 
     missing = [n for n in DRIVER_WINDOW_PRIORITY if n not in QUERIES]
     if missing:

@@ -148,3 +148,71 @@ def test_chi2_planted_marker_term(spark):
     m = by_term[("en", "marker")]
     assert m["a"] == 20 and m["b"] == 0 and m["c"] == 0 and m["d"] == 20
     assert by_term[("en", "common")]["chi2_q"] == 0.0
+
+
+# --- nb_lang_train_eval ------------------------------------------------------
+
+
+def test_nb_planted_separable_corpus(spark):
+    """Two languages with disjoint vocabularies: every held-out doc must be
+    classified correctly (confusion matrix is diagonal)."""
+    from fpl_data_pipeline_spark.functions.learned import nb_confusion
+
+    en = "the cat sat on the mat and the dog ran over the hill today"
+    fr = "le chat est sur le tapis et le chien court sur la colline"
+    rows = [(i, "en", en) for i in range(40)] + [(100 + i, "fr", fr) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = nb_confusion(df.repartition(9)).collect()
+    assert all(r["true_lang"] == r["pred_lang"] for r in out)
+    assert sum(r["n"] for r in out) > 0  # held-out split is non-empty
+
+
+def test_nb_prior_decides_empty_overlap(spark):
+    """With identical texts everywhere, scores tie up to the prior: the
+    majority-class prior must win every held-out doc."""
+    from fpl_data_pipeline_spark.functions.learned import nb_confusion
+
+    txt = "alpha beta gamma delta epsilon"
+    rows = [(i, "en", txt) for i in range(60)] + [(200 + i, "fr", txt) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {(r["true_lang"], r["pred_lang"]): r["n"] for r in nb_confusion(df).collect()}
+    assert all(pred == "en" for (_, pred) in out)  # en prior dominates
+
+
+# --- histogram_quantile_sketch ----------------------------------------------
+
+
+def test_histogram_sketch_merge_law(spark):
+    """Sketch partials from two disjoint hash-halves, unioned and
+    re-aggregated, equal the whole-corpus sketch — the mergeability that
+    makes the estimator distributable."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 97 * 13.7).alias("x"), F.col("id")
+    )
+    mk = lambda d: d.groupBy(F.floor(F.col("x") / 50.0).cast("long").alias("bin")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    whole = {r["bin"]: r["cnt"] for r in mk(df).collect()}
+    h1 = mk(df.filter(F.col("id") % 2 == 0))
+    h2 = mk(df.filter(F.col("id") % 2 == 1))
+    merged = {
+        r["bin"]: r["cnt"]
+        for r in h1.unionAll(h2).groupBy("bin").agg(F.sum("cnt").alias("cnt")).collect()
+    }
+    assert merged == whole
+
+
+def test_histogram_sketch_error_bounded_by_bin_width(spark, sf_dir=None):
+    """On the real table, every estimate must sit within one bin width of
+    the exact percentile (linear interpolation cannot leave the bin)."""
+    from fpl_data_pipeline_spark.plans.aggregates import (
+        HQ_BIN_W,
+        histogram_quantile_sketch,
+    )
+
+    rows = histogram_quantile_sketch(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["abs_err"] <= HQ_BIN_W
