@@ -75,6 +75,42 @@ INTENTIONAL_CROSS = {
     "stratified_neyman_allocation",
     # broadcast 1-row overall keep-rate
     "quality_threshold_bias",
+    # broadcast 1-row corpus-total (chi2 marginals)
+    "chi2_term_class_assoc",
+    # broadcast 1-row bin-total + 3-row quantile grid
+    "histogram_quantile_sketch",
+    # broadcast 1-row vocab-size / doc-total scalars + 5-row lang dim
+    "nb_lang_train_eval",
+    # broadcast 8-row query block (eval set) + 1-row rank totals
+    "ann_ranking_metrics",
+    # 9-row digit counts x 1-row total combine
+    "benford_price_audit",
+    # broadcast 1-row max-knowledge-date scalar
+    "bitemporal_revenue_asof",
+    # broadcast k-row draw-slot grid per user
+    "cf_negative_samples",
+    # broadcast 3-row percentile grid / 1-row bounds scalars
+    "events_conversion_latency",
+    # broadcast 1-row window bounds + 1-row DiD point estimate
+    "events_diff_in_diff",
+    # broadcast 1-row window bounds + 1-row merged-sketch row
+    "events_sliding_distinct_kmv",
+    # broadcast B-row bootstrap-replica grid + 1-row point estimate
+    "poisson_bootstrap_ci",
+    # broadcast query vector + bounded (top-N)^2 candidate pairs (MMR steps)
+    "rag_mmr_rerank",
+    # broadcast 1-row period cut date
+    "revenue_mix_shift",
+    # broadcast 1-row overall-mean scalar + 1-row period cut
+    "revenue_seasonality_index",
+    # 1-row per-user-gap stats x 1-row global stats combine
+    "sequence_gap_audit",
+    # broadcast 1-row corpus totals (log-odds prior denominators)
+    "source_distinctive_terms",
+    # broadcast 1-row rank-1 frequency + 1-row token total (Hill estimator)
+    "zipf_alpha_words",
+    # broadcast 1-row median cut + 1-row bucket-bounds array + 1-row totals
+    "psi_price_drift",
 }
 
 
