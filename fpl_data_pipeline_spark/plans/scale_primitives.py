@@ -437,3 +437,123 @@ def chi2_assoc(doc_terms: DataFrame, min_df: int, top: int) -> DataFrame:
         .orderBy(F.col("chi2_q").desc(), F.col("lang").asc(), F.col("term").asc())
         .limit(top)
     )
+
+
+# --- curriculum interleaving: training-order mixing audit -------------------
+
+
+@register(
+    "curriculum_interleave_stats",
+    """
+    WITH base AS (SELECT doc_id, source, n_chars FROM documents),
+    naive AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (ORDER BY source ASC, n_chars ASC, doc_id ASC)
+               AS pos
+      FROM base
+    ),
+    per_src AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars ASC, doc_id ASC) AS srn
+      FROM base
+    ),
+    inter AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (ORDER BY srn ASC, source ASC, doc_id ASC)
+               AS pos
+      FROM per_src
+    ),
+    both_ord AS (
+      SELECT 'concat' AS ordering, doc_id, source, pos FROM naive
+      UNION ALL
+      SELECT 'interleaved' AS ordering, doc_id, source, pos FROM inter
+    ),
+    adj AS (
+      SELECT x.ordering,
+             CAST(SUM(CASE WHEN x.source = y.source THEN 1 ELSE 0 END)
+                  AS BIGINT) AS same_adj,
+             COUNT(*) + 1 AS n_docs
+      FROM both_ord x
+      JOIN both_ord y
+        ON x.ordering = y.ordering AND y.pos = x.pos + 1
+      GROUP BY x.ordering
+    )
+    SELECT ordering,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_docs - same_adj AS BIGINT) AS n_runs,
+           floor(CAST(n_docs AS DOUBLE) / (n_docs - same_adj) * 1000000 + 0.5)
+             / 1000000 AS avg_run_q,
+           same_adj
+    FROM adj
+    ORDER BY ordering ASC
+    """,
+)
+def curriculum_interleave_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order mixing audit: compare the pathological-but-common
+    source-CONCATENATED order (training files appended corpus by corpus —
+    every source is one giant same-source run, so the model sees a long
+    domain block then never again) against a round-robin CURRICULUM
+    INTERLEAVE (per-source difficulty rank first, source second — documents
+    climb the difficulty score while sources alternate).  Reports run
+    statistics per ordering: a same-source adjacency count, the number of
+    maximal same-source runs it implies (n_runs = n_docs - same_adjacent),
+    and the average run length — interleaving must push avg_run toward 1.
+
+    Scale shape: both orderings are positioned by `global_row_numbers`
+    (range-partition numbering — no single-partition sort), and the run
+    statistics come from an ADJACENCY EQUI-JOIN (pos = pos+1) + hash agg
+    instead of a global lag window, so every step is shuffle-bounded; the
+    per-source difficulty rank is an ordinary partitioned window.  This is
+    the data-ordering stage of an LLM training pipeline (mixing audit)
+    expressed with the engine's own primitives.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    naive = global_row_numbers(
+        d, [F.col("source").asc(), F.col("n_chars").asc(), F.col("doc_id").asc()]
+    ).select("doc_id", "source", F.col("global_rn").alias("pos"))
+    per_src = d.withColumn(
+        "srn",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.col("n_chars").asc(), F.col("doc_id").asc()
+            )
+        ),
+    )
+    inter = global_row_numbers(
+        per_src, [F.col("srn").asc(), F.col("source").asc(), F.col("doc_id").asc()]
+    ).select("doc_id", "source", F.col("global_rn").alias("pos"))
+    both = naive.select(F.lit("concat").alias("ordering"), "doc_id", "source", "pos").unionAll(
+        inter.select(F.lit("interleaved").alias("ordering"), "doc_id", "source", "pos")
+    )
+    x = both.alias("x")
+    y = both.alias("y")
+    adj = (
+        x.join(
+            y,
+            (F.col("x.ordering") == F.col("y.ordering"))
+            & (F.col("y.pos") == F.col("x.pos") + 1),
+        )
+        .groupBy(F.col("x.ordering").alias("ordering"))
+        .agg(
+            F.sum((F.col("x.source") == F.col("y.source")).cast("long")).alias(
+                "same_adj"
+            ),
+            (F.count(F.lit(1)) + 1).alias("n_docs"),
+        )
+    )
+    return adj.select(
+        "ordering",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        (F.col("n_docs") - F.col("same_adj")).cast("long").alias("n_runs"),
+        (
+            F.floor(
+                F.col("n_docs").cast("double")
+                / (F.col("n_docs") - F.col("same_adj"))
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("avg_run_q"),
+        "same_adj",
+    ).orderBy(F.col("ordering").asc())

@@ -216,3 +216,28 @@ def test_histogram_sketch_error_bounded_by_bin_width(spark, sf_dir=None):
     assert len(rows) == 3
     for r in rows:
         assert r["abs_err"] <= HQ_BIN_W
+
+
+# --- curriculum_interleave_stats ---------------------------------------------
+
+
+def test_curriculum_interleave_beats_concat(spark):
+    """On the real corpus the interleaved ordering must produce strictly
+    more, shorter same-source runs than the source-concatenated ordering;
+    the concat ordering's run count equals the number of sources."""
+    from fpl_data_pipeline_spark.plans.scale_primitives import (
+        curriculum_interleave_stats,
+    )
+
+    rows = {r["ordering"]: r for r in curriculum_interleave_stats(
+        spark, "/root/testdata/sf0.001"
+    ).collect()}
+    n_sources = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("source").distinct().count()
+    )
+    concat, inter = rows["concat"], rows["interleaved"]
+    assert concat["n_docs"] == inter["n_docs"]
+    assert concat["n_runs"] == n_sources  # one giant run per source
+    assert inter["n_runs"] > concat["n_runs"]
+    assert inter["avg_run_q"] < concat["avg_run_q"]
