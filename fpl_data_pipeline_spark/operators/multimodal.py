@@ -303,3 +303,55 @@ def binary_ingest_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         _os.path.join(_FIXTURES, "binary_assets")
     )
     return digest_binary_files(files).orderBy(F.col("name").asc())
+
+
+def digest_binary_files_arrow(files: DataFrame) -> DataFrame:
+    """`mapInArrow` twin of :func:`digest_binary_files` — the zero-copy
+    variant of the blob-digestion seam.  Where mapInPandas materializes each
+    Arrow batch as a pandas frame (one copy per batch, object-boxed bytes),
+    mapInArrow hands the raw ``pyarrow.RecordBatch`` straight to Python:
+    binary payloads stay in Arrow buffers until the digest actually reads
+    them.  For multi-MB media blobs that copy is the dominant per-batch
+    cost, so this is the shape a production decoder should use; results are
+    bit-identical to the pandas path (pinned by
+    tests/test_operators.py::test_arrow_digest_matches_pandas_path).
+    """
+    import pyarrow as pa
+
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for b in batches:
+            paths = b.column(0).to_pylist()
+            contents = b.column(1).to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([p.rsplit("/", 1)[-1] for p in paths], pa.string()),
+                    pa.array([len(c) for c in contents], pa.int64()),
+                    pa.array(
+                        [_hashlib.sha256(c).hexdigest() for c in contents],
+                        pa.string(),
+                    ),
+                    pa.array([sum(c) for c in contents], pa.int64()),
+                ],
+                names=["name", "byte_len", "sha256", "byte_sum"],
+            )
+
+    return files.select("path", "content").mapInArrow(run, DIGEST_SCHEMA)
+
+
+@register(
+    "binary_ingest_arrow",
+    f"""
+    SELECT name, byte_len, sha256, byte_sum
+    FROM read_parquet('{_FIXTURES}/binary_assets_expected/*.parquet')
+    ORDER BY name ASC
+    """,
+)
+def binary_ingest_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binaryFile ingestion path through `mapInArrow` (zero-copy Arrow
+    batches) instead of mapInPandas; same external ground-truth oracle as
+    `binary_ingest_summary`, so both UDF transports are value-proven
+    independently."""
+    files = spark.read.format("binaryFile").load(
+        _os.path.join(_FIXTURES, "binary_assets")
+    )
+    return digest_binary_files_arrow(files).orderBy(F.col("name").asc())

@@ -364,3 +364,22 @@ def test_winnowing_fp_cap_bounds_candidates(spark):
         (r["doc_id_a"], r["doc_id_b"]) for r in uncapped if r["doc_id_a"] < 100
     }
     assert len(unc_boiler) >= 19  # without the cap the clique floods the top-20
+
+
+def test_arrow_digest_matches_pandas_path(spark):
+    """mapInArrow and mapInPandas digestion of the same binaryFile scan must
+    produce identical rows — the two Arrow transports are interchangeable."""
+    import os
+
+    from fpl_data_pipeline_spark.operators.multimodal import (
+        _FIXTURES,
+        digest_binary_files,
+        digest_binary_files_arrow,
+    )
+
+    files = spark.read.format("binaryFile").load(
+        os.path.join(_FIXTURES, "binary_assets")
+    )
+    a = sorted(map(tuple, digest_binary_files_arrow(files).collect()))
+    p = sorted(map(tuple, digest_binary_files(files).collect()))
+    assert a == p and len(a) > 0
