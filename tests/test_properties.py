@@ -340,3 +340,58 @@ def test_ivm_maintain_equals_recompute_random(base, ins):
     got = sorted(tuple(r) for r in maintained.collect())
     want = sorted(tuple(r) for r in recomputed.collect())
     assert got == want
+
+
+# --- scale primitives: property laws -----------------------------------------
+
+rank_rows = st.lists(
+    st.tuples(st.integers(0, 10_000), st.integers(-50, 50)),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(data=rank_rows, n_parts=st.integers(1, 8))
+def test_property_global_row_numbers_is_total_rank(data, n_parts):
+    """For arbitrary (key, value) rows and any range-partition count, the
+    distributed numbering equals the rank in the Python-sorted order."""
+    from fpl_data_pipeline_spark.plans.scale_primitives import global_row_numbers
+
+    df = SPARK.createDataFrame(data, "k long, v long").repartition(5)
+    out = global_row_numbers(
+        df, [F.col("v").desc(), F.col("k").asc()], n_parts=n_parts
+    )
+    got = {r["k"]: r["global_rn"] for r in out.collect()}
+    expect = {
+        k: i + 1
+        for i, (k, _) in enumerate(sorted(data, key=lambda t: (-t[1], t[0])))
+    }
+    assert got == expect
+
+
+auc_rows = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 6)),
+    min_size=2,
+    max_size=40,
+).filter(lambda rs: {p for p, _ in rs} == {0, 1})  # both classes present
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=auc_rows)
+def test_property_auc_equals_pairwise(pairs):
+    """Distributed Mann-Whitney AUC equals brute-force pairwise
+    P(s_pos > s_neg) + 0.5 P(=) for arbitrary tied integer scores."""
+    from fpl_data_pipeline_spark.plans.scale_primitives import mann_whitney_auc
+
+    df = SPARK.createDataFrame(
+        [(p, float(s)) for p, s in pairs], "pos int, score_q double"
+    )
+    auc = mann_whitney_auc(df).collect()[0]["auc"]
+    pos = [s for p, s in pairs if p == 1]
+    neg = [s for p, s in pairs if p == 0]
+    brute = sum(
+        1.0 if sp > sn else (0.5 if sp == sn else 0.0) for sp in pos for sn in neg
+    ) / (len(pos) * len(neg))
+    assert abs(auc - brute) < 1e-12
