@@ -199,3 +199,83 @@ def nb_confusion(d: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("true_lang").asc(), F.col("pred_lang").asc())
     )
+
+
+# --- weight-of-evidence categorical encoding + information value ------------
+
+WOE_SMOOTH = 0.5  # additive smoothing so empty cells stay finite
+
+
+@register(
+    "woe_source_encoding",
+    f"""
+    WITH cells AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS pos_tot,
+             CAST(SUM(neg) AS BIGINT) AS neg_tot
+      FROM cells
+    ),
+    enc AS (
+      SELECT c.source, c.pos, c.neg,
+             (c.pos + {WOE_SMOOTH}) / (t.pos_tot + 2 * {WOE_SMOOTH}) AS p_pos,
+             (c.neg + {WOE_SMOOTH}) / (t.neg_tot + 2 * {WOE_SMOOTH}) AS p_neg
+      FROM cells c CROSS JOIN tot t
+    )
+    SELECT source, pos, neg,
+           floor(ln(p_pos / p_neg) * 1000000 + 0.5) / 1000000 AS woe_q,
+           floor((p_pos - p_neg) * ln(p_pos / p_neg) * 1000000 + 0.5)
+             / 1000000 AS iv_term_q
+    FROM enc
+    ORDER BY source ASC
+    """,
+)
+def woe_source_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding of the `source` categorical against the
+    lang='en' target, with each category's information-value term — the
+    credit-scoring-style supervised categorical encoder (and leakage gauge:
+    a category with an outsized IV term predicts the label suspiciously
+    well).  Complements `chi2_term_class_assoc`: chi2 tests independence,
+    WOE measures the direction and size of the effect as the log-odds shift
+    a model would learn.
+
+    Scale shape: one hash aggregation over the corpus to the per-category
+    2-cell table, a 1-row totals broadcast, pure projections after —
+    the same shape at any corpus size.  Additive {WOE_SMOOTH} smoothing
+    keeps empty cells finite; the ratio arithmetic is identical expression
+    trees on both engines, pinned at 6 dp by the portable floor(+0.5)
+    convention.
+    """
+    d = table(spark, sf_dir, "documents")
+    cells = d.groupBy("source").agg(
+        F.sum((F.col("lang") == "en").cast("long")).alias("pos"),
+        F.sum((F.col("lang") != "en").cast("long")).alias("neg"),
+    )
+    tot = cells.agg(
+        F.sum("pos").alias("pos_tot"), F.sum("neg").alias("neg_tot")
+    )
+    enc = cells.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "pos",
+        "neg",
+        ((F.col("pos") + WOE_SMOOTH) / (F.col("pos_tot") + 2 * WOE_SMOOTH)).alias(
+            "p_pos"
+        ),
+        ((F.col("neg") + WOE_SMOOTH) / (F.col("neg_tot") + 2 * WOE_SMOOTH)).alias(
+            "p_neg"
+        ),
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return enc.select(
+        "source",
+        "pos",
+        "neg",
+        q6(F.log(F.col("p_pos") / F.col("p_neg"))).alias("woe_q"),
+        q6(
+            (F.col("p_pos") - F.col("p_neg")) * F.log(F.col("p_pos") / F.col("p_neg"))
+        ).alias("iv_term_q"),
+    ).orderBy(F.col("source").asc())

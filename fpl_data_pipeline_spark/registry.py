@@ -137,7 +137,8 @@ DRIVER_WINDOW_PRIORITY = [
     # dp_user_bounded_counts, events_diff_in_diff, trimmed_mean_price,
     # zipf_alpha_words, global_row_number, quality_score_auc,
     # sample_weighted_reservoir, chi2_term_class_assoc, nb_lang_train_eval,
-    # histogram_quantile_sketch, curriculum_interleave_stats, binary_ingest_arrow.
+    # histogram_quantile_sketch, curriculum_interleave_stats, binary_ingest_arrow,
+    # woe_source_encoding.
     # Rotate them
     # in next round in place of the oldest regression anchors.
     # backfill: round-1 names last driver-proven in round 1 (stalest first

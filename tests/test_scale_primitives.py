@@ -241,3 +241,24 @@ def test_curriculum_interleave_beats_concat(spark):
     assert concat["n_runs"] == n_sources  # one giant run per source
     assert inter["n_runs"] > concat["n_runs"]
     assert inter["avg_run_q"] < concat["avg_run_q"]
+
+
+# --- woe_source_encoding ------------------------------------------------------
+
+
+def test_woe_signs_and_iv_on_real_corpus(spark):
+    """WOE must be positive for sources over-representing the target class
+    and negative for under-representing ones, with IV terms non-negative
+    (each term is (p-n)*ln(p/n), same sign factors)."""
+    from fpl_data_pipeline_spark.functions.learned import woe_source_encoding
+
+    rows = woe_source_encoding(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["iv_term_q"] >= 0.0
+        # sign consistency with the raw rates
+        pos_rate = r["pos"] / max(r["pos"] + r["neg"], 1)
+        if r["woe_q"] > 0:
+            assert r["pos"] > 0
+        if r["woe_q"] < 0:
+            assert r["neg"] > 0
