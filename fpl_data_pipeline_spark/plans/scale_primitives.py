@@ -557,3 +557,85 @@ def curriculum_interleave_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_run_q"),
         "same_adj",
     ).orderBy(F.col("ordering").asc())
+
+
+# --- Pareto frontier (skyline) without a single-partition scan --------------
+
+
+@register(
+    "pareto_frontier_lineitem",
+    """
+    WITH pts AS (
+      SELECT DISTINCT l_extendedprice AS price, l_quantity AS qty
+      FROM lineitem
+    ),
+    scan AS (
+      SELECT price, qty,
+             MAX(qty) OVER (ORDER BY price ASC, qty DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS prev_max
+      FROM pts
+    )
+    SELECT price, qty
+    FROM scan
+    WHERE prev_max IS NULL OR qty > prev_max
+    ORDER BY price ASC
+    """,
+)
+def pareto_frontier_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query: the Pareto-optimal (minimize price, maximize quantity)
+    line items — no other point is at most as expensive AND at least as
+    large.  The multi-objective 'best trade-offs' query (cheapest way to buy
+    each volume tier) that a plain ORDER BY cannot answer.
+
+    Scale shape: after dedup, a point survives iff its qty exceeds the max
+    qty of every point sorted before it under (price ASC, qty DESC) — a
+    running-max scan.  The naive form is one global window (single
+    partition); here the scan decomposes exactly like global_row_numbers:
+    range-partition on the sort key, LOCAL running max inside each
+    partition, per-partition max qty rolled into a prefix max over the
+    32-row partition relation (broadcast back), survivor test
+    qty > greatest(local_prev_max, prefix_max_of_earlier_partitions).
+    Skylines compose associatively, so the merge is exact; the corpus pays
+    one range exchange, the cross-partition state is one number per
+    partition.  The oracle replays the same running-max algorithm (the
+    NOT EXISTS dominance form is O(n^2) — wrong at any scale).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_extendedprice").alias("price"), F.col("l_quantity").alias("qty")
+    ).distinct()
+    return pareto_frontier(pts, "price", "qty").orderBy(F.col("price").asc())
+
+
+def pareto_frontier(pts: DataFrame, min_col: str, max_col: str) -> DataFrame:
+    """Skyline of deduplicated (min_col, max_col) points via the
+    range-partitioned running-max decomposition described above."""
+    ranged = pts.repartitionByRange(
+        RANGE_PARTS, F.col(min_col).asc(), F.col(max_col).desc()
+    ).withColumn("pid", F.spark_partition_id())
+    w_local = Window.partitionBy("pid").orderBy(
+        F.col(min_col).asc(), F.col(max_col).desc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    local = ranged.withColumn(
+        "local_prev", F.max(max_col).over(w_local)
+    ).localCheckpoint()
+    part_max = local.groupBy("pid").agg(F.max(max_col).alias("pmax"))
+    w_prefix = Window.orderBy(F.col("pid").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = part_max.select(
+        "pid", F.max("pmax").over(w_prefix).alias("prefix_max")
+    )
+    return (
+        local.join(F.broadcast(prefix), "pid")
+        .withColumn(
+            "prev_max",
+            F.greatest(
+                F.coalesce(F.col("local_prev"), F.lit(float("-inf"))),
+                F.coalesce(F.col("prefix_max"), F.lit(float("-inf"))),
+            ),
+        )
+        .filter(F.col(max_col) > F.col("prev_max"))
+        .select(min_col, max_col)
+    )

@@ -262,3 +262,41 @@ def test_woe_signs_and_iv_on_real_corpus(spark):
             assert r["pos"] > 0
         if r["woe_q"] < 0:
             assert r["neg"] > 0
+
+
+# --- pareto_frontier ----------------------------------------------------------
+
+
+def _brute_skyline(pts):
+    out = []
+    for p in pts:
+        if not any(
+            q[0] <= p[0] and q[1] >= p[1] and (q[0] < p[0] or q[1] > p[1])
+            for q in pts
+        ):
+            out.append(p)
+    return sorted(set(out))
+
+
+def test_pareto_frontier_matches_brute_force(spark):
+    from fpl_data_pipeline_spark.plans.scale_primitives import pareto_frontier
+
+    pts = [(float(x), float((x * 31) % 17)) for x in range(120)] + [
+        (5.0, 100.0),
+        (5.0, 99.0),
+        (200.0, 100.0),
+    ]
+    df = spark.createDataFrame(sorted(set(pts)), "price double, qty double").repartition(7)
+    got = sorted((r["price"], r["qty"]) for r in pareto_frontier(df, "price", "qty").collect())
+    assert got == _brute_skyline(sorted(set(pts)))
+
+
+def test_pareto_frontier_dominance_edges(spark):
+    """Equal-price higher-qty dominates; equal-qty lower-price dominates;
+    incomparable points all survive."""
+    from fpl_data_pipeline_spark.plans.scale_primitives import pareto_frontier
+
+    pts = [(1.0, 5.0), (1.0, 4.0), (2.0, 5.0), (3.0, 6.0), (4.0, 7.0)]
+    df = spark.createDataFrame(pts, "price double, qty double")
+    got = sorted((r["price"], r["qty"]) for r in pareto_frontier(df, "price", "qty").collect())
+    assert got == [(1.0, 5.0), (3.0, 6.0), (4.0, 7.0)]
