@@ -639,3 +639,110 @@ def pareto_frontier(pts: DataFrame, min_col: str, max_col: str) -> DataFrame:
         .filter(F.col(max_col) > F.col("prev_max"))
         .select(min_col, max_col)
     )
+
+
+# --- per-slice AUC: model quality by data segment ---------------------------
+
+
+@register(
+    "quality_score_auc_by_source",
+    f"""
+    WITH scored AS (
+      SELECT source,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+             floor(
+               CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                    x -> x IN ({_AUC_STOP}))) AS DOUBLE)
+               / NULLIF(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                        x -> x <> '')), 0)
+               * 10000 + 0.5) / 10000 AS score_q
+      FROM documents
+    ),
+    by_score AS (
+      SELECT source, score_q,
+             CAST(SUM(pos) AS BIGINT) AS p,
+             CAST(SUM(1 - pos) AS BIGINT) AS n
+      FROM scored
+      WHERE score_q IS NOT NULL
+      GROUP BY source, score_q
+    ),
+    cum AS (
+      SELECT source, score_q, p, n,
+             COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY score_q ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS cneg_below
+      FROM by_score
+    )
+    SELECT source,
+           CASE WHEN SUM(p) = 0 OR SUM(n) = 0 THEN NULL
+                ELSE CAST(SUM(p * (2 * cneg_below + n)) AS DOUBLE)
+                     / (2.0 * SUM(p) * SUM(n)) END AS auc,
+           CAST(SUM(p) AS BIGINT) AS n_pos,
+           CAST(SUM(n) AS BIGINT) AS n_neg
+    FROM cum
+    GROUP BY source
+    ORDER BY source ASC
+    """,
+)
+def quality_score_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SLICE model evaluation: the stopword-density English detector's
+    AUC computed separately for every ingest source — the slice analysis
+    that catches a classifier which looks fine in aggregate but fails on
+    one feed (the per-segment twin of `quality_score_auc`; same
+    quantized-score Mann-Whitney decomposition).
+
+    Scale shape is BETTER than the global AUC: the cumulative window is
+    PARTITIONED BY source, so even the bounded rank cumulation
+    parallelizes across slices; one-class slices (no positives or no
+    negatives) report NULL AUC rather than dividing by zero.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        (F.col("lang") == "en").cast("int").alias("pos"),
+        F.split(F.lower("text"), r"[^a-z]+").alias("w"),
+    )
+    scored = toks.select(
+        "source",
+        "pos",
+        (
+            F.floor(
+                F.expr(f"size(filter(w, x -> x IN ({_AUC_STOP})))").cast("double")
+                / F.nullif(F.expr("size(filter(w, x -> x <> ''))"), F.lit(0))
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("score_q"),
+    )
+    by_score = (
+        scored.filter(F.col("score_q").isNotNull())
+        .groupBy("source", "score_q")
+        .agg(F.sum("pos").alias("p"), F.sum(F.lit(1) - F.col("pos")).alias("n"))
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy(F.col("score_q").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = by_score.withColumn(
+        "cneg_below", F.coalesce(F.sum("n").over(w_cum), F.lit(0))
+    )
+    return (
+        cum.groupBy("source")
+        .agg(
+            F.when(
+                (F.sum("p") == 0) | (F.sum("n") == 0), F.lit(None).cast("double")
+            )
+            .otherwise(
+                F.sum(F.col("p") * (2 * F.col("cneg_below") + F.col("n"))).cast(
+                    "double"
+                )
+                / (F.lit(2.0) * F.sum("p") * F.sum("n"))
+            )
+            .alias("auc"),
+            F.sum("p").alias("n_pos"),
+            F.sum("n").alias("n_neg"),
+        )
+        .orderBy(F.col("source").asc())
+    )
