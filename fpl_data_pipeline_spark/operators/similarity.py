@@ -1813,3 +1813,166 @@ def emb_covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         q6(F.sum(diag) * F.sum(diag) / F.sum(sq)).alias("participation_ratio"),
     )
+
+
+# --- PQ asymmetric distance computation (ADC) search ------------------------
+ADC_TOPK = 10
+ADC_QUERY_ID = 0
+
+_PQ_FULL_DIST_SQL = " + ".join(
+    _PQ_DIST_SQL.format(a="{a}", b="{b}", s=str(s))
+    for s in range(1, PQ_SUBSPACES + 1)
+)
+
+
+@register(
+    "emb_pq_adc_topk",
+    f"""
+    WITH cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS codeword,
+             embedding AS cemb
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {PQ_K})
+    ),
+    q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = {ADC_QUERY_ID}),
+    dtable AS (
+      SELECT s.s AS subspace, cb.codeword,
+             CAST(floor({_PQ_DIST_SQL.format(a='q.qemb', b='cb.cemb', s='s.s')}
+                        * 1000000 + 0.5) AS BIGINT) AS dq
+      FROM cb
+      CROSS JOIN (SELECT unnest(range(1, {PQ_SUBSPACES}+1)) AS s) s
+      CROSS JOIN q
+    ),
+    expanded AS (
+      SELECT e.vec_id, s.s AS subspace, cb.codeword,
+             {_PQ_DIST_SQL.format(a='e.embedding', b='cb.cemb', s='s.s')} AS dist
+      FROM embeddings e
+      CROSS JOIN (SELECT unnest(range(1, {PQ_SUBSPACES}+1)) AS s) s
+      CROSS JOIN cb
+    ),
+    assigned AS (
+      SELECT vec_id, subspace, codeword,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                ORDER BY dist ASC, codeword ASC) AS rk
+      FROM expanded
+    ),
+    codes AS (
+      SELECT vec_id, subspace, codeword FROM assigned WHERE rk = 1
+    ),
+    adc AS (
+      SELECT c.vec_id, CAST(SUM(dt.dq) AS BIGINT) AS adc_scaled
+      FROM codes c
+      JOIN dtable dt ON dt.subspace = c.subspace AND dt.codeword = c.codeword
+      WHERE c.vec_id <> {ADC_QUERY_ID}
+      GROUP BY c.vec_id
+    ),
+    topk AS (
+      SELECT vec_id, adc_scaled FROM adc
+      ORDER BY adc_scaled ASC, vec_id ASC LIMIT {ADC_TOPK}
+    )
+    SELECT t.vec_id AS vec_id,
+           t.adc_scaled / 1000000.0 AS adc_dist_q,
+           floor(({_PQ_FULL_DIST_SQL.format(a='q.qemb', b='e.embedding')})
+                 * 1000000 + 0.5) / 1000000 AS exact_dist_q
+    FROM topk t
+    JOIN embeddings e ON e.vec_id = t.vec_id
+    CROSS JOIN q
+    ORDER BY t.adc_scaled ASC, t.vec_id ASC
+    """,
+)
+def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ SERVING: asymmetric distance computation (ADC) top-k search —
+    the read path of an IVF-PQ index (Jegou et al., the billion-vector
+    standard). The query vector is NOT quantized; instead a (subspace x
+    codeword) distance TABLE of {PQ_SUBSPACES}x{PQ_K} entries is built once
+    against the codebook, and every corpus vector's approximate distance is
+    the sum of {PQ_SUBSPACES} table lookups on its stored codes — no
+    per-vector float math at all at query time. Reports the ADC estimate
+    alongside the exact distance for the returned top-{ADC_TOPK}, so the
+    PQ approximation error is visible per hit (the serving-side complement
+    of emb_pq_codebook_stats' build-side distortion surface).
+
+    100 TB shape: codes are computed by the same broadcast-codebook argmin
+    as the build query (corpus never shuffles); the distance table is 32
+    rows BROADCAST into an equi-join on (subspace, codeword); per-subspace
+    table entries are 6-dp-quantized to exact BIGINTs so the 4-way lookup
+    sum is order-independent; exact re-scoring touches only the top-k.
+    The deterministic sampled codebook (lowest-{PQ_K} vec_ids) keeps every
+    stage oracle-checkable — kmeans_embeddings is the production trainer.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    w = Window.orderBy("vec_id")
+    cb = (
+        emb.orderBy("vec_id")
+        .limit(PQ_K)
+        .select(
+            (F.row_number().over(w) - 1).alias("codeword"),
+            F.col("embedding").alias("cemb"),
+        )
+    )
+    q = emb.filter(F.col("vec_id") == ADC_QUERY_ID).select(
+        F.col("embedding").alias("qemb")
+    )
+    subspaces = spark.range(1, PQ_SUBSPACES + 1).select(
+        F.col("id").cast("int").alias("subspace")
+    )
+    dtable = (
+        cb.crossJoin(F.broadcast(subspaces))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "subspace",
+            "codeword",
+            F.floor(
+                _pq_dist(F.col("qemb"), F.col("cemb"), F.col("subspace")) * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("dq"),
+        )
+    )
+    expanded = (
+        emb.crossJoin(F.broadcast(subspaces))
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "vec_id",
+            "subspace",
+            "codeword",
+            _pq_dist(F.col("embedding"), F.col("cemb"), F.col("subspace")).alias(
+                "dist"
+            ),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("vec_id", "subspace").orderBy(
+            F.col("dist").asc(), F.col("codeword").asc()
+        )
+    )
+    codes = (
+        expanded.withColumn("rk", rk).filter(F.col("rk") == 1).select(
+            "vec_id", "subspace", "codeword"
+        )
+    )
+    adc = (
+        codes.filter(F.col("vec_id") != ADC_QUERY_ID)
+        .join(F.broadcast(dtable), ["subspace", "codeword"])
+        .groupBy("vec_id")
+        .agg(F.sum("dq").alias("adc_scaled"))
+    )
+    topk = adc.orderBy(F.col("adc_scaled").asc(), F.col("vec_id").asc()).limit(
+        ADC_TOPK
+    )
+    full_dist = sum(
+        (_pq_dist(F.col("qemb"), F.col("embedding"), F.lit(s)) for s in range(2, PQ_SUBSPACES + 1)),
+        _pq_dist(F.col("qemb"), F.col("embedding"), F.lit(1)),
+    )
+    return (
+        topk.join(emb, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (F.col("adc_scaled") / 1000000.0).alias("adc_dist_q"),
+            (F.floor(full_dist * 1000000 + F.lit(0.5)) / 1000000).alias(
+                "exact_dist_q"
+            ),
+        )
+        .orderBy((F.col("adc_dist_q")).asc(), F.col("vec_id").asc())
+    )

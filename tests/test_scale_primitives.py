@@ -300,3 +300,26 @@ def test_pareto_frontier_dominance_edges(spark):
     df = spark.createDataFrame(pts, "price double, qty double")
     got = sorted((r["price"], r["qty"]) for r in pareto_frontier(df, "price", "qty").collect())
     assert got == [(1.0, 5.0), (3.0, 6.0), (4.0, 7.0)]
+
+
+# --- emb_pq_adc_topk ----------------------------------------------------------
+
+
+def test_pq_adc_underestimates_bounded_and_self_excluded(spark):
+    """ADC is built from per-subspace nearest-codeword distances, so each
+    subspace term lower-bounds the true subspace distance to the query ONLY
+    when the code is the query-nearest codeword — what MUST hold instead:
+    the query vector itself is excluded, distances are non-negative, and
+    exact >= 0 with the top-k sorted by the ADC estimate."""
+    from fpl_data_pipeline_spark.operators.similarity import (
+        ADC_QUERY_ID,
+        ADC_TOPK,
+        emb_pq_adc_topk,
+    )
+
+    rows = emb_pq_adc_topk(spark, "/root/testdata/sf0.001").collect()
+    assert 0 < len(rows) <= ADC_TOPK
+    assert all(r["vec_id"] != ADC_QUERY_ID for r in rows)
+    adcs = [r["adc_dist_q"] for r in rows]
+    assert adcs == sorted(adcs)
+    assert all(r["adc_dist_q"] >= 0 and r["exact_dist_q"] >= 0 for r in rows)

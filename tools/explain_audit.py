@@ -111,6 +111,8 @@ INTENTIONAL_CROSS = {
     "zipf_alpha_words",
     # broadcast 1-row median cut + 1-row bucket-bounds array + 1-row totals
     "psi_price_drift",
+    # broadcast 8-row codebook + 4-row subspace grid + 1-row query vector
+    "emb_pq_adc_topk",
 }
 
 
