@@ -279,3 +279,190 @@ def woe_source_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p_pos") - F.col("p_neg")) * F.log(F.col("p_pos") / F.col("p_neg"))
         ).alias("iv_term_q"),
     ).orderBy(F.col("source").asc())
+
+
+# --- hyperparameter sweep as a broadcast dimension --------------------------
+
+NB_ALPHAS = (0.1, 1.0, 10.0)  # Laplace/Lidstone smoothing grid
+
+
+@register(
+    "nb_alpha_sweep",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, term FROM (
+        SELECT doc_id, lang, UNNEST({_NB_TOKS}) AS term FROM documents
+      )
+    ),
+    tf AS (
+      SELECT doc_id, lang, term, COUNT(*) AS tf
+      FROM toks GROUP BY doc_id, lang, term
+    ),
+    train AS (
+      SELECT * FROM tf
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{NB_TRAIN_CUT}'
+    ),
+    ev AS (
+      SELECT * FROM tf
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '{NB_TRAIN_CUT}'
+    ),
+    lang_tot AS (
+      SELECT lang, CAST(SUM(tf) AS BIGINT) AS total_l FROM train GROUP BY lang
+    ),
+    vocab AS (SELECT COUNT(DISTINCT term) AS v FROM train),
+    tl AS (
+      SELECT lang, term, CAST(SUM(tf) AS BIGINT) AS cnt
+      FROM train GROUP BY lang, term
+    ),
+    docs AS (
+      SELECT lang, COUNT(DISTINCT doc_id) AS docs_l FROM train GROUP BY lang
+    ),
+    dtot AS (SELECT CAST(SUM(docs_l) AS BIGINT) AS docs_tot FROM docs),
+    alphas AS (SELECT UNNEST([{", ".join(str(a) for a in NB_ALPHAS)}]) AS alpha),
+    priors AS (
+      SELECT lang,
+             CAST(floor(ln(CAST(docs_l AS DOUBLE) / docs_tot) * 1000000 + 0.5)
+                  AS BIGINT) AS prior_q
+      FROM docs CROSS JOIN dtot
+    ),
+    scored AS (
+      SELECT e.doc_id, a.alpha, e.lang AS true_lang, lt.lang AS cand_lang,
+             CAST(SUM(e.tf * CAST(floor(
+               ln((COALESCE(tl.cnt, 0) + a.alpha)
+                  / (lt.total_l + a.alpha * vocab.v)) * 1000000 + 0.5)
+               AS BIGINT)) AS BIGINT) AS sum_lp
+      FROM ev e
+      CROSS JOIN lang_tot lt
+      CROSS JOIN vocab
+      CROSS JOIN alphas a
+      LEFT JOIN tl ON tl.lang = lt.lang AND tl.term = e.term
+      GROUP BY e.doc_id, a.alpha, e.lang, lt.lang
+    ),
+    ranked AS (
+      SELECT s.doc_id, s.alpha, s.true_lang, s.cand_lang,
+             ROW_NUMBER() OVER (PARTITION BY s.doc_id, s.alpha
+                                ORDER BY s.sum_lp + p.prior_q DESC,
+                                         s.cand_lang ASC) AS rk
+      FROM scored s JOIN priors p ON p.lang = s.cand_lang
+    )
+    SELECT alpha,
+           CAST(SUM(CASE WHEN true_lang = cand_lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           COUNT(*) AS n_eval,
+           floor(CAST(SUM(CASE WHEN true_lang = cand_lang THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000 AS acc_q
+    FROM ranked WHERE rk = 1
+    GROUP BY alpha
+    ORDER BY alpha ASC
+    """,
+)
+def nb_alpha_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperparameter sweep AS A DIMENSION: held-out accuracy of the NB
+    language classifier for each Lidstone smoothing value in {NB_ALPHAS} —
+    model selection without retraining passes.  The sufficient statistics
+    (term counts, totals, vocab size, priors) do not depend on alpha, so
+    they are computed ONCE; alpha enters only the smoothed log-likelihood
+    expression, so the grid is a 3-row broadcast crossed into the scoring
+    join and the whole sweep costs one extra fan-out factor, not one
+    training run per candidate.  The pattern generalizes to any
+    count-parameterized model family (thresholds, priors, temperature).
+
+    Same exact-integer score discipline as nb_lang_train_eval; argmax is
+    per (doc, alpha)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "filter(split(lower(text), '[^a-z]+'), "
+                f"x -> length(x) >= {NB_MIN_LEN})"
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    train = tf.filter(bucket < NB_TRAIN_CUT)
+    ev = tf.filter(bucket >= NB_TRAIN_CUT)
+
+    lang_tot = train.groupBy("lang").agg(F.sum("tf").alias("total_l"))
+    vocab = train.agg(F.countDistinct("term").alias("v"))
+    tl = train.groupBy("lang", "term").agg(F.sum("tf").alias("cnt"))
+    docs = train.select("doc_id", "lang").distinct().groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs_l")
+    )
+    dtot = docs.agg(F.sum("docs_l").alias("docs_tot"))
+    priors = docs.crossJoin(F.broadcast(dtot)).select(
+        "lang",
+        F.floor(
+            F.log(F.col("docs_l").cast("double") / F.col("docs_tot")) * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("prior_q"),
+    )
+    alphas = spark.range(1).select(
+        F.explode(F.array(*[F.lit(a) for a in NB_ALPHAS])).alias("alpha")
+    )
+
+    cand = (
+        ev.withColumnRenamed("lang", "true_lang")
+        .crossJoin(F.broadcast(lang_tot.withColumnRenamed("lang", "cand_lang")))
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(alphas))
+        .join(
+            F.broadcast(
+                tl.withColumnRenamed("lang", "tl_lang").withColumnRenamed(
+                    "term", "t_term"
+                )
+            ),
+            (F.col("tl_lang") == F.col("cand_lang"))
+            & (F.col("t_term") == F.col("term")),
+            "left",
+        )
+    )
+    lp_q = (
+        F.floor(
+            F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.col("alpha"))
+                / (F.col("total_l") + F.col("alpha") * F.col("v"))
+            )
+            * 1000000
+            + F.lit(0.5)
+        )
+    ).cast("long")
+    scored = cand.groupBy("doc_id", "alpha", "true_lang", "cand_lang").agg(
+        F.sum(F.col("tf") * lp_q).alias("sum_lp")
+    )
+    ranked = scored.join(
+        F.broadcast(priors.withColumnRenamed("lang", "cand_lang")), "cand_lang"
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id", "alpha").orderBy(
+                (F.col("sum_lp") + F.col("prior_q")).desc(), F.col("cand_lang").asc()
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .groupBy("alpha")
+        .agg(
+            F.sum((F.col("true_lang") == F.col("cand_lang")).cast("long")).alias(
+                "n_correct"
+            ),
+            F.count(F.lit(1)).alias("n_eval"),
+            (
+                F.floor(
+                    F.sum(
+                        (F.col("true_lang") == F.col("cand_lang")).cast("long")
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("acc_q"),
+        )
+        .orderBy(F.col("alpha").asc())
+    )

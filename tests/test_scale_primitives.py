@@ -323,3 +323,26 @@ def test_pq_adc_underestimates_bounded_and_self_excluded(spark):
     adcs = [r["adc_dist_q"] for r in rows]
     assert adcs == sorted(adcs)
     assert all(r["adc_dist_q"] >= 0 and r["exact_dist_q"] >= 0 for r in rows)
+
+
+# --- nb_alpha_sweep -----------------------------------------------------------
+
+
+def test_nb_alpha_sweep_shape_and_consistency(spark):
+    """One row per alpha, identical eval-set size across alphas, and the
+    alpha=1.0 accuracy must equal the accuracy implied by the plain NB
+    confusion matrix (same model, same split)."""
+    from fpl_data_pipeline_spark.functions.learned import (
+        NB_ALPHAS,
+        nb_alpha_sweep,
+        nb_lang_train_eval,
+    )
+
+    sweep = {r["alpha"]: r for r in nb_alpha_sweep(spark, "/root/testdata/sf0.001").collect()}
+    assert sorted(sweep) == sorted(NB_ALPHAS)
+    sizes = {r["n_eval"] for r in sweep.values()}
+    assert len(sizes) == 1
+    conf = nb_lang_train_eval(spark, "/root/testdata/sf0.001").collect()
+    n_correct = sum(r["n"] for r in conf if r["true_lang"] == r["pred_lang"])
+    n_eval = sum(r["n"] for r in conf)
+    assert sweep[1.0]["n_correct"] == n_correct and sweep[1.0]["n_eval"] == n_eval

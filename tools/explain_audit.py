@@ -113,6 +113,8 @@ INTENTIONAL_CROSS = {
     "psi_price_drift",
     # broadcast 8-row codebook + 4-row subspace grid + 1-row query vector
     "emb_pq_adc_topk",
+    # broadcast 1-row vocab/doc-total scalars + 5-row lang dim + 3-row alpha grid
+    "nb_alpha_sweep",
 }
 
 
