@@ -746,3 +746,72 @@ def quality_score_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("source").asc())
     )
+
+
+# --- stratified weighted reservoir ------------------------------------------
+
+STRAT_RES_K = 5  # sample size per stratum
+
+
+@register(
+    "sample_weighted_stratified",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             floor(
+               ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   + 1) / 4294967296.0)
+               / n_chars * 1000000000 + 0.5) / 1000000000 AS es_key,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY floor(
+                 ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     + 1) / 4294967296.0)
+                 / n_chars * 1000000000 + 0.5) / 1000000000 DESC,
+               doc_id ASC) AS rk
+      FROM documents
+    )
+    SELECT lang, doc_id, n_chars, es_key
+    FROM keyed
+    WHERE rk <= {STRAT_RES_K}
+    ORDER BY lang ASC, es_key DESC, doc_id ASC
+    """,
+)
+def sample_weighted_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-STRATUM weighted sampling without replacement: the top
+    {STRAT_RES_K} Efraimidis-Spirakis keys inside each language — the
+    stratified variant of `sample_weighted_reservoir` (guaranteed k rows
+    per stratum, e.g. per-language eval sets drawn proportional to length).
+
+    Scale shape: even better than the global reservoir — the top-k is a
+    window PARTITIONED BY the stratum, so selection parallelizes across
+    strata with no global TakeOrdered at all; keys are the same 9-dp
+    quantized deterministic md5-derived ln(u)/w, so the draw is
+    reproducible and layout-independent."""
+    d = table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        + 1
+    ) / F.lit(4294967296.0)
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (
+            F.floor(F.log(u) / F.col("n_chars") * 1000000000 + F.lit(0.5))
+            / 1000000000
+        ).alias("es_key"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.col("es_key").desc(), F.col("doc_id").asc()
+        )
+    )
+    return (
+        keyed.withColumn("rk", rk)
+        .filter(F.col("rk") <= STRAT_RES_K)
+        .select("lang", "doc_id", "n_chars", "es_key")
+        .orderBy(F.col("lang").asc(), F.col("es_key").desc(), F.col("doc_id").asc())
+    )

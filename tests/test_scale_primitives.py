@@ -346,3 +346,27 @@ def test_nb_alpha_sweep_shape_and_consistency(spark):
     n_correct = sum(r["n"] for r in conf if r["true_lang"] == r["pred_lang"])
     n_eval = sum(r["n"] for r in conf)
     assert sweep[1.0]["n_correct"] == n_correct and sweep[1.0]["n_eval"] == n_eval
+
+
+def test_stratified_reservoir_k_per_stratum_and_consistency(spark):
+    """Exactly k rows per language, and each stratum's selection equals the
+    global reservoir formula restricted to that stratum."""
+    from fpl_data_pipeline_spark.plans.scale_primitives import (
+        STRAT_RES_K,
+        sample_weighted_stratified,
+    )
+
+    rows = sample_weighted_stratified(spark, "/root/testdata/sf0.001").collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").collect()
+    for lang, sel in by_lang.items():
+        assert len(sel) == STRAT_RES_K
+        pool = [(d["doc_id"], d["n_chars"]) for d in docs if d["lang"] == lang]
+        expect = [
+            i for i, _ in sorted(pool, key=lambda t: (-_es_key(t[0], t[1]), t[0]))[
+                :STRAT_RES_K
+            ]
+        ]
+        assert [r["doc_id"] for r in sel] == expect
