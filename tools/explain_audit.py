@@ -115,6 +115,8 @@ INTENTIONAL_CROSS = {
     "emb_pq_adc_topk",
     # broadcast 1-row vocab/doc-total scalars + 5-row lang dim + 3-row alpha grid
     "nb_alpha_sweep",
+    # broadcast 1-row pos/neg totals (WOE denominators)
+    "woe_source_encoding",
 }
 
 
