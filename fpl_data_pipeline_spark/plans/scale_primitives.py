@@ -815,3 +815,214 @@ def sample_weighted_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "n_chars", "es_key")
         .orderBy(F.col("lang").asc(), F.col("es_key").desc(), F.col("doc_id").asc())
     )
+
+
+# --- two-sample KS drift test (nonparametric sibling of PSI) ----------------
+
+
+@register(
+    "ks_price_drift",
+    """
+    WITH halves AS (
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'ref' ELSE 'cur' END AS cohort,
+             floor(o_totalprice / 100.0) * 100.0 AS price_q
+      FROM orders
+    ),
+    counts AS (
+      SELECT price_q,
+             CAST(SUM(CASE WHEN cohort = 'ref' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ref,
+             CAST(SUM(CASE WHEN cohort = 'cur' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cur
+      FROM halves GROUP BY price_q
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+             CAST(SUM(n_cur) AS BIGINT) AS t_cur
+      FROM counts
+    ),
+    cum AS (
+      SELECT price_q,
+             CAST(SUM(n_ref) OVER (ORDER BY price_q ASC) AS BIGINT) AS c_ref,
+             CAST(SUM(n_cur) OVER (ORDER BY price_q ASC) AS BIGINT) AS c_cur
+      FROM counts
+    )
+    SELECT floor(MAX(abs(CAST(c_ref AS DOUBLE) / t_ref
+                         - CAST(c_cur AS DOUBLE) / t_cur)) * 1000000 + 0.5)
+             / 1000000 AS ks_stat_q,
+           CAST(MAX(t_ref) AS BIGINT) AS n_ref,
+           CAST(MAX(t_cur) AS BIGINT) AS n_cur,
+           COUNT(*) AS n_support_points
+    FROM cum CROSS JOIN tot
+    """,
+)
+def ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the even- and
+    odd-orderkey halves of the order-price distribution: the max absolute
+    CDF gap — the NONPARAMETRIC drift alarm (binning-free in spirit) next
+    to `psi_price_drift`'s binned PSI: KS reacts to any shape change, PSI
+    localizes which bucket moved.
+
+    Scale shape: the same bounded-cumulation trick as quality_score_auc —
+    prices quantized to $100 steps bound the support (~1050 points at any
+    corpus size), so the corpus pays one 2-cell hash agg and the CDF
+    windows run over the bounded support relation only.  CDF ratios are
+    single double divisions of exact integers; the max is over the bounded
+    support; 6-dp portable quantization pins the result.
+    """
+    o = table(spark, sf_dir, "orders")
+    halves = o.select(
+        F.when(F.col("o_orderkey") % 2 == 0, "ref").otherwise("cur").alias("cohort"),
+        (F.floor(F.col("o_totalprice") / 100.0) * 100.0).alias("price_q"),
+    )
+    counts = halves.groupBy("price_q").agg(
+        F.sum((F.col("cohort") == "ref").cast("long")).alias("n_ref"),
+        F.sum((F.col("cohort") == "cur").cast("long")).alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    w_cdf = Window.orderBy(F.col("price_q").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = counts.select(
+        "price_q",
+        F.sum("n_ref").over(w_cdf).alias("c_ref"),
+        F.sum("n_cur").over(w_cdf).alias("c_cur"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            (
+                F.floor(
+                    F.max(
+                        F.abs(
+                            F.col("c_ref").cast("double") / F.col("t_ref")
+                            - F.col("c_cur").cast("double") / F.col("t_cur")
+                        )
+                    )
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("ks_stat_q"),
+            F.max("t_ref").cast("long").alias("n_ref"),
+            F.max("t_cur").cast("long").alias("n_cur"),
+            F.count(F.lit(1)).alias("n_support_points"),
+        )
+    )
+
+
+# --- rank-based A/B readout (Mann-Whitney U over per-user revenue) ----------
+
+
+@register(
+    "events_ab_mannwhitney",
+    """
+    WITH rev AS (
+      SELECT user_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'
+                  THEN 1 ELSE 0 END AS pos,
+             floor(SUM(CASE WHEN event_type = 'purchase' THEN value
+                            ELSE 0 END) * 100 + 0.5) / 100 AS rev_q
+      FROM events GROUP BY user_id
+    ),
+    by_score AS (
+      SELECT rev_q,
+             CAST(SUM(pos) AS BIGINT) AS p,
+             CAST(SUM(1 - pos) AS BIGINT) AS n
+      FROM rev GROUP BY rev_q
+    ),
+    cum AS (
+      SELECT rev_q, p, n,
+             COALESCE(SUM(n) OVER (ORDER BY rev_q ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS cneg_below
+      FROM by_score
+    ),
+    stats AS (
+      SELECT CAST(SUM(p * (2 * cneg_below + n)) AS BIGINT) AS u2,
+             CAST(SUM(p) AS BIGINT) AS na,
+             CAST(SUM(n) AS BIGINT) AS nb
+      FROM cum
+    )
+    SELECT floor(u2 / 2.0 * 1000000 + 0.5) / 1000000 AS u_stat,
+           floor(CAST(u2 AS DOUBLE) / (2.0 * na * nb) * 1000000 + 0.5)
+             / 1000000 AS auc_q,
+           floor((u2 / 2.0 - na * nb / 2.0)
+                 / sqrt(CAST(na AS DOUBLE) * nb * (na + nb + 1) / 12.0)
+                 * 1000000 + 0.5) / 1000000 AS z_q,
+           na AS n_arm_a, nb AS n_arm_b
+    FROM stats
+    """,
+)
+def events_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based A/B readout: Mann-Whitney U over per-user purchase
+    revenue between the md5-hash arms (same assignment as
+    `events_ab_readout`) — the ROBUST companion to that query's Welch z:
+    rank statistics ignore the heavy right tail that dominates revenue
+    means, so a few whale users cannot fake or mask a treatment effect.
+    Reports U, the rank-biserial AUC (P(rev_A > rev_B) + tie credit), and
+    the normal-approximation z (tie-uncorrected; conservative).
+
+    Scale shape: per-user aggregation (hash agg), then the identical
+    quantized-score Mann-Whitney decomposition as quality_score_auc —
+    revenue quantized to cents bounds the support; U kept doubled in exact
+    integers; no global rank sort anywhere.
+    """
+    from fpl_data_pipeline_spark.tables import events_table
+
+    e = events_table(spark, sf_dir)
+    rev = e.groupBy("user_id").agg(
+        (
+            F.floor(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                        0.0
+                    )
+                )
+                * 100
+                + F.lit(0.5)
+            )
+            / 100
+        ).alias("rev_q")
+    ).select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 2) < "80", 1
+        )
+        .otherwise(0)
+        .alias("pos"),
+        "rev_q",
+    )
+    by_score = rev.groupBy("rev_q").agg(
+        F.sum("pos").alias("p"), F.sum(F.lit(1) - F.col("pos")).alias("n")
+    )
+    w_cum = Window.orderBy(F.col("rev_q").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = by_score.withColumn(
+        "cneg_below", F.coalesce(F.sum("n").over(w_cum), F.lit(0))
+    )
+    stats = cum.agg(
+        F.sum(F.col("p") * (2 * F.col("cneg_below") + F.col("n"))).alias("u2"),
+        F.sum("p").alias("na"),
+        F.sum("n").alias("nb"),
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return stats.select(
+        q6(F.col("u2") / 2.0).alias("u_stat"),
+        q6(F.col("u2").cast("double") / (2.0 * F.col("na") * F.col("nb"))).alias(
+            "auc_q"
+        ),
+        q6(
+            (F.col("u2") / 2.0 - F.col("na") * F.col("nb") / 2.0)
+            / F.sqrt(
+                F.col("na").cast("double")
+                * F.col("nb")
+                * (F.col("na") + F.col("nb") + 1)
+                / 12.0
+            )
+        ).alias("z_q"),
+        F.col("na").alias("n_arm_a"),
+        F.col("nb").alias("n_arm_b"),
+    )

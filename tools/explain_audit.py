@@ -117,6 +117,8 @@ INTENTIONAL_CROSS = {
     "nb_alpha_sweep",
     # broadcast 1-row pos/neg totals (WOE denominators)
     "woe_source_encoding",
+    # broadcast 1-row cohort totals (CDF denominators)
+    "ks_price_drift",
 }
 
 
