@@ -1026,3 +1026,53 @@ def events_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("na").alias("n_arm_a"),
         F.col("nb").alias("n_arm_b"),
     )
+
+
+# --- grouped skyline: Pareto frontier per partition key ---------------------
+
+
+@register(
+    "pareto_frontier_by_brand",
+    """
+    WITH pts AS (
+      SELECT DISTINCT p_brand, p_retailprice AS price, p_size AS sz
+      FROM part
+    ),
+    scan AS (
+      SELECT p_brand, price, sz,
+             MAX(sz) OVER (PARTITION BY p_brand
+                           ORDER BY price ASC, sz DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev_max
+      FROM pts
+    )
+    SELECT p_brand, price, sz
+    FROM scan
+    WHERE prev_max IS NULL OR sz > prev_max
+    ORDER BY p_brand ASC, price ASC
+    """,
+)
+def pareto_frontier_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP skyline: each brand's Pareto-optimal (cheapest price,
+    largest size) parts — the grouped variant of `pareto_frontier_lineitem`
+    (per-category best-trade-off catalogs).  With a grouping key the
+    running-max scan needs NO cross-partition merge at all: the window is
+    PARTITIONED BY brand, so every group's skyline computes independently
+    after one hash exchange on the key — strictly simpler than the global
+    skyline, and the shape to prefer whenever a natural partition key
+    exists."""
+    p = table(spark, sf_dir, "part")
+    pts = p.select(
+        "p_brand", F.col("p_retailprice").alias("price"), F.col("p_size").alias("sz")
+    ).distinct()
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.col("price").asc(), F.col("sz").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        pts.withColumn("prev_max", F.max("sz").over(w))
+        .filter(F.col("prev_max").isNull() | (F.col("sz") > F.col("prev_max")))
+        .select("p_brand", "price", "sz")
+        .orderBy(F.col("p_brand").asc(), F.col("price").asc())
+    )

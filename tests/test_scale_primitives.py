@@ -396,3 +396,25 @@ def test_mannwhitney_ab_consistency(spark):
     assert abs(r["u_stat"] - r["auc_q"] * r["n_arm_a"] * r["n_arm_b"]) < max(
         1e-4 * r["n_arm_a"] * r["n_arm_b"], 1e-6
     )
+
+
+def test_grouped_skyline_is_per_group_frontier(spark):
+    """Each brand's rows equal the brute-force skyline of that brand's
+    distinct points."""
+    from fpl_data_pipeline_spark.plans.scale_primitives import (
+        pareto_frontier_by_brand,
+    )
+
+    rows = pareto_frontier_by_brand(spark, "/root/testdata/sf0.001").collect()
+    pts = spark.read.parquet("/root/testdata/sf0.001/part.parquet").collect()
+    by_brand = {}
+    for p in pts:
+        by_brand.setdefault(p["p_brand"], set()).add(
+            (p["p_retailprice"], float(p["p_size"]))
+        )
+    got = {}
+    for r in rows:
+        got.setdefault(r["p_brand"], []).append((r["price"], float(r["sz"])))
+    assert set(got) == set(by_brand)
+    for brand, pool in by_brand.items():
+        assert sorted(got[brand]) == _brute_skyline(sorted(pool))
