@@ -1568,3 +1568,103 @@ def _words_col(col):
     """normalized word array (module-local mirror of the dedup helper)."""
     norm = F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
     return F.filter(F.split(norm, " "), lambda w: w != "")
+
+
+# --- source-pair Jensen-Shannon matrix (feed-sibling detector) --------------
+
+
+@register(
+    "source_js_matrix",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest({_WORDS_SQL}) AS tok FROM documents
+    ),
+    src AS (
+      SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY source, tok
+    ),
+    tot AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM src GROUP BY source
+    ),
+    srcs AS (SELECT DISTINCT source FROM src),
+    d AS (
+      SELECT s1.source AS a, s2.source AS b,
+             SUM((CAST(s1.c AS DOUBLE) / t1.n)
+                 * ln(2.0 * (CAST(s1.c AS DOUBLE) / t1.n)
+                      / ((CAST(s1.c AS DOUBLE) / t1.n)
+                         + COALESCE(CAST(sq.c AS DOUBLE) / t2.n, 0.0)))) AS dk
+      FROM src s1
+      JOIN tot t1 ON t1.source = s1.source
+      CROSS JOIN srcs s2
+      JOIN tot t2 ON t2.source = s2.source
+      LEFT JOIN src sq ON sq.source = s2.source AND sq.tok = s1.tok
+      WHERE s2.source <> s1.source
+      GROUP BY s1.source, s2.source
+    )
+    SELECT x.a AS source_a, x.b AS source_b,
+           round(0.5 * (x.dk + y.dk), 9) AS js_q
+    FROM d x JOIN d y ON y.a = x.b AND y.b = x.a
+    WHERE x.a < x.b
+    ORDER BY js_q ASC, source_a ASC, source_b ASC
+    """,
+)
+def source_js_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between every two sources' unigram
+    distributions — the feed-SIBLING detector: a near-zero pair means two
+    ingestion sources serve the same content population (mirror, aggregator,
+    rebrand) and should share one dedup/quota budget; `source_token_divergence`
+    scores each source against the corpus, `dedup_cross_source_matrix` counts
+    literal shared documents — this finds sources that are statistically the
+    same feed even with zero exact duplicates.
+
+    JS(A,B) = 0.5*KL(A||M) + 0.5*KL(B||M), M the midpoint mixture; computed
+    as two directed left-join sums (terms absent from the owning side
+    contribute zero by construction).  Scale shape: one (source, tok) hash
+    agg over the corpus; the pair fan-out is |sources|-bounded (8 here —
+    a broadcast dim), so the joins grow linearly with vocabulary, never with
+    pairs x corpus.  Same 9-dp summation convention as the KL query
+    (driver-green empirically; terms are O(p*ln) magnitudes).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(_words_col(F.col("text"))).alias("tok"))
+    src = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = src.groupBy("source").agg(F.sum("c").alias("n"))
+    srcs = src.select("source").distinct().withColumnRenamed("source", "b_source")
+    s1 = (
+        src.join(tot, "source")
+        .withColumnRenamed("source", "a_source")
+        .withColumnRenamed("c", "c_a")
+        .withColumnRenamed("n", "n_a")
+    )
+    sq = (
+        src.withColumnRenamed("source", "q_source")
+        .withColumnRenamed("tok", "q_tok")
+        .withColumnRenamed("c", "c_b")
+    )
+    t2 = tot.withColumnRenamed("source", "t2_source").withColumnRenamed("n", "n_b")
+    joined = (
+        s1.crossJoin(F.broadcast(srcs))
+        .filter(F.col("b_source") != F.col("a_source"))
+        .join(F.broadcast(t2), F.col("t2_source") == F.col("b_source"))
+        .join(
+            sq,
+            (F.col("q_source") == F.col("b_source")) & (F.col("q_tok") == F.col("tok")),
+            "left",
+        )
+    )
+    p = F.col("c_a").cast("double") / F.col("n_a")
+    q = F.coalesce(F.col("c_b").cast("double") / F.col("n_b"), F.lit(0.0))
+    dsum = joined.groupBy(
+        F.col("a_source").alias("a"), F.col("b_source").alias("b")
+    ).agg(F.sum(p * F.log(2.0 * p / (p + q))).alias("dk"))
+    x = dsum.alias("x")
+    y = dsum.alias("y")
+    return (
+        x.join(y, (F.col("y.a") == F.col("x.b")) & (F.col("y.b") == F.col("x.a")))
+        .filter(F.col("x.a") < F.col("x.b"))
+        .select(
+            F.col("x.a").alias("source_a"),
+            F.col("x.b").alias("source_b"),
+            F.round(0.5 * (F.col("x.dk") + F.col("y.dk")), 9).alias("js_q"),
+        )
+        .orderBy(F.col("js_q").asc(), F.col("source_a").asc(), F.col("source_b").asc())
+    )

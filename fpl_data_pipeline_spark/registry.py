@@ -140,7 +140,8 @@ DRIVER_WINDOW_PRIORITY = [
     # histogram_quantile_sketch, curriculum_interleave_stats, binary_ingest_arrow,
     # woe_source_encoding, pareto_frontier_lineitem, quality_score_auc_by_source,
     # emb_pq_adc_topk, nb_alpha_sweep, sample_weighted_stratified,
-    # ks_price_drift, events_ab_mannwhitney, pareto_frontier_by_brand.
+    # ks_price_drift, events_ab_mannwhitney, pareto_frontier_by_brand,
+    # source_js_matrix.
     # Rotate them
     # in next round in place of the oldest regression anchors.
     # backfill: round-1 names last driver-proven in round 1 (stalest first

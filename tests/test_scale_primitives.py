@@ -418,3 +418,26 @@ def test_grouped_skyline_is_per_group_frontier(spark):
     assert set(got) == set(by_brand)
     for brand, pool in by_brand.items():
         assert sorted(got[brand]) == _brute_skyline(sorted(pool))
+
+
+# --- source_js_matrix ---------------------------------------------------------
+
+
+def test_js_matrix_symmetric_bounded_complete(spark):
+    """All unordered source pairs present exactly once; JS in [0, ln2];
+    identical-distribution planted check via the helper-free identity:
+    a source compared against itself would be 0 — instead assert the
+    smallest observed pair is >= 0 and the matrix covers C(n,2) pairs."""
+    import math
+
+    from fpl_data_pipeline_spark.functions.corpus_queries import source_js_matrix
+
+    rows = source_js_matrix(spark, "/root/testdata/sf0.001").collect()
+    srcs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("source").distinct().count()
+    )
+    assert len(rows) == srcs * (srcs - 1) // 2
+    for r in rows:
+        assert 0.0 <= r["js_q"] <= math.log(2.0) + 1e-9
+        assert r["source_a"] < r["source_b"]

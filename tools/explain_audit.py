@@ -119,6 +119,8 @@ INTENTIONAL_CROSS = {
     "woe_source_encoding",
     # broadcast 1-row cohort totals (CDF denominators)
     "ks_price_drift",
+    # broadcast 8-row source dim (pair fan-out) onto the (source,tok) agg
+    "source_js_matrix",
 }
 
 
