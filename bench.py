@@ -1,19 +1,27 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line (last line of stdout, < 2 KB so the driver's
+tail capture never truncates it — BENCH_r04.json recorded "parsed": null
+because the old line carried per-query spread + a full sf1-equivalent block
+and overflowed the capture):
+
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
-   "reps": R, "spread": {...}}
+   "reps": R, "load": {...}}
+
+Everything non-essential (per-query spread, the optional 10x sf1-equivalent
+pass, raw per-rep timings) goes to BENCH_DETAIL.json next to this file.
 
 Each query is executed to completion (count() forces the full plan, including
 exchanges and final projection) after a warm-up that loads the JVM + parquet
 footers so we measure query execution, not session startup.
 
-Round-2 verdict asked for n>=3 with per-query variance (the +14% common-9
-drift needed noise vs regression attribution): each query now runs
-$SPARK_GRAFT_BENCH_REPS times (default 3) in interleaved full passes so JVM
-warmth is spread evenly; "queries" reports the per-query MEDIAN, "value" the
-sum of medians, and "spread" the per-query max-min across reps.
+Round-2 verdict asked for n>=3 with per-query variance; reps run as
+interleaved full passes so JVM warmth is spread evenly; "queries" reports the
+per-query MEDIAN, "value" the sum of medians.  Round-4 verdict asked for
+verifiable noise attribution: "load" records os.getloadavg() before/after and
+the count of concurrent JVMs, so contention claims are checkable from the
+artifact itself.
 """
 
 from __future__ import annotations
@@ -58,11 +66,31 @@ HEADLINE = [
 ]
 
 
+def _jvm_count() -> int:
+    """Concurrent JVMs on the host (contention evidence for the bench JSON)."""
+    n = 0
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/comm") as f:
+                if f.read().strip() == "java":
+                    n += 1
+        except OSError:
+            continue
+    return n
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     load_all()
+    load_before = os.getloadavg()
+    jvms_before = _jvm_count()
     spark = get_spark("bench")
+    # Keep stdout clean for the driver's tail capture: no stage-progress
+    # carriage-return bars, no WARN chatter after session start.
+    spark.sparkContext.setLogLevel("ERROR")
 
     # Warm-up: JVM codegen + parquet footer reads, cheapest registered query.
     QUERIES["topk_basic"](spark, sf_dir).count()
@@ -76,8 +104,8 @@ def main() -> None:
             runs[name].append(time.perf_counter() - t0)
 
     timings = {n: round(statistics.median(ts), 3) for n, ts in runs.items()}
-    spread = {n: round(max(ts) - min(ts), 3) for n, ts in runs.items()}
     total = round(sum(timings.values()), 3)
+    load_after = os.getloadavg()
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -85,15 +113,28 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "reps": reps,
-        "spread": spread,
+        # contention evidence: 1-min loadavg before/after and concurrent JVM
+        # count (this bench's own JVM is +1 in jvms_after)
+        "load": {
+            "loadavg_before": round(load_before[0], 1),
+            "loadavg_after": round(load_after[0], 1),
+            "jvms_before": jvms_before,
+            "jvms_after": _jvm_count(),
+        },
+    }
+
+    detail: dict = {
+        "raw_runs": {n: [round(t, 3) for t in ts] for n, ts in runs.items()},
+        "spread": {n: round(max(ts) - min(ts), 3) for n, ts in runs.items()},
+        "loadavg_before": load_before,
+        "loadavg_after": load_after,
     }
 
     # sf1-equivalent pass (round-3 verdict #7): when the 10x FK-consistent
     # blowup of sf0.1 is on disk (tools/make_blowup.py, gitignored scratch)
     # and we're benching the default sf0.1, run ONE extra pass of the same
-    # headline over it so the per-round record carries both scales. n=1
-    # keeps the added cost bounded (~30 s); the n=3 sf1 medians live in
-    # BENCH_NOTES.md. Skipped silently when the dir is absent.
+    # headline over it so the per-round record carries both scales. Goes to
+    # BENCH_DETAIL.json only (never the driver line). Skipped when absent.
     blown = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale10")
     if sf_dir == "/root/testdata/sf0.1" and os.path.isdir(blown):
         # two passes, per-query MIN: the first pass pays one-off costs (JIT
@@ -114,20 +155,32 @@ def main() -> None:
                 QUERIES[name](spark, blown).count()
                 t10[name].append(time.perf_counter() - t0)
         warm = {n: round(min(ts), 3) for n, ts in t10.items()}
-        out["sf1_equiv"] = {
+        detail["sf1_equiv"] = {
             "value": round(sum(warm.values()), 3),
             "unit": "sec",
             "queries": warm,
             "factor_vs_sf0_1": 10,
             "reps": 2,
             "stat": "min_of_2",
-            # max-min per query: large spread == external host contention
-            # during the run (see BENCH_NOTES.md noise methodology), not a
-            # property of the plan
             "spread": {n: round(max(ts) - min(ts), 3) for n, ts in t10.items()},
         }
+        out["sf1_equiv_total"] = detail["sf1_equiv"]["value"]
 
-    print(json.dumps(out))
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+
+    line = json.dumps(out, separators=(",", ":"))
+    # Hard guarantee for the driver's tail capture: if the compact line ever
+    # exceeds 2 KB, shed the per-query map (value + load still parse).
+    if len(line) > 2048:
+        slim = {k: v for k, v in out.items() if k != "queries"}
+        slim["queries_in"] = detail_path
+        line = json.dumps(slim, separators=(",", ":"))
+    sys.stdout.flush()
+    print(line)
 
 
 if __name__ == "__main__":

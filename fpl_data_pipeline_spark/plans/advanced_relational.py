@@ -792,11 +792,14 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the segmentation every retention campaign starts from. Quintile 1 is
     best on each axis (most recent, most frequent, highest spend).
 
-    Scale note: the ntile windows run over the PER-CUSTOMER frame (one row
-    per customer — already 4-6 orders collapsed), but a global ntile is a
-    single-partition sort; beyond ~10^8 customers swap it for precomputed
-    quantile cutpoints (the table_histogram_price pattern: boundaries
-    broadcast, assignment map-side) at the cost of boundary-tie exactness."""
+    Scale note: the quintile cuts run over the PER-CUSTOMER frame (one row
+    per customer — already 4-6 orders collapsed), but a builtin ntile would
+    still be a single-partition sort of every customer.  Each axis instead
+    takes the range-partitioned global numbering (``global_row_numbers``,
+    one range exchange per axis — the three sorts a cluster must pay anyway)
+    and ``ntile_from_rank`` turns (rank, count) into the exact SQL-ntile
+    bucket, so the oracle keeps NTILE(5) and no plan stage ever holds the
+    whole customer set in one partition."""
     o = table(spark, sf_dir, "orders")
     day = F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
     per_cust = o.groupBy("o_custkey").agg(
@@ -813,18 +816,27 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary",
     )
-    scored = per_cust.select(
+    from fpl_data_pipeline_spark.plans.scale_primitives import (
+        global_row_numbers,
+        ntile_from_rank,
+    )
+
+    nbr = global_row_numbers(
+        per_cust, [F.col("recency_days").asc(), F.col("o_custkey").asc()]
+    ).withColumnRenamed("global_rn", "rn_r")
+    nbr = global_row_numbers(
+        nbr, [F.col("frequency").desc(), F.col("o_custkey").asc()]
+    ).withColumnRenamed("global_rn", "rn_f")
+    nbr = global_row_numbers(
+        nbr, [F.col("monetary").desc(), F.col("o_custkey").asc()]
+    ).withColumnRenamed("global_rn", "rn_m")
+    n = nbr.agg(F.count(F.lit(1)).alias("n_all"))
+    scored = nbr.crossJoin(F.broadcast(n)).select(
         "o_custkey",
         "monetary",
-        F.ntile(5)
-        .over(Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc()))
-        .alias("r"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc()))
-        .alias("f"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc()))
-        .alias("m"),
+        ntile_from_rank("rn_r", "n_all", 5).alias("r"),
+        ntile_from_rank("rn_f", "n_all", 5).alias("f"),
+        ntile_from_rank("rn_m", "n_all", 5).alias("m"),
     )
     return (
         scored.groupBy("r", "f", "m")

@@ -1065,16 +1065,26 @@ TRIM_PCT_NUM, TRIM_PCT_DEN = 5, 100
 )
 def trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5%-trimmed mean of order price via exact integer rank cuts — the
-    robust-location companion to outlier_mad_prices."""
-    o = table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    ranked = o.select(
-        "o_totalprice",
-        F.row_number().over(w).alias("r"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
+    robust-location companion to outlier_mad_prices.
+
+    Rank comes from the range-partitioned global numbering
+    (``global_row_numbers``), not ROW_NUMBER over an unpartitioned window:
+    the builtin form sorts the whole orders table in ONE partition (one
+    core, OOM at cluster scale — measured by the global_row_number probe).
+    Here the corpus pays one range exchange; the total count rides a 1-row
+    broadcast.  Same kept multiset, same exact-decimal sum, oracle
+    unchanged."""
+    from fpl_data_pipeline_spark.plans.scale_primitives import global_row_numbers
+
+    o = table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    numbered = global_row_numbers(
+        o, [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()]
+    ).withColumnRenamed("global_rn", "r")
+    tot = numbered.agg(F.count(F.lit(1)).alias("n"))
     cut = F.expr(f"(n * {TRIM_PCT_NUM}) div {TRIM_PCT_DEN}")
-    kept = ranked.filter((F.col("r") > cut) & (F.col("r") <= F.col("n") - cut))
+    kept = numbered.crossJoin(F.broadcast(tot)).filter(
+        (F.col("r") > cut) & (F.col("r") <= F.col("n") - cut)
+    )
     return kept.agg(
         F.max("n").cast("long").alias("n_total"),
         F.count(F.lit(1)).alias("n_kept"),

@@ -127,6 +127,36 @@ def global_row_numbers(df: DataFrame, sort_cols, n_parts: int = RANGE_PARTS) -> 
     )
 
 
+def ntile_from_rank(rank_col, n_col, k: int):
+    """SQL-standard ``NTILE(k)`` computed from a 1-based gap-free global rank
+    (``global_row_numbers`` output) and the total row count — bucket sizes
+    differ by at most one, LARGER BUCKETS FIRST, exactly Spark's and DuckDB's
+    builtin ntile.  This is how a global ntile survives cluster scale: the
+    builtin form is an unpartitioned window (single-partition sort, one core,
+    OOM at 10^8+ rows — measured by the global_row_number probe,
+    BENCH_NOTES.md round 4); this form rides the range-partitioned rank, so
+    the oracle SQL keeps ``NTILE()`` while the Spark plan never global-sorts.
+
+    With base = n div k and rem = n mod k, the first ``rem`` buckets hold
+    base+1 rows: rows ranked <= rem*(base+1) land in bucket
+    ceil(r / (base+1)); the rest land base-per-bucket after them.  When
+    base = 0 (n < k) the threshold equals n, so the otherwise-branch (an
+    integer division by base = 0 -> NULL in Spark SQL) is unreachable.
+    """
+    r, n = F.col(rank_col) if isinstance(rank_col, str) else rank_col, (
+        F.col(n_col) if isinstance(n_col, str) else n_col
+    )
+    nl = n.cast("long")
+    rem = nl % k
+    # exact integer division: (n - n%k) is a multiple of k, and the double
+    # quotient of integers < 2^52 is exact (row counts never approach that)
+    base = ((nl - rem) / k).cast("long")
+    threshold = rem * (base + 1)
+    in_big = ((r - 1) / (base + 1)).cast("long") + 1
+    in_small = rem + ((r - threshold - 1) / base).cast("long") + 1
+    return F.when(r <= threshold, in_big).otherwise(in_small).cast("int")
+
+
 # --- distributed ROC AUC over a quantized score -----------------------------
 
 _AUC_STOP = "'the','and','of','to','in','is','that','it','for','on'"

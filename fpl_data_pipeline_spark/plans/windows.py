@@ -140,13 +140,37 @@ def window_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = table(spark, sf_dir, "customer")
-    w_det = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
-    w_rank = Window.orderBy(F.col("c_acctbal").desc())
-    return c.select(
-        "c_custkey",
-        F.ntile(4).over(w_det).alias("balance_quartile"),
-        F.rank().over(w_rank).alias("balance_rank"),
+    """Global quartile + rank over every customer by balance — WITHOUT the
+    unpartitioned window the builtin ntile()/rank() compile to (a
+    single-partition sort of the whole customer table: one core, OOM at
+    cluster scale).  Decomposition: range-partitioned global numbering
+    under the total order (acctbal DESC, custkey ASC), then
+
+    - ntile(4)  = exact bucket arithmetic from (rank, count)
+      (``ntile_from_rank`` — bit-identical to the builtin);
+    - rank()    = min(row_number) among ties, i.e. MIN(global_rn) OVER
+      (PARTITION BY c_acctbal) — a HASH-partitioned window (each balance
+      value is its own small partition), never a global sort.
+
+    The oracle keeps the builtin ntile()/rank() spelling."""
+    from fpl_data_pipeline_spark.plans.scale_primitives import (
+        global_row_numbers,
+        ntile_from_rank,
+    )
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    numbered = global_row_numbers(
+        c, [F.col("c_acctbal").desc(), F.col("c_custkey").asc()]
+    )
+    n = numbered.agg(F.count(F.lit(1)).alias("n_all"))
+    w_ties = Window.partitionBy("c_acctbal")
+    return (
+        numbered.crossJoin(F.broadcast(n))
+        .select(
+            "c_custkey",
+            ntile_from_rank("global_rn", "n_all", 4).alias("balance_quartile"),
+            F.min("global_rn").over(w_ties).cast("int").alias("balance_rank"),
+        )
     )
 
 
@@ -244,12 +268,29 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets by lifetime spend (total order pinned by the custkey tiebreak,
     so bucket boundaries are engine-stable), with per-decile count and
     spend range — the concentration chart behind every 'top decile drives
-    X%' statement. The ntile runs over customer cardinality (already
-    aggregated), not the fact table."""
+    X%' statement.
+
+    The decile cut runs over customer cardinality (already aggregated, not
+    the fact table) — but a builtin ntile is still an unpartitioned window
+    (single-partition sort of every customer).  Instead: range-partitioned
+    global rank (``global_row_numbers``) + ``ntile_from_rank`` (exact
+    SQL-ntile bucket arithmetic from rank and count) — identical buckets,
+    oracle keeps NTILE(10), and the plan's only corpus exchange is the
+    range partition."""
+    from fpl_data_pipeline_spark.plans.scale_primitives import (
+        global_row_numbers,
+        ntile_from_rank,
+    )
+
     o = table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(dsum("o_totalprice", "total_spend"))
-    w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey").asc())
-    ranked = spend.withColumn("decile", F.ntile(10).over(w))
+    numbered = global_row_numbers(
+        spend, [F.col("total_spend").desc(), F.col("o_custkey").asc()]
+    )
+    n = numbered.agg(F.count(F.lit(1)).alias("n_all"))
+    ranked = numbered.crossJoin(F.broadcast(n)).withColumn(
+        "decile", ntile_from_rank("global_rn", "n_all", 10)
+    )
     return ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.min("total_spend"), 2).alias("min_spend"),

@@ -42,5 +42,8 @@ def get_spark(app_name: str = "fpl-engine", shuffle_partitions: int | None = Non
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # no carriage-return stage bars: they corrupt line-oriented captures
+        # (the driver parses bench.py's last stdout line)
+        .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()
