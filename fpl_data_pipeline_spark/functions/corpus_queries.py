@@ -119,10 +119,10 @@ def doc_packing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     / SEQ_LEN)) — the standard sequence-packing step between corpus and
     training loader. The summary proves assignment + budget accounting.
 
-    Scale note: the global running sum is a single range-partitioned window
-    at 100 TB; production packers run the identical expression per shard
-    (partition key prepended to the ORDER BY) and offset seq_ids by shard
-    base, which removes the global sort entirely."""
+    The running token total comes from ``global_prefix_sums`` (range
+    partition + local cumsum + broadcast per-partition offsets), not a
+    ``SUM OVER (ORDER BY doc_id)`` unpartitioned window — the builtin form
+    is a single-partition sort of the whole corpus."""
     d = table(spark, sf_dir, "documents")
     ntok = d.select(
         "doc_id",
@@ -133,10 +133,12 @@ def doc_packing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_tokens"),
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    packed = ntok.withColumn(
-        "seq_id",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / SEQ_LEN),
+    from fpl_data_pipeline_spark.plans.scale_primitives import global_prefix_sums
+
+    packed = global_prefix_sums(
+        ntok, [F.col("doc_id").asc()], "n_tokens", "cum_tokens"
+    ).withColumn(
+        "seq_id", F.floor((F.col("cum_tokens") - F.col("n_tokens")) / SEQ_LEN)
     )
     return packed.groupBy("seq_id").agg(
         F.count(F.lit(1)).alias("n_docs"),

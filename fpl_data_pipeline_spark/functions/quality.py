@@ -383,12 +383,18 @@ def sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (at-least-once re-delivery), missing ids vs the dense [min, max] range
     (dropped offsets / partial ingest), the largest single gap and the
     number of gap runs — the Kafka-offset / CDC-LSN completeness check
-    that runs before any event-derived table is trusted. One distinct +
-    one ordered window over the DISTINCT id set; at 100 TB the audit runs
-    per id-shard (the window keys on the shard) — the global dense-range
-    variant here is the single-sequence case."""
+    that runs before any event-derived table is trusted.
+
+    Adjacent-id steps come from a RANGE-PARTITIONED lag, not a global
+    window: range partition the distinct ids (non-overlapping ordered
+    ranges), lag WITHIN each partition (a partitioned window), then add the
+    <= RANGE_PARTS cross-partition steps by comparing each partition's
+    first id to its predecessor's last id (a tiny window over the
+    per-partition edge relation).  Same step multiset, no single-partition
+    sort of the id set."""
     e = table(spark, sf_dir, "events").select("event_id")
     from pyspark.sql import Window
+    from fpl_data_pipeline_spark.plans.scale_primitives import RANGE_PARTS
 
     stats = e.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -397,10 +403,22 @@ def sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("event_id").alias("hi"),
     )
     dist = e.distinct()
-    w = Window.orderBy(F.col("event_id").asc())
-    gaps = dist.select(
-        (F.col("event_id") - F.lag("event_id").over(w)).alias("step")
+    # pin partition ids across the two consumers (lag branch + edge branch)
+    ranged = dist.repartitionByRange(RANGE_PARTS, F.col("event_id").asc()).withColumn(
+        "pid", F.spark_partition_id()
+    ).localCheckpoint()
+    w_loc = Window.partitionBy("pid").orderBy(F.col("event_id").asc())
+    inner = ranged.select(
+        (F.col("event_id") - F.lag("event_id").over(w_loc)).alias("step")
     )
+    edges = ranged.groupBy("pid").agg(
+        F.min("event_id").alias("first_id"), F.max("event_id").alias("last_id")
+    )
+    w_edge = Window.orderBy(F.col("pid").asc())
+    cross = edges.select(
+        (F.col("first_id") - F.lag("last_id").over(w_edge)).alias("step")
+    )
+    gaps = inner.unionAll(cross)
     gagg = gaps.agg(
         F.max("step").cast("bigint").alias("max_gap"),
         F.sum(F.when(F.col("step") > 1, 1).otherwise(0))

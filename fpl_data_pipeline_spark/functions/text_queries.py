@@ -1477,8 +1477,13 @@ def zipf_alpha_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     # adaptive k: the synthetic corpus's word pool can be smaller than the
     # default head size, so k = min(HILL_K, |vocab| - 1) on both engines
     k = min(HILL_K, counts.count() - 1)
+    # only ranks <= k+1 are consumed, so rank WITHIN the TakeOrdered head:
+    # orderBy+limit is a distributed top-k (per-partition heads merged),
+    # and the row_number window then runs over k+1 rows — never a global
+    # sort of the whole vocabulary (Heaps-law unbounded at corpus scale)
+    head = counts.orderBy(F.col("f").desc(), F.col("word").asc()).limit(k + 1)
     w = Window.orderBy(F.col("f").desc(), F.col("word").asc())
-    ranked = counts.select("f", F.row_number().over(w).alias("r"))
+    ranked = head.select("f", F.row_number().over(w).alias("r"))
     fk1 = ranked.filter(F.col("r") == k + 1).select(F.col("f").alias("fk1"))
     n_tokens = counts.agg(F.sum("f").cast("long").alias("n_tokens"))
     t9 = F.floor(

@@ -1261,13 +1261,14 @@ def cf_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("item"))
         .distinct()
     )
-    catalog = (
-        owned.select("item")
-        .distinct()
-        .withColumn(
-            "idx", F.row_number().over(Window.orderBy("item")) - 1
-        )
-    )
+    # dense 0-based catalog index from the range-partitioned global
+    # numbering — a builtin row_number here would single-partition-sort the
+    # whole item catalog (unbounded at 100 TB)
+    from fpl_data_pipeline_spark.plans.scale_primitives import global_row_numbers
+
+    catalog = global_row_numbers(
+        owned.select("item").distinct(), [F.col("item").asc()]
+    ).withColumn("idx", F.col("global_rn") - 1)
     # NOTE: catalog here = items with >= 1 sale == lineitem's distinct
     # parts, matching the oracle's catalog CTE
     nc = catalog.count()

@@ -127,6 +127,44 @@ def global_row_numbers(df: DataFrame, sort_cols, n_parts: int = RANGE_PARTS) -> 
     )
 
 
+def global_prefix_sums(
+    df: DataFrame, sort_cols, value_col: str, out_col: str = "prefix_sum",
+    n_parts: int = RANGE_PARTS,
+) -> DataFrame:
+    """Append ``out_col`` = running SUM(value_col) over the global order
+    ``sort_cols`` — the prefix-sum sibling of ``global_row_numbers``, same
+    scheme: range partition (one corpus exchange), local cumulative sum per
+    range partition, then add the broadcast prefix of per-partition totals
+    (<= n_parts rows).  This is how cumulative sums survive cluster scale;
+    the builtin ``SUM OVER (ORDER BY ...)`` with no PARTITION BY is a
+    single-partition sort of the whole input.
+
+    Rows tied on ``sort_cols`` receive the running sum in an arbitrary
+    order among themselves (same as the builtin); callers needing
+    row-deterministic intermediates must pass a total order."""
+    ranged = df.repartitionByRange(n_parts, *sort_cols).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("lcs", F.sum(value_col).over(w_local)).localCheckpoint()
+    totals = local.groupBy("pid").agg(F.sum(value_col).alias("tot"))
+    w_off = Window.orderBy(F.col("pid").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "pid", F.coalesce(F.sum("tot").over(w_off), F.lit(0)).alias("off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .withColumn(out_col, F.col("off") + F.col("lcs"))
+        .drop("pid", "lcs", "off")
+    )
+
+
 def ntile_from_rank(rank_col, n_col, k: int):
     """SQL-standard ``NTILE(k)`` computed from a 1-based gap-free global rank
     (``global_row_numbers`` output) and the total row count — bucket sizes

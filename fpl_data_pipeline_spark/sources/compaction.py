@@ -188,25 +188,52 @@ def layout_rle_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs status-sorted layout — the write-side compression advisor (sorted
     layout collapses status to ~3 runs and priority to ~15).
 
-    Scale note: the exact global run count needs a total-order window; at
-    fact-table scale run the advisor per FILE (runs are per-file in
-    parquet anyway — partition by input_file_name) or on a hash sample,
-    both of which keep the window partitioned."""
+    The exact global run count decomposes over a range partitioning: count
+    run boundaries WITHIN each ordered range partition (a partitioned lag
+    window — the first row of every partition counts as a boundary), then
+    subtract the partition seams that are NOT real boundaries (partition
+    p's first value equals p-1's last value under the layout order) via a
+    <= RANGE_PARTS-row edge relation.  No single-partition sort of the
+    fact table; runs are additive across ordered ranges by construction."""
+    from fpl_data_pipeline_spark.plans.scale_primitives import RANGE_PARTS
+
     o = table(spark, sf_dir, "orders")
 
     def runs(layout_name: str, order_cols: list) -> DataFrame:
-        w = Window.orderBy(*order_cols)
+        ranged = (
+            o.select("o_orderkey", "o_orderstatus", "o_orderpriority")
+            .repartitionByRange(RANGE_PARTS, *order_cols)
+            .withColumn("pid", F.spark_partition_id())
+            .localCheckpoint()  # pin pids across the boundary + edge branches
+        )
+        w = Window.partitionBy("pid").orderBy(*order_cols)
         boundary = lambda c: (  # noqa: E731
             (F.col(c) != F.lag(c).over(w)) | F.lag(c).over(w).isNull()
         ).cast("long")
-        return o.select(
+        inner = ranged.select(
             boundary("o_orderstatus").alias("sb"),
             boundary("o_orderpriority").alias("pb"),
+        ).agg(F.sum("sb").alias("sb"), F.sum("pb").alias("pb"))
+        ord_key = F.struct(*order_cols)
+        edges = ranged.groupBy("pid").agg(
+            F.min_by("o_orderstatus", ord_key).alias("first_s"),
+            F.max_by("o_orderstatus", ord_key).alias("last_s"),
+            F.min_by("o_orderpriority", ord_key).alias("first_p"),
+            F.max_by("o_orderpriority", ord_key).alias("last_p"),
+        )
+        w_e = Window.orderBy(F.col("pid").asc())
+        seams = edges.select(
+            (F.col("first_s") == F.lag("last_s").over(w_e)).cast("long").alias("ds"),
+            (F.col("first_p") == F.lag("last_p").over(w_e)).cast("long").alias("dp"),
         ).agg(
+            F.coalesce(F.sum("ds"), F.lit(0)).alias("ds"),
+            F.coalesce(F.sum("dp"), F.lit(0)).alias("dp"),
+        )
+        return inner.crossJoin(F.broadcast(seams)).select(
             F.lit(layout_name).alias("layout"),
-            F.sum("sb").alias("status_runs"),
-            F.sum("pb").alias("priority_runs"),
-        ).select("layout", "status_runs", "priority_runs")
+            (F.col("sb") - F.col("ds")).alias("status_runs"),
+            (F.col("pb") - F.col("dp")).alias("priority_runs"),
+        )
 
     nat = runs("natural(orderkey)", [F.col("o_orderkey")])
     srt = runs(

@@ -1360,12 +1360,15 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweep = intervals.select(F.col("s").alias("t"), F.lit(1).alias("delta")).unionAll(
         intervals.select((F.col("e") + 1).alias("t"), F.lit(-1).alias("delta"))
     )
-    wsweep = Window.orderBy("t", "delta").rowsBetween(Window.unboundedPreceding, 0)
-    curve = sweep.select(
-        "t",
-        "delta",
-        F.sum("delta").over(wsweep).cast("long").alias("concurrent"),
-    )
+    # exact sweep-line cumulation WITHOUT a single-partition global window:
+    # range-partitioned prefix sum over (t, delta) — -1 ends sort before +1
+    # starts at the same instant, ties among identical (t, delta) rows are
+    # value-identical so the cumulative multiset is deterministic
+    from fpl_data_pipeline_spark.plans.scale_primitives import global_prefix_sums
+
+    curve = global_prefix_sums(
+        sweep, [F.col("t").asc(), F.col("delta").asc()], "delta", "concurrent"
+    ).withColumn("concurrent", F.col("concurrent").cast("long"))
     day = F.expr("cast(to_timestamp((t div 1000000 div 86400) * 86400) as timestamp)")
     return (
         curve.groupBy(day.alias("day"))
@@ -1437,11 +1440,15 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("su").isNotNull()
         & (F.col("fp").isNull() | (F.col("fp") < F.col("su")))
     ).count()
-    w = Window.orderBy("latency_s")
-    ranked = converted.select(
-        "latency_s",
-        F.row_number().over(w).alias("r"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    # percentile ranks via the range-partitioned global numbering (no
+    # single-partition sort of the converted-user set); n is already
+    # counted above, so it rides a literal instead of a global count window
+    from fpl_data_pipeline_spark.plans.scale_primitives import global_row_numbers
+
+    ranked = (
+        global_row_numbers(converted, [F.col("latency_s").asc()])
+        .withColumnRenamed("global_rn", "r")
+        .withColumn("n", F.lit(n_conv).cast("long"))
     )
     pcts = spark.createDataFrame([(50,), (90,), (99,)], "p int")
     out = (

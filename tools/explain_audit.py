@@ -121,7 +121,107 @@ INTENTIONAL_CROSS = {
     "ks_price_drift",
     # broadcast 8-row source dim (pair fan-out) onto the (source,tok) agg
     "source_js_matrix",
+    # broadcast 1-row total-count scalar (range-partitioned rank + ntile)
+    "trimmed_mean_price",
+    "customer_spend_deciles",
+    "window_ntile_cume",
+    # final 1-row boundary-count x 1-row seam-correction combine
+    "layout_rle_advisor",
 }
+
+
+# Queries whose unpartitioned window runs over an input PROVABLY bounded
+# independent of corpus size (reason recorded per entry) — the check flags
+# every other global window as the single-partition-sort anti-pattern the
+# global_row_number probe measured (one core, OOM at cluster scale).
+# Two bounded shapes need no entry because the subtree walker recognizes
+# them structurally: the global_row_numbers/global_prefix_sums offsets
+# prefix-sum (aggregate keyed on the spark_partition_id column) and windows
+# over a LIMIT/TakeOrdered head.
+INTENTIONAL_GLOBAL_WINDOW: dict[str, str] = {
+    "agg_avg_const_divisor": "rank over DISTINCT calendar periods (<= ~84 months)",
+    "window_rank_periods": "rank over DISTINCT calendar periods (<= ~84 months)",
+    "flagship_customer_activity": "last-4 selector ranks DISTINCT periods (calendar-bounded)",
+    "flagship_sql": "same plan as flagship_customer_activity via spark.sql",
+    "fpl_detailed_week": "gameweek ranks over <= 38 distinct rounds",
+    "customer_survival_curve": "cumulation over DISTINCT day-grain lifetimes (max-age-bounded)",
+    "events_ab_mannwhitney": "cumulation over 4-dp-quantized revenue (<= 10^4 distinct)",
+    "events_cusum_changepoints": "cumulation over the day-grain series (calendar-bounded)",
+    "events_sliding_distinct_kmv": "sliding merge over the hour-grain series (calendar-bounded)",
+    "events_slo_burn": "rolling ratio over the hour-grain series (calendar-bounded)",
+    "histogram_quantile_sketch": "cumulation over bounded histogram bins",
+    "ks_price_drift": "CDF cumulation over quantized prices (bounded distinct)",
+    "quality_score_auc": "cumulation over 4-dp-quantized scores (<= 10^4 distinct)",
+    "revenue_forecast_eval": "lag over the day-grain revenue series (calendar-bounded)",
+}
+
+
+def _bracket_groups(s: str) -> list[str]:
+    """Top-level [...] groups of a plan node line."""
+    groups, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+def _node_depth(line: str) -> int:
+    """Tree depth of a plan line = length of the indent/branch prefix."""
+    i = 0
+    while i < len(line) and line[i] in " :+|-":
+        i += 1
+    return i
+
+
+def unpartitioned_windows(plan: str) -> int:
+    """Count Window nodes with an EMPTY partition spec whose input is not
+    the sanctioned range-partition offsets relation.
+
+    A ``Window [exprs], [partSpec], [orderSpec]`` line prints 3 top-level
+    bracket groups when partitioned+ordered, 2 when one spec is empty, 1
+    when both are: 2 groups whose second carries ASC/DESC (order, no
+    partition) or a single group (global frame agg) are the
+    single-partition shapes.  The one sanctioned shape is
+    ``global_row_numbers``'s prefix-sum over the per-partition count
+    relation (<= RANGE_PARTS rows by construction): its subtree aggregates
+    on the ``pid`` spark_partition_id column, which is the signature the
+    walker accepts."""
+    lines = plan.splitlines()
+    hits = 0
+    for i, line in enumerate(lines):
+        m = re.search(r"\bWindow(?:GroupLimit)?\s+\[", line)
+        if not m or "WindowGroupLimit" in line:
+            continue
+        groups = _bracket_groups(line[m.start():])
+        unpart = len(groups) == 1 or (
+            len(groups) == 2 and re.search(r"\b(ASC|DESC)\b", groups[1])
+        )
+        if not unpart:
+            continue
+        depth = _node_depth(line)
+        subtree = []
+        for nxt in lines[i + 1:]:
+            if nxt.strip() and _node_depth(nxt) <= depth and re.search(r"\w", nxt):
+                break
+            subtree.append(nxt)
+        sub = "\n".join(subtree)
+        # HashAggregate prints keys=[...], SortAggregate prints key=[...]
+        if re.search(r"keys?=\[pid#", sub) or "SPARK_PARTITION_ID" in sub:
+            continue  # offsets prefix-sum over <= RANGE_PARTS rows
+        if "GlobalLimit" in sub or "TakeOrderedAndProject" in sub:
+            continue  # window over a LIMIT-bounded head (k rows)
+        hits += 1
+    return hits
 
 
 def audit(name: str, plan: str) -> list[str]:
@@ -132,6 +232,9 @@ def audit(name: str, plan: str) -> list[str]:
         flags.append("NESTED-LOOP")
     if "BatchEvalPython" in plan:
         flags.append("ROW-PYTHON-UDF")
+    n_gw = unpartitioned_windows(plan)
+    if n_gw and name not in INTENTIONAL_GLOBAL_WINDOW:
+        flags.append(f"GLOBAL-WINDOW:{n_gw}")
     return flags
 
 
