@@ -495,6 +495,156 @@ def kmeans_fit(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS) -> DataFram
     )
 
 
+# --- portable k-means twin: exact-integer Lloyd with a CTE-unrolled oracle --
+# kmeans_embeddings (above) is the production trainer and stays rows-only
+# (double arithmetic; accumulation order makes the last bits engine- and
+# partitioning-dependent).  This twin quantizes vectors to 6-dp integers
+# FIRST, so every distance is an exact bigint sum, every argmin is an exact
+# integer comparison, and every centroid update is floor(sum/count + 0.5)
+# on a < 2^53 exact numerator — bit-identical on any engine.  The DuckDB
+# oracle unrolls the 3 seeded iterations as CTEs (the pagerank_dupgraph
+# technique), closing the last value-oracle gap in the registry
+# (round-4 verdict #7).
+KMP_K = 8
+KMP_ITERS = 3
+_KMP_D2_SQL = (
+    "list_sum(list_transform(range(1, {dim}+1),"
+    " i -> (v.v6[i] - c.c6[i]) * (v.v6[i] - c.c6[i])))"
+).format(dim=DIM)
+
+
+def _kmp_oracle() -> str:
+    steps = []
+    prev = "c0"
+    for it in range(1, KMP_ITERS + 1):
+        steps.append(
+            f"""
+    a{it} AS (
+      SELECT vec_id, v6, c_id, d2 FROM (
+        SELECT vec_id, v6, c_id, d2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, c_id ASC) AS rn
+        FROM (SELECT v.vec_id, v.v6, c.c_id, {_KMP_D2_SQL} AS d2
+              FROM v CROSS JOIN {prev} c)
+      ) WHERE rn = 1
+    ),
+    c{it} AS (
+      SELECT c_id, list(m ORDER BY pos) AS c6 FROM (
+        SELECT c_id, i AS pos,
+               CAST(floor(CAST(SUM(v6[i]) AS DOUBLE) / COUNT(*) + 0.5)
+                    AS BIGINT) AS m
+        FROM a{it} CROSS JOIN range(1, {DIM}+1) t(i)
+        GROUP BY c_id, i
+      ) GROUP BY c_id
+    )"""
+        )
+        prev = f"c{it}"
+    final = f"""
+    afinal AS (
+      SELECT vec_id, c_id, d2 FROM (
+        SELECT vec_id, c_id, d2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, c_id ASC) AS rn
+        FROM (SELECT v.vec_id, c.c_id, {_KMP_D2_SQL} AS d2
+              FROM v CROSS JOIN {prev} c)
+      ) WHERE rn = 1
+    )"""
+    return f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(x::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS v6
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_id, v6 AS c6
+      FROM (SELECT vec_id, v6 FROM v ORDER BY vec_id LIMIT {KMP_K})
+    ),{",".join(steps)},{final}
+    SELECT c_id AS cluster_id,
+           COUNT(*) AS n_members,
+           FLOOR(CAST(SUM(d2) AS DOUBLE) / 1000000000000 * 1000000 + 0.5)
+             / 1000000 AS inertia
+    FROM afinal
+    GROUP BY c_id
+    ORDER BY cluster_id
+    """
+
+
+@register("kmeans_portable", _kmp_oracle())
+def kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster size + inertia after KMP_ITERS exact-integer Lloyd
+    iterations (6-dp-quantized vectors, first-k seed) — the value-oracled
+    twin of kmeans_embeddings.  Same driver/executor split as the
+    production trainer: only the k x dim centroid block (bounded by k,
+    never by the data) crosses to the driver between iterations."""
+    emb = table(spark, sf_dir, "embeddings")
+    v6 = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5)).cast("long"),
+    )
+    vecs = emb.select("vec_id", v6.alias("v6")).cache()
+    cents = [list(r["v6"]) for r in vecs.orderBy("vec_id").limit(KMP_K).collect()]
+
+    def score(cdf):
+        d2 = F.aggregate(
+            F.zip_with("v6", "c6", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, val: acc + val,
+        )
+        scored = vecs.crossJoin(F.broadcast(cdf)).select(
+            "vec_id", "v6", "c_id", d2.alias("d2")
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("d2").asc(), F.col("c_id").asc()
+        )
+        return scored.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        )
+
+    for _ in range(KMP_ITERS):
+        cdf = spark.createDataFrame(
+            list(enumerate(cents)), "c_id int, c6 array<long>"
+        )
+        assigned = score(cdf)
+        means = (
+            assigned.select("c_id", F.posexplode("v6").alias("pos", "val"))
+            .groupBy("c_id", "pos")
+            .agg(
+                F.floor(
+                    F.sum("val").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("m")
+            )
+            .groupBy("c_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("c_id", F.transform("pm", lambda s: s["m"]).alias("c6"))
+            .collect()
+        )
+        new = {int(r["c_id"]): list(r["c6"]) for r in means}
+        cents = [new.get(i, c) for i, c in enumerate(cents)]
+
+    cdf = spark.createDataFrame(list(enumerate(cents)), "c_id int, c6 array<long>")
+    return (
+        score(cdf)
+        .groupBy("c_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (
+                F.floor(
+                    F.sum("d2").cast("double") / 1000000000000 * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("inertia"),
+        )
+        .select(
+            F.col("c_id").cast("long").alias("cluster_id"), "n_members", "inertia"
+        )
+        .orderBy("cluster_id")
+    )
+
+
 @register("kmeans_embeddings")
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster summary after KM_ITERS Lloyd iterations: per-cluster size and
