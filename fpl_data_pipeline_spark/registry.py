@@ -45,140 +45,82 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 
 
 # The driver's correctness gate checks the FIRST 50 registered queries per
-# round. Round 1's window proved the relational core (47 green); round 2's
-# the LLM-pipeline extension track (48 green); round 3 rotated onto the FPL
-# dashboard five + the round-2 red rows and went 50/50. Round 4's window:
-# the 12 oracled queries that had never been inside a window lead, then
-# EVERY operator built this round (9 early + 27 late-session additions) so
-# brand-new code gets driver-grade proof in the round it was written;
-# agg_pricing_summary keeps one round-1 regression slot. The remaining
-# round-1 names sit at #51+ — still exact-parity-checked every session by
-# the tools/parity.py full sweep.
-# flagship_customer_activity stays the cross-round continuity anchor.
-# kmeans_embeddings (no oracle by nature) stays OUT of the window so no
-# slot records err — it remains registered, rows-only checked by
-# tools/parity.py and convergence-tested in pytest.
+# round. Round-5 window: the continuity anchor first, then EVERY query whose
+# physical plan changed this round (the four global-window migrations from
+# the round-4 verdict, the five round-5 unpartitioned-window finds, the three
+# simhash/char-n-gram conditional-repartition siblings, and the new
+# kmeans_portable value-oracle twin) so changed code gets driver-grade proof
+# in the round it was changed; the remaining 34 slots rotate oldest-first
+# through the never-windowed backlog (81 before this round, 39 after:
+# events_attribution_credit, events_ab_readout, customer_survival_curve,
+# events_*, binary_ingest_arrow, scd2_asof_snapshot, cdc_net_effect_summary,
+# bitemporal_revenue_asof, fact_temporal_dim_join, dupgraph_kcore_peel,
+# doc_novelty_scores, lm_heldout_perplexity, source_js_matrix,
+# datasource_element_week_totals, ivm_delta_view, compaction_plan,
+# record_linkage_scores, wordpiece_encode_stats, phrase_search_topdocs,
+# geo_proximity_pairs, rollup_routed_revenue, json_dead_letter_summary,
+# global_row_number, quality_score_auc, sample_weighted_reservoir,
+# chi2_term_class_assoc, curriculum_interleave_stats, pareto_frontier_*,
+# quality_score_auc_by_source, sample_weighted_stratified, ks_price_drift,
+# events_ab_mannwhitney, nb_lang_train_eval, woe_source_encoding,
+# nb_alpha_sweep — rotate these in round 6).
+# Every displaced name stays registered at #51+, still exact-parity-checked
+# by the tools/parity.py full sweep each session. kmeans_embeddings (no
+# oracle by nature) stays OUT of the window; its value proof is now the
+# kmeans_portable twin inside it.
 DRIVER_WINDOW_PRIORITY = [
     "flagship_customer_activity",
-    # the 12 oracled-but-never-windowed queries (round-3 additions)
-    "training_order_shuffle",
-    "emb_semantic_clusters",
+    # plans changed in round 5 -> re-proven under the driver this round
+    "trimmed_mean_price",
+    "customer_rfm_segments",
+    "events_peak_concurrency",
+    "events_conversion_latency",
+    "cf_negative_samples",
+    "sequence_gap_audit",
+    "layout_rle_advisor",
+    "zipf_alpha_words",
+    "customer_spend_deciles",
+    "window_ntile_cume",
+    "doc_packing_summary",
+    "dedup_simhash_portable",
+    "dedup_charngram_jaccard",
     "dedup_consensus_pairs",
-    "token_budget_plan",
-    "ann_ivf_rebalance",
-    "quality_threshold_calibration",
-    "corpus_snapshot_diff",
-    "hybrid_search_topk",
-    "modal_alignment_summary",
-    "kmv_distinct_union",
-    "split_leakage_safe",
-    "lang_id_confusion",
-    # the 9 round-4 additions — driver-proven in the round they were built
-    "dedup_segment_boilerplate",
-    "dupgraph_degree_stats",
-    "minhash_estimate_error",
-    "bloom_blocklist_summary",
-    "events_type_transitions",
-    "emb_pq_codebook_stats",
-    "quality_model_scores",
-    "bpe_pair_stats",
-    "emb_batch_drift",
-    # the 8 newest operators (same round, later session) — driver-proven in
-    # the round they were built; displace the tail of the round-1 backfill
-    # (those names stay registered at #51+, still covered by tools/parity.py)
-    "cdc_apply_state",
-    "scd2_customer_history",
-    "pagerank_dupgraph",
-    "dupgraph_triangle_stats",
-    "cms_heavy_hitters",
-    "bitext_margin_pairs",
-    "dedup_span_matches",
-    "binary_ingest_summary",
-    "dedup_threshold_sweep",
-    "vocab_oov_rates",
-    "quality_bigram_surprisal",
-    "zorder_layout_stats",
-    "table_stats_orders",
-    "hash_sample_quantiles",
-    "dedup_prefix_filter_pairs",
-    "events_watermark_lateness",
-    "cms_join_size_estimate",
-    "table_histogram_price",
-    "kanonymity_audit",
-    "revenue_forecast_eval",
-    "events_cusum_changepoints",
-    "source_trend_slopes",
-    "contrastive_hard_negatives",
-    "gdpr_erasure_audit",
-    "stratified_neyman_allocation",
-    "dedup_intradoc_segments",
-    "length_bucket_padding",
-    # ROUND-5 ROTATION BACKLOG — oracled queries registered after the 50
-    # window slots filled (local-sweep green at sf0.01+sf0.001, never
-    # driver-windowed): scd2_asof_snapshot, join_skew_report,
-    # quality_threshold_bias, asof_join_forward_tolerance, ordered_set_aggs,
-    # sequence_gap_audit, dedup_cross_source_matrix, emb_matryoshka_recall,
-    # rag_mmr_rerank, events_user_entropy, source_lexical_diversity,
-    # psi_price_drift, benford_price_audit, sample_weighted_ares,
-    # ivm_delta_view, compaction_plan, doc_novelty_scores,
-    # quality_calibration_bins, text_encoding_audit, events_attribution_credit,
-    # events_ab_readout, customer_survival_curve, table_content_fingerprints,
-    # record_linkage_scores, wordpiece_encode_stats, phrase_search_topdocs,
-    # emb_health_audit, cf_item_similarity, customer_rfm_segments,
-    # part_supply_hhi, events_peak_concurrency, revenue_seasonality_index,
-    # dp_noisy_segment_counts, events_conversion_latency,
-    # lm_heldout_perplexity, emb_label_outliers, geo_proximity_pairs,
-    # cdc_net_effect_summary, poisson_bootstrap_ci, source_distinctive_terms,
-    # events_slo_burn, bitemporal_revenue_asof, rollup_routed_revenue,
-    # ann_ranking_metrics, ldiversity_audit, cf_holdout_hitrate,
-    # json_dead_letter_summary, kfold_group_assignment, events_pattern_matches,
-    # fact_temporal_dim_join, revenue_mix_shift, cf_negative_samples,
-    # layout_rle_advisor, dupgraph_kcore_peel, events_sliding_distinct_kmv,
-    # dp_user_bounded_counts, events_diff_in_diff, trimmed_mean_price,
-    # zipf_alpha_words, global_row_number, quality_score_auc,
-    # sample_weighted_reservoir, chi2_term_class_assoc, nb_lang_train_eval,
-    # histogram_quantile_sketch, curriculum_interleave_stats, binary_ingest_arrow,
-    # woe_source_encoding, pareto_frontier_lineitem, quality_score_auc_by_source,
-    # emb_pq_adc_topk, nb_alpha_sweep, sample_weighted_stratified,
-    # ks_price_drift, events_ab_mannwhitney, pareto_frontier_by_brand,
-    # source_js_matrix.
-    # Rotate them
-    # in next round in place of the oldest regression anchors.
-    # backfill: round-1 names last driver-proven in round 1 (stalest first
-    # by family) — aggregates
-    "agg_pricing_summary",
-    "agg_avg_const_divisor",
-    "agg_filtered_pivot",
-    "agg_supplier_stats",
-    "high_water_mark",
-    "stats_agg_lineitem",
-    "percentile_prices_by_flag",
-    # grouping analytics
-    "cube_order_priority_status",
-    "rollup_lineitem_status",
-    "grouping_sets_lineitem",
-    # joins / set ops
-    "dim_decorate",
-    "semi_join",
-    "anti_join_orphans",
-    "join_multiway_revenue",
-    "intersect_repeat_customers",
-    "except_lapsed_customers",
-    "range_join_signup_activity",
-    "asof_join_purchase_click",
-    "asof_join_cogrouped",
-    "salted_agg_user_activity",
-    # projections / scalar shapes
-    "filter_range_hwm",
-    "explode_part_words",
-    # windows
-    "window_lag_delta",
-    "window_range_30d_spend",
-    "window_rank_per_customer",
-    "window_value_functions",
-    # top-k
-    "topk_order_revenue",
-    "topk_supplier_volume",
+    "kmeans_portable",
+    # never-windowed backlog, oldest registrations first
+    "join_skew_report",
+    "ordered_set_aggs",
+    "psi_price_drift",
+    "order_cycle_time_percentiles",
+    "histogram_quantile_sketch",
+    "asof_join_forward_tolerance",
+    "cf_item_similarity",
+    "part_supply_hhi",
+    "revenue_seasonality_index",
+    "cf_holdout_hitrate",
+    "revenue_mix_shift",
+    "dedup_cross_source_matrix",
+    "emb_matryoshka_recall",
+    "rag_mmr_rerank",
+    "emb_label_outliers",
+    "ann_ranking_metrics",
+    "emb_covariance_stats",
+    "emb_pq_adc_topk",
+    "sample_weighted_ares",
+    "emb_health_audit",
+    "poisson_bootstrap_ci",
+    "kfold_group_assignment",
+    "source_lexical_diversity",
+    "quality_calibration_bins",
+    "text_encoding_audit",
+    "source_distinctive_terms",
+    "quality_threshold_bias",
+    "benford_price_audit",
+    "table_content_fingerprints",
+    "dp_noisy_segment_counts",
+    "ldiversity_audit",
+    "dp_user_bounded_counts",
+    "events_session_paths",
+    "events_user_entropy",
 ]
 
 
