@@ -1256,10 +1256,14 @@ def cf_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     negatives (the uniform-vs-exposure bias number BPR cares about)."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # owned feeds FIVE consumers (catalog, user list, accidental-positive
+    # anti-join, popularity counts, candidate join); pin the scan+join+
+    # distinct once — Catalyst does not reuse the subtree across branches
     owned = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("item"))
         .distinct()
+        .localCheckpoint()
     )
     # dense 0-based catalog index from the range-partitioned global
     # numbering — a builtin row_number here would single-partition-sort the

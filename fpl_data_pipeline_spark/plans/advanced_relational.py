@@ -715,10 +715,15 @@ def cf_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     support floor 3 and popularity normalization."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # materialize the shared basket relation ONCE: it feeds three consumers
+    # (pair join sides a/b + popularity counts) and Catalyst does not reuse
+    # the scan+join+distinct subtree across them (verified in the physical
+    # plan: three full copies) — at 100 TB that is two redundant fact passes
     baskets = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("item"))
         .distinct()
+        .localCheckpoint()
     )
     pop = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("n_users"))
     a = baskets.select("cust", F.col("item").alias("item_a"))
@@ -1097,6 +1102,7 @@ def cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("item"),
         )
         .distinct()
+        .localCheckpoint()  # feeds the order list AND the split base
     )
     orders_per_cust = inter.select("cust", "ok", "od").distinct()
     w = Window.partitionBy("cust").orderBy(F.col("od").desc(), F.col("ok").desc())
@@ -1112,8 +1118,14 @@ def cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cust")
     )
     base = inter.join(last_order, "cust").join(eligible, "cust")
+    # train feeds FOUR consumers (both co-occurrence join sides, the
+    # candidate expansion, the owned-item anti-join); pin it once instead
+    # of re-running the interaction join + split per consumer
     train = (
-        base.filter(F.col("ok") != F.col("test_ok")).select("cust", "item").distinct()
+        base.filter(F.col("ok") != F.col("test_ok"))
+        .select("cust", "item")
+        .distinct()
+        .localCheckpoint()
     )
     test = (
         base.filter(F.col("ok") == F.col("test_ok")).select("cust", "item").distinct()
