@@ -266,6 +266,12 @@ def main() -> int:
 
 def run_sweep(spark, sf_dir: str, names: list[str]) -> int:
     con = duckdb.connect()
+    # fail fast instead of filling the disk: an oracle with an unbounded
+    # intermediate (the pre-fix cf_holdout_hitrate candidate fan-out
+    # spilled >80 GB at sf0.1) should ERROR here, pointing at the join to
+    # cap, not run the machine out of space 40 minutes into a sweep
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET max_temp_directory_size='20GB'")
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     n_pass = n_fail = n_rowsonly = n_hazard = 0
