@@ -298,15 +298,22 @@ KCORE_ROUNDS = 3
 
 
 def _peel_sql(prev_edges: str, out: str) -> str:
+    # MATERIALIZED is load-bearing: each round references the previous
+    # round's edges 3x (both degree-union arms + the join base) and keep_*
+    # 2x — inlined, the reference count COMPOUNDS per round (3^rounds
+    # recomputations of the full shingle-pair join; measured: the sf0.1
+    # oracle spilled past 60 GB before the parity temp cap existed).
+    # Materializing pins each round to one evaluation, like the Spark
+    # side's localCheckpoint per peel round.
     return f"""
-    deg_{out} AS (
+    deg_{out} AS MATERIALIZED (
       SELECT v, COUNT(*) AS d FROM (
         SELECT doc_id_a AS v FROM {prev_edges}
         UNION ALL SELECT doc_id_b AS v FROM {prev_edges}
       ) GROUP BY v
     ),
-    keep_{out} AS (SELECT v FROM deg_{out} WHERE d >= {KCORE_K}),
-    {out} AS (
+    keep_{out} AS MATERIALIZED (SELECT v FROM deg_{out} WHERE d >= {KCORE_K}),
+    {out} AS MATERIALIZED (
       SELECT e.doc_id_a, e.doc_id_b FROM {prev_edges} e
       JOIN keep_{out} ka ON ka.v = e.doc_id_a
       JOIN keep_{out} kb ON kb.v = e.doc_id_b
@@ -317,7 +324,7 @@ def _peel_sql(prev_edges: str, out: str) -> str:
     "dupgraph_kcore_peel",
     _EDGES_SQL
     + f""",
-    e0 AS (SELECT doc_id_a, doc_id_b FROM ed),
+    e0 AS MATERIALIZED (SELECT doc_id_a, doc_id_b FROM ed),
     {_peel_sql('e0', 'e1')},
     {_peel_sql('e1', 'e2')},
     {_peel_sql('e2', 'e3')},
