@@ -27,6 +27,8 @@ INTENTIONAL_CROSS = {
     "ann_cosine_topk",
     "ann_batch_topk",
     "kmeans_embeddings",
+    # broadcast 8-row integer centroid block (exact-Lloyd assignment scans)
+    "kmeans_portable",
     # final 1-row x 1-row summary combine
     "contamination_overlap",
     # broadcast 1-row totals scalar
@@ -224,6 +226,31 @@ def unpartitioned_windows(plan: str) -> int:
     return hits
 
 
+# Queries where >= 3 identical scans of one table are the intended shape
+# (reason per entry) — everything else with that pattern and NO cache /
+# checkpoint in the plan is flagged RECOMPUTE (the round-5 CF finding:
+# Catalyst compiled 3-5 copies of a shared scan+join+distinct subtree).
+INTENTIONAL_RESCAN: dict[str, str] = {}
+
+
+def repeated_scans(plan: str) -> list[str]:
+    """Tables scanned >= 3x with identical column sets, in a plan with no
+    cached/checkpointed subtree.  A cached (InMemoryTableScan) or
+    checkpointed (Scan ExistingRDD) relation re-prints its child scan per
+    consumer in explain text but computes ONCE at runtime, so any plan
+    using them is skipped (conservative: those authors already pinned the
+    shared frame)."""
+    if "InMemoryTableScan" in plan or "Scan ExistingRDD" in plan:
+        return []
+    scans = re.findall(
+        r"FileScan parquet \[([^\]]*)\].*?\[file:[^\]]*?/(\w+)\.parquet\]", plan
+    )
+    counts: dict[tuple, int] = {}
+    for cols, tbl in scans:
+        counts[(tbl, cols)] = counts.get((tbl, cols), 0) + 1
+    return [f"{t}x{c}" for (t, _), c in counts.items() if c >= 3]
+
+
 def audit(name: str, plan: str) -> list[str]:
     flags = []
     if "CartesianProduct" in plan:
@@ -235,6 +262,9 @@ def audit(name: str, plan: str) -> list[str]:
     n_gw = unpartitioned_windows(plan)
     if n_gw and name not in INTENTIONAL_GLOBAL_WINDOW:
         flags.append(f"GLOBAL-WINDOW:{n_gw}")
+    rescans = repeated_scans(plan)
+    if rescans and name not in INTENTIONAL_RESCAN:
+        flags.append("RECOMPUTE:" + ",".join(rescans))
     return flags
 
 
