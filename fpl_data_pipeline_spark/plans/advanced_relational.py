@@ -1164,12 +1164,18 @@ def cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= REC_K)
         .select("cust", "rec_item")
     )
+    # aliased join keys: test and topk both descend from the pinned train
+    # lineage, so test.cust/topk.cust can resolve to the SAME attribute id
+    # (Spark warns "trivially true predicate") — renaming makes the join
+    # keys unambiguous
     hits = (
         test.join(
-            topk,
-            (test.cust == topk.cust) & (test.item == topk.rec_item),
+            topk.select(
+                F.col("cust").alias("k_cust"), F.col("rec_item").alias("k_item")
+            ),
+            (F.col("cust") == F.col("k_cust")) & (F.col("item") == F.col("k_item")),
         )
-        .select(test.cust)
+        .select("cust")
         .distinct()
     )
     n_eligible = eligible.count()
