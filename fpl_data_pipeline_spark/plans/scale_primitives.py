@@ -165,6 +165,69 @@ def global_prefix_sums(
     )
 
 
+def global_run_counts(
+    df: DataFrame, sort_cols, value_cols: list, n_parts: int = RANGE_PARTS
+) -> DataFrame:
+    """One row with ``<col>_runs`` = number of maximal equal-value runs of
+    each value column under the global order ``sort_cols`` — the RLE-length
+    statistic — without a single-partition sort.
+
+    Scheme: range partition on the sort key, count run boundaries WITHIN
+    each ordered partition (row 1 of a partition always counts), then
+    subtract the partition seams that are not real boundaries (partition
+    p's first value null-safe-equals p-1's last value) via a <= n_parts-row
+    edge relation.  Runs are additive across ordered ranges, so the
+    correction is exact.  Null-safe throughout (a run of NULLs counts as
+    one run).  ``sort_cols`` must be plain ascending columns (they feed a
+    struct ordering for min_by/max_by)."""
+    ranged = (
+        df.repartitionByRange(n_parts, *sort_cols)
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()  # pin pids across the boundary + edge branches
+    )
+    w = Window.partitionBy("pid").orderBy(*sort_cols)
+    rn = F.row_number().over(w)
+    inner = ranged.select(
+        *[
+            ((rn == 1) | ~F.col(c).eqNullSafe(F.lag(c).over(w)))
+            .cast("long")
+            .alias(f"b_{c}")
+            for c in value_cols
+        ]
+    ).agg(*[F.sum(f"b_{c}").alias(f"b_{c}") for c in value_cols])
+    ord_key = F.struct(*sort_cols)
+    edges = ranged.groupBy("pid").agg(
+        *[
+            agg
+            for c in value_cols
+            for agg in (
+                F.min_by(c, ord_key).alias(f"first_{c}"),
+                F.max_by(c, ord_key).alias(f"last_{c}"),
+            )
+        ]
+    )
+    w_e = Window.orderBy(F.col("pid").asc())
+    rn_e = F.row_number().over(w_e)
+    # the rn_e > 1 guard matters when the first partition's first value is
+    # NULL: eqNullSafe(NULL, lag=NULL-for-no-predecessor) would be true
+    seams = edges.select(
+        *[
+            (
+                (rn_e > 1)
+                & F.col(f"first_{c}").eqNullSafe(F.lag(f"last_{c}").over(w_e))
+            )
+            .cast("long")
+            .alias(f"d_{c}")
+            for c in value_cols
+        ]
+    ).agg(
+        *[F.coalesce(F.sum(f"d_{c}"), F.lit(0)).alias(f"d_{c}") for c in value_cols]
+    )
+    return inner.crossJoin(F.broadcast(seams)).select(
+        *[(F.col(f"b_{c}") - F.col(f"d_{c}")).alias(f"{c}_runs") for c in value_cols]
+    )
+
+
 def ntile_from_rank(rank_col, n_col, k: int):
     """SQL-standard ``NTILE(k)`` computed from a 1-based gap-free global rank
     (``global_row_numbers`` output) and the total row count — bucket sizes

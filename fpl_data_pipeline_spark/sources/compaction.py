@@ -188,51 +188,24 @@ def layout_rle_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs status-sorted layout — the write-side compression advisor (sorted
     layout collapses status to ~3 runs and priority to ~15).
 
-    The exact global run count decomposes over a range partitioning: count
-    run boundaries WITHIN each ordered range partition (a partitioned lag
-    window — the first row of every partition counts as a boundary), then
-    subtract the partition seams that are NOT real boundaries (partition
-    p's first value equals p-1's last value under the layout order) via a
-    <= RANGE_PARTS-row edge relation.  No single-partition sort of the
-    fact table; runs are additive across ordered ranges by construction."""
-    from fpl_data_pipeline_spark.plans.scale_primitives import RANGE_PARTS
+    The exact global run count comes from ``global_run_counts``
+    (plans/scale_primitives.py): per-range-partition boundary counting
+    with a <= RANGE_PARTS-row seam correction — no single-partition sort
+    of the fact table; property-tested against a pandas ground truth over
+    random multi-run data."""
+    from fpl_data_pipeline_spark.plans.scale_primitives import global_run_counts
 
     o = table(spark, sf_dir, "orders")
 
     def runs(layout_name: str, order_cols: list) -> DataFrame:
-        ranged = (
-            o.select("o_orderkey", "o_orderstatus", "o_orderpriority")
-            .repartitionByRange(RANGE_PARTS, *order_cols)
-            .withColumn("pid", F.spark_partition_id())
-            .localCheckpoint()  # pin pids across the boundary + edge branches
-        )
-        w = Window.partitionBy("pid").orderBy(*order_cols)
-        boundary = lambda c: (  # noqa: E731
-            (F.col(c) != F.lag(c).over(w)) | F.lag(c).over(w).isNull()
-        ).cast("long")
-        inner = ranged.select(
-            boundary("o_orderstatus").alias("sb"),
-            boundary("o_orderpriority").alias("pb"),
-        ).agg(F.sum("sb").alias("sb"), F.sum("pb").alias("pb"))
-        ord_key = F.struct(*order_cols)
-        edges = ranged.groupBy("pid").agg(
-            F.min_by("o_orderstatus", ord_key).alias("first_s"),
-            F.max_by("o_orderstatus", ord_key).alias("last_s"),
-            F.min_by("o_orderpriority", ord_key).alias("first_p"),
-            F.max_by("o_orderpriority", ord_key).alias("last_p"),
-        )
-        w_e = Window.orderBy(F.col("pid").asc())
-        seams = edges.select(
-            (F.col("first_s") == F.lag("last_s").over(w_e)).cast("long").alias("ds"),
-            (F.col("first_p") == F.lag("last_p").over(w_e)).cast("long").alias("dp"),
-        ).agg(
-            F.coalesce(F.sum("ds"), F.lit(0)).alias("ds"),
-            F.coalesce(F.sum("dp"), F.lit(0)).alias("dp"),
-        )
-        return inner.crossJoin(F.broadcast(seams)).select(
+        return global_run_counts(
+            o.select("o_orderkey", "o_orderstatus", "o_orderpriority"),
+            order_cols,
+            ["o_orderstatus", "o_orderpriority"],
+        ).select(
             F.lit(layout_name).alias("layout"),
-            (F.col("sb") - F.col("ds")).alias("status_runs"),
-            (F.col("pb") - F.col("dp")).alias("priority_runs"),
+            F.col("o_orderstatus_runs").alias("status_runs"),
+            F.col("o_orderpriority_runs").alias("priority_runs"),
         )
 
     nat = runs("natural(orderkey)", [F.col("o_orderkey")])

@@ -73,6 +73,35 @@ def test_global_prefix_sums_matches_builtin(spark):
     assert got == ref
 
 
+def test_global_run_counts_matches_pandas(spark):
+    """Seam-corrected run counting == a sequential scan, over random data
+    whose long runs SPAN partition boundaries (the case the seam
+    correction exists for), including NULL runs."""
+    import random
+
+    from fpl_data_pipeline_spark.plans.scale_primitives import global_run_counts
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n = 3000
+        # few distinct values + sorted-ish keys => runs much longer than
+        # n / RANGE_PARTS, so nearly every partition seam splits a run
+        vals = [
+            rng.choice(["A", "B", None]) if trial == 2 else rng.choice(["A", "B", "C"])
+            for _ in range(n)
+        ]
+        vals.sort(key=lambda v: (v is None, v or ""))  # giant runs
+        if trial == 1:
+            rng.shuffle(vals)  # short runs
+        rows = [(i, vals[i]) for i in range(n)]
+        df = spark.createDataFrame(rows, "k long, v string")
+        got = global_run_counts(df, [F.col("k")], ["v"]).collect()[0]["v_runs"]
+        expect = sum(
+            1 for i in range(n) if i == 0 or vals[i] != vals[i - 1]
+        )
+        assert got == expect, (trial, got, expect)
+
+
 def test_global_row_numbers_dense_and_ordered(spark):
     df = spark.range(500).select((F.col("id") * 7919 % 500).alias("k"))
     rn = sorted(
