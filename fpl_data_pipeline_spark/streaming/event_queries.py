@@ -1688,9 +1688,20 @@ def events_sliding_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         hv.alias("hv"),
     )
-    hourly = hashed.groupBy("h").agg(
+    # bounded-memory bottom-k build (round-5 10x probe caught the naive
+    # shape growing 4.9x for 10x events): dedup (h, hv) by hash shuffle
+    # first, then a TWO-PHASE bottom-k — per-(hour, shard) partial minima
+    # (each group holds 1/32 of the hour's distinct hashes), merged over
+    # <= 32*k elements per hour. Exact same k minima as the one-shot
+    # collect, so the oracle and the estimator are unchanged; no stage
+    # ever materializes a whole hour's hash population in one array.
+    dedup = hashed.select("h", "hv").distinct()
+    partial = dedup.groupBy("h", F.pmod("hv", F.lit(32)).alias("shard")).agg(
+        F.slice(F.array_sort(F.collect_list("hv")), 1, SLIDE_KMV_K).alias("psk")
+    )
+    hourly = partial.groupBy("h").agg(
         F.slice(
-            F.array_sort(F.array_distinct(F.collect_list("hv"))), 1, SLIDE_KMV_K
+            F.array_sort(F.flatten(F.collect_list("psk"))), 1, SLIDE_KMV_K
         ).alias("sk")
     )
     w = Window.orderBy("h").rangeBetween(-(SLIDE_WIN_HOURS - 1), 0)
