@@ -120,7 +120,10 @@ DRIVER_WINDOW_PRIORITY = [
     "ldiversity_audit",
     "dp_user_bounded_counts",
     "events_session_paths",
-    "events_user_entropy",
+    # late-round-5 plan change (two-phase salted bottom-k KMV build) —
+    # windowed in the round it changed; events_user_entropy rotates to the
+    # round-6 backlog in its place
+    "events_sliding_distinct_kmv",
 ]
 
 
