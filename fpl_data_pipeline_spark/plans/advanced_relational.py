@@ -715,22 +715,46 @@ def cf_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     support floor 3 and popularity normalization."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    # materialize the shared basket relation ONCE: it feeds three consumers
-    # (pair join sides a/b + popularity counts) and Catalyst does not reuse
-    # the scan+join+distinct subtree across them (verified in the physical
-    # plan: three full copies) — at 100 TB that is two redundant fact passes
-    baskets = (
+    # One shuffle builds every per-customer basket as a SORTED ARRAY
+    # (collect_set partial-aggregates map-side, so the exchange carries
+    # partially-merged sets, not raw interactions). The older shape —
+    # distinct() then a basket⋈basket self-join on cust — shuffled the
+    # basket relation three times (distinct + both join sides); here the
+    # unordered pairs are generated MAP-SIDE from each array (sorted, so
+    # x precedes y exactly once) and only the (item_a, item_b) partial
+    # counts shuffle. Per-row work is s(s-1)/2 structs where s is the
+    # customer's distinct-item count — the same output cardinality the
+    # self-join produced, minus the join itself. Memory per group is one
+    # basket (bounded by the item catalog, same bound the self-join had).
+    baskets_arr = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("item"))
-        .distinct()
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+        # the array relation is tiny (AQE coalesces it to ~2 partitions)
+        # but the downstream explode multiplies each row by s(s-1)/2 —
+        # spread the rows back across the executors BEFORE the fan-out so
+        # the expensive stage keeps full parallelism (same rationale as
+        # dedup's _ensure_parallel)
+        .repartition(spark.sparkContext.defaultParallelism)
+        # feeds both the pair explode and the popularity counts; Catalyst
+        # does not reuse the scan+join+agg subtree across the two consumers
         .localCheckpoint()
     )
-    pop = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("n_users"))
-    a = baskets.select("cust", F.col("item").alias("item_a"))
-    b = baskets.select("cust", F.col("item").alias("item_b"))
+    pop = (
+        baskets_arr.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    pair_gen = F.explode(
+        F.expr(
+            "flatten(transform(items, (x, i) -> "
+            "transform(slice(items, i + 2, size(items)), "
+            "y -> struct(x AS item_a, y AS item_b))))"
+        )
+    )
     co = (
-        a.join(b, "cust")
-        .filter(F.col("item_a") < F.col("item_b"))
+        baskets_arr.select(pair_gen.alias("p"))
+        .select("p.item_a", "p.item_b")
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= 3)

@@ -358,6 +358,53 @@ def test_cf_similarity_bounds_and_floor(spark):
         assert r["item_a"] < r["item_b"]
 
 
+def test_cf_pair_generation_matches_self_join(spark):
+    """The map-side array pair expansion inside cf_item_similarity emits
+    exactly the (item_a < item_b) pair multiset that the basket self-join
+    it replaced would produce — checked on the real sf0.001 baskets."""
+    import pyspark.sql.functions as F
+    from fpl_data_pipeline_spark.tables import table
+
+    li = table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    o = table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    baskets = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    a = baskets.select("cust", F.col("item").alias("item_a"))
+    b = baskets.select("cust", F.col("item").alias("item_b"))
+    via_join = (
+        a.join(b, "cust")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .count()
+    )
+    arr = baskets.groupBy("cust").agg(
+        F.array_sort(F.collect_set("item")).alias("items")
+    )
+    via_array = (
+        arr.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, (x, i) -> "
+                    "transform(slice(items, i + 2, size(items)), "
+                    "y -> struct(x AS item_a, y AS item_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.item_a", "p.item_b")
+        .groupBy("item_a", "item_b")
+        .count()
+    )
+    assert via_join.exceptAll(via_array).count() == 0
+    assert via_array.exceptAll(via_join).count() == 0
+
+
 def test_rfm_partitions_customers(spark):
     """The RFM grid partitions the customer base and conserves revenue."""
     import pyspark.sql.functions as F
