@@ -2142,6 +2142,11 @@ def prefix_filter_pairs(d: DataFrame) -> DataFrame:
     measures the candidate-set reduction on a planted corpus.
     """
     sh = shingles(d).localCheckpoint()
+    # NOT checkpointed despite three consumers (candidate build + both
+    # verify join sides): measured at sf0.1, materializing the per-doc
+    # trigram ARRAYS costs more than recomputing the agg from the
+    # checkpointed shingle rows (5.3 s vs 3.3 s warm) — the arrays
+    # serialize the whole corpus text, the recompute is two hash shuffles
     docs = _prefix_docs(sh)
     cand = _candidates_from_docs(docs)
     # Verification via per-doc shingle ARRAYS + array_intersect instead of
