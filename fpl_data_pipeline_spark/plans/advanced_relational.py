@@ -1154,11 +1154,29 @@ def cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     test = (
         base.filter(F.col("ok") == F.col("test_ok")).select("cust", "item").distinct()
     )
-    a = train.select(F.col("cust").alias("c2"), F.col("item").alias("ia"))
-    b = train.select(F.col("cust").alias("c2"), F.col("item").alias("ib"))
+    # ordered co-occurrence pairs via the map-side array expansion
+    # (ARCHITECTURE.md §7): one groupBy collapses each customer's train
+    # basket to a sorted array, the (ia != ib) ordered pairs are generated
+    # inside codegen, and only the pair partial counts shuffle — the
+    # basket self-join this replaces shuffled train twice more. The
+    # repartition spreads the tiny array relation back across executors
+    # before the s(s-1) fan-out so AQE's coalesce can't serialize it.
+    train_arr = (
+        train.groupBy("cust")
+        .agg(F.array_sort(F.collect_set("item")).alias("items"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     co_full = (
-        a.join(b, "c2")
-        .filter(F.col("ia") != F.col("ib"))
+        train_arr.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, x -> "
+                    "transform(filter(items, y -> y != x), "
+                    "y -> struct(x AS ia, y AS ib))))"
+                )
+            ).alias("p")
+        )
+        .select("p.ia", "p.ib")
         .groupBy("ia", "ib")
         .agg(F.count(F.lit(1)).alias("s"))
     )
