@@ -592,18 +592,32 @@ def ltv_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity: part pairs co-occurring in the same order,
-    top-25 by support — the recommendation-seed query. The self-join is
-    keyed on the ORDER (bounded basket size, ~7 lines), so pair fan-out is
-    sum-of-baskets-squared — linear in orders, never corpus n²; the same
-    bounded-key discipline as every candidate join here. Distinct first:
-    a part twice in one order must not double-count support."""
+    top-25 by support — the recommendation-seed query. Pairs are keyed on
+    the ORDER (bounded basket size, ~7 lines), so pair fan-out is
+    sum-of-baskets-squared — linear in orders, never corpus n². Built with
+    the map-side array expansion (ARCHITECTURE.md §7): ONE groupBy
+    collapses each order's distinct parts into a sorted array (collect_set
+    both dedups — a part twice in one order must not double-count support
+    — and partial-aggregates map-side), the part_a < part_b pairs are
+    generated inside codegen, and only pair partial counts shuffle. The
+    self-join shape this replaces shuffled the LINEITEM FACT three times
+    (distinct + both join sides) — at 100 TB that is two extra full fact
+    exchanges."""
     li = table(spark, sf_dir, "lineitem")
-    lines = li.select("l_orderkey", "l_partkey").distinct()
-    a = lines.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = lines.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, (x, i) -> "
+                    "transform(slice(items, i + 2, size(items)), "
+                    "y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders_together"))
         .orderBy(
