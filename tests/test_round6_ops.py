@@ -405,6 +405,46 @@ def test_cf_pair_generation_matches_self_join(spark):
     assert via_array.exceptAll(via_join).count() == 0
 
 
+def test_directed_pair_generation_matches_self_join(spark):
+    """The directed (ia != ib) in-array pair expansion used by
+    cf_holdout_hitrate's co-occurrence build emits exactly the ordered
+    pair multiset of the keyed self-join it replaced."""
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, 10), (1, 20), (1, 30),
+        (2, 10), (2, 20),
+        (3, 40),          # singleton basket -> no pairs
+        (4, 10), (4, 20), (4, 30), (4, 50),
+    ]
+    df = spark.createDataFrame(rows, "cust int, item int")
+    a = df.select(F.col("cust").alias("c2"), F.col("item").alias("ia"))
+    b = df.select(F.col("cust").alias("c2"), F.col("item").alias("ib"))
+    via_join = (
+        a.join(b, "c2")
+        .filter(F.col("ia") != F.col("ib"))
+        .groupBy("ia", "ib")
+        .count()
+    )
+    arr = df.groupBy("cust").agg(F.array_sort(F.collect_set("item")).alias("items"))
+    via_array = (
+        arr.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, x -> "
+                    "transform(filter(items, y -> y != x), "
+                    "y -> struct(x AS ia, y AS ib))))"
+                )
+            ).alias("p")
+        )
+        .select("p.ia", "p.ib")
+        .groupBy("ia", "ib")
+        .count()
+    )
+    assert via_join.exceptAll(via_array).count() == 0
+    assert via_array.exceptAll(via_join).count() == 0
+
+
 def test_rfm_partitions_customers(spark):
     """The RFM grid partitions the customer base and conserves revenue."""
     import pyspark.sql.functions as F
