@@ -2141,12 +2141,12 @@ def prefix_filter_pairs(d: DataFrame) -> DataFrame:
     tests/test_round5_ops.py proves recall against the exhaustive join and
     measures the candidate-set reduction on a planted corpus.
     """
-    sh = shingles(d).localCheckpoint()
+    sh = _hashed_shingles(shingles(d)).localCheckpoint()
     # NOT checkpointed despite three consumers (candidate build + both
     # verify join sides): measured at sf0.1, materializing the per-doc
-    # trigram ARRAYS costs more than recomputing the agg from the
+    # shingle ARRAYS costs more than recomputing the agg from the
     # checkpointed shingle rows (5.3 s vs 3.3 s warm) — the arrays
-    # serialize the whole corpus text, the recompute is two hash shuffles
+    # serialize the whole corpus, the recompute is two hash shuffles
     docs = _prefix_docs(sh)
     cand = _candidates_from_docs(docs)
     # Verification via per-doc shingle ARRAYS + array_intersect instead of
@@ -2189,6 +2189,24 @@ def prefix_filter_pairs(d: DataFrame) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), F.col("doc_id_a").asc(), F.col("doc_id_b").asc())
         .limit(20)
     )
+
+
+def _hashed_shingles(sh: DataFrame) -> DataFrame:
+    """Swap the trigram STRING for its xxhash64 before the prefix-filter
+    pipeline: the family never outputs shingles — only doc-id pairs and
+    Jaccard — so every downstream exchange, sort, equi-join and
+    array_intersect runs on 8-byte longs instead of ~30-byte strings.
+    Measured solo: neutral at sf0.1 (CPU-bound small corpus, ~3.3 s both
+    ways) but 2.2x at the 10x blowup (16.5 -> 7.3 s warm, shuffle write
+    453 -> 339 MB) — string comparison inside the per-doc sort_array and
+    the candidate equi-join is what stops scaling first. The rarity order
+    becomes (df, hv) — still one total order applied identically to all
+    docs, which is all the PPJoin completeness proof requires. A 2^-64
+    hash collision would merge two tokens corpus-wide, consistently for
+    every document (symmetric for both sides of any pair), nudging one
+    intersection count; the value oracle is still exact on every tested
+    corpus and the top-20 output carries no hash-derived columns."""
+    return sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
 
 
 def _prefix_docs(sh: DataFrame) -> DataFrame:
@@ -2247,7 +2265,7 @@ def prefix_candidate_pairs(d: DataFrame, sh: DataFrame | None = None) -> DataFra
     already-checkpointed shingle set."""
     if sh is None:
         sh = shingles(d).localCheckpoint()
-    return _candidates_from_docs(_prefix_docs(sh))
+    return _candidates_from_docs(_prefix_docs(_hashed_shingles(sh)))
 
 
 # --- intra-document duplicate segments (within-doc repetition removal) ------

@@ -51,9 +51,9 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # simhash/char-n-gram conditional-repartition siblings, and the new
 # kmeans_portable value-oracle twin) so changed code gets driver-grade proof
 # in the round it was changed; the remaining 34 slots rotate oldest-first
-# through the never-windowed backlog (81 before this round, 40 after:
-# events_session_paths, events_attribution_credit, events_ab_readout,
-# customer_survival_curve,
+# through the never-windowed backlog (81 before this round, 41 after:
+# events_session_paths, dp_user_bounded_counts, events_attribution_credit,
+# events_ab_readout, customer_survival_curve,
 # events_*, binary_ingest_arrow, scd2_asof_snapshot, cdc_net_effect_summary,
 # bitemporal_revenue_asof, fact_temporal_dim_join, dupgraph_kcore_peel,
 # doc_novelty_scores, lm_heldout_perplexity, source_js_matrix,
@@ -119,14 +119,15 @@ DRIVER_WINDOW_PRIORITY = [
     "table_content_fingerprints",
     "dp_noisy_segment_counts",
     "ldiversity_audit",
-    "dp_user_bounded_counts",
     # late-round-5 plan changes, windowed in the round they changed:
-    # the two-phase salted bottom-k KMV build, and the map-side
-    # array pair generation in the basket query (ARCHITECTURE.md §7).
-    # events_user_entropy and events_session_paths rotate to the round-6
-    # backlog in their place
+    # the two-phase salted bottom-k KMV build, the map-side array pair
+    # generation in the basket query (ARCHITECTURE.md §7), and the
+    # xxhash64-keyed prefix-filter pipeline. events_user_entropy,
+    # events_session_paths and dp_user_bounded_counts rotate to the
+    # round-6 backlog in their place
     "events_sliding_distinct_kmv",
     "basket_part_pairs",
+    "dedup_prefix_filter_pairs",
 ]
 
 
