@@ -141,13 +141,15 @@ def main() -> None:
         # for the bigger plans, OS page cache for the 10x parquet) that a
         # steady-state cluster never re-pays; min-of-2 approximates the warm
         # median without the driver-time cost of a third pass.
-        # dedup_prefix_filter_pairs / pagerank_dupgraph are excluded HERE
-        # (kept in the sf0.1 headline): on the blowup corpus their cost is
-        # output-bound — every copy-family is a true 10-clique, so they'd
-        # measure the planted duplicate population (~75 s / ~35 s each),
-        # not engine overhead. tools/scale_probe.py records their growth
-        # honestly (pair ratio vs time ratio) at both scales.
-        sf1_skip = {"dedup_prefix_filter_pairs", "pagerank_dupgraph"}
+        # pagerank_dupgraph is excluded HERE (kept in the sf0.1 headline):
+        # on the blowup corpus its cost is output-bound — every copy-family
+        # is a true 10-clique, so it would measure the planted duplicate
+        # population (~35 s), not engine overhead. tools/scale_probe.py
+        # records its growth honestly (pair ratio vs time ratio) at both
+        # scales. dedup_prefix_filter_pairs was excluded for the same
+        # reason at ~75 s; the round-5 xxhash64 keying brought it to ~7 s
+        # warm (cheaper than the included winnowing), so it is back in.
+        sf1_skip = {"pagerank_dupgraph"}
         t10: dict[str, list[float]] = {n: [] for n in runs if n not in sf1_skip}
         for _ in range(2):
             for name in t10:
