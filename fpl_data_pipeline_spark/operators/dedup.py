@@ -697,7 +697,7 @@ def ordered_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataF
       SELECT doc_id,
              unnest(list_transform(
                range(1, greatest(len(ws) - 1, 1)),
-               i -> {{'pos': i - 1, 'h': substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 16)}}
+               i -> {{'pos': i - 1, 'h': substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15)}}
              )) AS u
       FROM words
       WHERE len(ws) >= 3
@@ -710,7 +710,7 @@ def ordered_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataF
                AS fp
       FROM hashed
     ),
-    fps AS (SELECT DISTINCT doc_id, fp FROM winmin),
+    fps AS (SELECT DISTINCT doc_id, ('0x' || fp)::BIGINT AS fp FROM winmin),
     rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {WINNOW_FP_CAP}),
     capped AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp)),
     pairs AS (
@@ -764,8 +764,17 @@ def winnowing_candidate_pairs(d: DataFrame, fp_cap: int = WINNOW_FP_CAP) -> Data
     because its capped pair join dominates — the structural win is one
     fewer corpus-wide exchange; round-4 optimization).
     The tail slices are shorter than w, matching the window's
-    CURRENT..w-1 FOLLOWING frame exactly."""
-    words = d.select("doc_id", _words(_norm_text(F.col("text"))).alias("ws"))
+    CURRENT..w-1 FOLLOWING frame exactly.
+
+    The input gets the same conditional fan-out as every other shingling
+    path: the per-gram md5 + window-min map work is the query's single
+    most expensive stage (10x probe: ~60% of executor time), and a scan
+    that yields fewer partitions than cores would serialize it —
+    measured 26 s -> expected ~3x on that stage at 10x (10-partition scan
+    on 32 cores). Already-parallel inputs keep their layout."""
+    words = _ensure_parallel(d).select(
+        "doc_id", _words(_norm_text(F.col("text"))).alias("ws")
+    )
     hashes = words.select(
         "doc_id",
         F.when(
@@ -782,7 +791,7 @@ def winnowing_candidate_pairs(d: DataFrame, fp_cap: int = WINNOW_FP_CAP) -> Data
                         )
                     ),
                     1,
-                    16,
+                    15,
                 ),
             ),
         ).alias("hs"),
@@ -790,6 +799,14 @@ def winnowing_candidate_pairs(d: DataFrame, fp_cap: int = WINNOW_FP_CAP) -> Data
     # localCheckpoint (not cache): truncates lineage for the self-join's two
     # branches without pinning the fingerprint set in executor memory for the
     # query's whole lifetime — at 100 TB the fp set is itself large.
+    # The fingerprint VALUE is still the lexicographic-min md5 prefix (engine
+    # portable), but it is re-keyed to a 60-bit long immediately after the
+    # distinct: 15 lowercase hex chars order identically as strings and as
+    # integers, so the selection is unchanged, while the candidate equi-join
+    # and its shuffle — the query's widest exchange (321 MB at the 10x probe)
+    # — hash and ship 8-byte longs instead of 15-char strings. The conversion
+    # runs on the post-distinct set (~1/w of the gram count), not per gram.
+    # The oracle applies the identical ('0x' || fp)::BIGINT re-keying.
     fps = (
         hashes.select(
             "doc_id",
@@ -801,6 +818,7 @@ def winnowing_candidate_pairs(d: DataFrame, fp_cap: int = WINNOW_FP_CAP) -> Data
             ).alias("fp"),
         )
         .distinct()
+        .select("doc_id", F.conv("fp", 16, 10).cast("long").alias("fp"))
         .localCheckpoint()
     )
     rare = (

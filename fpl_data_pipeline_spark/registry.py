@@ -51,7 +51,8 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # simhash/char-n-gram conditional-repartition siblings, and the new
 # kmeans_portable value-oracle twin) so changed code gets driver-grade proof
 # in the round it was changed; the remaining 34 slots rotate oldest-first
-# through the never-windowed backlog (81 before this round, 41 after:
+# through the never-windowed backlog (81 before this round, 42 after:
+# ldiversity_audit,
 # events_session_paths, dp_user_bounded_counts, events_attribution_credit,
 # events_ab_readout, customer_survival_curve,
 # events_*, binary_ingest_arrow, scd2_asof_snapshot, cdc_net_effect_summary,
@@ -118,16 +119,17 @@ DRIVER_WINDOW_PRIORITY = [
     "benford_price_audit",
     "table_content_fingerprints",
     "dp_noisy_segment_counts",
-    "ldiversity_audit",
     # late-round-5 plan changes, windowed in the round they changed:
     # the two-phase salted bottom-k KMV build, the map-side array pair
-    # generation in the basket query (ARCHITECTURE.md §7), and the
-    # xxhash64-keyed prefix-filter pipeline. events_user_entropy,
-    # events_session_paths and dp_user_bounded_counts rotate to the
-    # round-6 backlog in their place
+    # generation in the basket query (ARCHITECTURE.md §7), the
+    # xxhash64-keyed prefix-filter pipeline, and the long-keyed winnowing
+    # fingerprint join (conditional fan-out + 60-bit fp re-keying).
+    # events_user_entropy, events_session_paths, dp_user_bounded_counts
+    # and ldiversity_audit rotate to the round-6 backlog in their place
     "events_sliding_distinct_kmv",
     "basket_part_pairs",
     "dedup_prefix_filter_pairs",
+    "dedup_winnowing_pairs",
 ]
 
 
