@@ -366,6 +366,31 @@ def test_winnowing_fp_cap_bounds_candidates(spark):
     assert len(unc_boiler) >= 19  # without the cap the clique floods the top-20
 
 
+def test_winnowing_hex15_rekeying_is_order_isomorphic(spark):
+    """The long re-keying in winnowing_candidate_pairs rests on two facts:
+    (1) 15-char lowercase-hex strings order lexicographically exactly as
+    their integer values (so array_min selects the SAME fingerprint whether
+    compared as string or long), and (2) Spark's conv(fp, 16, 10) agrees
+    with the oracle's ('0x' || fp)::BIGINT, i.e. plain base-16 parsing
+    (operators/dedup.py::winnowing_candidate_pairs)."""
+    import random
+
+    rng = random.Random(7)
+    hexes = ["%015x" % rng.getrandbits(60) for _ in range(500)]
+    # order isomorphism: string sort == numeric sort
+    assert sorted(hexes) == sorted(hexes, key=lambda h: int(h, 16))
+    # Spark conv == python int(x, 16) for every sample, incl. boundary values
+    hexes += ["0" * 15, "f" * 15]
+    df = spark.createDataFrame([(h,) for h in hexes], "fp string")
+    got = {
+        r["fp"]: r["v"]
+        for r in df.select(
+            "fp", F.conv("fp", 16, 10).cast("long").alias("v")
+        ).collect()
+    }
+    assert got == {h: int(h, 16) for h in hexes}
+
+
 def test_arrow_digest_matches_pandas_path(spark):
     """mapInArrow and mapInPandas digestion of the same binaryFile scan must
     produce identical rows — the two Arrow transports are interchangeable."""
