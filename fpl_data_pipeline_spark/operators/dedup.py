@@ -734,12 +734,11 @@ def winnowing_pairs(d: DataFrame, fp_cap: int = WINNOW_FP_CAP) -> DataFrame:
     hash every ordered word-3-gram, keep the minimum hash of each sliding
     w-window, dedupe -> a position-sampled fingerprint set ~1/w the gram
     count that GUARANTEES any shared run of >= w+2 tokens shares a
-    fingerprint. Candidate pairs then come from an equi-join on the
-    fingerprint key — the same linear-shuffle shape as the other dedup
-    families, with a provable-recall sampling step in front and the same
-    document-frequency cap (``fp_cap``) that bounds every other family's
-    candidate join: a boilerplate fingerprint in d docs would otherwise
-    emit d^2/2 join rows.
+    fingerprint. Candidate pairs are generated per fingerprint group via
+    the in-array pair expansion (ARCHITECTURE.md §7) — a provable-recall
+    sampling step in front, and the same document-frequency cap
+    (``fp_cap``) that bounds every other family's candidate step: a
+    boilerplate fingerprint in d docs would otherwise emit d^2/2 pairs.
 
     Engine-portable hashing: the fingerprint is the LEXICOGRAPHIC min of
     md5-hex prefixes (md5 identical on both engines; varchar MIN identical),
@@ -799,15 +798,21 @@ def winnowing_candidate_pairs(d: DataFrame, fp_cap: int = WINNOW_FP_CAP) -> Data
     # localCheckpoint (not cache): truncates lineage for the self-join's two
     # branches without pinning the fingerprint set in executor memory for the
     # query's whole lifetime — at 100 TB the fp set is itself large.
-    # The fingerprint VALUE is still the lexicographic-min md5 prefix (engine
-    # portable), but it is re-keyed to a 60-bit long immediately after the
-    # distinct: 15 lowercase hex chars order identically as strings and as
-    # integers, so the selection is unchanged, while the candidate equi-join
-    # and its shuffle — the query's widest exchange (321 MB at the 10x probe)
-    # — hash and ship 8-byte longs instead of 15-char strings. The conversion
-    # runs on the post-distinct set (~1/w of the gram count), not per gram.
-    # The oracle applies the identical ('0x' || fp)::BIGINT re-keying.
-    fps = (
+    # Candidate pairs use the keyed-pair-generation-without-self-join shape
+    # (ARCHITECTURE.md §7, same as cf_item_similarity): ONE groupBy collects
+    # the sorted distinct doc set per fingerprint — collect_set subsumes the
+    # old (doc_id, fp) distinct, size(docs) subsumes the separate rarity
+    # aggregate, and with no self-join left there is nothing to checkpoint.
+    # The old shape shuffled the fingerprint relation four times (distinct,
+    # df-count, both join sides); this shuffles it once, then only the pair
+    # partial counts. Per-group memory is one doc array, bounded by fp_cap
+    # exactly as the join fan-out was.
+    #
+    # A doc shorter than n words carries a NULL hash array whose window-min
+    # explodes to NULL fingerprints; the old equi-join dropped them by SQL
+    # null semantics, but a groupBy would collect every short doc into one
+    # giant NULL group — filter them explicitly.
+    groups = (
         hashes.select(
             "doc_id",
             F.explode(
@@ -817,22 +822,25 @@ def winnowing_candidate_pairs(d: DataFrame, fp_cap: int = WINNOW_FP_CAP) -> Data
                 )
             ).alias("fp"),
         )
-        .distinct()
-        .select("doc_id", F.conv("fp", 16, 10).cast("long").alias("fp"))
-        .localCheckpoint()
+        .filter(F.col("fp").isNotNull())
+        .groupBy("fp")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= fp_cap))
+        # the array relation is small (AQE coalesces it) but the explode
+        # below multiplies each row by df(df-1)/2 — spread it back across
+        # the executors before the fan-out (ARCHITECTURE.md §7 subtlety)
+        .repartition(d.sparkSession.sparkContext.defaultParallelism)
     )
-    rare = (
-        fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= fp_cap)
-        .select("fp")
+    pair_gen = F.explode(
+        F.expr(
+            "flatten(transform(docs, (x, i) -> "
+            "transform(slice(docs, i + 2, size(docs)), "
+            "y -> struct(x AS doc_id_a, y AS doc_id_b))))"
+        )
     )
-    capped = fps.join(rare, "fp")
-    a = capped.select(F.col("doc_id").alias("doc_id_a"), "fp")
-    b = capped.select(F.col("doc_id").alias("doc_id_b"), "fp")
     return (
-        a.join(b, "fp")
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        groups.select(pair_gen.alias("p"))
+        .select("p.doc_id_a", "p.doc_id_b")
         .groupBy("doc_id_a", "doc_id_b")
         .agg(F.count(F.lit(1)).alias("shared_fps"))
     )
