@@ -60,6 +60,28 @@ def _ensure_parallel(df: DataFrame) -> DataFrame:
     return df
 
 
+def _expand_member_pairs(groups: DataFrame, members_col: str = "members") -> DataFrame:
+    """Map-side i<j pair expansion over a sorted per-group member array —
+    the keyed-pair-generation-without-self-join shape (ARCHITECTURE.md §7,
+    first used by cf_item_similarity and winnowing_candidate_pairs).
+
+    ``members`` is an ``array<struct<...>>`` sorted ascending (struct order
+    = first-field order, so sort the identity field first); the result is
+    one row per unordered pair, columns ``a`` / ``b`` of the member struct
+    type with ``a < b`` in array order. The explode multiplies each group
+    row by s(s-1)/2 — callers should ``repartition`` the (small) group
+    relation to session parallelism first so the fan-out runs on all cores
+    rather than the 1-2 partitions AQE coalesces it to."""
+    pair_gen = F.explode(
+        F.expr(
+            f"flatten(transform({members_col}, (x, i) -> "
+            f"transform(slice({members_col}, i + 2, size({members_col})), "
+            "y -> struct(x AS a, y AS b))))"
+        )
+    )
+    return groups.select(pair_gen.alias("p")).select("p.a", "p.b")
+
+
 def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """doc_id -> exploded distinct word-n-gram shingles (engine operator).
 
@@ -207,36 +229,79 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ngram_jaccard_pairs(d: DataFrame) -> DataFrame:
-    """(doc_id_a, doc_id_b, jaccard) for every pair sharing at least one
-    df-capped shingle — the exact-Jaccard engine half shared by
-    dedup_ngram_jaccard and dedup_consensus_pairs."""
-    # localCheckpoint (not cache): the shingle set feeds three consumers
-    # (sizes + both sides of the self-join); eager materialization truncates
-    # the explode-heavy lineage and frees storage memory for the shuffle.
-    sh = capped_shingles(d).localCheckpoint()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+def _set_overlap_stats(
+    sh: DataFrame, key_col: str, df_cap: int = SHINGLE_DF_CAP, directed: bool = False
+) -> DataFrame:
+    """(doc_id_a, doc_id_b, n_common, na, nb) for every doc pair sharing at
+    least one df-capped key in the (doc_id, key) relation ``sh`` — the
+    exact set-overlap engine half under the whole Jaccard/containment
+    family.
+
+    In-array group expansion (ARCHITECTURE.md §7): ONE groupBy on the key
+    collects the sorted per-key doc set. The df cap becomes a size()
+    filter on the collected array — subsuming capped_shingles' separate
+    df-count aggregate + filter join — per-doc set sizes re-derive from
+    the same grouped relation map-side, and pair intersection counts come
+    from the pair explode. The old shape shuffled the exploded key set
+    four times (df count, cap join, both self-join sides); this shuffles
+    it once into groups, then only doc-sized and pair-sized relations.
+    Per-group memory is bounded by ``df_cap`` doc_ids.
+
+    ``directed=True`` emits both orientations of each pair (the
+    containment convention, where (contained, container) is an ordered
+    role); n_common is symmetric so the reverse rows are emitted map-side
+    from the same expansion, not re-counted."""
+    # localCheckpoint (not cache): the grouped relation feeds two consumers
+    # (sizes + the pair expansion); eager materialization stops Catalyst
+    # compiling the explode-heavy key subtree once per consumer.
+    groups0 = (
+        sh.groupBy(key_col)
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        .filter(F.size("docs") <= df_cap)
+        .select("docs")
+        .localCheckpoint()
+    )
+    sizes = (
+        groups0.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+    pair_groups = (
+        groups0.filter(F.size("docs") >= 2)
+        .repartition(sh.sparkSession.sparkContext.defaultParallelism)
+        .select(F.col("docs").alias("members"))
+    )
     pair_inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        _expand_member_pairs(pair_groups)
+        .select(F.col("a").alias("doc_id_a"), F.col("b").alias("doc_id_b"))
         .groupBy("doc_id_a", "doc_id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_shingles").alias("nb"))
-    return (
-        pair_inter.join(sa, "doc_id_a")
-        .join(sb, "doc_id_b")
-        .select(
-            "doc_id_a",
-            "doc_id_b",
-            (
-                F.col("n_common").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("n_common"))
-            ).alias("jaccard"),
+    if directed:
+        pair_inter = pair_inter.unionByName(
+            pair_inter.select(
+                F.col("doc_id_b").alias("doc_id_a"),
+                F.col("doc_id_a").alias("doc_id_b"),
+                "n_common",
+            )
         )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_keys").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_keys").alias("nb"))
+    return pair_inter.join(sa, "doc_id_a").join(sb, "doc_id_b")
+
+
+def _ngram_jaccard_pairs(d: DataFrame) -> DataFrame:
+    """(doc_id_a, doc_id_b, jaccard) for every pair sharing at least one
+    df-capped word-3-gram shingle — shared by dedup_ngram_jaccard,
+    dedup_clusters_exact, dedup_consensus_pairs and dedup_threshold_sweep
+    (see _set_overlap_stats for the plan shape)."""
+    return _set_overlap_stats(shingles(d), "shingle").select(
+        "doc_id_a",
+        "doc_id_b",
+        (
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common"))
+        ).alias("jaccard"),
     )
 
 
@@ -266,17 +331,23 @@ def minhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     return sigs
 
 
-@register("dedup_minhash_pairs")
-def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-banded MinHash near-dup candidates, top-20 by estimated Jaccard.
+def _minhash_pair_estimates(sigs: DataFrame) -> DataFrame:
+    """(doc_id_a, doc_id_b, est_jaccard) for every pair sharing >= 1 LSH
+    band — the candidate half shared by dedup_minhash_pairs and
+    dedup_clusters.
 
     Banding: 8 bands of 4 rows; band key = xxhash64(band values). Candidate
-    generation is an equi-join on (band_id, band_key) — at 100 TB this is a
-    shuffle on band keys whose fan-out tracks true duplicate density, never
-    n^2. No oracle entry: MinHash estimates are engine-specific (rows-only).
-    """
-    d = table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d)
+    generation uses the in-array group expansion (ARCHITECTURE.md §7): ONE
+    groupBy on (band_id, band_key) collects the sorted (doc_id, sig) set
+    per band group, pairs explode map-side, and the estimate is computed
+    per candidate occurrence so only the 8-byte estimate — not two 32-long
+    signatures — rides the pair-dedup shuffle (first() over identical
+    values replaces dropDuplicates). The old cache + self-join shape
+    shuffled the band relation twice as join sides plus the wide
+    (sig_a, sig_b) candidate set a third time to dedupe; this shuffles the
+    band relation once and then only narrow pair rows. Per-group memory is
+    bounded by the true duplicate-group size — the same quantity that
+    bounded the old join's per-key fan-out."""
     bands = sigs.select(
         "doc_id",
         "sig",
@@ -297,34 +368,42 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "sig", "band.band_id", "band.band_key")
-    # both join sides derive from this subtree — cache it or the explode +
-    # 32-way min-agg pipeline executes twice
-    bands = bands.cache()
+    groups = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sig"))).alias("members"))
+        .filter(F.size("members") >= 2)
+        .repartition(sigs.sparkSession.sparkContext.defaultParallelism)
+    )
+    return (
+        _expand_member_pairs(groups)
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            (
+                F.aggregate(
+                    F.zip_with("a.sig", "b.sig", lambda x, y: (x == y).cast("int")),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                ).cast("double")
+                / F.lit(float(N_HASHES))
+            ).alias("est_jaccard"),
+        )
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.first("est_jaccard").alias("est_jaccard"))
+    )
 
-    a = bands.select(
-        F.col("doc_id").alias("doc_id_a"), F.col("sig").alias("sig_a"), "band_id", "band_key"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("sig").alias("sig_b"), "band_id", "band_key"
-    )
-    cands = (
-        a.join(b, ["band_id", "band_key"])
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b", "sig_a", "sig_b")
-        .dropDuplicates(["doc_id_a", "doc_id_b"])
-    )
-    est = cands.select(
-        "doc_id_a",
-        "doc_id_b",
-        (
-            F.aggregate(
-                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-                F.lit(0),
-                lambda acc, v: acc + v,
-            ).cast("double")
-            / F.lit(float(N_HASHES))
-        ).alias("est_jaccard"),
-    )
+
+@register("dedup_minhash_pairs")
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-banded MinHash near-dup candidates, top-20 by estimated Jaccard.
+
+    At 100 TB the band groupBy is a shuffle on band keys whose fan-out
+    tracks true duplicate density, never n^2 (see _minhash_pair_estimates).
+    No oracle entry: MinHash estimates are engine-specific (rows-only);
+    the md5-family twin dedup_minhash_portable value-proves the machinery.
+    """
+    d = table(spark, sf_dir, "documents")
+    est = _minhash_pair_estimates(minhash_signatures(d))
     return est.orderBy(
         F.col("est_jaccard").desc(), F.col("doc_id_a").asc(), F.col("doc_id_b").asc()
     ).limit(20)
@@ -394,24 +473,26 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ch"),
     ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_val")
-    chunks = chunks.cache()  # self-joined below: avoid recomputing the 64 sums
-
-    a = chunks.select(
-        F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("sh_a"), "chunk_id", "chunk_val"
-    )
-    b = chunks.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("sh_b"), "chunk_id", "chunk_val"
+    # in-array group expansion (ARCHITECTURE.md §7): one groupBy on the
+    # chunk key replaces the old cache + self-join + dropDuplicates (which
+    # shuffled the chunk relation twice and the pair set a third time);
+    # hamming is computed map-side and only the 1-byte distance rides the
+    # pair-dedup shuffle.
+    groups = (
+        chunks.groupBy("chunk_id", "chunk_val")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("members"))
+        .filter(F.size("members") >= 2)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     pairs = (
-        a.join(b, ["chunk_id", "chunk_val"])
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b", "sh_a", "sh_b")
-        .dropDuplicates(["doc_id_a", "doc_id_b"])
+        _expand_member_pairs(groups)
         .select(
-            "doc_id_a",
-            "doc_id_b",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.first("hamming").alias("hamming"))
     )
     return pairs.orderBy(
         F.col("hamming").asc(), F.col("doc_id_a").asc(), F.col("doc_id_b").asc()
@@ -552,30 +633,8 @@ def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE, giving the connected-components operator a value-level parity row
     (dedup_clusters keeps the MinHash candidate step as the 100 TB path)."""
     d = table(spark, sf_dir, "documents")
-    # localCheckpoint (not cache): the shingle set feeds three consumers
-    # (sizes + both sides of the self-join); eager materialization truncates
-    # the explode-heavy lineage and frees storage memory for the shuffle.
-    sh = capped_shingles(d).localCheckpoint()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
-    pair_inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_shingles").alias("nb"))
-    pairs = (
-        pair_inter.join(sa, "doc_id_a")
-        .join(sb, "doc_id_b")
-        .filter(
-            F.col("n_common").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("n_common"))
-            >= 0.5
-        )
-        .select("doc_id_a", "doc_id_b")
+    pairs = _ngram_jaccard_pairs(d).filter(F.col("jaccard") >= 0.5).select(
+        "doc_id_a", "doc_id_b"
     )
     comps = connected_components(pairs)
     return (
@@ -594,50 +653,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific); the component operator itself is unit-tested on
     planted graphs (tests/test_operators.py)."""
     d = table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d)
-    bands = sigs.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("sig", b * ROWS_PER_BAND + r + 1)
-                                for r in range(ROWS_PER_BAND)
-                            ]
-                        ).alias("band_key"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "sig", "band.band_id", "band.band_key").cache()
-    a = bands.select(
-        F.col("doc_id").alias("doc_id_a"), F.col("sig").alias("sig_a"), "band_id", "band_key"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("sig").alias("sig_b"), "band_id", "band_key"
-    )
-    est = (
-        a.join(b, ["band_id", "band_key"])
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .dropDuplicates(["doc_id_a", "doc_id_b"])
-        .select(
-            "doc_id_a",
-            "doc_id_b",
-            (
-                F.aggregate(
-                    F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-                    F.lit(0),
-                    lambda acc, v: acc + v,
-                ).cast("double")
-                / F.lit(float(N_HASHES))
-            ).alias("est_jaccard"),
-        )
-    )
+    est = _minhash_pair_estimates(minhash_signatures(d))
     pairs = est.filter(F.col("est_jaccard") >= 0.5)
     comps = connected_components(pairs)
     return (
@@ -1130,22 +1146,25 @@ def _portable_simhash_pairs(d: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("ch"),
-    ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_val").cache()
-    a = chunks.select(
-        F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("sh_a"), "chunk_id", "chunk_val"
-    )
-    b = chunks.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("sh_b"), "chunk_id", "chunk_val"
+    ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_val")
+    # in-array group expansion (ARCHITECTURE.md §7) — same shape as the
+    # production dedup_simhash_pairs; the oracle keeps its equi-join
+    # formulation (engines need not share plan shapes, only values).
+    groups = (
+        chunks.groupBy("chunk_id", "chunk_val")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("members"))
+        .filter(F.size("members") >= 2)
+        .repartition(d.sparkSession.sparkContext.defaultParallelism)
     )
     return (
-        a.join(b, ["chunk_id", "chunk_val"])
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .dropDuplicates(["doc_id_a", "doc_id_b"])
+        _expand_member_pairs(groups)
         .select(
-            "doc_id_a",
-            "doc_id_b",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int").alias("hamming"),
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int").alias("hamming"),
         )
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.first("hamming").alias("hamming"))
     )
 
 
@@ -1189,30 +1208,37 @@ def _portable_minhash_candidates(d: DataFrame) -> DataFrame:
         for b in range(PMH_BANDS)
     ]
     bands = sigs.select(
-        "doc_id", *[F.col(f"m{i}") for i in range(PMH_HASHES)],
+        "doc_id",
+        F.array(*[F.col(f"m{i}") for i in range(PMH_HASHES)]).alias("ms"),
         F.explode(F.array(*band_structs)).alias("band"),
-    ).select("doc_id", *[f"m{i}" for i in range(PMH_HASHES)], "band.band_id", "band.band_key").cache()
-    a = bands.select(
-        F.col("doc_id").alias("doc_id_a"), "band_id", "band_key",
-        *[F.col(f"m{i}").alias(f"am{i}") for i in range(PMH_HASHES)],
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_id_b"), "band_id", "band_key",
-        *[F.col(f"m{i}").alias(f"bm{i}") for i in range(PMH_HASHES)],
-    )
-    matches = sum(
-        [F.when(F.col(f"am{i}") == F.col(f"bm{i}"), 1).otherwise(0) for i in range(PMH_HASHES)],
-        F.lit(0),
+    ).select("doc_id", "ms", "band.band_id", "band.band_key")
+    # in-array group expansion (ARCHITECTURE.md §7) — same shape as the
+    # production _minhash_pair_estimates; the signature vector rides the
+    # group array once and the match count is computed map-side, so only
+    # the 8-byte estimate reaches the pair-dedup shuffle. The oracle keeps
+    # its equi-join formulation (values, not plan shapes, are the contract).
+    groups = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "ms"))).alias("members"))
+        .filter(F.size("members") >= 2)
+        .repartition(d.sparkSession.sparkContext.defaultParallelism)
     )
     return (
-        a.join(b, ["band_id", "band_key"])
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .dropDuplicates(["doc_id_a", "doc_id_b"])
+        _expand_member_pairs(groups)
         .select(
-            "doc_id_a",
-            "doc_id_b",
-            (matches.cast("double") / PMH_HASHES).alias("est_jaccard"),
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            (
+                F.aggregate(
+                    F.zip_with("a.ms", "b.ms", lambda x, y: (x == y).cast("int")),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                ).cast("double")
+                / PMH_HASHES
+            ).alias("est_jaccard"),
         )
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.first("est_jaccard").alias("est_jaccard"))
     )
 
 
@@ -1372,22 +1398,8 @@ def dedup_charngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     sh = base.select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
-    freq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    capped = sh.join(freq.filter(F.col("df") <= SHINGLE_DF_CAP).select("g"), "g")
-    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    a = capped.select(F.col("doc_id").alias("doc_id_a"), "g")
-    b = capped.select(F.col("doc_id").alias("doc_id_b"), "g")
-    pair_inter = (
-        a.join(b, "g")
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_grams").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_grams").alias("nb"))
     return (
-        pair_inter.join(sa, "doc_id_a")
-        .join(sb, "doc_id_b")
+        _set_overlap_stats(sh, "g")
         .select(
             "doc_id_a",
             "doc_id_b",
@@ -1449,24 +1461,8 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate contained side. Same capped-shingle equi-join candidates; the
     jaccard rides along to show the two scores separate."""
     d = table(spark, sf_dir, "documents")
-    # localCheckpoint (not cache): the shingle set feeds three consumers
-    # (sizes + both sides of the self-join); eager materialization truncates
-    # the explode-heavy lineage and frees storage memory for the shuffle.
-    sh = capped_shingles(d).localCheckpoint()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
-    pair_inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_id_a") != F.col("doc_id_b"))
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n").alias("nb"))
     return (
-        pair_inter.join(sa, "doc_id_a")
-        .join(sb, "doc_id_b")
+        _set_overlap_stats(shingles(d), "shingle", directed=True)
         .filter(F.col("na") <= F.col("nb"))
         .select(
             F.col("doc_id_a").alias("contained_doc"),
@@ -1988,19 +1984,28 @@ def span_pair_spans(d: DataFrame, df_cap: int = SPAN_DF_CAP) -> DataFrame:
     hashed = ordered_shingles(d, n=SPAN_N).select(
         "doc_id", "pos", F.substring(F.md5("shingle"), 1, 16).alias("h")
     )
-    freq = hashed.groupBy("h").agg(
-        F.countDistinct("doc_id").alias("df")
+    # in-array group expansion (ARCHITECTURE.md §7): one groupBy on the
+    # positional-gram hash collects every (doc_id, pos) occurrence; the df
+    # cap (distinct DOCS per hash, as before) becomes an array_distinct
+    # size filter on the collected set, subsuming the separate
+    # countDistinct aggregate + filter join, and cross-doc position pairs
+    # explode map-side (members sort by doc_id first, so i<j with
+    # a.doc_id < b.doc_id enumerates exactly the old join's da<db rows).
+    groups = (
+        hashed.groupBy("h")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "pos"))).alias("members"))
+        .filter(
+            (F.size(F.array_distinct(F.transform("members", lambda m: m["doc_id"]))) <= df_cap)
+            & (F.size("members") >= 2)
+        )
+        .repartition(d.sparkSession.sparkContext.defaultParallelism)
     )
-    capped = (
-        hashed.join(freq, "h").filter(F.col("df") <= df_cap).localCheckpoint()
-    )
-    a = capped.select(
-        F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "h"
-    )
-    b = capped.select(
-        F.col("doc_id").alias("db"), F.col("pos").alias("pb"), "h"
-    )
-    matched = a.join(b, "h").filter(F.col("da") < F.col("db"))
+    matched = _expand_member_pairs(groups).select(
+        F.col("a.doc_id").alias("da"),
+        F.col("b.doc_id").alias("db"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+    ).filter(F.col("da") < F.col("db"))
     w = Window.partitionBy("da", "db", F.col("pa") - F.col("pb")).orderBy(
         F.col("pa").asc()
     )
@@ -2265,20 +2270,27 @@ def _prefix_docs(sh: DataFrame) -> DataFrame:
 
 
 def _candidates_from_docs(docs: DataFrame) -> DataFrame:
+    # in-array group expansion (ARCHITECTURE.md §7): one groupBy on the
+    # prefix token collects the sorted (doc_id, n) set — prefix tokens are
+    # rarity-ordered so group sizes track token df, the same quantity that
+    # bounded the old self-join's per-key fan-out. The PPJoin length filter
+    # (Jaccard >= T forces T*max(na,nb) <= min(na,nb)) applies map-side
+    # inside the expansion, before the pair-dedup shuffle; sizes ride in
+    # the member structs (no extra join).
     prefix = docs.select("doc_id", "n", F.explode("prefix").alias("shingle"))
-    a = prefix.select(F.col("doc_id").alias("da"), F.col("n").alias("na"), "shingle")
-    b = prefix.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"), "shingle")
-    # PPJoin length filter: Jaccard >= T forces T*max(na,nb) <= min(na,nb);
-    # pruning size-incompatible candidates BEFORE the verification join cuts
-    # its fan-out. Sizes ride along on the prefix rows (no extra join).
+    groups = (
+        prefix.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("members"))
+        .filter(F.size("members") >= 2)
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    )
     return (
-        a.join(b, "shingle")
-        .filter(F.col("da") < F.col("db"))
+        _expand_member_pairs(groups)
         .filter(
-            F.lit(PF_NUM) * F.greatest("na", "nb")
-            <= F.lit(PF_DEN) * F.least("na", "nb")
+            F.lit(PF_NUM) * F.greatest("a.n", "b.n")
+            <= F.lit(PF_DEN) * F.least("a.n", "b.n")
         )
-        .select("da", "db")
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
         .localCheckpoint()
     )
