@@ -303,6 +303,14 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- feature hashing: text -> fixed-dim count vector (HashingTF semantics) --
 FH_DIM = 64
+# Block-size cap for the hashed-vector near-dup blocking (FS_BLOCK_CAP
+# precedent, fuzzy_join.py): with a fixed key space, per-block membership
+# grows with the corpus, and Zipfian token mass concentrates most docs in
+# the block of the commonest token — the round-5 10x probe OOMed the pair
+# expansion on exactly that mega-block. Oversized blocks carry no dedup
+# signal (the key stopped discriminating), so they are dropped BEFORE the
+# member collect, on both engines.
+HV_BLOCK_CAP = 1000
 
 
 def feature_vectors(
@@ -364,16 +372,29 @@ def feature_vectors(
       FROM toks GROUP BY doc_id, bucket
     ),
     norms AS (SELECT doc_id, sqrt(SUM(n * n)) AS nrm FROM counts GROUP BY doc_id),
-    dominant AS (
-      SELECT doc_id, bucket AS vh FROM (
-        SELECT doc_id, bucket,
-               row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, bucket ASC) AS rn
-        FROM counts
-      ) WHERE rn = 1
+    ranked AS (
+      SELECT doc_id, bucket,
+             row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, bucket ASC) AS rn
+      FROM counts
+    ),
+    dom AS (
+      SELECT doc_id,
+             MAX(CASE WHEN rn = 1 THEN bucket END) AS b1,
+             COALESCE(MAX(CASE WHEN rn = 2 THEN bucket END), -1) AS b2
+      FROM ranked WHERE rn <= 2 GROUP BY doc_id
+    ),
+    blocks AS (
+      SELECT doc_id, LEAST(b1, b2) AS k1, GREATEST(b1, b2) AS k2 FROM dom
+    ),
+    oksz AS (
+      SELECT k1, k2 FROM blocks GROUP BY k1, k2
+      HAVING COUNT(*) <= {HV_BLOCK_CAP}
     ),
     cand AS (
       SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-      FROM dominant a JOIN dominant b ON a.vh = b.vh AND a.doc_id < b.doc_id
+      FROM blocks a
+      JOIN oksz s ON s.k1 = a.k1 AND s.k2 = a.k2
+      JOIN blocks b ON a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id
     ),
     dots AS (
       SELECT c.doc_id_a, c.doc_id_b, SUM(ca.n * cb.n) AS dot
@@ -393,21 +414,78 @@ def feature_vectors(
 )
 def text_hash_vector_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection in hashed-feature space: cosine over the
-    feature-hashed count vectors, candidates blocked on the vector's
-    dominant bucket (argmax index — identical/near-identical token
-    distributions share it), top-20 pairs. Blocking on a derived key keeps
-    candidate generation an equi-join (fan-out ~ n/dim per block), the same
-    no-n² discipline as every dedup operator here. Uses the portable md5
+    feature-hashed count vectors, candidates blocked on the UNORDERED pair
+    of the vector's two dominant buckets (argmax + masked second argmax —
+    identical/near-identical token distributions share both, and the
+    unordered key also catches swapped dominance between two close counts).
+    Top-20 pairs. The two-bucket key exists because the single dominant
+    bucket degenerates under Zipf: most docs' argmax is the bucket of the
+    commonest token, so one mega-block holds most of the corpus and pair
+    generation goes quadratic — the round-5 10x probe OOMed there. The
+    composite key multiplies effective block count ~dim/2 x, and blocks
+    still over HV_BLOCK_CAP are dropped before the member collect (they
+    carry no signal; FS_BLOCK_CAP precedent). Uses the portable md5
     bucket so the DuckDB oracle reproduces the vectors exactly (counts are
     integer-valued doubles: dot products and norms are exact on both
     engines); production corpora switch hash_fn='xxhash64' for speed with
     identical semantics."""
+    from fpl_data_pipeline_spark.operators.dedup import _expand_member_pairs
+
     d = table(spark, sf_dir, "documents")
-    fv = feature_vectors(d, hash_fn="md5").withColumn(
-        "vh", F.array_position(F.col("fv"), F.array_max("fv"))
+    # vh1 = 1-based argmax position (first occurrence = smallest bucket on
+    # count ties, matching the oracle's ORDER BY n DESC, bucket ASC); vh2 =
+    # argmax with position vh1 masked to -1; sentinel 0 when the doc has a
+    # single nonzero bucket (oracle uses -1 — both sides are a uniform +1
+    # shift, so least/greatest induce the same partition of docs).
+    # localCheckpoint: the vector frame feeds three consumers (the block
+    # relation + both score-join sides) — materialize the hash-explode
+    # pipeline once instead of compiling it per consumer.
+    fv = (
+        feature_vectors(d, hash_fn="md5")
+        .withColumn("vh1", F.array_position(F.col("fv"), F.array_max("fv")))
+        .withColumn(
+            "fvm",
+            F.transform(
+                F.col("fv"),
+                lambda x, i: F.when(i == F.col("vh1") - 1, F.lit(-1.0)).otherwise(x),
+            ),
+        )
+        .withColumn("m2", F.array_max("fvm"))
+        .withColumn(
+            "vh2",
+            F.when(F.col("m2") <= 0, F.lit(0).cast("long")).otherwise(
+                F.array_position(F.col("fvm"), F.col("m2"))
+            ),
+        )
+        .withColumn("k1", F.least("vh1", "vh2"))
+        .withColumn("k2", F.greatest("vh1", "vh2"))
+        .drop("vh1", "fvm", "m2", "vh2")
+        .localCheckpoint()
     )
-    a = fv.select(F.col("doc_id").alias("doc_id_a"), F.col("fv").alias("fa"), "vh")
-    b = fv.select(F.col("doc_id").alias("doc_id_b"), F.col("fv").alias("fb"), "vh")
+    # id-only in-array group expansion on the blocking key (ARCHITECTURE.md
+    # §7): the dense count vectors do NOT ride the expansion — pairs dedup
+    # as two longs, then the vectors join back and each distinct pair is
+    # scored exactly once (same join-back rationale as _lsh_candidate_pairs).
+    # oksz is bounded by the key space (<= ~dim^2/2 rows at ANY corpus
+    # size), so Catalyst broadcasts it and the cap filter runs map-side.
+    blocks = fv.select("doc_id", "k1", "k2")
+    oksz = (
+        blocks.groupBy("k1", "k2")
+        .agg(F.count(F.lit(1)).alias("bs"))
+        .filter((F.col("bs") >= 2) & (F.col("bs") <= HV_BLOCK_CAP))
+        .drop("bs")
+    )
+    groups = (
+        blocks.join(oksz, ["k1", "k2"])
+        .groupBy("k1", "k2")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("members"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    pairs = _expand_member_pairs(groups).select(
+        F.col("a").alias("doc_id_a"), F.col("b").alias("doc_id_b")
+    )
+    fa = fv.select(F.col("doc_id").alias("doc_id_a"), F.col("fv").alias("fa"))
+    fb = fv.select(F.col("doc_id").alias("doc_id_b"), F.col("fv").alias("fb"))
     dot = F.aggregate(
         F.zip_with("fa", "fb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
@@ -418,8 +496,8 @@ def text_hash_vector_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(F.transform("fb", lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
     )
     return (
-        a.join(b, "vh")
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        pairs.join(fa, "doc_id_a")
+        .join(fb, "doc_id_b")
         .select(
             "doc_id_a", "doc_id_b", F.round(dot / (na * nb), 6).alias("cosine")
         )

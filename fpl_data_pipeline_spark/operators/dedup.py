@@ -2270,27 +2270,30 @@ def _prefix_docs(sh: DataFrame) -> DataFrame:
 
 
 def _candidates_from_docs(docs: DataFrame) -> DataFrame:
-    # in-array group expansion (ARCHITECTURE.md §7): one groupBy on the
-    # prefix token collects the sorted (doc_id, n) set — prefix tokens are
-    # rarity-ordered so group sizes track token df, the same quantity that
-    # bounded the old self-join's per-key fan-out. The PPJoin length filter
-    # (Jaccard >= T forces T*max(na,nb) <= min(na,nb)) applies map-side
-    # inside the expansion, before the pair-dedup shuffle; sizes ride in
-    # the member structs (no extra join).
+    # Deliberately NOT the in-array group expansion every other family
+    # uses: the prefix relation is tiny relative to the corpus (only the
+    # rarity-ordered prefix tokens survive), so Catalyst broadcasts one
+    # join side and the candidate step runs with ZERO shuffles of the
+    # prefix rows — a groupBy-based expansion would force two exchanges
+    # where the optimizer currently needs none. Measured at the 10x
+    # blowup: join 18.0 s vs expansion 24.5 s cold (solo, n=2 each). At a
+    # scale where the prefix relation stops being broadcastable, AQE
+    # degrades this to a shuffle join — the same cost the expansion pays
+    # up front.
     prefix = docs.select("doc_id", "n", F.explode("prefix").alias("shingle"))
-    groups = (
-        prefix.groupBy("shingle")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("members"))
-        .filter(F.size("members") >= 2)
-        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    )
+    a = prefix.select(F.col("doc_id").alias("da"), F.col("n").alias("na"), "shingle")
+    b = prefix.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"), "shingle")
+    # PPJoin length filter: Jaccard >= T forces T*max(na,nb) <= min(na,nb);
+    # pruning size-incompatible candidates BEFORE the verification join cuts
+    # its fan-out. Sizes ride along on the prefix rows (no extra join).
     return (
-        _expand_member_pairs(groups)
+        a.join(b, "shingle")
+        .filter(F.col("da") < F.col("db"))
         .filter(
-            F.lit(PF_NUM) * F.greatest("a.n", "b.n")
-            <= F.lit(PF_DEN) * F.least("a.n", "b.n")
+            F.lit(PF_NUM) * F.greatest("na", "nb")
+            <= F.lit(PF_DEN) * F.least("na", "nb")
         )
-        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .select("da", "db")
         .distinct()
         .localCheckpoint()
     )

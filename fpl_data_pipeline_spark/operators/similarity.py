@@ -209,6 +209,51 @@ N_ND_BANDS = 2
 ND_BITS_PER_BAND = N_ND_PLANES // N_ND_BANDS
 
 
+# Band-size guard for the in-array expansion: the band key space is fixed
+# (2 bands x 2^8 keys), so per-band membership grows ~N/512 with the corpus
+# and _expand_member_pairs materializes C(m, 2) structs per group row — the
+# exact shape the round-5 10x probe OOMed on for text_hash_vector_dups'
+# 64-key blocking. Bands over the cap are dropped BEFORE the member collect
+# (count-agg pre-pass, FS_BLOCK_CAP precedent in fuzzy_join.py): an
+# oversized band is non-discriminative — at a corpus size where most bands
+# exceed the cap, the fix is more planes (wider keys), not bigger buffers.
+ND_BAND_CAP = 10_000
+
+
+def _lsh_candidate_pairs(emb: DataFrame) -> DataFrame:
+    """Distinct (vec_id_a, vec_id_b) sharing >= 1 LSH band — the id-only
+    in-array group expansion (ARCHITECTURE.md §7). The embedding payload
+    deliberately does NOT ride the expansion: a round-5 A/B showed scoring
+    per pre-dedup candidate occurrence regresses 2x (the 64-dim dot product
+    CPU dominates), so callers join the vectors back AFTER the pair dedup
+    and score each distinct pair exactly once. Relative to the old
+    checkpoint + self-join + dropDuplicates shape, the band relation
+    shuffles once (8-byte ids, not id+vector rows) and the pair-dedup
+    exchange carries two longs instead of two 64-float arrays."""
+    ids = lsh_band_keys(emb).select("vec_id", "band_id", "band_key")
+    # sizes is bounded by the key space (<= 512 rows at ANY corpus size),
+    # so Catalyst broadcasts it and the cap filter runs map-side on ids.
+    sizes = (
+        ids.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("bs"))
+        .filter((F.col("bs") >= 2) & (F.col("bs") <= ND_BAND_CAP))
+        .drop("bs")
+    )
+    groups = (
+        ids.join(sizes, ["band_id", "band_key"])
+        .groupBy("band_id", "band_key")
+        .agg(F.array_sort(F.collect_set("vec_id")).alias("members"))
+        .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    )
+    from fpl_data_pipeline_spark.operators.dedup import _expand_member_pairs
+
+    return (
+        _expand_member_pairs(groups)
+        .select(F.col("a").alias("vec_id_a"), F.col("b").alias("vec_id_b"))
+        .distinct()
+    )
+
+
 def lsh_band_keys(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """(vec_id, embedding) -> exploded (vec_id, embedding, band_id, band_key):
     one row per band, band_key = the band's sign bits packed into an int."""
@@ -246,12 +291,16 @@ def _nd_band_sql(col: str, band: int) -> str:
              {_nd_band_sql('embedding', 1)} AS k1
       FROM embeddings
     ),
+    s0 AS (SELECT k0 FROM b GROUP BY k0 HAVING COUNT(*) <= {ND_BAND_CAP}),
+    s1 AS (SELECT k1 FROM b GROUP BY k1 HAVING COUNT(*) <= {ND_BAND_CAP}),
     cand AS (
       SELECT x.vec_id AS vec_id_a, y.vec_id AS vec_id_b
-      FROM b x JOIN b y ON x.k0 = y.k0 AND x.vec_id < y.vec_id
+      FROM b x JOIN s0 ON s0.k0 = x.k0
+      JOIN b y ON x.k0 = y.k0 AND x.vec_id < y.vec_id
       UNION
       SELECT x.vec_id, y.vec_id
-      FROM b x JOIN b y ON x.k1 = y.k1 AND x.vec_id < y.vec_id
+      FROM b x JOIN s1 ON s1.k1 = x.k1
+      JOIN b y ON x.k1 = y.k1 AND x.vec_id < y.vec_id
     )
     SELECT c.vec_id_a, c.vec_id_b,
            {_dot_sql('ea.embedding', 'eb.embedding')}
@@ -271,21 +320,13 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-identical dot folds make the bucket assignment — and therefore the
     candidate set — exactly reproducible in the DuckDB oracle."""
     emb = table(spark, sf_dir, "embeddings")
-    # localCheckpoint (not cache): band keys are self-joined below; eager
-    # materialization truncates the (embedding-explode heavy) lineage and
-    # avoids pinning both join sides in storage memory under the shuffle.
-    keys = lsh_band_keys(emb).localCheckpoint()
-    a = keys.select(
-        F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("va"), "band_id", "band_key"
-    )
-    b = keys.select(
-        F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("vb"), "band_id", "band_key"
-    )
+    pairs = _lsh_candidate_pairs(emb)
+    ea = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("vb"))
     cos = (_dot("va", "vb") / (_norm("va") * _norm("vb"))).alias("cosine")
     return (
-        a.join(b, ["band_id", "band_key"])
-        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
-        .dropDuplicates(["vec_id_a", "vec_id_b"])
+        pairs.join(ea, "vec_id_a")
+        .join(eb, "vec_id_b")
         .select("vec_id_a", "vec_id_b", cos)
         .orderBy(F.col("cosine").desc(), F.col("vec_id_a").asc(), F.col("vec_id_b").asc())
         .limit(20)
@@ -876,12 +917,16 @@ SEM_EDGE_THRESHOLD = 0.30
              {_nd_band_sql('embedding', 1)} AS k1
       FROM embeddings
     ),
+    s0 AS (SELECT k0 FROM b GROUP BY k0 HAVING COUNT(*) <= {ND_BAND_CAP}),
+    s1 AS (SELECT k1 FROM b GROUP BY k1 HAVING COUNT(*) <= {ND_BAND_CAP}),
     cand AS (
       SELECT x.vec_id AS vec_id_a, y.vec_id AS vec_id_b
-      FROM b x JOIN b y ON x.k0 = y.k0 AND x.vec_id < y.vec_id
+      FROM b x JOIN s0 ON s0.k0 = x.k0
+      JOIN b y ON x.k0 = y.k0 AND x.vec_id < y.vec_id
       UNION
       SELECT x.vec_id, y.vec_id
-      FROM b x JOIN b y ON x.k1 = y.k1 AND x.vec_id < y.vec_id
+      FROM b x JOIN s1 ON s1.k1 = x.k1
+      JOIN b y ON x.k1 = y.k1 AND x.vec_id < y.vec_id
     ),
     pairs AS (
       SELECT c.vec_id_a AS u, c.vec_id_b AS v
@@ -926,20 +971,13 @@ def emb_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fpl_data_pipeline_spark.operators.dedup import connected_components
 
     emb = table(spark, sf_dir, "embeddings")
-    keys = lsh_band_keys(emb).localCheckpoint()
-    a = keys.select(
-        F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("va"),
-        "band_id", "band_key",
-    )
-    b = keys.select(
-        F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("vb"),
-        "band_id", "band_key",
-    )
+    cand = _lsh_candidate_pairs(emb)
+    ea = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("vb"))
     cos = _dot("va", "vb") / (_norm("va") * _norm("vb"))
     pairs = (
-        a.join(b, ["band_id", "band_key"])
-        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
-        .dropDuplicates(["vec_id_a", "vec_id_b"])
+        cand.join(ea, "vec_id_a")
+        .join(eb, "vec_id_b")
         .filter(cos >= SEM_EDGE_THRESHOLD)
         .select(F.col("vec_id_a").alias("doc_id_a"), F.col("vec_id_b").alias("doc_id_b"))
     )

@@ -116,20 +116,23 @@ DRIVER_WINDOW_PRIORITY = [
     "text_encoding_audit",
     "source_distinctive_terms",
     "quality_threshold_bias",
-    "benford_price_audit",
-    "table_content_fingerprints",
-    "dp_noisy_segment_counts",
     # late-round-5 plan changes, windowed in the round they changed:
     # the two-phase salted bottom-k KMV build, the map-side array pair
     # generation in the basket query (ARCHITECTURE.md §7), the
-    # xxhash64-keyed prefix-filter pipeline, and the long-keyed winnowing
-    # fingerprint join (conditional fan-out + 60-bit fp re-keying).
-    # events_user_entropy, events_session_paths, dp_user_bounded_counts
-    # and ldiversity_audit rotate to the round-6 backlog in their place
+    # xxhash64-keyed prefix-filter pipeline, the long-keyed winnowing
+    # fingerprint join (conditional fan-out + 60-bit fp re-keying), the
+    # id-only LSH candidate expansion with the band-size cap, and the
+    # two-bucket + capped blocking rework of the hashed-vector dedup.
+    # events_user_entropy, events_session_paths, dp_user_bounded_counts,
+    # ldiversity_audit, dp_noisy_segment_counts, table_content_fingerprints
+    # and benford_price_audit rotate to the round-6 backlog in their place
     "events_sliding_distinct_kmv",
     "basket_part_pairs",
     "dedup_prefix_filter_pairs",
     "dedup_winnowing_pairs",
+    "text_hash_vector_dups",
+    "emb_neardup_pairs",
+    "emb_semantic_clusters",
 ]
 
 
