@@ -82,6 +82,36 @@ def _expand_member_pairs(groups: DataFrame, members_col: str = "members") -> Dat
     return groups.select(pair_gen.alias("p")).select("p.a", "p.b")
 
 
+def _expand_member_pairs_streaming(
+    groups: DataFrame, members_col: str = "members"
+) -> DataFrame:
+    """Same i<j pair expansion as :func:`_expand_member_pairs`, but as two
+    chained Generates (posexplode the anchor, then explode its tail slice)
+    instead of one flattened transform.
+
+    The one-Generate shape materializes the FULL C(m, 2) struct array per
+    group row before exploding (GenerateExec evaluates the generator
+    expression eagerly), so a group at a 10k-member cap allocates ~50M
+    structs in one shot — GB-scale for a single row (round-6 advice finding
+    on ND_BAND_CAP). Here no single row ever holds more than the m-member
+    array itself: the outer posexplode streams one anchor at a time and the
+    inner explode streams its tail, both inside whole-stage codegen, so
+    peak per-row memory is O(m) while total pair output is unchanged.
+    Used by the fixed-key-space candidate generators (sign-bit LSH bands,
+    SimHash chunks, hashed-vector blocks) whose caps sit in the thousands;
+    the small-group callers (winnowing runs, minhash bands, span grams —
+    membership bounded by true-dup density or a df cap) keep the
+    one-Generate shape, which is cheaper at m ~ 10."""
+    anchored = groups.select(
+        F.col(members_col).alias("_ms"),
+        F.posexplode(members_col).alias("_i", "a"),
+    )
+    return anchored.select(
+        "a",
+        F.explode(F.expr("slice(_ms, _i + 2, size(_ms))")).alias("b"),
+    )
+
+
 def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """doc_id -> exploded distinct word-n-gram shingles (engine operator).
 
@@ -414,6 +444,19 @@ SIMHASH_BITS = 64
 CHUNKS = 4
 CHUNK_BITS = SIMHASH_BITS // CHUNKS
 
+# Chunk-group cap for the SimHash banding (round-6 advice finding): the
+# chunk key space is FIXED (4 chunks x 2^16 values for the production hash,
+# 4 x 2^15 portable), so per-group membership grows ~N/65536 with the corpus
+# and the collect_list would buffer — then pair-expand — an unbounded
+# mega-group exactly like the hashed-vector Zipf block the round-5 10x
+# probe OOMed on. Groups over the cap are dropped BEFORE the member collect
+# (count-agg pre-pass, same shape as ND_BAND_CAP / HV_BLOCK_CAP); an
+# oversized chunk group is non-discriminative — at a corpus size where most
+# groups exceed it, the fix is wider chunks, not bigger buffers. Mirrored
+# in the dedup_simhash_portable / dedup_consensus_pairs oracles; the
+# candidate_cap_audit query reports when it fires.
+SIMHASH_CHUNK_CAP = 10_000
+
 
 def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     """doc_id -> 64-bit SimHash of the word multiset.
@@ -477,15 +520,24 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chunk key replaces the old cache + self-join + dropDuplicates (which
     # shuffled the chunk relation twice and the pair set a third time);
     # hamming is computed map-side and only the 1-byte distance rides the
-    # pair-dedup shuffle.
-    groups = (
+    # pair-dedup shuffle. The count-agg pre-pass drops over-cap chunk
+    # groups before the collect (sizes is bounded by the 2^18 key space, so
+    # it broadcasts and the filter runs map-side); the streaming expansion
+    # keeps per-row memory O(m) even at the cap.
+    sizes = (
         chunks.groupBy("chunk_id", "chunk_val")
+        .agg(F.count(F.lit(1)).alias("cs"))
+        .filter((F.col("cs") >= 2) & (F.col("cs") <= SIMHASH_CHUNK_CAP))
+        .drop("cs")
+    )
+    groups = (
+        chunks.join(F.broadcast(sizes), ["chunk_id", "chunk_val"])
+        .groupBy("chunk_id", "chunk_val")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("members"))
-        .filter(F.size("members") >= 2)
         .repartition(spark.sparkContext.defaultParallelism)
     )
     pairs = (
-        _expand_member_pairs(groups)
+        _expand_member_pairs_streaming(groups)
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
@@ -1041,6 +1093,34 @@ PSH_BITS = 60
 PSH_CHUNKS = 4
 PSH_CHUNK_BITS = PSH_BITS // PSH_CHUNKS
 
+# Portable-SimHash keyed-chunk relation as a reusable WITH-fragment (md5
+# hash family — reproducible on both engines). Shared by the
+# dedup_simhash_portable oracle and similarity.candidate_cap_audit.
+PSH_KEYED_SQL = f"""
+    psh_toks AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(unnest(list_filter(
+                string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+                w -> w <> ''))), 1, 15))::BIGINT AS h
+      FROM documents
+    ),
+    psh_bit_sums AS (
+      SELECT doc_id, b.b AS bit,
+             SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM psh_toks CROSS JOIN (SELECT unnest(range(0, {PSH_BITS})) AS b) b
+      GROUP BY doc_id, b.b
+    ),
+    psh_sims AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+      FROM psh_bit_sums GROUP BY doc_id
+    ),
+    psh_keyed AS (
+      SELECT doc_id, simhash, chunk_id,
+             (simhash >> (chunk_id * {PSH_CHUNK_BITS})) & {(1 << PSH_CHUNK_BITS) - 1} AS chunk_val
+      FROM (SELECT doc_id, simhash, unnest(range(0, {PSH_CHUNKS})) AS chunk_id FROM psh_sims)
+    )"""
+
 
 @register(
     "dedup_simhash_portable",
@@ -1073,10 +1153,17 @@ PSH_CHUNK_BITS = PSH_BITS // PSH_CHUNKS
              (simhash >> (chunk_id * {PSH_CHUNK_BITS})) & {(1 << PSH_CHUNK_BITS) - 1} AS chunk_val
       FROM chunks
     ),
+    oksz AS (
+      SELECT chunk_id, chunk_val FROM keyed
+      GROUP BY chunk_id, chunk_val
+      HAVING COUNT(*) BETWEEN 2 AND {SIMHASH_CHUNK_CAP}
+    ),
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
              a.simhash AS sh_a, b.simhash AS sh_b
-      FROM keyed a JOIN keyed b
+      FROM keyed a
+      JOIN oksz s ON s.chunk_id = a.chunk_id AND s.chunk_val = a.chunk_val
+      JOIN keyed b
         ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
        AND a.doc_id < b.doc_id
     )
@@ -1102,10 +1189,10 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _portable_simhash_pairs(d: DataFrame) -> DataFrame:
-    """(doc_id_a, doc_id_b, hamming) for every chunk-banded candidate pair —
-    the portable-SimHash engine half shared by dedup_simhash_portable and
-    dedup_consensus_pairs."""
+def _portable_simhash_chunks(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash, chunk_id, chunk_val) — the portable-SimHash keyed
+    chunk relation (md5 family), shared by _portable_simhash_pairs and
+    similarity.candidate_cap_audit (mirrored in SQL by PSH_KEYED_SQL)."""
     toks = _ensure_parallel(d).select(
         "doc_id", F.explode(_words(_norm_text(F.col("text")))).alias("tok")
     )
@@ -1147,17 +1234,33 @@ def _portable_simhash_pairs(d: DataFrame) -> DataFrame:
             )
         ).alias("ch"),
     ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_val")
+    return chunks
+
+
+def _portable_simhash_pairs(d: DataFrame) -> DataFrame:
+    """(doc_id_a, doc_id_b, hamming) for every chunk-banded candidate pair —
+    the portable-SimHash engine half shared by dedup_simhash_portable and
+    dedup_consensus_pairs."""
+    chunks = _portable_simhash_chunks(d)
     # in-array group expansion (ARCHITECTURE.md §7) — same shape as the
-    # production dedup_simhash_pairs; the oracle keeps its equi-join
-    # formulation (engines need not share plan shapes, only values).
-    groups = (
+    # production dedup_simhash_pairs, including the SIMHASH_CHUNK_CAP
+    # count-agg pre-pass (mirrored in the oracle's sizes CTE) and the
+    # streaming expansion; the oracle keeps its equi-join formulation
+    # (engines need not share plan shapes, only values).
+    sizes = (
         chunks.groupBy("chunk_id", "chunk_val")
+        .agg(F.count(F.lit(1)).alias("cs"))
+        .filter((F.col("cs") >= 2) & (F.col("cs") <= SIMHASH_CHUNK_CAP))
+        .drop("cs")
+    )
+    groups = (
+        chunks.join(F.broadcast(sizes), ["chunk_id", "chunk_val"])
+        .groupBy("chunk_id", "chunk_val")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("members"))
-        .filter(F.size("members") >= 2)
         .repartition(d.sparkSession.sparkContext.defaultParallelism)
     )
     return (
-        _expand_member_pairs(groups)
+        _expand_member_pairs_streaming(groups)
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
@@ -1570,11 +1673,18 @@ def _consensus_oracle_sql() -> str:
              (simhash >> (chunk_id * {PSH_CHUNK_BITS})) & {(1 << PSH_CHUNK_BITS) - 1} AS chunk_val
       FROM (SELECT doc_id, simhash, unnest(range(0, {PSH_CHUNKS})) AS chunk_id FROM sh_sims)
     ),
+    sh_oksz AS (
+      SELECT chunk_id, chunk_val FROM sh_keyed
+      GROUP BY chunk_id, chunk_val
+      HAVING COUNT(*) BETWEEN 2 AND {SIMHASH_CHUNK_CAP}
+    ),
     sh_edges AS (
       SELECT doc_id_a, doc_id_b FROM (
         SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
                a.simhash AS sh_a, b.simhash AS sh_b
-        FROM sh_keyed a JOIN sh_keyed b
+        FROM sh_keyed a
+        JOIN sh_oksz s ON s.chunk_id = a.chunk_id AND s.chunk_val = a.chunk_val
+        JOIN sh_keyed b
           ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
          AND a.doc_id < b.doc_id
       ) WHERE bit_count(xor(sh_a, sh_b)) <= {CONSENSUS_MAX_HAMMING}
