@@ -66,6 +66,23 @@ HEADLINE = [
 ]
 
 
+def _cpu_canary_ms() -> float:
+    """Fixed single-thread CPU workload (integer hashing loop), wall ms.
+
+    A machine-speed calibration constant for cross-round comparison: the
+    same VM class can differ run-to-run (burstable credits, thermal
+    throttle, noisy neighbors), and round-6 observed code-identical
+    queries drifting 1.5-2.4x between sessions. The canary makes that
+    visible inside the artifact itself — if canary_ms grew 1.8x vs the
+    previous round's artifact, a 1.8x query drift is the machine, not a
+    plan regression."""
+    t0 = time.perf_counter()
+    h = 0
+    for i in range(2_000_000):
+        h = (h * 1315423911 + i) & 0xFFFFFFFFFFFFFFFF
+    return round((time.perf_counter() - t0) * 1000, 1)
+
+
 def _jvm_count() -> int:
     """Concurrent JVMs on the host (contention evidence for the bench JSON)."""
     n = 0
@@ -94,7 +111,14 @@ def _wait_for_idle(threshold: float, max_wait_s: float) -> int:
     records the contention it could not avoid."""
     waits = 0
     deadline = time.monotonic() + max_wait_s
-    while os.getloadavg()[0] > threshold and time.monotonic() < deadline:
+    while time.monotonic() < deadline:
+        one, five, _ = os.getloadavg()
+        # the 5-min average catches the just-finished-a-big-run drain state
+        # where the 1-min has already decayed but caches/GC are still hot
+        # (the first round-6 gate pass at 1-min 1.2 / 5-min 6.0 measured
+        # flagship 3x its quiet cost)
+        if one <= threshold and five <= threshold * 1.75:
+            break
         time.sleep(30)
         waits += 1
     return waits
@@ -147,6 +171,9 @@ def main() -> None:
             # loadavg_before is measured AFTER the wait, so a high value
             # here means the bounded wait expired on a busy host
             "idle_waits": idle_waits,
+            # single-thread CPU calibration (see _cpu_canary_ms): compare
+            # across rounds before attributing query drift to plans
+            "cpu_canary_ms": _cpu_canary_ms(),
         },
     }
 
