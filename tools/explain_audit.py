@@ -226,6 +226,37 @@ def unpartitioned_windows(plan: str) -> int:
     return hits
 
 
+# Queries that cap a collected-array's size AFTER the collect (a
+# ``Filter (size(col) <= N)`` above a collect_list/collect_set aggregate).
+# That shape still buffers the uncapped mega-group inside the aggregation
+# buffer — the round-5/6 OOM trap the count-agg PRE-pass caps fix
+# (ARCHITECTURE.md §7). Entries here are known, reasoned carry-overs; the
+# check flags everything else so a refactor can't silently reintroduce the
+# shape in a family that already fixed it (tests/test_cap_guards.py pins
+# the fixed families; this is the registry-wide net).
+INTENTIONAL_POST_COLLECT_CAP: dict[str, str] = {
+    # WINNOW_FP_CAP is still a size() filter on the collected doc array: a
+    # corpus-boilerplate fingerprint (df in the millions) would buffer
+    # df * 8 bytes in one aggregation buffer before the filter drops it.
+    # Round-7 work: convert to the count-agg pre-pass like the LSH/simhash
+    # /hashed-vector families (plan change -> needs a driver-window slot,
+    # which round 6 spent clearing the never-windowed backlog). The same
+    # carry-over exists in _set_overlap_stats' df_cap (charngram/
+    # containment/consensus/ngram-jaccard), which this detector cannot see
+    # because the filter runs inside that family's localCheckpoint
+    # materialization — fix both together.
+    "dedup_winnowing_pairs": "WINNOW_FP_CAP post-collect filter; round-7 pre-pass migration",
+}
+
+
+def post_collect_caps(plan: str) -> int:
+    """Count Filter nodes applying an UPPER bound to a collected array's
+    size — ``size(x) <= N`` / ``size(x) < N``. Lower bounds (``size(x) >=
+    2``, Catalyst's inferred ``size(x) > 0``) are fine: they prune, they
+    don't pretend to bound the aggregation buffer."""
+    return len(re.findall(r"Filter [^\n]*\bsize\([^)]+\)\s*<=?\s*\d", plan))
+
+
 # Queries where >= 3 identical scans of one table are the intended shape
 # (reason per entry) — everything else with that pattern and NO cache /
 # checkpoint in the plan is flagged RECOMPUTE (the round-5 CF finding:
@@ -265,6 +296,9 @@ def audit(name: str, plan: str) -> list[str]:
     rescans = repeated_scans(plan)
     if rescans and name not in INTENTIONAL_RESCAN:
         flags.append("RECOMPUTE:" + ",".join(rescans))
+    n_pcc = post_collect_caps(plan)
+    if n_pcc and name not in INTENTIONAL_POST_COLLECT_CAP:
+        flags.append(f"POST-COLLECT-CAP:{n_pcc}")
     return flags
 
 
