@@ -35,16 +35,12 @@ from fpl_data_pipeline_spark.operators.similarity import lsh_band_keys  # noqa: 
 
 
 def emb_neardup_candidates(emb):
-    """Full banded-LSH candidate set (pre-cosine, pre-top-k) — mirrors
-    emb_neardup_pairs' candidate stage."""
-    keys = lsh_band_keys(emb).localCheckpoint()
-    a = keys.select(F.col("vec_id").alias("vec_id_a"), "band_id", "band_key")
-    b = keys.select(F.col("vec_id").alias("vec_id_b"), "band_id", "band_key")
-    return (
-        a.join(b, ["band_id", "band_key"])
-        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
-        .dropDuplicates(["vec_id_a", "vec_id_b"])
-    )
+    """Full banded-LSH candidate set (pre-cosine, pre-top-k) — the REAL
+    candidate stage (round 6: lowest-surviving-band emission, ND_BAND_CAP
+    pre-pass), not a self-join mirror of it."""
+    from fpl_data_pipeline_spark.operators.similarity import _lsh_candidate_pairs
+
+    return _lsh_candidate_pairs(emb)
 
 
 def cap_effect(spark, sf_dir: str) -> dict:
