@@ -27,13 +27,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 from fpl_data_pipeline_spark.registry import register
 from fpl_data_pipeline_spark.tables import table
-from fpl_data_pipeline_spark.operators.dedup import _norm_text, _words
+from fpl_data_pipeline_spark.operators.dedup import _ensure_parallel, _norm_text, _words
 
 
 def build_positional_index(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(term, doc_id, pos) postings from the normalized tokenization —
-    pos is 0-based word offset."""
-    words = docs.select(
+    pos is 0-based word offset. Small scans fan out to session parallelism
+    first (the shingles/_ensure_parallel conditional): sf0.1 documents read
+    as ONE split, serializing the tokenize on one core."""
+    words = _ensure_parallel(docs).select(
         "doc_id", F.posexplode(_words(_norm_text(F.col(text_col)))).alias("pos", "term")
     )
     return words.select("term", "doc_id", "pos")
@@ -105,19 +107,23 @@ def phrase_search_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     index = build_positional_index(d)
 
-    norm = _norm_text(F.col("text"))
-    ws = _words(norm)
+    # Project the tokenization into a REAL column before the per-element
+    # references: inlining `ws` re-runs the regex split once per
+    # element_at — 2x(len-1) splits per doc (the shingles lesson; profiled
+    # at 7.4 s of the query's 9.2 s before this round-6 fix). Fan the
+    # single-split scan out first so the transform parallelizes.
+    wsd = _ensure_parallel(d).select(_words(_norm_text(F.col("text"))).alias("ws"))
     bigram = F.when(
-        F.size(ws) >= 2,
+        F.size("ws") >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 1),
+            F.sequence(F.lit(1), F.size("ws") - 1),
             lambda i: F.concat_ws(
-                " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+                " ", F.element_at(F.col("ws"), i), F.element_at(F.col("ws"), i + 1)
             ),
         ),
     )
     top = (
-        d.select(F.explode(bigram).alias("bigram"))
+        wsd.select(F.explode(bigram).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
@@ -130,12 +136,22 @@ def phrase_search_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.col("bigram"), " ").getItem(1).alias("w2"),
         "bigram",
     )
-    p1 = index.crossJoin(F.broadcast(t)).filter(F.col("term") == F.col("w1")).select(
-        "doc_id", "pos", "bigram"
+    # One postings pass for BOTH phrase terms, pinned with localCheckpoint:
+    # referencing `index` twice (one side per term) made Catalyst compile
+    # the corpus tokenize+posexplode subtree twice — at 100 TB that is two
+    # full-corpus scans where one suffices (round-6 fix; at deploy scale
+    # the index is a materialized bucketed table and this is a pruned read
+    # of two terms' postings). The checkpointed relation is postings-of-
+    # two-terms-sized, tiny relative to the corpus.
+    post2 = (
+        index.crossJoin(F.broadcast(t))
+        .filter((F.col("term") == F.col("w1")) | (F.col("term") == F.col("w2")))
+        .localCheckpoint()
     )
-    p2 = index.crossJoin(F.broadcast(t.select("w2"))).filter(
-        F.col("term") == F.col("w2")
-    ).select("doc_id", (F.col("pos") - 1).alias("pos"))
+    p1 = post2.filter(F.col("term") == F.col("w1")).select("doc_id", "pos", "bigram")
+    p2 = post2.filter(F.col("term") == F.col("w2")).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
     matches = p1.join(p2, ["doc_id", "pos"])
     return (
         matches.groupBy("bigram", "doc_id")
