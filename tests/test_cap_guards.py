@@ -319,3 +319,38 @@ def test_containment_directed_matches_naive_selfjoin(spark):
     assert got == expected
     # the na == nb family is present in both orientations
     assert (2, 3, 5, 6, 6) in got and (3, 2, 5, 6, 6) in got
+
+
+def test_cap_audit_reports_drops_when_cap_fires(spark, tmp_path):
+    """candidate_cap_audit is the recall-collapse tripwire: on a corpus
+    where a band group exceeds the (patched) cap it must report the dropped
+    groups and a non-zero dropped-membership fraction — and zero for
+    families whose caps did not fire."""
+    import pyspark.sql.functions as F
+
+    from fpl_data_pipeline_spark.operators import similarity as S
+
+    texts = ["alpha beta gamma delta epsilon zeta"] * 6
+    _write_documents(spark, tmp_path, texts)
+    emb = spark.createDataFrame(
+        [(i, [1.0] * 64, 0) for i in range(10)]
+        + [(100 + i, [-1.0 if j % 2 else 2.0 for j in range(64)], 0) for i in range(3)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    emb.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    orig = S.ND_BAND_CAP
+    S.ND_BAND_CAP = 5
+    try:
+        rows = {r["family"]: r for r in S.candidate_cap_audit(spark, str(tmp_path)).collect()}
+    finally:
+        S.ND_BAND_CAP = orig
+
+    b0 = rows["nd_band0"]
+    # the 10-vector group is over the cap of 5; the 3-vector group is not
+    assert b0["n_dropped"] >= 1
+    assert b0["members_dropped"] >= 10
+    assert 0.0 < b0["drop_frac"] <= 1.0
+    # 6 identical docs: simhash chunk groups of 6, far below the 10k cap
+    sc = rows["simhash_chunk"]
+    assert sc["n_dropped"] == 0 and sc["drop_frac"] == 0.0
