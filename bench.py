@@ -128,9 +128,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     load_all()
+    # max wait defaults to 5 min: enough for a just-finished run's 5-min
+    # loadavg to halve, short enough that the driver's own bench timeout
+    # (unknown to us) is never consumed by sleeping — a timed-out artifact
+    # would regress the parsed-null gate failure round 5 fixed. A truly
+    # busy host proceeds after the bound and self-reports via the load
+    # block (idle_waits at the cap + loadavg_before still high).
     idle_waits = _wait_for_idle(
         threshold=float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0")),
-        max_wait_s=float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT_S", "600")),
+        max_wait_s=float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT_S", "300")),
     )
     load_before = os.getloadavg()
     jvms_before = _jvm_count()
