@@ -268,6 +268,15 @@ def _lsh_candidate_pairs(emb: DataFrame) -> DataFrame:
     recall degradation is observable, not silent."""
     from fpl_data_pipeline_spark.operators.dedup import _expand_member_pairs_streaming
 
+    if N_ND_BANDS != 2:
+        # the suppression chain below is written for exactly two bands
+        # (band 1 checks band 0); a wider banding needs k0v..k{i-1}v per
+        # member. Fail loud rather than silently dropping bands >= 2.
+        raise ValueError(
+            "_lsh_candidate_pairs implements the 2-band lowest-shared-band "
+            f"emission; N_ND_BANDS={N_ND_BANDS} requires extending the "
+            "suppression chain"
+        )
     par = emb.sparkSession.sparkContext.defaultParallelism
     ids = lsh_doc_band_keys(emb)
     alive0 = (

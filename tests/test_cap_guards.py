@@ -382,3 +382,18 @@ def test_doc_band_keys_agree_with_exploded_band_keys(spark):
     assert set(wide) == set(tall)
     for vid, (k0, k1) in wide.items():
         assert tall[vid] == {0: k0, 1: k1}
+
+
+def test_lsh_candidate_pairs_guards_band_count(spark, monkeypatch):
+    """The 2-band suppression chain must fail loud — not silently drop
+    bands — if the banding is ever widened."""
+    import pytest as _pytest
+
+    from fpl_data_pipeline_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 64), (1, [1.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    monkeypatch.setattr(S, "N_ND_BANDS", 4)
+    with _pytest.raises(ValueError, match="2-band"):
+        S._lsh_candidate_pairs(emb)
