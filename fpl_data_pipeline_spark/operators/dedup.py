@@ -523,7 +523,12 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair-dedup shuffle. The count-agg pre-pass drops over-cap chunk
     # groups before the collect (sizes is bounded by the 2^18 key space, so
     # it broadcasts and the filter runs map-side); the streaming expansion
-    # keeps per-row memory O(m) even at the cap.
+    # keeps per-row memory O(m) even at the cap. localCheckpoint pins the
+    # chunk relation: it feeds BOTH the pre-pass and the join, and the
+    # tokenize + 64-conditional-sum simhash above it is far costlier than
+    # materializing 4 narrow rows per doc (AQE exchange reuse is a runtime
+    # maybe, not a plan guarantee).
+    chunks = chunks.localCheckpoint()
     sizes = (
         chunks.groupBy("chunk_id", "chunk_val")
         .agg(F.count(F.lit(1)).alias("cs"))
@@ -1094,8 +1099,12 @@ PSH_CHUNKS = 4
 PSH_CHUNK_BITS = PSH_BITS // PSH_CHUNKS
 
 # Portable-SimHash keyed-chunk relation as a reusable WITH-fragment (md5
-# hash family — reproducible on both engines). Shared by the
-# dedup_simhash_portable oracle and similarity.candidate_cap_audit.
+# hash family — reproducible on both engines). Composed by the
+# dedup_simhash_portable oracle and similarity.candidate_cap_audit, so both
+# audit the same keyed relation by construction. _consensus_oracle_sql
+# keeps an inline sh_-prefixed variant because its tokenization reuses the
+# consensus tree's shared `words` CTE; the planted-fixture pytest pins the
+# two formulations to the same pair set.
 PSH_KEYED_SQL = f"""
     psh_toks AS (
       SELECT doc_id,
@@ -1124,46 +1133,22 @@ PSH_KEYED_SQL = f"""
 
 @register(
     "dedup_simhash_portable",
+    # composes PSH_KEYED_SQL so this oracle and candidate_cap_audit audit
+    # the SAME keyed-chunk relation by construction (round-6 review: the
+    # inline duplicate could drift from the fragment silently)
     f"""
-    WITH toks AS (
-      SELECT doc_id,
-             ('0x' || substr(md5(unnest(list_filter(
-                string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
-                w -> w <> ''))), 1, 15))::BIGINT AS h
-      FROM documents
-    ),
-    bit_sums AS (
-      SELECT doc_id, b.b AS bit,
-             SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-      FROM toks CROSS JOIN (SELECT unnest(range(0, {PSH_BITS})) AS b) b
-      GROUP BY doc_id, b.b
-    ),
-    sims AS (
-      SELECT doc_id,
-             CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
-      FROM bit_sums GROUP BY doc_id
-    ),
-    chunks AS (
-      SELECT doc_id, simhash,
-             unnest(range(0, {PSH_CHUNKS})) AS chunk_id
-      FROM sims
-    ),
-    keyed AS (
-      SELECT doc_id, simhash, chunk_id,
-             (simhash >> (chunk_id * {PSH_CHUNK_BITS})) & {(1 << PSH_CHUNK_BITS) - 1} AS chunk_val
-      FROM chunks
-    ),
+    WITH {PSH_KEYED_SQL},
     oksz AS (
-      SELECT chunk_id, chunk_val FROM keyed
+      SELECT chunk_id, chunk_val FROM psh_keyed
       GROUP BY chunk_id, chunk_val
       HAVING COUNT(*) BETWEEN 2 AND {SIMHASH_CHUNK_CAP}
     ),
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
              a.simhash AS sh_a, b.simhash AS sh_b
-      FROM keyed a
+      FROM psh_keyed a
       JOIN oksz s ON s.chunk_id = a.chunk_id AND s.chunk_val = a.chunk_val
-      JOIN keyed b
+      JOIN psh_keyed b
         ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
        AND a.doc_id < b.doc_id
     )
@@ -1241,7 +1226,9 @@ def _portable_simhash_pairs(d: DataFrame) -> DataFrame:
     """(doc_id_a, doc_id_b, hamming) for every chunk-banded candidate pair —
     the portable-SimHash engine half shared by dedup_simhash_portable and
     dedup_consensus_pairs."""
-    chunks = _portable_simhash_chunks(d)
+    # localCheckpoint: same two-consumer pinning rationale as the
+    # production pipeline above (pre-pass + join both read chunks)
+    chunks = _portable_simhash_chunks(d).localCheckpoint()
     # in-array group expansion (ARCHITECTURE.md §7) — same shape as the
     # production dedup_simhash_pairs, including the SIMHASH_CHUNK_CAP
     # count-agg pre-pass (mirrored in the oracle's sizes CTE) and the

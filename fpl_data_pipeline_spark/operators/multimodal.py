@@ -86,10 +86,17 @@ def decode_stub(payload: bytes) -> list[float]:
     ]
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _pil_image_module():
     """The real image codec when the environment provides one (import-try
     gate per the engine's no-hard-deps rule); None in codec-less
-    containers."""
+    containers. Memoized: failed imports are NOT cached in sys.modules, so
+    an uncached probe would re-walk the import finders once per payload in
+    the mapInPandas hot loop (millions of redundant failed imports at
+    scan scale); the environment cannot gain PIL mid-job."""
     try:
         from PIL import Image  # type: ignore
 
@@ -111,7 +118,9 @@ def decode_payload(payload: bytes, media_type: str = "") -> list[float]:
     tests/test_multimodal_codec_gate.py runs whichever path the container
     has (both when PIL is present)."""
     image_mod = _pil_image_module()
-    if image_mod is not None and media_type.startswith("image/") and payload:
+    # (media_type or ""): a NULL media_type must take the stub path, not
+    # AttributeError outside the try and kill the whole Arrow batch
+    if image_mod is not None and (media_type or "").startswith("image/") and payload:
         try:
             import io
 

@@ -278,7 +278,14 @@ def _lsh_candidate_pairs(emb: DataFrame) -> DataFrame:
             "suppression chain"
         )
     par = emb.sparkSession.sparkContext.defaultParallelism
-    ids = lsh_doc_band_keys(emb)
+    # localCheckpoint: `ids` feeds FOUR subtrees (alive0, alive1, g0,
+    # marked) and has no exchange below it, so without pinning Catalyst
+    # compiles the corpus scan + 16 hyperplane dot products (64 dims each)
+    # once per consumer — the round-6 review found emb_neardup_pairs
+    # scanning the embeddings parquet 7x. The materialized relation is
+    # 3 small columns per doc, far cheaper than three extra scan+projection
+    # passes at any scale (same pinning rationale as phrase search's post2).
+    ids = lsh_doc_band_keys(emb).localCheckpoint()
     alive0 = (
         ids.groupBy("k0")
         .agg(F.count(F.lit(1)).alias("bs"))
@@ -291,10 +298,13 @@ def _lsh_candidate_pairs(emb: DataFrame) -> DataFrame:
         .filter((F.col("bs") >= 2) & (F.col("bs") <= ND_BAND_CAP))
         .drop("bs")
     )
+    # collect_set, not collect_list: a duplicated vec_id upstream
+    # (ingestion replay) would otherwise yield [x, x] members and the
+    # positional expansion would emit an (x, x) self-pair at cosine 1.0
     g0 = (
         ids.join(F.broadcast(alive0), "k0")
         .groupBy("k0")
-        .agg(F.array_sort(F.collect_list("vec_id")).alias("members"))
+        .agg(F.array_sort(F.collect_set("vec_id")).alias("members"))
         .repartition(par)
     )
     p0 = _expand_member_pairs_streaming(g0).select(
@@ -306,7 +316,7 @@ def _lsh_candidate_pairs(emb: DataFrame) -> DataFrame:
     g1 = (
         marked.join(F.broadcast(alive1), "k1")
         .groupBy("k1")
-        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "k0v"))).alias("members"))
+        .agg(F.array_sort(F.collect_set(F.struct("vec_id", "k0v"))).alias("members"))
         .repartition(par)
     )
     # keep a band-1 pair unless BOTH ends sit in the same alive band-0

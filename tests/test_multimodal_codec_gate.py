@@ -73,3 +73,10 @@ def test_mapinpandas_features_unchanged_by_dispatch(spark):
     for m in sample:
         expected = decode_stub(bytes(m["media"]))
         assert got[m["asset_id"]] == pytest.approx(expected, rel=1e-6)
+
+
+def test_decode_dispatch_null_media_type_uses_stub():
+    """A NULL media_type (absent metadata) must take the stub path — never
+    raise outside the decode try and kill the batch."""
+    payload = b"some bytes"
+    assert decode_payload(payload, None) == decode_stub(payload)

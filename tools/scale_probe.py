@@ -31,9 +31,6 @@ from fpl_data_pipeline_spark.operators.dedup import (  # noqa: E402
     span_pair_spans,
     winnowing_candidate_pairs,
 )
-from fpl_data_pipeline_spark.operators.similarity import lsh_band_keys  # noqa: E402
-
-
 def emb_neardup_candidates(emb):
     """Full banded-LSH candidate set (pre-cosine, pre-top-k) — the REAL
     candidate stage (round 6: lowest-surviving-band emission, ND_BAND_CAP
