@@ -9,6 +9,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from fpl_data_pipeline_spark.operators.dedup import _ensure_parallel
 from fpl_data_pipeline_spark.registry import register
 from fpl_data_pipeline_spark.tables import table
 
@@ -258,16 +259,28 @@ def doc_bigrams(d: DataFrame, text_col: str = "text") -> DataFrame:
     """doc_id -> exploded word bigrams (engine operator). sequence(1, 0) is
     descending in Spark — guard docs with <2 words or element_at(ws, 0)
     aborts the job (explode(NULL) emits no rows, matching the oracle's
-    end-exclusive range)."""
-    ws = _words(_norm_text(F.col(text_col)))
+    end-exclusive range).
+
+    Perf: the tokenization is projected into a real column first — inlining
+    it in the transform lambda re-ran the regex split ~2x per bigram per doc
+    (text_top_bigrams measured 8.9 s warm at sf0.1; the same defect
+    phrase_search_topdocs carried until round 6, 9.2 -> 1.6 s). The
+    multi-reference alias keeps CollapseProject from re-inlining, and small
+    scans fan out to session parallelism first — the shingles() pattern at
+    operators/dedup.py."""
+    words = _ensure_parallel(d).select(
+        "doc_id", _words(_norm_text(F.col(text_col))).alias("ws")
+    )
     bigrams = F.when(
-        F.size(ws) >= 2,
+        F.size("ws") >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+            F.sequence(F.lit(1), F.size("ws") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("ws"), i), F.element_at(F.col("ws"), i + 1)
+            ),
         ),
     )
-    return d.select("doc_id", F.explode(bigrams).alias("bigram"))
+    return words.select("doc_id", F.explode(bigrams).alias("bigram"))
 
 
 @register(
