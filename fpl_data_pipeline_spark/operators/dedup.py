@@ -259,6 +259,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _capped_key_groups(sh: DataFrame, key_col: str, df_cap: int) -> DataFrame:
+    """Sorted per-key doc arrays for keys whose document frequency is
+    within ``df_cap`` — the count-agg PRE-pass shape shared by every capped
+    candidate family (tests/test_cap_guards.py pins this plan; split out of
+    _set_overlap_stats so the assertion sees the pre-localCheckpoint tree).
+    The groupBy after the join reuses the join's hash partitioning on the
+    key — no third exchange. collect_list suffices: the input is
+    (doc_id, key)-distinct by contract."""
+    keep = (
+        sh.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("dfk"))
+        .filter(F.col("dfk") <= df_cap)
+        .drop("dfk")
+    )
+    return (
+        sh.join(keep, key_col)
+        .groupBy(key_col)
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .select("docs")
+    )
+
+
 def _set_overlap_stats(
     sh: DataFrame, key_col: str, df_cap: int = SHINGLE_DF_CAP, directed: bool = False
 ) -> DataFrame:
@@ -268,29 +290,29 @@ def _set_overlap_stats(
     family.
 
     In-array group expansion (ARCHITECTURE.md §7): ONE groupBy on the key
-    collects the sorted per-key doc set. The df cap becomes a size()
-    filter on the collected array — subsuming capped_shingles' separate
-    df-count aggregate + filter join — per-doc set sizes re-derive from
+    collects the sorted per-key doc set; per-doc set sizes re-derive from
     the same grouped relation map-side, and pair intersection counts come
-    from the pair explode. The old shape shuffled the exploded key set
-    four times (df count, cap join, both self-join sides); this shuffles
-    it once into groups, then only doc-sized and pair-sized relations.
-    Per-group memory is bounded by ``df_cap`` doc_ids.
+    from the pair explode.
+
+    The df cap is a count-agg PRE-pass (round-7 migration of the last
+    post-collect filters): until round 6 the cap was a ``size(docs) <=
+    df_cap`` filter ABOVE the collect, so a corpus-boilerplate key buffered
+    its whole doc set inside one aggregation buffer before being dropped —
+    the round-5 OOM shape the HV_BLOCK_CAP / ND_BAND_CAP / SIMHASH_CHUNK_CAP
+    families already fixed. Counting first bounds the aggregation state to
+    one long per key; the join back costs one extra exchange of the
+    exploded relation, the price of a bounded buffer at 100 TB. ``sh`` must
+    be (doc_id, key)-distinct — every caller explodes an array_distinct per
+    doc — so count(1) per key IS the key's document frequency.
 
     ``directed=True`` emits both orientations of each pair (the
     containment convention, where (contained, container) is an ordered
     role); n_common is symmetric so the reverse rows are emitted map-side
     from the same expansion, not re-counted."""
     # localCheckpoint (not cache): the grouped relation feeds two consumers
-    # (sizes + the pair expansion); eager materialization stops Catalyst
-    # compiling the explode-heavy key subtree once per consumer.
-    groups0 = (
-        sh.groupBy(key_col)
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
-        .filter(F.size("docs") <= df_cap)
-        .select("docs")
-        .localCheckpoint()
-    )
+    # (sizes + the pair expansion); checkpoint materialization stops
+    # Catalyst compiling the explode-heavy key subtree once per consumer.
+    groups0 = _capped_key_groups(sh, key_col, df_cap).localCheckpoint()
     sizes = (
         groups0.select(F.explode("docs").alias("doc_id"))
         .groupBy("doc_id")
@@ -873,32 +895,46 @@ def winnowing_candidate_pairs(d: DataFrame, fp_cap: int = WINNOW_FP_CAP) -> Data
     # query's whole lifetime — at 100 TB the fp set is itself large.
     # Candidate pairs use the keyed-pair-generation-without-self-join shape
     # (ARCHITECTURE.md §7, same as cf_item_similarity): ONE groupBy collects
-    # the sorted distinct doc set per fingerprint — collect_set subsumes the
-    # old (doc_id, fp) distinct, size(docs) subsumes the separate rarity
-    # aggregate, and with no self-join left there is nothing to checkpoint.
-    # The old shape shuffled the fingerprint relation four times (distinct,
-    # df-count, both join sides); this shuffles it once, then only the pair
-    # partial counts. Per-group memory is one doc array, bounded by fp_cap
-    # exactly as the join fan-out was.
+    # the sorted distinct doc set per fingerprint. The per-doc fingerprint
+    # DISTINCT (the oracle's ``SELECT DISTINCT doc_id, fp``) is an
+    # array_distinct over the per-doc window-min array — map-side, no
+    # shuffle — so the exploded relation is (doc_id, fp)-distinct before
+    # any aggregate sees it.
+    #
+    # fp_cap is a count-agg PRE-pass (round-7 migration, closing the last
+    # explain-audit allowlist entry): the round-4..6 shape capped with
+    # ``size(docs) <= fp_cap`` ABOVE the collect, so one corpus-boilerplate
+    # fingerprint (df in the millions at 100 TB) buffered its entire doc
+    # set in a single aggregation buffer before being dropped. Counting
+    # first bounds aggregation state to one long per fingerprint; the join
+    # back is one extra exchange — the same trade every other capped
+    # family made. collect_list suffices after the distinct.
     #
     # A doc shorter than n words carries a NULL hash array whose window-min
     # explodes to NULL fingerprints; the old equi-join dropped them by SQL
     # null semantics, but a groupBy would collect every short doc into one
     # giant NULL group — filter them explicitly.
-    groups = (
-        hashes.select(
-            "doc_id",
-            F.explode(
+    fps = hashes.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
                 F.transform(
                     F.sequence(F.lit(1), F.size("hs")),
                     lambda i: F.array_min(F.slice("hs", i, WINNOW_W)),
                 )
-            ).alias("fp"),
-        )
-        .filter(F.col("fp").isNotNull())
+            )
+        ).alias("fp"),
+    ).filter(F.col("fp").isNotNull())
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("dfp"))
+        .filter((F.col("dfp") >= 2) & (F.col("dfp") <= fp_cap))
+        .drop("dfp")
+    )
+    groups = (
+        fps.join(keep, "fp")
         .groupBy("fp")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
-        .filter((F.size("docs") >= 2) & (F.size("docs") <= fp_cap))
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
         # the array relation is small (AQE coalesces it) but the explode
         # below multiplies each row by df(df-1)/2 — spread it back across
         # the executors before the fan-out (ARCHITECTURE.md §7 subtlety)
@@ -2082,19 +2118,29 @@ def span_pair_spans(d: DataFrame, df_cap: int = SPAN_DF_CAP) -> DataFrame:
         "doc_id", "pos", F.substring(F.md5("shingle"), 1, 16).alias("h")
     )
     # in-array group expansion (ARCHITECTURE.md §7): one groupBy on the
-    # positional-gram hash collects every (doc_id, pos) occurrence; the df
-    # cap (distinct DOCS per hash, as before) becomes an array_distinct
-    # size filter on the collected set, subsuming the separate
-    # countDistinct aggregate + filter join, and cross-doc position pairs
-    # explode map-side (members sort by doc_id first, so i<j with
-    # a.doc_id < b.doc_id enumerates exactly the old join's da<db rows).
-    groups = (
+    # positional-gram hash collects every (doc_id, pos) occurrence, and
+    # cross-doc position pairs explode map-side (members sort by doc_id
+    # first, so i<j with a.doc_id < b.doc_id enumerates exactly the old
+    # join's da<db rows).
+    #
+    # The df cap (distinct DOCS per hash, as before) is a count-agg
+    # PRE-pass (round-7 migration): the round-4..6 shape filtered
+    # size(array_distinct(members)) AFTER the collect, buffering a
+    # boilerplate hash's full occurrence set in one aggregation buffer —
+    # the same OOM trap the other capped families already closed. A
+    # single-doc hash (dd=1) can only emit same-doc pairs that the da<db
+    # filter drops, so dd >= 2 in the pre-pass prunes it without changing
+    # the output.
+    keep = (
         hashed.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("dd"))
+        .filter((F.col("dd") >= 2) & (F.col("dd") <= df_cap))
+        .drop("dd")
+    )
+    groups = (
+        hashed.join(keep, "h")
+        .groupBy("h")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "pos"))).alias("members"))
-        .filter(
-            (F.size(F.array_distinct(F.transform("members", lambda m: m["doc_id"]))) <= df_cap)
-            & (F.size("members") >= 2)
-        )
         .repartition(d.sparkSession.sparkContext.defaultParallelism)
     )
     matched = _expand_member_pairs(groups).select(

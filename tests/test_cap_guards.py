@@ -87,6 +87,103 @@ def test_hv_block_cap_is_count_prepass(spark):
     _assert_count_prepass(plan)
 
 
+def test_winnow_fp_cap_is_count_prepass(spark):
+    """Round-7 migration: WINNOW_FP_CAP must be a count pre-pass, not the
+    round-4..6 post-collect ``size(docs) <= cap`` filter."""
+    from fpl_data_pipeline_spark.operators.dedup import winnowing_candidate_pairs
+
+    d = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta doc{i} tail words here") for i in range(6)],
+        "doc_id long, text string",
+    )
+    _assert_count_prepass(_optimized_plan(winnowing_candidate_pairs(d)))
+
+
+def test_set_overlap_df_cap_is_count_prepass(spark):
+    """Round-7 migration: _set_overlap_stats' df_cap must be a count
+    pre-pass. Asserted on the pre-localCheckpoint building block
+    (_capped_key_groups) — the checkpoint hides the aggregate subtree from
+    the consumer queries' optimized plans."""
+    from fpl_data_pipeline_spark.operators.dedup import _capped_key_groups, shingles
+
+    d = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta doc{i} tail words here") for i in range(6)],
+        "doc_id long, text string",
+    )
+    _assert_count_prepass(_optimized_plan(_capped_key_groups(shingles(d), "shingle", 5)))
+
+
+def test_span_df_cap_is_count_prepass(spark):
+    """Round-7 migration: SPAN_DF_CAP must be a countDistinct pre-pass —
+    the old shape collected the full (doc_id, pos) occurrence set and then
+    filtered size(array_distinct(members)), which the audit regex could
+    not even see."""
+    import re
+
+    from fpl_data_pipeline_spark.operators.dedup import span_pair_spans
+
+    d = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon doc{i} tail words here") for i in range(6)],
+        "doc_id long, text string",
+    )
+    plan = _optimized_plan(span_pair_spans(d))
+    assert "collect_list" in plan
+    assert "count(distinct doc_id" in plan, "countDistinct pre-pass missing"
+    assert not re.search(r"size\(array_distinct", plan), (
+        "post-collect size(array_distinct(members)) cap found"
+    )
+
+
+def test_span_df_cap_silences_boilerplate_hash(spark):
+    """6 docs of one boilerplate text exceed the cap -> no certified spans
+    among them; a rare 2-doc duplicate still certifies its full span."""
+    from fpl_data_pipeline_spark.operators.dedup import span_pair_spans
+
+    texts = ["common boilerplate text shared everywhere in corpus"] * 6 + [
+        "rare duplicate sentence appearing exactly twice right here"
+    ] * 2
+    d = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rows = span_pair_spans(d, df_cap=4).collect()
+    assert {(r["doc_id_a"], r["doc_id_b"]) for r in rows} == {(6, 7)}
+    assert rows[0]["span_tokens"] == 8  # the full 8-token duplicate text
+
+
+def test_winnow_fp_cap_silences_boilerplate_fingerprint(spark):
+    """6 docs of one boilerplate text share every fingerprint (df=6 > cap=4)
+    -> no pairs among them; a rare 2-doc duplicate still pairs."""
+    from fpl_data_pipeline_spark.operators.dedup import winnowing_candidate_pairs
+
+    texts = ["common boilerplate text shared everywhere in corpus"] * 6 + [
+        "rare duplicate sentence appearing exactly twice here"
+    ] * 2
+    d = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = winnowing_candidate_pairs(d, fp_cap=4).collect()
+    assert {(r["doc_id_a"], r["doc_id_b"]) for r in rows} == {(6, 7)}
+
+
+def test_set_overlap_df_cap_silences_boilerplate_shingle(spark):
+    """Same planted scenario through the Jaccard/containment engine half:
+    the over-cap shingles of the boilerplate group stop producing pairs,
+    the rare pair survives with full overlap, and surviving singleton keys
+    still count toward per-doc sizes (na == nb == n_common for the exact
+    duplicate)."""
+    from fpl_data_pipeline_spark.operators.dedup import _set_overlap_stats, shingles
+
+    texts = ["common boilerplate text shared everywhere in corpus"] * 6 + [
+        "rare duplicate sentence appearing exactly twice here"
+    ] * 2
+    d = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = _set_overlap_stats(shingles(d), "shingle", df_cap=4).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_id_a"], r["doc_id_b"]) == (6, 7)
+    assert r["na"] == r["nb"] == r["n_common"] > 0
+
+
 # --- (a) hot-key silencing + (c) disjoint union ------------------------------
 
 

@@ -235,17 +235,10 @@ def unpartitioned_windows(plan: str) -> int:
 # shape in a family that already fixed it (tests/test_cap_guards.py pins
 # the fixed families; this is the registry-wide net).
 INTENTIONAL_POST_COLLECT_CAP: dict[str, str] = {
-    # WINNOW_FP_CAP is still a size() filter on the collected doc array: a
-    # corpus-boilerplate fingerprint (df in the millions) would buffer
-    # df * 8 bytes in one aggregation buffer before the filter drops it.
-    # Round-7 work: convert to the count-agg pre-pass like the LSH/simhash
-    # /hashed-vector families (plan change -> needs a driver-window slot,
-    # which round 6 spent clearing the never-windowed backlog). The same
-    # carry-over exists in _set_overlap_stats' df_cap (charngram/
-    # containment/consensus/ngram-jaccard), which this detector cannot see
-    # because the filter runs inside that family's localCheckpoint
-    # materialization — fix both together.
-    "dedup_winnowing_pairs": "WINNOW_FP_CAP post-collect filter; round-7 pre-pass migration",
+    # Empty since round 7: WINNOW_FP_CAP and _set_overlap_stats' df_cap —
+    # the last two post-collect caps — were migrated to count-agg
+    # pre-passes (tests/test_cap_guards.py pins the plan shapes). Any new
+    # entry here needs a written reason and a migration round.
 }
 
 
