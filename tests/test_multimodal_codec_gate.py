@@ -80,3 +80,63 @@ def test_decode_dispatch_null_media_type_uses_stub():
     raise outside the decode try and kill the batch."""
     payload = b"some bytes"
     assert decode_payload(payload, None) == decode_stub(payload)
+
+
+def _p6(w: int, h: int, rgb_rows: list[list[tuple[int, int, int]]]) -> bytes:
+    raster = bytes(v for row in rgb_rows for px in row for v in px)
+    return b"P6 %d %d 255\n" % (w, h) + raster
+
+
+def test_ppm_decoder_runs_real_branch_in_container():
+    """The pure-Python P6 decoder is the in-container real-codec branch:
+    a well-formed PPM must NOT produce stub features, and the stats must be
+    the exact luma values of the payload's pixels."""
+    # 2x2: red, green / blue, white
+    payload = _p6(2, 2, [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]])
+    feats = decode_payload(payload, "image/x-portable-pixmap")
+    assert feats != decode_stub(payload)
+    assert len(feats) == FEATURE_DIM
+    # ITU-R 601 integer luma: red 76, green 149, blue 29, white 255
+    lum = {"r": 255 * 299 // 1000, "g": 255 * 587 // 1000, "b": 255 * 114 // 1000}
+    # nearest-neighbor 8x8 over 2x2 replicates each pixel 16x
+    assert feats[1] == float(min(lum.values()))          # min
+    assert feats[2] == 255.0                             # max (white)
+    assert feats[3] == float(lum["r"])                   # first sampled px
+    assert feats[4] == 255.0                             # last sampled px
+    assert feats[5] == 2.0 and feats[6] == 2.0           # dims
+    assert feats[7] == float(len(payload))
+    expected_mean = (16 * (lum["r"] + lum["g"] + lum["b"] + 255)) / 64.0
+    assert feats[0] == expected_mean
+
+
+def test_pgm_p5_decoder_grayscale():
+    payload = b"P5 3 1 255\n" + bytes([0, 128, 255])
+    feats = decode_payload(payload, "image/x-portable-graymap")
+    assert feats != decode_stub(payload)
+    assert feats[1] == 0.0 and feats[2] == 255.0
+    assert feats[5] == 3.0 and feats[6] == 1.0
+
+
+def test_ppm_decoder_rejects_malformed_payloads():
+    """Strict validation: anything not byte-exact falls back to the stub —
+    the guarantee that text payloads can never false-positive."""
+    cases = [
+        b"P6 looks like a ppm but is prose about pixmaps....",  # non-digit token
+        b"P6 2 2 255\n" + bytes(11),                            # short raster
+        b"P6 2 2 255\n" + bytes(13),                            # long raster
+        b"P6 2 2 65535\n" + bytes(12),                          # 16-bit maxval
+        b"P6 0 2 255\n",                                        # zero dim
+    ]
+    for payload in cases:
+        assert decode_payload(payload, "image/x-portable-pixmap") == decode_stub(
+            payload
+        ), payload[:16]
+
+
+def test_ppm_decoder_header_comments_and_whitespace():
+    payload = b"P6 # a comment\n2 1 # another\n255\n" + bytes(
+        [10, 20, 30, 40, 50, 60]
+    )
+    feats = decode_payload(payload, "image/ppm")
+    assert feats != decode_stub(payload)
+    assert feats[5] == 2.0 and feats[6] == 1.0
