@@ -372,6 +372,40 @@ def feature_vectors(
     return sparse.select("doc_id", dense.alias("fv"))
 
 
+def hv_block_keyed_vectors(d: DataFrame) -> DataFrame:
+    """(doc_id, fv, k1, k2): portable hashed count vectors plus the
+    unordered two-dominant-bucket blocking key — the keyed relation under
+    text_hash_vector_dups, split out so candidate_cap_audit can report
+    HV_BLOCK_CAP drops from the same code.
+
+    vh1 = 1-based argmax position (first occurrence = smallest bucket on
+    count ties, matching the oracle's ORDER BY n DESC, bucket ASC); vh2 =
+    argmax with position vh1 masked to -1; sentinel 0 when the doc has a
+    single nonzero bucket (oracle uses -1 — both sides are a uniform +1
+    shift, so least/greatest induce the same partition of docs)."""
+    return (
+        feature_vectors(d, hash_fn="md5")
+        .withColumn("vh1", F.array_position(F.col("fv"), F.array_max("fv")))
+        .withColumn(
+            "fvm",
+            F.transform(
+                F.col("fv"),
+                lambda x, i: F.when(i == F.col("vh1") - 1, F.lit(-1.0)).otherwise(x),
+            ),
+        )
+        .withColumn("m2", F.array_max("fvm"))
+        .withColumn(
+            "vh2",
+            F.when(F.col("m2") <= 0, F.lit(0).cast("long")).otherwise(
+                F.array_position(F.col("fvm"), F.col("m2"))
+            ),
+        )
+        .withColumn("k1", F.least("vh1", "vh2"))
+        .withColumn("k2", F.greatest("vh1", "vh2"))
+        .drop("vh1", "fvm", "m2", "vh2")
+    )
+
+
 @register(
     "text_hash_vector_dups",
     f"""
@@ -445,36 +479,10 @@ def text_hash_vector_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fpl_data_pipeline_spark.operators.dedup import _expand_member_pairs
 
     d = table(spark, sf_dir, "documents")
-    # vh1 = 1-based argmax position (first occurrence = smallest bucket on
-    # count ties, matching the oracle's ORDER BY n DESC, bucket ASC); vh2 =
-    # argmax with position vh1 masked to -1; sentinel 0 when the doc has a
-    # single nonzero bucket (oracle uses -1 — both sides are a uniform +1
-    # shift, so least/greatest induce the same partition of docs).
     # localCheckpoint: the vector frame feeds three consumers (the block
     # relation + both score-join sides) — materialize the hash-explode
     # pipeline once instead of compiling it per consumer.
-    fv = (
-        feature_vectors(d, hash_fn="md5")
-        .withColumn("vh1", F.array_position(F.col("fv"), F.array_max("fv")))
-        .withColumn(
-            "fvm",
-            F.transform(
-                F.col("fv"),
-                lambda x, i: F.when(i == F.col("vh1") - 1, F.lit(-1.0)).otherwise(x),
-            ),
-        )
-        .withColumn("m2", F.array_max("fvm"))
-        .withColumn(
-            "vh2",
-            F.when(F.col("m2") <= 0, F.lit(0).cast("long")).otherwise(
-                F.array_position(F.col("fvm"), F.col("m2"))
-            ),
-        )
-        .withColumn("k1", F.least("vh1", "vh2"))
-        .withColumn("k2", F.greatest("vh1", "vh2"))
-        .drop("vh1", "fvm", "m2", "vh2")
-        .localCheckpoint()
-    )
+    fv = hv_block_keyed_vectors(d).localCheckpoint()
     # id-only in-array group expansion on the blocking key (ARCHITECTURE.md
     # §7): the dense count vectors do NOT ride the expansion — pairs dedup
     # as two longs, then the vectors join back and each distinct pair is

@@ -845,28 +845,23 @@ def winnowing_pairs(d: DataFrame, fp_cap: int = WINNOW_FP_CAP) -> DataFrame:
     ).limit(20)
 
 
-def winnowing_candidate_pairs(d: DataFrame, fp_cap: int = WINNOW_FP_CAP) -> DataFrame:
-    """The full (un-truncated) winnowing candidate-pair set — split out so
-    tools/scale_probe.py can measure candidate growth across corpus scales;
-    winnowing_pairs surfaces its top-20.
+def winnow_doc_fingerprints(d: DataFrame) -> DataFrame:
+    """(doc_id, fp) distinct winnowing fingerprints per document — the
+    keyed relation under winnowing_candidate_pairs, split out so
+    candidate_cap_audit can report WINNOW_FP_CAP drops from the same code.
 
     The sliding w-window minimum is computed INSIDE the per-document hash
-    array (array_min over slices) rather than by posexplode + a
-    doc-partitioned window: identical fingerprints (verified pair-for-pair
-    at sf0.1), but the min-selection becomes map-side whole-stage-codegen
-    work and the per-doc window SHUFFLE disappears (6.9 s -> 1.0 s for the
-    cold full-candidate count at sf0.1; the warm top-20 query gains less
-    because its capped pair join dominates — the structural win is one
-    fewer corpus-wide exchange; round-4 optimization).
-    The tail slices are shorter than w, matching the window's
-    CURRENT..w-1 FOLLOWING frame exactly.
-
-    The input gets the same conditional fan-out as every other shingling
-    path: the per-gram md5 + window-min map work is the query's single
-    most expensive stage (10x probe: ~60% of executor time), and a scan
-    that yields fewer partitions than cores would serialize it —
-    measured 26 s -> expected ~3x on that stage at 10x (10-partition scan
-    on 32 cores). Already-parallel inputs keep their layout."""
+    array (array_min over slices): identical fingerprints to the
+    posexplode+window formulation, but map-side whole-stage-codegen work
+    with no per-doc window shuffle (round-4 optimization; tail slices
+    shorter than w match the CURRENT..w-1 FOLLOWING frame exactly). The
+    per-doc DISTINCT (the oracle's ``SELECT DISTINCT doc_id, fp``) is an
+    array_distinct over the window-min array — also map-side — so the
+    exploded relation is (doc_id, fp)-distinct before any aggregate sees
+    it. A doc shorter than n words carries a NULL hash array whose
+    window-min yields NULL fingerprints; the old equi-join dropped them by
+    SQL null semantics, but a groupBy would collect every short doc into
+    one giant NULL group — filter them explicitly."""
     words = _ensure_parallel(d).select(
         "doc_id", _words(_norm_text(F.col("text"))).alias("ws")
     )
@@ -891,31 +886,7 @@ def winnowing_candidate_pairs(d: DataFrame, fp_cap: int = WINNOW_FP_CAP) -> Data
             ),
         ).alias("hs"),
     )
-    # localCheckpoint (not cache): truncates lineage for the self-join's two
-    # branches without pinning the fingerprint set in executor memory for the
-    # query's whole lifetime — at 100 TB the fp set is itself large.
-    # Candidate pairs use the keyed-pair-generation-without-self-join shape
-    # (ARCHITECTURE.md §7, same as cf_item_similarity): ONE groupBy collects
-    # the sorted distinct doc set per fingerprint. The per-doc fingerprint
-    # DISTINCT (the oracle's ``SELECT DISTINCT doc_id, fp``) is an
-    # array_distinct over the per-doc window-min array — map-side, no
-    # shuffle — so the exploded relation is (doc_id, fp)-distinct before
-    # any aggregate sees it.
-    #
-    # fp_cap is a count-agg PRE-pass (round-7 migration, closing the last
-    # explain-audit allowlist entry): the round-4..6 shape capped with
-    # ``size(docs) <= fp_cap`` ABOVE the collect, so one corpus-boilerplate
-    # fingerprint (df in the millions at 100 TB) buffered its entire doc
-    # set in a single aggregation buffer before being dropped. Counting
-    # first bounds aggregation state to one long per fingerprint; the join
-    # back is one extra exchange — the same trade every other capped
-    # family made. collect_list suffices after the distinct.
-    #
-    # A doc shorter than n words carries a NULL hash array whose window-min
-    # explodes to NULL fingerprints; the old equi-join dropped them by SQL
-    # null semantics, but a groupBy would collect every short doc into one
-    # giant NULL group — filter them explicitly.
-    fps = hashes.select(
+    return hashes.select(
         "doc_id",
         F.explode(
             F.array_distinct(
@@ -926,6 +897,43 @@ def winnowing_candidate_pairs(d: DataFrame, fp_cap: int = WINNOW_FP_CAP) -> Data
             )
         ).alias("fp"),
     ).filter(F.col("fp").isNotNull())
+
+
+def winnowing_candidate_pairs(d: DataFrame, fp_cap: int = WINNOW_FP_CAP) -> DataFrame:
+    """The full (un-truncated) winnowing candidate-pair set — split out so
+    tools/scale_probe.py can measure candidate growth across corpus scales;
+    winnowing_pairs surfaces its top-20.
+
+    The sliding w-window minimum is computed INSIDE the per-document hash
+    array (array_min over slices) rather than by posexplode + a
+    doc-partitioned window: identical fingerprints (verified pair-for-pair
+    at sf0.1), but the min-selection becomes map-side whole-stage-codegen
+    work and the per-doc window SHUFFLE disappears (6.9 s -> 1.0 s for the
+    cold full-candidate count at sf0.1; the warm top-20 query gains less
+    because its capped pair join dominates — the structural win is one
+    fewer corpus-wide exchange; round-4 optimization).
+    The tail slices are shorter than w, matching the window's
+    CURRENT..w-1 FOLLOWING frame exactly.
+
+    The input gets the same conditional fan-out as every other shingling
+    path: the per-gram md5 + window-min map work is the query's single
+    most expensive stage (10x probe: ~60% of executor time), and a scan
+    that yields fewer partitions than cores would serialize it —
+    measured 26 s -> expected ~3x on that stage at 10x (10-partition scan
+    on 32 cores). Already-parallel inputs keep their layout."""
+    # Candidate pairs use the keyed-pair-generation-without-self-join shape
+    # (ARCHITECTURE.md §7, same as cf_item_similarity): ONE groupBy collects
+    # the sorted distinct doc set per fingerprint.
+    #
+    # fp_cap is a count-agg PRE-pass (round-7 migration, closing the last
+    # explain-audit allowlist entry): the round-4..6 shape capped with
+    # ``size(docs) <= fp_cap`` ABOVE the collect, so one corpus-boilerplate
+    # fingerprint (df in the millions at 100 TB) buffered its entire doc
+    # set in a single aggregation buffer before being dropped. Counting
+    # first bounds aggregation state to one long per fingerprint; the join
+    # back is one extra exchange — the same trade every other capped
+    # family made. collect_list suffices after the distinct.
+    fps = winnow_doc_fingerprints(d)
     keep = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("dfp"))
@@ -2111,13 +2119,20 @@ def span_matches(d: DataFrame, df_cap: int = SPAN_DF_CAP) -> DataFrame:
     ).limit(20)
 
 
+def span_positional_hashes(d: DataFrame) -> DataFrame:
+    """(doc_id, pos, h) positional SPAN_N-gram hashes — the keyed relation
+    under span_pair_spans, split out so candidate_cap_audit can report
+    SPAN_DF_CAP drops from the same code."""
+    return ordered_shingles(d, n=SPAN_N).select(
+        "doc_id", "pos", F.substring(F.md5("shingle"), 1, 16).alias("h")
+    )
+
+
 def span_pair_spans(d: DataFrame, df_cap: int = SPAN_DF_CAP) -> DataFrame:
     """The full (un-truncated) per-pair span table — split out so
     tools/scale_probe.py can measure candidate growth across corpus
     scales; span_matches surfaces its top-20."""
-    hashed = ordered_shingles(d, n=SPAN_N).select(
-        "doc_id", "pos", F.substring(F.md5("shingle"), 1, 16).alias("h")
-    )
+    hashed = span_positional_hashes(d)
     # in-array group expansion (ARCHITECTURE.md §7): one groupBy on the
     # positional-gram hash collects every (doc_id, pos) occurrence, and
     # cross-doc position pairs explode map-side (members sort by doc_id

@@ -102,6 +102,25 @@ _LAT_SQL = "(CAST(('0x' || substr(md5('lat:' || c_custkey), 1, 10)) AS BIGINT) /
 _LON_SQL = "(CAST(('0x' || substr(md5('lon:' || c_custkey), 1, 10)) AS BIGINT) / 1099511627776.0 * 360 - 180)"
 
 
+def customer_points(c: DataFrame) -> DataFrame:
+    """(id, lat, lon) md5-derived synthetic coordinates per customer — the
+    keyed relation under geo_proximity_pairs, split out so
+    candidate_cap_audit can report GEO_CELL_CAP drops from the same code."""
+    u = lambda tag: (  # noqa: E731
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(tag + ":"), F.col("c_custkey"))), 1, 10),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(1099511627776.0)
+    )
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        (u("lat") * 120 - 60).alias("lat"),
+        (u("lon") * 360 - 180).alias("lon"),
+    )
+
+
 @register(
     "geo_proximity_pairs",
     f"""
@@ -155,20 +174,9 @@ def geo_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join + exact haversine verification — the spatial
     self-join shape that never goes n²."""
     c = table(spark, sf_dir, "customer")
-    u = lambda tag: (  # noqa: E731
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(tag + ":"), F.col("c_custkey"))), 1, 10),
-            16,
-            10,
-        ).cast("double")
-        / F.lit(1099511627776.0)
+    cand = grid_neighbor_pairs(
+        customer_points(c), "id", "lat", "lon", GEO_CELL_DEG
     )
-    pts = c.select(
-        F.col("c_custkey").alias("id"),
-        (u("lat") * 120 - 60).alias("lat"),
-        (u("lon") * 360 - 180).alias("lon"),
-    )
-    cand = grid_neighbor_pairs(pts, "id", "lat", "lon", GEO_CELL_DEG)
     dist = haversine_km(
         F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")
     )

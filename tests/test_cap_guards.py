@@ -435,6 +435,14 @@ def test_cap_audit_reports_drops_when_cap_fires(spark, tmp_path):
         "vec_id long, embedding array<float>, label int",
     )
     emb.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    # the round-7 audit also covers the customer-keyed families
+    # (fs_block / geo_cell) — give them a tiny relation
+    cust = spark.createDataFrame(
+        [(i, f"Customer#{i:09d}", i % 5, "BUILDING", 100.0 + i) for i in range(8)],
+        "c_custkey long, c_name string, c_nationkey long, "
+        "c_mktsegment string, c_acctbal double",
+    )
+    cust.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
 
     orig = S.ND_BAND_CAP
     S.ND_BAND_CAP = 5
@@ -451,6 +459,20 @@ def test_cap_audit_reports_drops_when_cap_fires(spark, tmp_path):
     # 6 identical docs: simhash chunk groups of 6, far below the 10k cap
     sc = rows["simhash_chunk"]
     assert sc["n_dropped"] == 0 and sc["drop_frac"] == 0.0
+    # round-7: all nine cap families report, and the un-fired ones are zero
+    assert set(rows) == {
+        "nd_band0",
+        "nd_band1",
+        "simhash_chunk",
+        "shingle_df",
+        "winnow_fp",
+        "span_df",
+        "hv_block",
+        "fs_block",
+        "geo_cell",
+    }
+    for fam in ("shingle_df", "winnow_fp", "span_df", "hv_block", "fs_block", "geo_cell"):
+        assert rows[fam]["n_dropped"] == 0 and rows[fam]["drop_frac"] == 0.0, fam
 
 
 def test_doc_band_keys_agree_with_exploded_band_keys(spark):
