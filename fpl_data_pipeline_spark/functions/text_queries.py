@@ -482,7 +482,7 @@ def text_hash_vector_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint: the vector frame feeds three consumers (the block
     # relation + both score-join sides) — materialize the hash-explode
     # pipeline once instead of compiling it per consumer.
-    fv = hv_block_keyed_vectors(d).localCheckpoint()
+    fv = hv_block_keyed_vectors(d).localCheckpoint(eager=False)
     # id-only in-array group expansion on the blocking key (ARCHITECTURE.md
     # §7): the dense count vectors do NOT ride the expansion — pairs dedup
     # as two longs, then the vectors join back and each distinct pair is

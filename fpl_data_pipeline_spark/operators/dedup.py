@@ -312,7 +312,7 @@ def _set_overlap_stats(
     # localCheckpoint (not cache): the grouped relation feeds two consumers
     # (sizes + the pair expansion); checkpoint materialization stops
     # Catalyst compiling the explode-heavy key subtree once per consumer.
-    groups0 = _capped_key_groups(sh, key_col, df_cap).localCheckpoint()
+    groups0 = _capped_key_groups(sh, key_col, df_cap).localCheckpoint(eager=False)
     sizes = (
         groups0.select(F.explode("docs").alias("doc_id"))
         .groupBy("doc_id")
@@ -550,7 +550,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize + 64-conditional-sum simhash above it is far costlier than
     # materializing 4 narrow rows per doc (AQE exchange reuse is a runtime
     # maybe, not a plan guarantee).
-    chunks = chunks.localCheckpoint()
+    chunks = chunks.localCheckpoint(eager=False)
     sizes = (
         chunks.groupBy("chunk_id", "chunk_val")
         .agg(F.count(F.lit(1)).alias("cs"))
@@ -1273,7 +1273,7 @@ def _portable_simhash_pairs(d: DataFrame) -> DataFrame:
     dedup_consensus_pairs."""
     # localCheckpoint: same two-consumer pinning rationale as the
     # production pipeline above (pre-pass + join both read chunks)
-    chunks = _portable_simhash_chunks(d).localCheckpoint()
+    chunks = _portable_simhash_chunks(d).localCheckpoint(eager=False)
     # in-array group expansion (ARCHITECTURE.md §7) — same shape as the
     # production dedup_simhash_pairs, including the SIMHASH_CHUNK_CAP
     # count-agg pre-pass (mirrored in the oracle's sizes CTE) and the
@@ -1851,7 +1851,9 @@ def dedup_segment_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # positional segments (NOT distinct: a segment repeated inside one doc
     # counts toward that doc's denominator each time it appears)
-    segs = words.select("doc_id", F.explode(segs_arr).alias("seg")).localCheckpoint()
+    segs = words.select("doc_id", F.explode(segs_arr).alias("seg")).localCheckpoint(
+        eager=False
+    )
     seg_df = segs.groupBy("seg").agg(F.countDistinct("doc_id").alias("ddf"))
     per_doc = (
         segs.join(seg_df, "seg")
@@ -2002,7 +2004,7 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     cand = _portable_minhash_candidates(d)
-    sh = shingles(d).localCheckpoint()
+    sh = shingles(d).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
     inter = (
         cand.select("doc_id_a", "doc_id_b")
@@ -2331,7 +2333,7 @@ def prefix_filter_pairs(d: DataFrame) -> DataFrame:
     tests/test_round5_ops.py proves recall against the exhaustive join and
     measures the candidate-set reduction on a planted corpus.
     """
-    sh = _hashed_shingles(shingles(d)).localCheckpoint()
+    sh = _hashed_shingles(shingles(d)).localCheckpoint(eager=False)
     # NOT checkpointed despite three consumers (candidate build + both
     # verify join sides): measured at sf0.1, materializing the per-doc
     # shingle ARRAYS costs more than recomputing the agg from the
@@ -2454,7 +2456,7 @@ def _candidates_from_docs(docs: DataFrame) -> DataFrame:
         )
         .select("da", "db")
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
 
@@ -2464,7 +2466,7 @@ def prefix_candidate_pairs(d: DataFrame, sh: DataFrame | None = None) -> DataFra
     candidate growth across corpus scales. ``sh`` lets the caller share an
     already-checkpointed shingle set."""
     if sh is None:
-        sh = shingles(d).localCheckpoint()
+        sh = shingles(d).localCheckpoint(eager=False)
     return _candidates_from_docs(_prefix_docs(_hashed_shingles(sh)))
 
 

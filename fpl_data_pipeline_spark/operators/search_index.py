@@ -146,7 +146,7 @@ def phrase_search_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     post2 = (
         index.crossJoin(F.broadcast(t))
         .filter((F.col("term") == F.col("w1")) | (F.col("term") == F.col("w2")))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     p1 = post2.filter(F.col("term") == F.col("w1")).select("doc_id", "pos", "bigram")
     p2 = post2.filter(F.col("term") == F.col("w2")).select(

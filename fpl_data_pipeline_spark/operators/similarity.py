@@ -285,7 +285,7 @@ def _lsh_candidate_pairs(emb: DataFrame) -> DataFrame:
     # scanning the embeddings parquet 7x. The materialized relation is
     # 3 small columns per doc, far cheaper than three extra scan+projection
     # passes at any scale (same pinning rationale as phrase search's post2).
-    ids = lsh_doc_band_keys(emb).localCheckpoint()
+    ids = lsh_doc_band_keys(emb).localCheckpoint(eager=False)
     alive0 = (
         ids.groupBy("k0")
         .agg(F.count(F.lit(1)).alias("bs"))
