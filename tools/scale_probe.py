@@ -31,6 +31,8 @@ from fpl_data_pipeline_spark.operators.dedup import (  # noqa: E402
     span_pair_spans,
     winnowing_candidate_pairs,
 )
+
+
 def emb_neardup_candidates(emb):
     """Full banded-LSH candidate set (pre-cosine, pre-top-k) — the REAL
     candidate stage (round 6: lowest-surviving-band emission, ND_BAND_CAP
