@@ -98,6 +98,25 @@ def _jvm_count() -> int:
     return n
 
 
+def _prime_page_cache(path: str) -> float:
+    """Read every byte under ``path`` into the OS page cache; returns MB
+    read. The sf1-equivalent section's always-warm protocol: timing starts
+    only after the 10x parquet is resident, so the committed figure no
+    longer depends on whether the scratch dir was rebuilt this session
+    (the 72-148 s round-6 spread)."""
+    total = 0
+    for root, _, files in os.walk(path):
+        for fn in files:
+            fp = os.path.join(root, fn)
+            try:
+                with open(fp, "rb") as f:
+                    while chunk := f.read(1 << 23):
+                        total += len(chunk)
+            except OSError:
+                continue
+    return round(total / 1048576, 1)
+
+
 def _wait_for_idle(threshold: float, max_wait_s: float) -> int:
     """Block until the 1-min loadavg drops under ``threshold`` (bounded by
     ``max_wait_s``); returns the number of 30 s waits taken.
@@ -192,15 +211,21 @@ def main() -> None:
 
     # sf1-equivalent pass (round-3 verdict #7): when the 10x FK-consistent
     # blowup of sf0.1 is on disk (tools/make_blowup.py, gitignored scratch)
-    # and we're benching the default sf0.1, run ONE extra pass of the same
-    # headline over it so the per-round record carries both scales. Goes to
+    # and we're benching the default sf0.1, run the same headline over it
+    # so the per-round record carries both scales. Goes to
     # BENCH_DETAIL.json only (never the driver line). Skipped when absent.
+    #
+    # Protocol (round-7, verdict task #5): ALWAYS-WARM. The old min-of-2
+    # figure swung 72-148 s round-to-round purely with OS page-cache state
+    # (a freshly rebuilt .scale10 is cold; a reused one is warm), which
+    # made the number useless as a gate. Now every byte of the blowup dir
+    # is read into the page cache BEFORE timing (the data is ~1/30 of this
+    # box's RAM, and a steady-state cluster's hot working set is the
+    # analogous condition), then 3 timed reps are summarized by per-query
+    # MEDIAN. The artifact carries the protocol tag, the primed volume and
+    # the across-rep total spread so a drifting number self-reports.
     blown = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale10")
     if sf_dir == "/root/testdata/sf0.1" and os.path.isdir(blown):
-        # two passes, per-query MIN: the first pass pays one-off costs (JIT
-        # for the bigger plans, OS page cache for the 10x parquet) that a
-        # steady-state cluster never re-pays; min-of-2 approximates the warm
-        # median without the driver-time cost of a third pass.
         # pagerank_dupgraph is excluded HERE (kept in the sf0.1 headline):
         # on the blowup corpus its cost is output-bound — every copy-family
         # is a true 10-clique, so it would measure the planted duplicate
@@ -209,21 +234,39 @@ def main() -> None:
         # scales. dedup_prefix_filter_pairs was excluded for the same
         # reason at ~75 s; the round-5 xxhash64 keying brought it to ~7 s
         # warm (cheaper than the included winnowing), so it is back in.
+        primed_mb = _prime_page_cache(blown)
         sf1_skip = {"pagerank_dupgraph"}
         t10: dict[str, list[float]] = {n: [] for n in runs if n not in sf1_skip}
-        for _ in range(2):
+        # one UNTIMED warm-up pass: the page cache alone is not the whole
+        # one-off cost — the first execution of each 10x plan pays JIT /
+        # codegen / shuffle-file creation (measured rep totals 109 -> 93 ->
+        # 74 s without it, cf_item_similarity alone swinging 35 s), and a
+        # steady-state cluster never re-pays those either.
+        for name in t10:
+            QUERIES[name](spark, blown).count()
+        for _ in range(3):
             for name in t10:
                 t0 = time.perf_counter()
                 QUERIES[name](spark, blown).count()
                 t10[name].append(time.perf_counter() - t0)
-        warm = {n: round(min(ts), 3) for n, ts in t10.items()}
+        warm = {n: round(statistics.median(ts), 3) for n, ts in t10.items()}
+        rep_totals = [round(sum(ts[i] for ts in t10.values()), 3) for i in range(3)]
         detail["sf1_equiv"] = {
             "value": round(sum(warm.values()), 3),
             "unit": "sec",
             "queries": warm,
             "factor_vs_sf0_1": 10,
-            "reps": 2,
-            "stat": "min_of_2",
+            "reps": 3,
+            "stat": "median_of_3",
+            "protocol": (
+                "page-warm: all parquet bytes primed + one untimed "
+                "warm-up pass before timing"
+            ),
+            "primed_mb": primed_mb,
+            "rep_totals": rep_totals,
+            "rep_total_spread_frac": round(
+                (max(rep_totals) - min(rep_totals)) / max(min(rep_totals), 1e-9), 3
+            ),
             "spread": {n: round(max(ts) - min(ts), 3) for n, ts in t10.items()},
         }
         out["sf1_equiv_total"] = detail["sf1_equiv"]["value"]

@@ -45,77 +45,85 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 
 
 # The driver's correctness gate checks the FIRST 50 registered queries per
-# round. Round-6 window — the backlog-clearing rotation the round-5 verdict
-# made task #1: the continuity anchor first; then the four queries whose
-# physical plans changed (or were created) this round, so changed code gets
-# driver-grade proof in the round it changed — the lowest-shared-band LSH
-# pair emission (emb_neardup_pairs, emb_semantic_clusters), the
-# SIMHASH_CHUNK_CAP pre-pass (dedup_simhash_portable), and the new
-# candidate_cap_audit; then ALL 45 oracled queries no driver window has
-# ever sampled (the full round-5 enumeration). 1 + 4 + 45 = 50 exactly —
-# after this round every oracled query in the registry has been green under
-# a driver window at least once. dedup_consensus_pairs also changed (it
-# shares _portable_simhash_pairs with dedup_simhash_portable) but the 50th
-# slot went to the backlog: its changed fragment is driver-proven through
-# the simhash twin and its full pipeline through this session's exact local
-# parity (tools/parity.py). The four rows-only-by-design names
-# (dedup_minhash_pairs, dedup_simhash_pairs, dedup_clusters,
-# kmeans_embeddings) stay out: a driver rows-only check adds nothing over
-# the planted-pair VALUE checks they gained in tests/test_cap_guards.py,
-# which pin their pair/cluster sets to the oracle-checked md5 twins.
+# round. Round-7 window: the continuity anchor first; then EVERY oracled
+# query whose physical plan (or UDF behavior) changed this round — the
+# doc_bigrams tokenization-projection consumers, the count-agg pre-pass
+# migrations (_set_overlap_stats df-cap, WINNOW_FP_CAP, SPAN_DF_CAP) and
+# their whole Jaccard/containment/consensus/dup-graph consumer tree, the
+# connected-components probe fusion, the lazy-checkpoint flips
+# (emb_neardup / phrase search / portable simhash / minhash-estimate /
+# hashed-vector / prefix-filter / segment-boilerplate), the nine-family
+# candidate_cap_audit with its factored keyed-relation helpers
+# (record_linkage_scores, geo_proximity_pairs), and the multimodal decode
+# dispatch (multimodal_features). This also closes the round-6 policy
+# exception by windowing dedup_consensus_pairs. lm_heldout_perplexity and
+# doc_novelty_scores ride along per the round-6 verdict's task #1 wording
+# (helper-family consumers). The remaining slots re-prove sibling queries
+# of the touched helpers plus headline stalwarts — the never-windowed
+# backlog has been zero since round 6 and stays zero. The four
+# rows-only-by-design names (dedup_minhash_pairs, dedup_simhash_pairs,
+# dedup_clusters, kmeans_embeddings) stay out: a driver rows-only check
+# adds nothing over the planted-pair VALUE checks in
+# tests/test_cap_guards.py, which pin them to the oracle-checked md5 twins.
 DRIVER_WINDOW_PRIORITY = [
     "flagship_customer_activity",
-    # plans changed / created in round 6 -> driver-proven this round
-    "emb_neardup_pairs",
-    "emb_semantic_clusters",
-    "dedup_simhash_portable",
-    "candidate_cap_audit",
-    # the never-windowed backlog, cleared in full (round-5 verdict task #1)
-    "benford_price_audit",
-    "table_content_fingerprints",
-    "dp_noisy_segment_counts",
-    "ldiversity_audit",
-    "dp_user_bounded_counts",
-    "events_session_paths",
-    "events_user_entropy",
-    "events_attribution_credit",
-    "events_ab_readout",
-    "customer_survival_curve",
-    "events_slo_burn",
-    "events_pattern_matches",
-    "events_diff_in_diff",
-    "binary_ingest_arrow",
-    "scd2_asof_snapshot",
-    "cdc_net_effect_summary",
-    "bitemporal_revenue_asof",
-    "fact_temporal_dim_join",
-    "dupgraph_kcore_peel",
-    "doc_novelty_scores",
+    # --- plans/behavior changed in round 7 -> driver-proven this round ---
+    # doc_bigrams projection fix + helper-family consumers
+    "text_top_bigrams",
+    "quality_bigram_surprisal",
+    "quality_repetition_signals",
     "lm_heldout_perplexity",
-    "source_js_matrix",
-    "datasource_element_week_totals",
-    "ivm_delta_view",
-    "compaction_plan",
-    "record_linkage_scores",
-    "wordpiece_encode_stats",
+    "doc_novelty_scores",
+    # count-agg pre-pass migrations + their consumer tree
+    "dedup_ngram_jaccard",
+    "dedup_charngram_jaccard",
+    "dedup_containment_pairs",
+    "dedup_consensus_pairs",
+    "dedup_threshold_sweep",
+    "dedup_winnowing_pairs",
+    "dedup_span_matches",
+    "dupgraph_degree_stats",
+    "pagerank_dupgraph",
+    "dupgraph_triangle_stats",
+    "dupgraph_kcore_peel",
+    # connected-components probe fusion
+    "dedup_clusters_exact",
+    "dedup_clusters_portable",
+    "dedup_apply_summary",
+    "emb_semantic_clusters",
+    # lazy-checkpoint flips
+    "emb_neardup_pairs",
     "phrase_search_topdocs",
+    "dedup_simhash_portable",
+    "minhash_estimate_error",
+    "text_hash_vector_dups",
+    "dedup_prefix_filter_pairs",
+    "dedup_segment_boilerplate",
+    # nine-family cap audit + factored keyed-relation helpers
+    "candidate_cap_audit",
+    "record_linkage_scores",
     "geo_proximity_pairs",
-    "rollup_routed_revenue",
-    "json_dead_letter_summary",
-    "global_row_number",
-    "quality_score_auc",
-    "sample_weighted_reservoir",
-    "chi2_term_class_assoc",
-    "curriculum_interleave_stats",
-    "pareto_frontier_lineitem",
-    "quality_score_auc_by_source",
-    "sample_weighted_stratified",
-    "ks_price_drift",
-    "events_ab_mannwhitney",
-    "pareto_frontier_by_brand",
-    "nb_lang_train_eval",
-    "woe_source_encoding",
-    "nb_alpha_sweep",
+    # multimodal decode dispatch (PPM real path + bounded PIL decode)
+    "multimodal_features",
+    # --- re-proof rotation: siblings of touched helpers + headliners ---
+    "dedup_minhash_portable",
+    "dedup_hybrid_verify",
+    "hybrid_search_topk",
+    "contamination_overlap",
+    "quality_unigram_surprisal",
+    "cf_item_similarity",
+    "text_quality_scores",
+    "dedup_exact_groups",
+    "dedup_cross_source_matrix",
+    "dedup_intradoc_segments",
+    "text_token_counts",
+    "text_lang_id",
+    "zipf_alpha_words",
+    "source_lexical_diversity",
+    "tfidf_top_terms",
+    "vocab_oov_rates",
+    "doc_packing_summary",
+    "binary_ingest_arrow",
 ]
 
 
