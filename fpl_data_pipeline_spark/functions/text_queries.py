@@ -476,7 +476,9 @@ def text_hash_vector_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-valued doubles: dot products and norms are exact on both
     engines); production corpora switch hash_fn='xxhash64' for speed with
     identical semantics."""
-    from fpl_data_pipeline_spark.operators.dedup import _expand_member_pairs
+    from fpl_data_pipeline_spark.operators.dedup import (
+        _expand_member_pairs_streaming,
+    )
 
     d = table(spark, sf_dir, "documents")
     # localCheckpoint: the vector frame feeds three consumers (the block
@@ -502,7 +504,7 @@ def text_hash_vector_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_set("doc_id")).alias("members"))
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    pairs = _expand_member_pairs(groups).select(
+    pairs = _expand_member_pairs_streaming(groups).select(
         F.col("a").alias("doc_id_a"), F.col("b").alias("doc_id_b")
     )
     fa = fv.select(F.col("doc_id").alias("doc_id_a"), F.col("fv").alias("fa"))

@@ -65,6 +65,13 @@ def _expand_member_pairs(groups: DataFrame, members_col: str = "members") -> Dat
     the keyed-pair-generation-without-self-join shape (ARCHITECTURE.md §7,
     first used by cf_item_similarity and winnowing_candidate_pairs).
 
+    ONE-GENERATE REFERENCE implementation: since round 7 every production
+    caller uses :func:`_expand_member_pairs_streaming` (this shape
+    materializes the full C(m, 2) struct array per group row, GC-heavy for
+    near-cap groups — charngram A/B: 17.7-31 s vs a flat 12.2 s). Kept as
+    the independent formulation the expansion property test checks the
+    streaming shape against.
+
     ``members`` is an ``array<struct<...>>`` sorted ascending (struct order
     = first-field order, so sort the identity field first); the result is
     one row per unordered pair, columns ``a`` / ``b`` of the member struct
@@ -97,11 +104,14 @@ def _expand_member_pairs_streaming(
     array itself: the outer posexplode streams one anchor at a time and the
     inner explode streams its tail, both inside whole-stage codegen, so
     peak per-row memory is O(m) while total pair output is unchanged.
-    Used by the fixed-key-space candidate generators (sign-bit LSH bands,
-    SimHash chunks, hashed-vector blocks) whose caps sit in the thousands;
-    the small-group callers (winnowing runs, minhash bands, span grams —
-    membership bounded by true-dup density or a df cap) keep the
-    one-Generate shape, which is cheaper at m ~ 10."""
+    Since round 7 this is the shape EVERY group-pair expansion uses: the
+    df/fp/block caps all sit at ~1000 (C(1000, 2) = 500k structs per
+    near-cap row under one-Generate), minhash-band members carry signature
+    payloads that one-Generate would duplicate C(m, 2)-fold in a single
+    allocation, and cf baskets are uncapped. At small m the two shapes
+    measure identically (span/winnowing A/B at sf0.1); at mixed sizes the
+    streaming shape won the charngram A/B outright (12.2 s flat vs
+    17.7-31 s GC-noisy)."""
     anchored = groups.select(
         F.col(members_col).alias("_ms"),
         F.posexplode(members_col).alias("_i", "a"),
@@ -323,8 +333,13 @@ def _set_overlap_stats(
         .repartition(sh.sparkSession.sparkContext.defaultParallelism)
         .select(F.col("docs").alias("members"))
     )
+    # streaming two-Generate expansion (round 7): a df_cap-sized group under
+    # the one-Generate shape materializes C(1000, 2) = 500k pair structs in
+    # one row — char-8-gram corpora hit near-cap groups routinely, and the
+    # interleaved A/B on that consumer measured 17.7-31 s (GC-noisy) vs a
+    # flat 12.2 s for the streaming shape at identical output.
     pair_inter = (
-        _expand_member_pairs(pair_groups)
+        _expand_member_pairs_streaming(pair_groups)
         .select(F.col("a").alias("doc_id_a"), F.col("b").alias("doc_id_b"))
         .groupBy("doc_id_a", "doc_id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -427,7 +442,7 @@ def _minhash_pair_estimates(sigs: DataFrame) -> DataFrame:
         .repartition(sigs.sparkSession.sparkContext.defaultParallelism)
     )
     return (
-        _expand_member_pairs(groups)
+        _expand_member_pairs_streaming(groups)
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
@@ -949,16 +964,9 @@ def winnowing_candidate_pairs(d: DataFrame, fp_cap: int = WINNOW_FP_CAP) -> Data
         # the executors before the fan-out (ARCHITECTURE.md §7 subtlety)
         .repartition(d.sparkSession.sparkContext.defaultParallelism)
     )
-    pair_gen = F.explode(
-        F.expr(
-            "flatten(transform(docs, (x, i) -> "
-            "transform(slice(docs, i + 2, size(docs)), "
-            "y -> struct(x AS doc_id_a, y AS doc_id_b))))"
-        )
-    )
     return (
-        groups.select(pair_gen.alias("p"))
-        .select("p.doc_id_a", "p.doc_id_b")
+        _expand_member_pairs_streaming(groups, "docs")
+        .select(F.col("a").alias("doc_id_a"), F.col("b").alias("doc_id_b"))
         .groupBy("doc_id_a", "doc_id_b")
         .agg(F.count(F.lit(1)).alias("shared_fps"))
     )
@@ -1359,7 +1367,7 @@ def _portable_minhash_candidates(d: DataFrame) -> DataFrame:
         .repartition(d.sparkSession.sparkContext.defaultParallelism)
     )
     return (
-        _expand_member_pairs(groups)
+        _expand_member_pairs_streaming(groups)
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
@@ -2161,7 +2169,7 @@ def span_pair_spans(d: DataFrame, df_cap: int = SPAN_DF_CAP) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "pos"))).alias("members"))
         .repartition(d.sparkSession.sparkContext.defaultParallelism)
     )
-    matched = _expand_member_pairs(groups).select(
+    matched = _expand_member_pairs_streaming(groups).select(
         F.col("a.doc_id").alias("da"),
         F.col("b.doc_id").alias("db"),
         F.col("a.pos").alias("pa"),

@@ -759,16 +759,18 @@ def cf_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
-    pair_gen = F.explode(
-        F.expr(
-            "flatten(transform(items, (x, i) -> "
-            "transform(slice(items, i + 2, size(items)), "
-            "y -> struct(x AS item_a, y AS item_b))))"
-        )
+    # streaming two-Generate expansion (round 7): a power-buyer basket under
+    # the one-Generate shape materializes its whole C(s, 2) struct array in
+    # one row; the chained posexplode+slice streams pairs at O(s) per-row
+    # memory for identical output (equality pinned by the expansion
+    # property test).
+    from fpl_data_pipeline_spark.operators.dedup import (
+        _expand_member_pairs_streaming,
     )
+
     co = (
-        baskets_arr.select(pair_gen.alias("p"))
-        .select("p.item_a", "p.item_b")
+        _expand_member_pairs_streaming(baskets_arr, "items")
+        .select(F.col("a").alias("item_a"), F.col("b").alias("item_b"))
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= 3)
