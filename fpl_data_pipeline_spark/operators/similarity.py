@@ -2284,6 +2284,9 @@ from fpl_data_pipeline_spark.functions.text_queries import (  # noqa: E402
     HV_BLOCK_CAP,
     hv_block_keyed_vectors,
 )
+from fpl_data_pipeline_spark.plans.advanced_relational import (  # noqa: E402
+    CF_BASKET_CAP,
+)
 
 # shared normalized-words CTE for the document-keyed families below
 _AUDIT_WORDS_SQL = """
@@ -2436,6 +2439,14 @@ _CAP_FAMILY_AGG_SQL = """
       SELECT CAST(COUNT(*) AS BIGINT) AS gs FROM geo_cells
       GROUP BY jx, jy HAVING COUNT(*) >= 2
     ),
+    cf_inter AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    gcf AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS gs FROM cf_inter
+      GROUP BY cust HAVING COUNT(*) >= 2
+    ),
     stats AS (
       SELECT 'nd_band0' AS family, s.* FROM
         ({_CAP_FAMILY_AGG_SQL.format(cap=ND_BAND_CAP)} FROM g0) s
@@ -2463,6 +2474,9 @@ _CAP_FAMILY_AGG_SQL = """
       UNION ALL
       SELECT 'geo_cell', s.* FROM
         ({_CAP_FAMILY_AGG_SQL.format(cap=GEO_CELL_CAP)} FROM ggeo) s
+      UNION ALL
+      SELECT 'cf_basket', s.* FROM
+        ({_CAP_FAMILY_AGG_SQL.format(cap=CF_BASKET_CAP)} FROM gcf) s
     )
     SELECT family, n_groups, n_dropped, members_total, members_dropped,
            CASE WHEN members_total = 0 THEN 0.0
@@ -2485,8 +2499,9 @@ def candidate_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     consensus engine half), the winnowing fingerprint cap (WINNOW_FP_CAP),
     the span-certification hash cap (SPAN_DF_CAP, distinct-doc counted),
     the hashed-vector two-dominant-bucket blocks (HV_BLOCK_CAP), the
-    record-linkage name blocks (FS_BLOCK_CAP) and the geo grid cells
-    (GEO_CELL_CAP). Every keyed relation is produced by the SAME helper
+    record-linkage name blocks (FS_BLOCK_CAP), the geo grid cells
+    (GEO_CELL_CAP) and the item-CF prolific-user basket cap
+    (CF_BASKET_CAP). Every keyed relation is produced by the SAME helper
     its query uses, so the audit cannot drift from the plans it monitors.
     One count-aggregation per family — run it alongside any dedup/ANN
     batch as the recall-collapse tripwire; a non-zero drop_frac means
@@ -2495,6 +2510,13 @@ def candidate_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     docs = table(spark, sf_dir, "documents")
     cust = table(spark, sf_dir, "customer")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cf_inter = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
 
     def sizes(keyed: DataFrame, *keys: str) -> DataFrame:
         return (
@@ -2534,6 +2556,7 @@ def candidate_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ("fs_block", sizes(linkage_blocked_records(cust), "block_key"), FS_BLOCK_CAP),
         ("geo_cell", sizes(geo_cells, "jx", "jy"), GEO_CELL_CAP),
+        ("cf_basket", sizes(cf_inter, "cust"), CF_BASKET_CAP),
     ]
     out = _cap_family_row(rows[0][1], rows[0][0], rows[0][2])
     for family, rel, cap in rows[1:]:

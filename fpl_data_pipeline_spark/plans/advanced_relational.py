@@ -697,13 +697,56 @@ def asof_join_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decoration is a broadcast of the per-item counts. Cosine is one IEEE
 # division of exact integers (sqrt correctly rounded), 6-dp-quantized;
 # support floor >= 3 keeps noise pairs out of the top list.
+#
+# Prolific-user guard (round 7 — the last uncapped group collect in the
+# engine): a bot/reseller account with b distinct items contributes
+# C(b, 2) co-occurrence pairs and buffers its whole basket in one
+# aggregation buffer, and its co-occurrences are noise for an item-item
+# recommender anyway (every standard item-CF deployment drops or
+# downweights prolific users). Customers over the cap are excluded from
+# the matrix on BOTH engines via a count-agg PRE-pass, the same shape as
+# every dedup-family cap. The cap is far above any basket this corpus
+# produces (~40 items at sf0.1, ~400 at the 10x blowup), so results here
+# are unchanged; candidate_cap_audit reports when it fires.
+CF_BASKET_CAP = 10_000
+
+
+def _cf_capped_baskets(li: DataFrame, o: DataFrame) -> DataFrame:
+    """(cust, items): sorted distinct-item basket arrays for customers
+    within CF_BASKET_CAP — split out of cf_item_similarity so the cap-guard
+    plan-shape test sees the pre-localCheckpoint tree (the
+    _capped_key_groups precedent). collect_list suffices: the input is
+    (cust, item)-distinct."""
+    inter = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    ok_cust = (
+        inter.groupBy("cust")
+        .agg(F.count(F.lit(1)).alias("bs"))
+        .filter(F.col("bs") <= CF_BASKET_CAP)
+        .drop("bs")
+    )
+    return (
+        inter.join(ok_cust, "cust")
+        .groupBy("cust")
+        .agg(F.array_sort(F.collect_list("item")).alias("items"))
+    )
+
+
 @register(
     "cf_item_similarity",
-    """
-    WITH baskets AS (
+    f"""
+    WITH baskets0 AS (
       SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
       FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     ),
+    ok_cust AS (
+      SELECT cust FROM baskets0 GROUP BY cust
+      HAVING COUNT(*) <= {CF_BASKET_CAP}
+    ),
+    baskets AS (SELECT b.* FROM baskets0 b JOIN ok_cust USING (cust)),
     pop AS (SELECT item, COUNT(*) AS n_users FROM baskets GROUP BY item),
     co AS (
       SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_common
@@ -729,21 +772,16 @@ def cf_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     support floor 3 and popularity normalization."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    # One shuffle builds every per-customer basket as a SORTED ARRAY
-    # (collect_set partial-aggregates map-side, so the exchange carries
-    # partially-merged sets, not raw interactions). The older shape —
-    # distinct() then a basket⋈basket self-join on cust — shuffled the
-    # basket relation three times (distinct + both join sides); here the
-    # unordered pairs are generated MAP-SIDE from each array (sorted, so
-    # x precedes y exactly once) and only the (item_a, item_b) partial
-    # counts shuffle. Per-row work is s(s-1)/2 structs where s is the
-    # customer's distinct-item count — the same output cardinality the
-    # self-join produced, minus the join itself. Memory per group is one
-    # basket (bounded by the item catalog, same bound the self-join had).
+    # The per-customer basket is built as a SORTED ARRAY so the unordered
+    # pairs are generated MAP-SIDE from each array (sorted, so x precedes y
+    # exactly once) and only the (item_a, item_b) partial counts shuffle —
+    # the keyed-pair-generation-without-self-join shape. The CF_BASKET_CAP
+    # count-agg PRE-pass (see the constant's comment) drops prolific
+    # accounts BEFORE the collect, bounding both the aggregation buffer and
+    # the C(s, 2) fan-out; the distinct (cust, item) relation it needs also
+    # replaces collect_set with the cheaper collect_list.
     baskets_arr = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy(F.col("o_custkey").alias("cust"))
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+        _cf_capped_baskets(li, o)
         # the array relation is tiny (AQE coalesces it to ~2 partitions)
         # but the downstream explode multiplies each row by s(s-1)/2 —
         # spread the rows back across the executors BEFORE the fan-out so

@@ -148,6 +148,66 @@ def test_span_df_cap_silences_boilerplate_hash(spark):
     assert rows[0]["span_tokens"] == 8  # the full 8-token duplicate text
 
 
+def _write_cf_tables(spark, tmp_path, baskets: dict[int, list[int]]):
+    """orders/lineitem parquet where customer c bought exactly baskets[c]."""
+    orders, lines, ok = [], [], 1
+    for cust, items in baskets.items():
+        orders.append((ok, cust))
+        for it in items:
+            lines.append((ok, it))
+        ok += 1
+    spark.createDataFrame(orders, "o_orderkey long, o_custkey long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(lines, "l_orderkey long, l_partkey long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    return str(tmp_path)
+
+
+def test_cf_basket_cap_is_count_prepass(spark):
+    """CF_BASKET_CAP must count distinct items per customer BEFORE the
+    basket collect — the last group collect to get the pre-pass shape.
+    Asserted on the pre-localCheckpoint building block (_cf_capped_baskets);
+    the pin hides the aggregate from the full query's optimized plan."""
+    import re
+
+    from fpl_data_pipeline_spark.plans.advanced_relational import _cf_capped_baskets
+    from fpl_data_pipeline_spark.tables import table
+
+    li = table(spark, "/root/testdata/sf0.001", "lineitem")
+    o = table(spark, "/root/testdata/sf0.001", "orders")
+    plan = _optimized_plan(_cf_capped_baskets(li, o))
+    assert "collect_list" in plan
+    assert "count(1)" in plan, "count-agg pre-pass missing from plan"
+    assert not re.search(r"size\((items|members)[^\n]*<=", plan)
+
+
+def test_cf_basket_cap_silences_prolific_customer(spark, tmp_path):
+    """A 6-item bot basket over the (patched) cap of 5 contributes nothing;
+    the three 2-item customers still produce their pair with n_common
+    counted over surviving baskets only."""
+    from fpl_data_pipeline_spark.plans import advanced_relational as A
+
+    _write_cf_tables(
+        spark,
+        tmp_path,
+        {1: [10, 20], 2: [10, 20], 3: [10, 20], 99: [10, 20, 30, 40, 50, 60]},
+    )
+    orig = A.CF_BASKET_CAP
+    A.CF_BASKET_CAP = 5
+    try:
+        rows = A.cf_item_similarity(spark, str(tmp_path)).collect()
+    finally:
+        A.CF_BASKET_CAP = orig
+    assert len(rows) == 1
+    r = rows[0]
+    # without the cap, customer 99 would lift (10, 20) to n_common=4 and
+    # surface (30..60) pairs below the support floor
+    assert (r["item_a"], r["item_b"], r["n_common"]) == (10, 20, 3)
+    assert r["cosine_sim"] == pytest.approx(1.0)
+
+
 def test_winnow_fp_cap_silences_boilerplate_fingerprint(spark):
     """6 docs of one boilerplate text share every fingerprint (df=6 > cap=4)
     -> no pairs among them; a rare 2-doc duplicate still pairs."""
@@ -443,6 +503,7 @@ def test_cap_audit_reports_drops_when_cap_fires(spark, tmp_path):
         "c_mktsegment string, c_acctbal double",
     )
     cust.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    _write_cf_tables(spark, tmp_path, {1: [10, 20], 2: [10, 20]})
 
     orig = S.ND_BAND_CAP
     S.ND_BAND_CAP = 5
@@ -459,7 +520,7 @@ def test_cap_audit_reports_drops_when_cap_fires(spark, tmp_path):
     # 6 identical docs: simhash chunk groups of 6, far below the 10k cap
     sc = rows["simhash_chunk"]
     assert sc["n_dropped"] == 0 and sc["drop_frac"] == 0.0
-    # round-7: all nine cap families report, and the un-fired ones are zero
+    # round-7: all ten cap families report, and the un-fired ones are zero
     assert set(rows) == {
         "nd_band0",
         "nd_band1",
@@ -470,8 +531,17 @@ def test_cap_audit_reports_drops_when_cap_fires(spark, tmp_path):
         "hv_block",
         "fs_block",
         "geo_cell",
+        "cf_basket",
     }
-    for fam in ("shingle_df", "winnow_fp", "span_df", "hv_block", "fs_block", "geo_cell"):
+    for fam in (
+        "shingle_df",
+        "winnow_fp",
+        "span_df",
+        "hv_block",
+        "fs_block",
+        "geo_cell",
+        "cf_basket",
+    ):
         assert rows[fam]["n_dropped"] == 0 and rows[fam]["drop_frac"] == 0.0, fam
 
 

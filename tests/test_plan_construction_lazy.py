@@ -43,7 +43,7 @@ CONSTRUCTION_LAZY = {
     "dedup_winnowing_pairs": 1,  # pin-free since the round-7 pre-pass
     "dedup_span_matches": 1,  # pin-free
     "dedup_segment_boilerplate": 1,  # segs pin is scan-only
-    "candidate_cap_audit": 3,  # pin-free; documents + embeddings + customer
+    "candidate_cap_audit": 5,  # pin-free; documents/embeddings/customer/lineitem/orders
 }
 
 
