@@ -376,6 +376,14 @@ def _ngram_jaccard_pairs(d: DataFrame) -> DataFrame:
 N_HASHES = 32
 N_BANDS = 8
 ROWS_PER_BAND = N_HASHES // N_BANDS
+# Band-membership cap for BOTH minhash twins (round 7): a band group's
+# membership is bounded only by duplicate-family size, which a 100 TB
+# boilerplate corpus makes unbounded — the count-agg pre-pass drops
+# over-cap bands before the member collect (exact dedup owns identical
+# text; an over-cap band is non-discriminative). Far above any band the
+# test corpora produce (~10 members), so results here are unchanged;
+# candidate_cap_audit's mh_band family reports when it fires.
+MH_BAND_CAP = 10_000
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -412,9 +420,18 @@ def _minhash_pair_estimates(sigs: DataFrame) -> DataFrame:
     values replaces dropDuplicates). The old cache + self-join shape
     shuffled the band relation twice as join sides plus the wide
     (sig_a, sig_b) candidate set a third time to dedupe; this shuffles the
-    band relation once and then only narrow pair rows. Per-group memory is
-    bounded by the true duplicate-group size — the same quantity that
-    bounded the old join's per-key fan-out."""
+    band relation once and then only narrow pair rows.
+
+    MH_BAND_CAP (round 7 — the minhash twins were the last band family
+    without it): per-group membership is "the true duplicate-group size",
+    which at 100 TB is unbounded — a million-copy boilerplate document is
+    a million-member band group buffering a million signature arrays in ONE
+    aggregation buffer, and its C(m, 2) candidates are redundant anyway
+    (exact dedup owns identical text; an over-cap band is
+    non-discriminative). Bands over the cap are dropped by the standard
+    count-agg PRE-pass on BOTH engines; the cap is far above any band this
+    corpus produces, so results here are unchanged, and candidate_cap_audit
+    reports when it fires."""
     bands = sigs.select(
         "doc_id",
         "sig",
@@ -435,10 +452,16 @@ def _minhash_pair_estimates(sigs: DataFrame) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "sig", "band.band_id", "band.band_key")
-    groups = (
+    alive = (
         bands.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("bs"))
+        .filter((F.col("bs") >= 2) & (F.col("bs") <= MH_BAND_CAP))
+        .drop("bs")
+    )
+    groups = (
+        bands.join(alive, ["band_id", "band_key"])
+        .groupBy("band_id", "band_key")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sig"))).alias("members"))
-        .filter(F.size("members") >= 2)
         .repartition(sigs.sparkSession.sparkContext.defaultParallelism)
     )
     return (
@@ -1028,10 +1051,17 @@ def _pmh_band_sql(b: int) -> str:
     bands AS (
       {' UNION ALL '.join(_pmh_band_sql(b) for b in range(PMH_BANDS))}
     ),
+    alive_bands AS (
+      SELECT band_id, band_key FROM bands GROUP BY band_id, band_key
+      HAVING COUNT(*) BETWEEN 2 AND {MH_BAND_CAP}
+    ),
+    cbands AS (
+      SELECT b.* FROM bands b JOIN alive_bands USING (band_id, band_key)
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
              {', '.join(f'a.m{i} AS am{i}, b.m{i} AS bm{i}' for i in range(PMH_HASHES))}
-      FROM bands a JOIN bands b
+      FROM cbands a JOIN cbands b
         ON a.band_id = b.band_id AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id
     )
@@ -1084,10 +1114,17 @@ _PMH_COMMON_SQL = f"""
     bands AS (
       {' UNION ALL '.join(_pmh_band_sql(b) for b in range(PMH_BANDS))}
     ),
+    alive_bands AS (
+      SELECT band_id, band_key FROM bands GROUP BY band_id, band_key
+      HAVING COUNT(*) BETWEEN 2 AND {MH_BAND_CAP}
+    ),
+    cbands AS (
+      SELECT b.* FROM bands b JOIN alive_bands USING (band_id, band_key)
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
              {', '.join(f'a.m{i} AS am{i}, b.m{i} AS bm{i}' for i in range(PMH_HASHES))}
-      FROM bands a JOIN bands b
+      FROM cbands a JOIN cbands b
         ON a.band_id = b.band_id AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id
     ),
@@ -1326,10 +1363,11 @@ _PMH_DOT_BB = (
 )
 
 
-def _portable_minhash_candidates(d: DataFrame) -> DataFrame:
-    """(doc_id_a, doc_id_b, est_jaccard) candidate pairs via the portable
-    md5 MinHash family — the shared engine half of dedup_minhash_portable /
-    dedup_hybrid_verify."""
+def portable_minhash_bands(d: DataFrame) -> DataFrame:
+    """(doc_id, ms, band_id, band_key): portable md5-MinHash signatures +
+    exploded band keys — the keyed relation under the portable candidate
+    generator, split out so candidate_cap_audit can report MH_BAND_CAP
+    drops from the same code."""
     sh = shingles(d)
     h0 = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
     hashed = sh.select("doc_id", h0.alias("h0"))
@@ -1350,20 +1388,37 @@ def _portable_minhash_candidates(d: DataFrame) -> DataFrame:
         )
         for b in range(PMH_BANDS)
     ]
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.array(*[F.col(f"m{i}") for i in range(PMH_HASHES)]).alias("ms"),
         F.explode(F.array(*band_structs)).alias("band"),
     ).select("doc_id", "ms", "band.band_id", "band.band_key")
+
+
+def _portable_minhash_candidates(d: DataFrame) -> DataFrame:
+    """(doc_id_a, doc_id_b, est_jaccard) candidate pairs via the portable
+    md5 MinHash family — the shared engine half of dedup_minhash_portable /
+    dedup_hybrid_verify."""
+    # NOT pinned: the pre-pass count and the member-collect join share the
+    # same exchange on (band_id, band_key), which AQE's ReusedExchange
+    # dedups at runtime — an interleaved A/B of none/sigs-pin/bands-pin at
+    # sf0.1 measured all three identical (~1.8-2.0 s on the prod twin).
+    bands = portable_minhash_bands(d)
     # in-array group expansion (ARCHITECTURE.md §7) — same shape as the
     # production _minhash_pair_estimates; the signature vector rides the
     # group array once and the match count is computed map-side, so only
     # the 8-byte estimate reaches the pair-dedup shuffle. The oracle keeps
     # its equi-join formulation (values, not plan shapes, are the contract).
-    groups = (
+    alive = (
         bands.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("bs"))
+        .filter((F.col("bs") >= 2) & (F.col("bs") <= MH_BAND_CAP))
+        .drop("bs")
+    )
+    groups = (
+        bands.join(alive, ["band_id", "band_key"])
+        .groupBy("band_id", "band_key")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "ms"))).alias("members"))
-        .filter(F.size("members") >= 2)
         .repartition(d.sparkSession.sparkContext.defaultParallelism)
     )
     return (

@@ -2256,6 +2256,9 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # space (more planes / wider chunks), not to raise the cap.
 
 from fpl_data_pipeline_spark.operators.dedup import (  # noqa: E402
+    MH_BAND_CAP,
+    PMH_BANDS,
+    PMH_HASHES,
     PSH_KEYED_SQL,
     SHINGLE_DF_CAP,
     SIMHASH_CHUNK_CAP,
@@ -2263,11 +2266,24 @@ from fpl_data_pipeline_spark.operators.dedup import (  # noqa: E402
     SPAN_N,
     WINNOW_FP_CAP,
     WINNOW_W,
+    _pmh_perm_sql,
     _portable_simhash_chunks,
+    portable_minhash_bands,
     shingles,
     span_positional_hashes,
     winnow_doc_fingerprints,
 )
+
+# one band's (doc_id, band_id, band_key) projection for the audit's
+# mh_band family — the oracle-side mirror of portable_minhash_bands
+# (same key formula as dedup._pmh_band_sql, over the audit's sigs CTE)
+def _audit_mh_band_sql(b: int) -> str:
+    from fpl_data_pipeline_spark.operators.dedup import PMH_ROWS
+
+    sep = " || ',' || "
+    key = sep.join(f"CAST(m{b * PMH_ROWS + r} AS VARCHAR)" for r in range(PMH_ROWS))
+    return f"SELECT doc_id, {b} AS band_id, md5({key}) AS band_key FROM mh_sigs"
+
 from fpl_data_pipeline_spark.operators.fuzzy_join import (  # noqa: E402
     FS_BLOCK_CAP,
     linkage_blocked_records,
@@ -2447,6 +2463,25 @@ _CAP_FAMILY_AGG_SQL = """
       SELECT CAST(COUNT(*) AS BIGINT) AS gs FROM cf_inter
       GROUP BY cust HAVING COUNT(*) >= 2
     ),
+    mh_hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(unnest(list_distinct(list_transform(
+               range(1, greatest(len(ws) - 1, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))), 1, 15))::BIGINT AS h0
+      FROM audit_words WHERE len(ws) >= 3
+    ),
+    mh_sigs AS (
+      SELECT doc_id,
+             {', '.join(f'MIN({_pmh_perm_sql(i)}) AS m{i}' for i in range(PMH_HASHES))}
+      FROM mh_hashed GROUP BY doc_id
+    ),
+    mh_bands AS (
+      {' UNION ALL '.join(_audit_mh_band_sql(b) for b in range(PMH_BANDS))}
+    ),
+    gmh AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS gs FROM mh_bands
+      GROUP BY band_id, band_key HAVING COUNT(*) >= 2
+    ),
     stats AS (
       SELECT 'nd_band0' AS family, s.* FROM
         ({_CAP_FAMILY_AGG_SQL.format(cap=ND_BAND_CAP)} FROM g0) s
@@ -2477,6 +2512,9 @@ _CAP_FAMILY_AGG_SQL = """
       UNION ALL
       SELECT 'cf_basket', s.* FROM
         ({_CAP_FAMILY_AGG_SQL.format(cap=CF_BASKET_CAP)} FROM gcf) s
+      UNION ALL
+      SELECT 'mh_band', s.* FROM
+        ({_CAP_FAMILY_AGG_SQL.format(cap=MH_BAND_CAP)} FROM gmh) s
     )
     SELECT family, n_groups, n_dropped, members_total, members_dropped,
            CASE WHEN members_total = 0 THEN 0.0
@@ -2500,8 +2538,9 @@ def candidate_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the span-certification hash cap (SPAN_DF_CAP, distinct-doc counted),
     the hashed-vector two-dominant-bucket blocks (HV_BLOCK_CAP), the
     record-linkage name blocks (FS_BLOCK_CAP), the geo grid cells
-    (GEO_CELL_CAP) and the item-CF prolific-user basket cap
-    (CF_BASKET_CAP). Every keyed relation is produced by the SAME helper
+    (GEO_CELL_CAP), the item-CF prolific-user basket cap (CF_BASKET_CAP)
+    and the portable-MinHash band cap (MH_BAND_CAP — the same constant
+    bounds the xxhash64 production twin's bands). Every keyed relation is produced by the SAME helper
     its query uses, so the audit cannot drift from the plans it monitors.
     One count-aggregation per family — run it alongside any dedup/ANN
     batch as the recall-collapse tripwire; a non-zero drop_frac means
@@ -2557,6 +2596,15 @@ def candidate_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("fs_block", sizes(linkage_blocked_records(cust), "block_key"), FS_BLOCK_CAP),
         ("geo_cell", sizes(geo_cells, "jx", "jy"), GEO_CELL_CAP),
         ("cf_basket", sizes(cf_inter, "cust"), CF_BASKET_CAP),
+        (
+            "mh_band",
+            sizes(
+                portable_minhash_bands(docs).select("doc_id", "band_id", "band_key"),
+                "band_id",
+                "band_key",
+            ),
+            MH_BAND_CAP,
+        ),
     ]
     out = _cap_family_row(rows[0][1], rows[0][0], rows[0][2])
     for family, rel, cap in rows[1:]:

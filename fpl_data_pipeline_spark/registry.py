@@ -52,7 +52,7 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # their whole Jaccard/containment/consensus/dup-graph consumer tree, the
 # connected-components probe fusion, the lazy-checkpoint flips
 # (emb_neardup / phrase search / portable simhash / minhash-estimate /
-# hashed-vector / prefix-filter / segment-boilerplate), the ten-family
+# hashed-vector / prefix-filter / segment-boilerplate), the eleven-family
 # candidate_cap_audit with its factored keyed-relation helpers
 # (record_linkage_scores, geo_proximity_pairs), and the multimodal decode
 # dispatch (multimodal_features). This also closes the round-6 policy
@@ -99,7 +99,7 @@ DRIVER_WINDOW_PRIORITY = [
     "text_hash_vector_dups",
     "dedup_prefix_filter_pairs",
     "dedup_segment_boilerplate",
-    # ten-family cap audit + factored keyed-relation helpers
+    # eleven-family cap audit + factored keyed-relation helpers
     "candidate_cap_audit",
     "record_linkage_scores",
     "geo_proximity_pairs",

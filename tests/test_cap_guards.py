@@ -208,6 +208,44 @@ def test_cf_basket_cap_silences_prolific_customer(spark, tmp_path):
     assert r["cosine_sim"] == pytest.approx(1.0)
 
 
+def test_mh_band_cap_is_count_prepass(spark):
+    """MH_BAND_CAP must be a count pre-pass on BOTH minhash twins."""
+    from fpl_data_pipeline_spark.operators.dedup import (
+        _minhash_pair_estimates,
+        _portable_minhash_candidates,
+        minhash_signatures,
+    )
+
+    d = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta doc{i} tail words here") for i in range(6)],
+        "doc_id long, text string",
+    )
+    _assert_count_prepass(_optimized_plan(_minhash_pair_estimates(minhash_signatures(d))))
+    _assert_count_prepass(_optimized_plan(_portable_minhash_candidates(d)))
+
+
+def test_mh_band_cap_silences_boilerplate_band(spark):
+    """6 copies of one text share every band (over the patched cap of 4) ->
+    no candidates among them; a rare 2-copy duplicate still surfaces, on
+    both twins."""
+    from fpl_data_pipeline_spark.operators import dedup as D
+
+    texts = ["common boilerplate text shared everywhere in corpus"] * 6 + [
+        "rare duplicate sentence appearing exactly twice here"
+    ] * 2
+    d = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    orig = D.MH_BAND_CAP
+    D.MH_BAND_CAP = 4
+    try:
+        prod = D._minhash_pair_estimates(D.minhash_signatures(d)).collect()
+        port = D._portable_minhash_candidates(d).collect()
+    finally:
+        D.MH_BAND_CAP = orig
+    for rows in (prod, port):
+        assert {(r["doc_id_a"], r["doc_id_b"]) for r in rows} == {(6, 7)}
+        assert rows[0]["est_jaccard"] == 1.0
+
+
 def test_winnow_fp_cap_silences_boilerplate_fingerprint(spark):
     """6 docs of one boilerplate text share every fingerprint (df=6 > cap=4)
     -> no pairs among them; a rare 2-doc duplicate still pairs."""
@@ -532,6 +570,7 @@ def test_cap_audit_reports_drops_when_cap_fires(spark, tmp_path):
         "fs_block",
         "geo_cell",
         "cf_basket",
+        "mh_band",
     }
     for fam in (
         "shingle_df",
@@ -541,6 +580,7 @@ def test_cap_audit_reports_drops_when_cap_fires(spark, tmp_path):
         "fs_block",
         "geo_cell",
         "cf_basket",
+        "mh_band",
     ):
         assert rows[fam]["n_dropped"] == 0 and rows[fam]["drop_frac"] == 0.0, fam
 
