@@ -27,10 +27,30 @@ import pyspark.sql.functions as F  # noqa: E402
 from fpl_data_pipeline_spark import get_spark  # noqa: E402
 from fpl_data_pipeline_spark.operators.dedup import (  # noqa: E402
     _ngram_jaccard_pairs,
+    _portable_minhash_candidates,
     prefix_candidate_pairs,
     span_pair_spans,
     winnowing_candidate_pairs,
 )
+
+
+def cf_candidate_pairs(spark, sf_dir):
+    """Full item-CF co-occurrence pair set (pre-support-floor, pre-top-k),
+    the CF_BASKET_CAP-bounded fan-out (round 7)."""
+    from fpl_data_pipeline_spark.operators.dedup import (
+        _expand_member_pairs_streaming,
+    )
+    from fpl_data_pipeline_spark.plans.advanced_relational import (
+        _cf_capped_baskets,
+    )
+    from fpl_data_pipeline_spark.tables import table
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    baskets = _cf_capped_baskets(li, o).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return _expand_member_pairs_streaming(baskets, "items")
 
 
 def emb_neardup_candidates(emb):
@@ -120,6 +140,8 @@ def probe(spark, sf_dir: str) -> dict:
         ("span_matches", span_pair_spans(docs)),
         ("prefix_filter", prefix_candidate_pairs(docs)),
         ("emb_neardup", emb_neardup_candidates(emb)),
+        ("minhash", _portable_minhash_candidates(docs)),
+        ("cf_pairs", cf_candidate_pairs(spark, sf_dir)),
     ):
         t0 = time.perf_counter()
         out[name] = {"pairs": frame.count(), "sec": round(time.perf_counter() - t0, 2)}
@@ -140,7 +162,15 @@ def main() -> None:
             "pair_ratio": round(blown[k]["pairs"] / max(base[k]["pairs"], 1), 2),
             "time_ratio": round(blown[k]["sec"] / max(base[k]["sec"], 1e-9), 2),
         }
-        for k in ("ngram_jaccard", "winnowing", "span_matches", "prefix_filter", "emb_neardup")
+        for k in (
+            "ngram_jaccard",
+            "winnowing",
+            "span_matches",
+            "prefix_filter",
+            "emb_neardup",
+            "minhash",
+            "cf_pairs",
+        )
     }
     print(
         json.dumps(
