@@ -246,8 +246,22 @@ def post_collect_caps(plan: str) -> int:
     """Count Filter nodes applying an UPPER bound to a collected array's
     size — ``size(x) <= N`` / ``size(x) < N``. Lower bounds (``size(x) >=
     2``, Catalyst's inferred ``size(x) > 0``) are fine: they prune, they
-    don't pretend to bound the aggregation buffer."""
-    return len(re.findall(r"Filter [^\n]*\bsize\([^)]+\)\s*<=?\s*\d", plan))
+    don't pretend to bound the aggregation buffer.
+
+    Two expression shapes are matched: a plain column (``size(docs#12)``)
+    and the array_distinct wrapper (``size(array_distinct(transform(
+    members...`` — the span family's pre-round-7 form, which the plain
+    pattern could not see because the first ``)`` closes an inner call).
+    The wrapper pattern is deliberately NOT generalized to any computed
+    argument: scan-side quality filters legitimately bound ratios derived
+    from per-row ``size(filter(split(text)))`` expressions
+    (corpus_release_summary), and those are row features, not collected
+    aggregation buffers."""
+    plain = len(re.findall(r"Filter [^\n]*\bsize\([^)(]+\)\s*<=?\s*\d", plan))
+    wrapper = len(
+        re.findall(r"Filter [^\n]*\bsize\(array_distinct\([^\n]*?\)\s*<=?\s*\d", plan)
+    )
+    return plain + wrapper
 
 
 # Queries where >= 3 identical scans of one table are the intended shape
