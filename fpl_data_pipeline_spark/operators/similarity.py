@@ -2610,3 +2610,219 @@ def candidate_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for family, rel, cap in rows[1:]:
         out = out.unionByName(_cap_family_row(rel, family, cap))
     return out.orderBy("family")
+
+
+# --- distributed PCA: top principal component by power iteration -------------
+# The embedding-pipeline "all-but-the-top" primitive (Mu & Viswanath '18):
+# embedding sets are anisotropic — a single dominant direction (plus the
+# mean) carries corpus-wide bias, and removing it measurably improves
+# cosine-similarity tasks. Finding that direction at corpus scale is a
+# distributed PCA: one pass builds the dim x dim second-moment (Gram)
+# matrix of mean-centered vectors, then power iteration runs on the TINY
+# matrix relation (dim^2 = 4096 rows), never touching the corpus again.
+#
+# Scale shape: the corpus-sized work is ONE double-posexplode + hash agg
+# (n x dim^2 rows map-side partial-aggregated down to dim^2 = 4096 before
+# the shuffle — the classic outer-product-accumulation formulation); every
+# later stage is O(dim^2) regardless of corpus size, and the only joins are
+# broadcasts of <= dim-row relations. Nothing collects to the driver.
+#
+# Portability (the kmeans_portable discipline): vectors quantize to 3-dp
+# integers FIRST, so means, centered values and the Gram matrix are exact
+# BIGINT sums (order-independent); each matvec accumulates exact
+# DECIMAL(38,0) products; iterates re-quantize to 6-dp integers under
+# L-infinity normalization (max |w| — an exact integer comparison, chosen
+# over the L2 norm precisely because it needs NO floating sum); and every
+# double op (cast, divide, sqrt, floor) is a deterministic function of
+# exact integers, bit-identical across engines. 3-dp input quantization is
+# the documented contract of this twin, exactly like the 6-dp kmeans twin.
+PCA_Q = 1000  # 3-dp vector quantization (bounds every Gram sum, see above)
+# Unrolled power-iteration steps. Convergence is (eig2/eig1)^ITERS: real
+# embedding corpora are strongly anisotropic (top-eig share 0.2-0.5, ratio
+# <= ~0.5 -> 6 steps leave <2% residual); a near-isotropic spectrum (like
+# the synthetic test corpus, ratio 0.93) cannot be power-iterated cheaply,
+# and the reported var_share (which stays accurate — the Rayleigh quotient
+# is a lower bound, exact at convergence) is then itself the signal that
+# no dominant direction exists. Each step costs one 4096-row join + agg.
+PCA_ITERS = 6
+
+
+def _pca_gram(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(gram, nrow): exact-integer mean-centered Gram matrix (i, j, g) over
+    3-dp-quantized embeddings, plus the 1-row corpus count. Split out so
+    tests can pin the map-side-partial-agg plan shape."""
+    v3 = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * PCA_Q + F.lit(0.5)).cast("long"),
+    )
+    vecs = emb.select(v3.alias("v3"))
+    pe = vecs.select(F.posexplode("v3").alias("pos", "val"))
+    means = pe.groupBy("pos").agg(
+        F.floor(F.sum("val").cast("double") / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("long")
+        .alias("m")
+    )
+    marr = (
+        means.agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(F.transform("pm", lambda s: s["m"]).alias("marr"))
+    )
+    centered = vecs.crossJoin(F.broadcast(marr)).select(
+        F.zip_with("v3", "marr", lambda x, m: x - m).alias("c")
+    )
+    gram = (
+        centered.select(F.posexplode("c").alias("i", "xi"), "c")
+        .select("i", "xi", F.posexplode("c").alias("j", "xj"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xi") * F.col("xj")).alias("g"))
+    )
+    nrow = emb.agg(F.count(F.lit(1)).alias("n"))
+    return gram, nrow
+
+
+def _pca_power_iterate(
+    gm: list[list[int]], iters: int = PCA_ITERS
+) -> tuple[list[int], int, int]:
+    """(u, num, den): the exact-integer power iteration on a collected
+    dim x dim Gram matrix — Python ints are arbitrary-precision, so every
+    matvec is exact; the only doubles are the explicit float() conversions
+    and the division inside the 6-dp L-infinity re-quantization, each a
+    deterministic function of exact integers that the oracle replays
+    verbatim (HUGEINT -> DOUBLE casts). Shared by the query and by the
+    pytest brute-force reference."""
+    import math
+
+    dim = len(gm)
+    u = [1000000] * dim
+    for _ in range(iters):
+        w = [sum(gm[i][j] * u[j] for j in range(dim)) for i in range(dim)]
+        mx = max(max(abs(x) for x in w), 1)
+        u = [int(math.floor(float(x) / float(mx) * 1000000 + 0.5)) for x in w]
+    wf = [sum(gm[i][j] * u[j] for j in range(dim)) for i in range(dim)]
+    num = sum(wf[i] * u[i] for i in range(dim))
+    den = sum(x * x for x in u)
+    return u, num, den
+
+
+def _pca_oracle() -> str:
+    dim = DIM
+    steps = []
+    prev = "u0"
+    for it in range(1, PCA_ITERS + 1):
+        steps.append(
+            f"""
+    w{it} AS (
+      SELECT m.i, SUM(CAST(m.g AS HUGEINT) * u.u) AS w
+      FROM gram m JOIN {prev} u ON u.i = m.j GROUP BY m.i
+    ),
+    u{it} AS (
+      SELECT w.i,
+             CAST(floor(CAST(w AS DOUBLE) / CAST(mx AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS u
+      FROM w{it} w,
+           (SELECT GREATEST(MAX(ABS(w)), 1) AS mx FROM w{it}) s
+    )"""
+        )
+        prev = f"u{it}"
+    return f"""
+    WITH v AS (
+      SELECT list_transform(embedding,
+               x -> CAST(floor(x::DOUBLE * {PCA_Q} + 0.5) AS BIGINT)) AS v3
+      FROM embeddings
+    ),
+    pe AS (
+      SELECT vid, i AS pos, v3[i + 1] AS val
+      FROM (SELECT row_number() OVER () AS vid, v3 FROM v)
+           CROSS JOIN range(0, {dim}) t(i)
+    ),
+    means AS (
+      SELECT pos,
+             CAST(floor(CAST(SUM(val) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS m
+      FROM pe GROUP BY pos
+    ),
+    cent AS (
+      SELECT pe.vid, pe.pos, pe.val - means.m AS x
+      FROM pe JOIN means USING (pos)
+    ),
+    gram AS (
+      SELECT a.pos AS i, b.pos AS j, SUM(a.x * b.x) AS g
+      FROM cent a JOIN cent b USING (vid)
+      GROUP BY 1, 2
+    ),
+    nrow AS (SELECT COUNT(*) AS n FROM v),
+    u0 AS (SELECT i, CAST(1000000 AS BIGINT) AS u FROM range(0, {dim}) t(i)),{",".join(steps)},
+    wf AS (
+      SELECT m.i, SUM(CAST(m.g AS HUGEINT) * u.u) AS w
+      FROM gram m JOIN {prev} u ON u.i = m.j GROUP BY m.i
+    ),
+    rayleigh AS (
+      SELECT SUM(CAST(w.w AS HUGEINT) * u.u) AS num,
+             SUM(CAST(u.u AS HUGEINT) * u.u) AS den
+      FROM wf w JOIN {prev} u USING (i)
+    ),
+    tr AS (SELECT SUM(g) AS trace FROM gram WHERE i = j),
+    sgn AS (
+      SELECT CASE WHEN u < 0 THEN -1 ELSE 1 END AS s
+      FROM {prev} ORDER BY ABS(u) DESC, i ASC LIMIT 1
+    ),
+    unorm AS (SELECT sqrt(CAST(SUM(CAST(u AS HUGEINT) * u) AS DOUBLE)) AS nrm FROM {prev})
+    SELECT CAST(u.i AS BIGINT) AS pos,
+           floor(CAST(u.u * sgn.s AS DOUBLE) / unorm.nrm * 1000000 + 0.5)
+             / 1000000 AS loading,
+           floor(CAST(r.num AS DOUBLE) / CAST(r.den AS DOUBLE)
+                 / {PCA_Q * PCA_Q} / (nrow.n - 1) * 1000000 + 0.5)
+             / 1000000 AS eig_value,
+           floor(CAST(r.num AS DOUBLE) / CAST(r.den AS DOUBLE)
+                 / CAST(tr.trace AS DOUBLE) * 1000000 + 0.5)
+             / 1000000 AS var_share
+    FROM {prev} u, rayleigh r, tr, sgn, unorm, nrow
+    ORDER BY ABS(u.u) DESC, pos ASC
+    LIMIT 8
+    """
+
+
+@register("emb_pca_top_component", _pca_oracle())
+def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the (mean-centered) embedding corpus:
+    the 8 largest-|loading| dimensions of the dominant eigenvector, with
+    the eigenvalue (data variance units) and its explained-variance share
+    — the measurement step of all-but-the-top anisotropy correction and
+    the sanity gate before any cosine-based dedup/retrieval stage (a
+    var_share near 1 means cosine is measuring the bias direction, not
+    content). Sign convention: the largest-|loading| dimension is positive
+    (smallest index on exact-integer ties).
+
+    Split of labor (the MLlib RowMatrix.computePrincipalComponents shape):
+    the corpus-scale pass — the Gram accumulation — is fully distributed
+    and map-side partial-aggregated; the dim x dim eigen-solve then runs
+    driver-side on a dim^2-bounded collect (4096 rows — the kmeans
+    centroid-block class: bounded by the dimensionality, never by the
+    data). The DuckDB oracle replays the identical exact-integer power
+    iteration as unrolled CTEs."""
+    import math
+
+    emb = table(spark, sf_dir, "embeddings")
+    gram, nrow = _pca_gram(emb)
+    cells = {(r["i"], r["j"]): int(r["g"]) for r in gram.collect()}
+    n = int(nrow.first()["n"])
+    gm = [[cells.get((i, j), 0) for j in range(DIM)] for i in range(DIM)]
+    u, num, den = _pca_power_iterate(gm)
+    trace = sum(gm[i][i] for i in range(DIM))
+    lam = float(num) / float(den)
+    nrm = math.sqrt(float(den))
+    mi = min(range(DIM), key=lambda i: (-abs(u[i]), i))
+    s = -1 if u[mi] < 0 else 1
+    eig_value = math.floor(lam / (PCA_Q * PCA_Q) / (n - 1) * 1000000 + 0.5) / 1000000
+    var_share = math.floor(lam / float(trace) * 1000000 + 0.5) / 1000000
+    top = sorted(range(DIM), key=lambda i: (-abs(u[i]), i))[:8]
+    rows = [
+        (
+            i,
+            math.floor(float(u[i] * s) / nrm * 1000000 + 0.5) / 1000000,
+            eig_value,
+            var_share,
+        )
+        for i in top
+    ]
+    return spark.createDataFrame(
+        rows, "pos long, loading double, eig_value double, var_share double"
+    )

@@ -1,0 +1,150 @@
+"""Tests for the round-7 continuation operators.
+
+1. emb_pca_top_component must equal an independent brute-force
+   exact-integer reference (raw floats -> 3-dp quantization -> integer
+   means -> exact Gram -> the shared power iteration) on the real
+   sf0.001 corpus — pinning the distributed Gram accumulation, not just
+   the driver-side epilogue.
+2. On a planted-anisotropic corpus the reported component must align
+   with the planted direction (>0.99 |cosine|) and the explained-variance
+   share must be near the planted share — the convergence contract of
+   PCA_ITERS on the spectra the operator is for.
+3. Sign convention: the largest-|loading| dimension is positive.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from fpl_data_pipeline_spark.operators.similarity import (
+    DIM,
+    PCA_Q,
+    _pca_power_iterate,
+    emb_pca_top_component,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _reference_rows(vectors: list[list[float]]) -> list[tuple]:
+    """Brute-force mirror of the whole operator in exact Python ints."""
+    v3 = [[math.floor(x * PCA_Q + 0.5) for x in row] for row in vectors]
+    n, dim = len(v3), len(v3[0])
+    means = [
+        math.floor(float(sum(r[i] for r in v3)) / n + 0.5) for i in range(dim)
+    ]
+    c = [[r[i] - means[i] for i in range(dim)] for r in v3]
+    gm = [
+        [sum(row[i] * row[j] for row in c) for j in range(dim)]
+        for i in range(dim)
+    ]
+    u, num, den = _pca_power_iterate(gm)
+    trace = sum(gm[i][i] for i in range(dim))
+    lam = float(num) / float(den)
+    nrm = math.sqrt(float(den))
+    mi = min(range(dim), key=lambda i: (-abs(u[i]), i))
+    s = -1 if u[mi] < 0 else 1
+    eig = math.floor(lam / (PCA_Q * PCA_Q) / (n - 1) * 1000000 + 0.5) / 1000000
+    share = math.floor(lam / float(trace) * 1000000 + 0.5) / 1000000
+    top = sorted(range(dim), key=lambda i: (-abs(u[i]), i))[:8]
+    return [
+        (i, math.floor(float(u[i] * s) / nrm * 1000000 + 0.5) / 1000000, eig, share)
+        for i in top
+    ]
+
+
+def test_pca_matches_bruteforce_reference(spark):
+    from fpl_data_pipeline_spark.tables import table
+
+    vecs = [
+        list(r["embedding"])
+        for r in table(spark, SF, "embeddings").orderBy("vec_id").collect()
+    ]
+    expect = _reference_rows(vecs)
+    got = [
+        (r["pos"], r["loading"], r["eig_value"], r["var_share"])
+        for r in emb_pca_top_component(spark, SF).collect()
+    ]
+    assert got == expect
+
+
+@pytest.fixture()
+def planted_dir(spark, tmp_path):
+    """240 vectors = strong rank-1 structure along a fixed direction d
+    plus small deterministic pseudo-noise; top eig share ~0.9."""
+    rng = np.random.RandomState(7)
+    d = rng.randn(DIM)
+    d /= np.linalg.norm(d)
+    rows = []
+    for k in range(240):
+        a = 2.0 * math.sin(k * 0.7) + 3.0  # varied magnitudes, deterministic
+        noise = 0.05 * rng.randn(DIM)
+        v = a * d + noise
+        rows.append((k, [float(x) for x in v], k % 4))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(out + "/embeddings.parquet")
+    return out, d
+
+
+def test_pca_converges_on_anisotropic_corpus(spark, planted_dir):
+    sf_dir, d = planted_dir
+    got = emb_pca_top_component(spark, sf_dir).collect()
+    # reconstruct the full eigenvector estimate from the invariant that
+    # loadings are u/||u||: re-run the reference to get all 64 loadings
+    import duckdb
+
+    vecs = [
+        list(r[0])
+        for r in duckdb.sql(
+            f"SELECT embedding FROM '{sf_dir}/embeddings.parquet/*.parquet'"
+            " ORDER BY vec_id"
+        ).fetchall()
+    ]
+    ref = _reference_rows(vecs)
+    assert [(r["pos"], r["loading"]) for r in got] == [
+        (p, load) for p, load, _, _ in ref
+    ]
+    # alignment with the planted direction via the top-8 loadings alone is
+    # partial; rebuild the full u from the reference internals instead
+    v3 = [[math.floor(x * PCA_Q + 0.5) for x in row] for row in vecs]
+    n = len(v3)
+    means = [
+        math.floor(float(sum(r[i] for r in v3)) / n + 0.5) for i in range(DIM)
+    ]
+    c = [[r[i] - means[i] for i in range(DIM)] for r in v3]
+    gm = [
+        [sum(row[i] * row[j] for row in c) for j in range(DIM)]
+        for i in range(DIM)
+    ]
+    u, _, _ = _pca_power_iterate(gm)
+    uu = np.array(u, dtype=float)
+    uu /= np.linalg.norm(uu)
+    assert abs(float(uu @ d)) > 0.99
+    share = got[0]["var_share"]
+    ev = np.linalg.eigvalsh(np.array(gm, dtype=float))
+    true_share = ev[-1] / ev.sum()
+    assert abs(share - true_share) < 0.02
+    # sign convention: largest-|loading| row positive
+    assert got[0]["loading"] > 0
+
+
+def test_pca_gram_plan_is_partial_aggregated(spark):
+    """The corpus-scale Gram pass (the only data-sized stage) must be a
+    hash aggregate on (i, j) — map-side partial combine collapses the
+    n x dim^2 explode to dim^2 rows per task before any exchange — with
+    the mean array arriving by broadcast, never a shuffled join."""
+    from fpl_data_pipeline_spark.operators.similarity import _pca_gram
+    from fpl_data_pipeline_spark.tables import table
+
+    gram, _ = _pca_gram(table(spark, SF, "embeddings"))
+    phys = gram._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in phys or "HashAggregate" in phys
+    # no shuffled join anywhere: the only join is the broadcast of the
+    # 1-row mean array (BroadcastNestedLoopJoin under a cross join)
+    assert "SortMergeJoin" not in phys and "ShuffledHashJoin" not in phys

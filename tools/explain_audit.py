@@ -41,6 +41,9 @@ INTENTIONAL_CROSS = {
     "training_order_shuffle",
     # broadcast 16-row centroid block (assignment scans) + 1-row total
     "ann_ivf_rebalance",
+    # broadcast 1-row mean-array block (the centering pass of the Gram
+    # accumulation); the eigen-solve epilogue is a dim^2-bounded collect
+    "emb_pca_top_component",
     # broadcast 1-row source-count scalar
     "token_budget_plan",
     # broadcast 1-row corpus stats + 1-row query vector
