@@ -1670,3 +1670,166 @@ def source_js_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("js_q").asc(), F.col("source_a").asc(), F.col("source_b").asc())
     )
+
+
+# --- DSIR: data selection via importance resampling --------------------------
+# Xie et al. '23 ("Data Selection for Language Models via Importance
+# Resampling"): fit two bag-of-hashed-ngrams language models — one on a
+# TARGET domain, one on the RAW pool — and weight every raw document by its
+# log likelihood ratio; resampling by that weight shifts the pool's mixture
+# toward the target domain without a trained classifier. Here the target
+# selector is the corpus's English slice (lang = 'en') — in production it
+# is an injected predicate or a separate high-quality corpus, exactly like
+# hybrid_search's injected query.
+#
+# Scale shape: two corpus passes (the algorithm's own fit/score split) —
+# pass 1 tokenizes + hashes and reduces to the B-row bucket table (map-side
+# partial agg; B = 1024 fixed), pass 2 re-tokenizes and joins the B-row
+# log-ratio table BY BROADCAST onto per-doc bucket counts. No data-sized
+# relation is ever joined to another data-sized relation except the final
+# doc_id-keyed weight attach.
+#
+# Portability: bucket counts are exact integers; each bucket's add-1
+# log-ratio is quantized to integer micro-nats (floor(x*1e6+0.5) — the
+# established ln() 6-dp idiom) BEFORE the per-doc sum, so document weights
+# are exact integer sums, order-independent on both engines.
+DSIR_B = 1024  # hashed feature buckets (fixed key space, md5-portable)
+
+
+@register(
+    "dsir_importance_weights",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_WORDS_SQL}) AS tok FROM documents
+    ),
+    feat AS (
+      SELECT t.doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % {DSIR_B} AS bucket
+      FROM toks t
+    ),
+    bucket_counts AS (
+      SELECT f.bucket,
+             COUNT(*) AS n_raw,
+             CAST(SUM(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_tgt
+      FROM feat f JOIN documents d USING (doc_id)
+      GROUP BY f.bucket
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_raw) AS BIGINT) AS t_raw, CAST(SUM(n_tgt) AS BIGINT) AS t_tgt
+      FROM bucket_counts
+    ),
+    lr AS (
+      SELECT bucket,
+             CAST(floor((ln((n_tgt + 1.0) / (t_tgt + {DSIR_B}))
+                         - ln((n_raw + 1.0) / (t_raw + {DSIR_B}))) * 1000000 + 0.5)
+                  AS BIGINT) AS lr6
+      FROM bucket_counts, tot
+    ),
+    docfeat AS (SELECT doc_id, bucket, COUNT(*) AS n FROM feat GROUP BY 1, 2),
+    docw AS (
+      SELECT df.doc_id, CAST(SUM(df.n * lr.lr6) AS BIGINT) AS w6
+      FROM docfeat df JOIN lr USING (bucket) GROUP BY df.doc_id
+    ),
+    scored AS (
+      SELECT d.doc_id, d.source, COALESCE(w.w6, 0) AS w6
+      FROM documents d LEFT JOIN docw w USING (doc_id)
+    ),
+    corpus AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS nn, CAST(SUM(w6) AS HUGEINT) AS ss
+      FROM scored
+    ),
+    flagged AS (
+      SELECT source,
+             CASE WHEN CAST(w6 AS HUGEINT) * nn > ss THEN 1 ELSE 0 END AS sel,
+             w6
+      FROM scored, corpus
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(sel) AS BIGINT) AS n_selected,
+           round(CAST(SUM(sel) AS DOUBLE) / COUNT(*), 6) AS sel_rate,
+           round(CAST(SUM(w6) AS DOUBLE) / COUNT(*) / 1000000, 6) AS mean_logw
+    FROM flagged
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source DSIR readout: how much of each ingest source the
+    importance-resampling gate would keep (selected = log weight strictly
+    above the corpus mean — the relative cut that resampling top-weight
+    mass induces) and the source's mean log importance weight in nats —
+    the corpus-mixing diagnostic that tells you which feeds move the pool
+    toward the target domain before any resampling runs."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "),
+                lambda w: w != "",
+            )
+        ).alias("tok"),
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"), F.lit(DSIR_B)
+    )
+    feat = toks.select("doc_id", "lang", bucket.alias("bucket"))
+    bucket_counts = feat.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_tgt"),
+    )
+    tot = bucket_counts.agg(
+        F.sum("n_raw").alias("t_raw"), F.sum("n_tgt").alias("t_tgt")
+    )
+    lr6 = F.floor(
+        (
+            F.log((F.col("n_tgt") + 1.0) / (F.col("t_tgt") + DSIR_B))
+            - F.log((F.col("n_raw") + 1.0) / (F.col("t_raw") + DSIR_B))
+        )
+        * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    lr = (
+        bucket_counts.crossJoin(F.broadcast(tot))
+        .select("bucket", lr6.alias("lr6"))
+        .localCheckpoint(eager=False)  # B-row model table; pass 2 reuses it
+    )
+    docfeat = feat.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    docw = (
+        docfeat.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("n") * F.col("lr6")).alias("w6"))
+    )
+    scored = (
+        d.select("doc_id", "source")
+        .join(docw, "doc_id", "left")
+        .select("source", F.coalesce(F.col("w6"), F.lit(0)).alias("w6"))
+        .localCheckpoint(eager=False)  # feeds the totals AND the readout
+    )
+    # selection gate: strictly above the corpus-mean weight — exact-integer
+    # comparison w6 * N > S (decimal(38,0) so doc counts beyond 2^63/w6
+    # cannot overflow), so the cut is engine-identical with no division
+    corpus = scored.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("nn"),
+        F.sum("w6").cast("decimal(38,0)").alias("ss"),
+    )
+    sel = F.when(
+        F.col("w6").cast("decimal(28,0)") * F.col("nn") > F.col("ss"), 1
+    ).otherwise(0)
+    return (
+        scored.crossJoin(F.broadcast(corpus))
+        .select("source", "w6", sel.alias("sel"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("sel").alias("n_selected"),
+            F.round(F.sum("sel").cast("double") / F.count(F.lit(1)), 6).alias(
+                "sel_rate"
+            ),
+            F.round(
+                F.sum("w6").cast("double") / F.count(F.lit(1)) / 1000000, 6
+            ).alias("mean_logw"),
+        )
+        .orderBy("source")
+    )

@@ -148,3 +148,91 @@ def test_pca_gram_plan_is_partial_aggregated(spark):
     # no shuffled join anywhere: the only join is the broadcast of the
     # 1-row mean array (BroadcastNestedLoopJoin under a cross join)
     assert "SortMergeJoin" not in phys and "ShuffledHashJoin" not in phys
+
+
+# --- DSIR importance weights -------------------------------------------------
+
+
+def test_dsir_matches_bruteforce_and_separates_planted_sources(spark, tmp_path):
+    """Per-source DSIR readout must equal a hand-rolled Python reference
+    (hashed-unigram add-1 LMs, micro-nat-quantized log ratios, exact
+    integer doc weights), and the planted target-like source must be
+    selected at a strictly higher rate than the planted off-domain one."""
+    import hashlib
+
+    from fpl_data_pipeline_spark.functions.corpus_queries import (
+        DSIR_B,
+        dsir_importance_weights,
+    )
+
+    docs = []
+    # target slice: English docs establish the target LM
+    for k in range(30):
+        docs.append((k, "alpha beta gamma delta " * 3, "en", "seed", 60))
+    # planted target-like source (not lang=en, so it is pool-only)
+    for k in range(30, 50):
+        docs.append((k, "alpha beta gamma " * 4, "es", "tgtlike", 48))
+    # planted off-domain source
+    for k in range(50, 70):
+        docs.append((k, "uno dos tres cuatro " * 4, "es", "rawlike", 64))
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(sf_dir + "/documents.parquet")
+
+    got = {
+        r["source"]: (r["n_docs"], r["n_selected"], r["sel_rate"], r["mean_logw"])
+        for r in dsir_importance_weights(spark, sf_dir).collect()
+    }
+
+    # brute-force reference
+    import math
+    from collections import Counter
+
+    def norm_words(t):
+        return [w for w in " ".join(t.split()).lower().split(" ") if w]
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % DSIR_B
+
+    n_raw, n_tgt = Counter(), Counter()
+    for _, text, lang, _, _ in docs:
+        for w in norm_words(text):
+            b = bucket(w)
+            n_raw[b] += 1
+            if lang == "en":
+                n_tgt[b] += 1
+    t_raw, t_tgt = sum(n_raw.values()), sum(n_tgt.values())
+    lr6 = {
+        b: math.floor(
+            (
+                math.log((n_tgt[b] + 1.0) / (t_tgt + DSIR_B))
+                - math.log((n_raw[b] + 1.0) / (t_raw + DSIR_B))
+            )
+            * 1000000
+            + 0.5
+        )
+        for b in n_raw
+    }
+    doc_w = {}
+    for doc_id, text, _, source, _ in docs:
+        doc_w[doc_id] = (source, sum(lr6[bucket(w)] for w in norm_words(text)))
+    nn = len(docs)
+    ss = sum(w for _, w in doc_w.values())
+    per_source = {}
+    for source, w6 in doc_w.values():
+        n, sel, tot = per_source.get(source, (0, 0, 0))
+        per_source[source] = (n + 1, sel + (1 if w6 * nn > ss else 0), tot + w6)
+    expect = {
+        s: (n, sel, round(sel / n, 6), round(tot / n / 1000000, 6))
+        for s, (n, sel, tot) in per_source.items()
+    }
+    for s in expect:
+        g, e = got[s], expect[s]
+        assert g[0] == e[0] and g[1] == e[1], (s, g, e)
+        assert abs(g[2] - e[2]) < 1e-9 and abs(g[3] - e[3]) < 1e-9, (s, g, e)
+    # the target-like planted source is kept at a strictly higher rate and
+    # carries a strictly higher mean log weight than the off-domain one
+    assert got["tgtlike"][2] > got["rawlike"][2]
+    assert got["tgtlike"][3] > got["rawlike"][3]

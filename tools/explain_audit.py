@@ -44,6 +44,8 @@ INTENTIONAL_CROSS = {
     # broadcast 1-row mean-array block (the centering pass of the Gram
     # accumulation); the eigen-solve epilogue is a dim^2-bounded collect
     "emb_pca_top_component",
+    # broadcast 1-row bucket-LM totals + 1-row corpus mean-weight scalar
+    "dsir_importance_weights",
     # broadcast 1-row source-count scalar
     "token_budget_plan",
     # broadcast 1-row corpus stats + 1-row query vector
