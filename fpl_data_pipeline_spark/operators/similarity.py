@@ -632,7 +632,11 @@ _KMP_D2_SQL = (
 ).format(dim=DIM)
 
 
-def _kmp_oracle() -> str:
+def _kmp_cte_sql() -> str:
+    """The shared WITH-body: 6-dp quantization, first-k seed, KMP_ITERS
+    unrolled Lloyd steps, and the final assignment ``afinal(vec_id, v6,
+    c_id, d2)`` — reused by the kmeans_portable oracle and by every oracle
+    that consumes the portable clustering (semdedup_prune)."""
     steps = []
     prev = "c0"
     for it in range(1, KMP_ITERS + 1):
@@ -660,16 +664,16 @@ def _kmp_oracle() -> str:
         prev = f"c{it}"
     final = f"""
     afinal AS (
-      SELECT vec_id, c_id, d2 FROM (
-        SELECT vec_id, c_id, d2,
+      SELECT vec_id, v6, c_id, d2 FROM (
+        SELECT vec_id, v6, c_id, d2,
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY d2 ASC, c_id ASC) AS rn
-        FROM (SELECT v.vec_id, c.c_id, {_KMP_D2_SQL} AS d2
+        FROM (SELECT v.vec_id, v.v6, c.c_id, {_KMP_D2_SQL} AS d2
               FROM v CROSS JOIN {prev} c)
       ) WHERE rn = 1
     )"""
     return f"""
-    WITH v AS (
+    v AS (
       SELECT vec_id,
              list_transform(embedding,
                x -> CAST(floor(x::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS v6
@@ -678,7 +682,12 @@ def _kmp_oracle() -> str:
     c0 AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_id, v6 AS c6
       FROM (SELECT vec_id, v6 FROM v ORDER BY vec_id LIMIT {KMP_K})
-    ),{",".join(steps)},{final}
+    ),{",".join(steps)},{final}"""
+
+
+def _kmp_oracle() -> str:
+    return f"""
+    WITH {_kmp_cte_sql()}
     SELECT c_id AS cluster_id,
            COUNT(*) AS n_members,
            FLOOR(CAST(SUM(d2) AS DOUBLE) / 1000000000000 * 1000000 + 0.5)
@@ -689,14 +698,13 @@ def _kmp_oracle() -> str:
     """
 
 
-@register("kmeans_portable", _kmp_oracle())
-def kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-cluster size + inertia after KMP_ITERS exact-integer Lloyd
-    iterations (6-dp-quantized vectors, first-k seed) — the value-oracled
-    twin of kmeans_embeddings.  Same driver/executor split as the
-    production trainer: only the k x dim centroid block (bounded by k,
-    never by the data) crosses to the driver between iterations."""
-    emb = table(spark, sf_dir, "embeddings")
+def kmp_assign(emb: DataFrame) -> DataFrame:
+    """(vec_id, v6, c_id, d2): the final exact-integer Lloyd assignment
+    after KMP_ITERS iterations — the engine half shared by
+    kmeans_portable and semdedup_prune (both oracles replay it through
+    the same _kmp_cte_sql). Collects only the k x dim centroid block per
+    iteration (bounded by k, never by the data)."""
+    spark = emb.sparkSession
     v6 = F.transform(
         "embedding",
         lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5)).cast("long"),
@@ -744,8 +752,18 @@ def kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = [new.get(i, c) for i, c in enumerate(cents)]
 
     cdf = spark.createDataFrame(list(enumerate(cents)), "c_id int, c6 array<long>")
+    return score(cdf).select("vec_id", "v6", "c_id", "d2")
+
+
+@register("kmeans_portable", _kmp_oracle())
+def kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster size + inertia after KMP_ITERS exact-integer Lloyd
+    iterations (6-dp-quantized vectors, first-k seed) — the value-oracled
+    twin of kmeans_embeddings.  Same driver/executor split as the
+    production trainer: only the k x dim centroid block (bounded by k,
+    never by the data) crosses to the driver between iterations."""
     return (
-        score(cdf)
+        kmp_assign(table(spark, sf_dir, "embeddings"))
         .groupBy("c_id")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
@@ -2825,4 +2843,151 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows, "pos long, loading double, eig_value double, var_share double"
+    )
+
+
+# --- SemDeDup: semantic dedup inside embedding clusters ----------------------
+# Abbas et al. '23 ("SemDeDup: Data-efficient learning at web-scale through
+# semantic deduplication"): cluster the embedding corpus with k-means, then
+# compare pairs ONLY within a cluster; pairs above a cosine threshold are
+# semantic duplicates and all but one representative (here: the lowest
+# vec_id) are pruned. Clustering makes the pair scan tractable: k scales
+# with the corpus so cluster populations stay roughly constant, and the
+# within-cluster scan is quadratic only in that bounded population.
+#
+# Scale shape: the pair fan-out runs per cluster over the capped member
+# list (count-agg pre-pass + streaming two-Generate expansion — the
+# engine-standard candidate shape), then vectors attach by vec_id equi-join
+# (id-only expansion; no vector payload rides the pair stream). A cluster
+# over SEM_CLUSTER_CAP is excluded from the scan and REPORTED with
+# capped = 1 — the self-observable "raise k" tripwire, mirroring
+# candidate_cap_audit's contract (the audit itself cannot host this family:
+# building the keyed relation would run the Lloyd iterations at
+# plan-construction time, which the audit must never do).
+SEM_CLUSTER_CAP = 2000
+SEM_TAU = 0.9  # the paper's web-text operating range (~0.9-0.95)
+
+
+def _sem_oracle() -> str:
+    dim = DIM
+    return f"""
+    WITH {_kmp_cte_sql()},
+    sizes AS (SELECT c_id, COUNT(*) AS n_members FROM afinal GROUP BY c_id),
+    okm AS (
+      SELECT a.* FROM afinal a JOIN sizes s USING (c_id)
+      WHERE s.n_members <= {SEM_CLUSTER_CAP}
+    ),
+    norms AS (
+      SELECT vec_id,
+             list_sum(list_transform(range(1, {dim} + 1), i -> v6[i] * v6[i])) AS n2
+      FROM okm
+    ),
+    pairs AS (
+      SELECT a.c_id, a.vec_id AS va, b.vec_id AS vb,
+             list_sum(list_transform(range(1, {dim} + 1),
+                                     i -> a.v6[i] * b.v6[i])) AS dot
+      FROM okm a JOIN okm b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+    ),
+    over_tau AS (
+      SELECT p.c_id, p.va, p.vb
+      FROM pairs p
+      JOIN norms na ON na.vec_id = p.va
+      JOIN norms nb ON nb.vec_id = p.vb
+      WHERE CAST(p.dot AS DOUBLE)
+            / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+            >= {SEM_TAU}
+    ),
+    hits AS (
+      SELECT c_id, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+             CAST(COUNT(DISTINCT vb) AS BIGINT) AS n_pruned
+      FROM over_tau GROUP BY c_id
+    )
+    SELECT s.c_id AS cluster_id,
+           s.n_members,
+           CASE WHEN s.n_members > {SEM_CLUSTER_CAP} THEN 1 ELSE 0 END AS capped,
+           COALESCE(h.n_dup_pairs, 0) AS n_dup_pairs,
+           COALESCE(h.n_pruned, 0) AS n_pruned,
+           round(CAST(COALESCE(h.n_pruned, 0) AS DOUBLE) / s.n_members, 6)
+             AS prune_rate
+    FROM sizes s LEFT JOIN hits h USING (c_id)
+    ORDER BY cluster_id
+    """
+
+
+@register("semdedup_prune", _sem_oracle())
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster SemDeDup accounting over the portable k-means
+    clustering: semantic-duplicate pairs at cosine >= SEM_TAU, vectors
+    pruned under the keep-lowest-vec_id rule, and the cluster prune rate.
+    A capped = 1 row means the cluster exceeded SEM_CLUSTER_CAP and was
+    excluded from the pair scan — at production scale the fix is more
+    clusters (k grows with the corpus), never a bigger quadratic block."""
+    from fpl_data_pipeline_spark.operators.dedup import (
+        _expand_member_pairs_streaming,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    assigned = kmp_assign(emb).localCheckpoint(eager=False)
+    sizes = assigned.groupBy("c_id").agg(F.count(F.lit(1)).alias("n_members"))
+    ok_ids = sizes.filter(F.col("n_members") <= SEM_CLUSTER_CAP).select("c_id")
+    okm = assigned.join(F.broadcast(ok_ids), "c_id")  # <= k rows broadcast
+    n2 = F.aggregate(
+        F.zip_with("v6", "v6", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    feat = okm.select("c_id", "vec_id", "v6", n2.alias("n2"))
+    groups = okm.groupBy("c_id").agg(
+        F.array_sort(F.collect_list("vec_id")).alias("members")
+    )
+    pairs = _expand_member_pairs_streaming(groups, "members")
+    dot = F.aggregate(
+        F.zip_with("x", "y", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cos = dot.cast("double") / (
+        F.sqrt(F.col("n2a").cast("double")) * F.sqrt(F.col("n2b").cast("double"))
+    )
+    over = (
+        pairs.join(
+            feat.select(
+                F.col("vec_id").alias("a"),
+                F.col("c_id"),
+                F.col("v6").alias("x"),
+                F.col("n2").alias("n2a"),
+            ),
+            "a",
+        )
+        .join(
+            feat.select(
+                F.col("vec_id").alias("b"),
+                F.col("v6").alias("y"),
+                F.col("n2").alias("n2b"),
+            ),
+            "b",
+        )
+        .filter(cos >= SEM_TAU)
+    )
+    hits = over.groupBy("c_id").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.countDistinct("b").alias("n_pruned"),
+    )
+    return (
+        sizes.join(hits, "c_id", "left")
+        .select(
+            F.col("c_id").cast("long").alias("cluster_id"),
+            "n_members",
+            F.when(F.col("n_members") > SEM_CLUSTER_CAP, 1)
+            .otherwise(0)
+            .alias("capped"),
+            F.coalesce(F.col("n_dup_pairs"), F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce(F.col("n_pruned"), F.lit(0)).alias("n_pruned"),
+            F.round(
+                F.coalesce(F.col("n_pruned"), F.lit(0)).cast("double")
+                / F.col("n_members"),
+                6,
+            ).alias("prune_rate"),
+        )
+        .orderBy("cluster_id")
     )

@@ -236,3 +236,93 @@ def test_dsir_matches_bruteforce_and_separates_planted_sources(spark, tmp_path):
     # carries a strictly higher mean log weight than the off-domain one
     assert got["tgtlike"][2] > got["rawlike"][2]
     assert got["tgtlike"][3] > got["rawlike"][3]
+
+
+# --- SemDeDup prune ----------------------------------------------------------
+
+
+@pytest.fixture()
+def semdup_dir(spark, tmp_path):
+    """Three well-separated direction groups plus 5 planted near-copies of
+    one vector (cosine > 0.999 to each other) — the semantic-duplicate
+    family SemDeDup must prune down to its lowest vec_id."""
+    rng = np.random.RandomState(11)
+    base = rng.randn(3, DIM)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for g in range(3):
+        for _ in range(40):
+            v = base[g] * 5.0 + 0.3 * rng.randn(DIM)
+            rows.append((vid, [float(x) for x in v], g))
+            vid += 1
+    dup = base[0] * 5.0 + 0.3 * rng.randn(DIM)
+    dup_ids = []
+    for _ in range(5):
+        v = dup + 0.001 * rng.randn(DIM)
+        rows.append((vid, [float(x) for x in v], 0))
+        dup_ids.append(vid)
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(out + "/embeddings.parquet")
+    return out, dup_ids
+
+
+def test_semdedup_prunes_planted_duplicates(spark, semdup_dir):
+    import math
+
+    from fpl_data_pipeline_spark.operators.similarity import (
+        SEM_TAU,
+        kmp_assign,
+        semdedup_prune,
+    )
+    from fpl_data_pipeline_spark.tables import table
+
+    sf_dir, dup_ids = semdup_dir
+    got = semdedup_prune(spark, sf_dir).collect()
+    assert sum(r["capped"] for r in got) == 0
+    # brute-force the same rule from the same assignment
+    a = kmp_assign(table(spark, sf_dir, "embeddings")).collect()
+    members = {}
+    for r in a:
+        members.setdefault(r["c_id"], []).append((r["vec_id"], list(r["v6"])))
+    expect_pairs, expect_pruned = {}, {}
+    for c_id, ms in members.items():
+        ms.sort()
+        pruned = set()
+        npairs = 0
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                (va, x), (vb, y) = ms[i], ms[j]
+                dot = sum(p * q for p, q in zip(x, y))
+                n2a = sum(p * p for p in x)
+                n2b = sum(q * q for q in y)
+                cos = float(dot) / (math.sqrt(float(n2a)) * math.sqrt(float(n2b)))
+                if cos >= SEM_TAU:
+                    npairs += 1
+                    pruned.add(vb)
+        expect_pairs[c_id], expect_pruned[c_id] = npairs, pruned
+    for r in got:
+        assert r["n_dup_pairs"] == expect_pairs[r["cluster_id"]]
+        assert r["n_pruned"] == len(expect_pruned[r["cluster_id"]])
+    # the planted family fired: >= 4 higher-id copies pruned, and every
+    # planted id except the family's lowest is in some cluster's pruned set
+    all_pruned = set().union(*expect_pruned.values()) if expect_pruned else set()
+    assert sum(r["n_pruned"] for r in got) >= 4
+    assert set(dup_ids[1:]).issubset(all_pruned)
+
+
+def test_semdedup_cap_reports_not_scans(spark, semdup_dir, monkeypatch):
+    """A cluster over the cap must surface capped = 1 with zero pairs —
+    excluded from the quadratic scan, never silently missing."""
+    import fpl_data_pipeline_spark.operators.similarity as S
+
+    sf_dir, _ = semdup_dir
+    monkeypatch.setattr(S, "SEM_CLUSTER_CAP", 10)
+    got = S.semdedup_prune(spark, sf_dir).collect()
+    capped = [r for r in got if r["capped"] == 1]
+    assert capped, "expected at least one over-cap cluster at cap=10"
+    for r in capped:
+        assert r["n_dup_pairs"] == 0 and r["n_pruned"] == 0
+        assert r["n_members"] > 10
