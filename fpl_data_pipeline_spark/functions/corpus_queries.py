@@ -1775,9 +1775,16 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"), F.lit(DSIR_B)
     )
     feat = toks.select("doc_id", "lang", bucket.alias("bucket"))
-    bucket_counts = feat.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_raw"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_tgt"),
+    bucket_counts = (
+        feat.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_tgt"),
+        )
+        # B-row model table feeding BOTH the totals and the log-ratio
+        # projection — pinned here (not at lr) so the pass-1 tokenization
+        # runs exactly once, not once per consumer
+        .localCheckpoint(eager=False)
     )
     tot = bucket_counts.agg(
         F.sum("n_raw").alias("t_raw"), F.sum("n_tgt").alias("t_tgt")
@@ -1790,11 +1797,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1000000
         + F.lit(0.5)
     ).cast("long")
-    lr = (
-        bucket_counts.crossJoin(F.broadcast(tot))
-        .select("bucket", lr6.alias("lr6"))
-        .localCheckpoint(eager=False)  # B-row model table; pass 2 reuses it
-    )
+    lr = bucket_counts.crossJoin(F.broadcast(tot)).select("bucket", lr6.alias("lr6"))
     docfeat = feat.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("n"))
     docw = (
         docfeat.join(F.broadcast(lr), "bucket")

@@ -53,6 +53,64 @@ def cf_candidate_pairs(spark, sf_dir):
     return _expand_member_pairs_streaming(baskets, "items")
 
 
+def semdedup_candidate_pairs(spark, sf_dir):
+    """Within-cluster SemDeDup pair set (pre-cosine) — the
+    SEM_CLUSTER_CAP-bounded quadratic block scan (round-7 continuation).
+    With fixed KMP_K the blowup pushes every cluster over the cap, so the
+    blown-scale count collapses to 0: that IS the tripwire firing (the
+    production fix is k growing with the corpus, never a bigger block);
+    the analytic capped-vs-uncapped join-row accounting is reported by
+    cap_effect alongside."""
+    from fpl_data_pipeline_spark.operators.dedup import (
+        _expand_member_pairs_streaming,
+    )
+    from fpl_data_pipeline_spark.operators.similarity import (
+        SEM_CLUSTER_CAP,
+        kmp_assign,
+    )
+    from fpl_data_pipeline_spark.tables import table
+
+    assigned = kmp_assign(table(spark, sf_dir, "embeddings"))
+    sizes = assigned.groupBy("c_id").agg(F.count(F.lit(1)).alias("n"))
+    ok = sizes.filter(F.col("n") <= SEM_CLUSTER_CAP).select("c_id")
+    groups = (
+        assigned.join(F.broadcast(ok), "c_id")
+        .groupBy("c_id")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("members"))
+    )
+    return _expand_member_pairs_streaming(groups, "members")
+
+
+def semdedup_cluster_rows(spark, sf_dir) -> dict:
+    """Analytic capped-vs-uncapped pair rows from the cluster-size
+    histogram (the joinrows formula over k-means cluster populations)."""
+    from fpl_data_pipeline_spark.operators.similarity import (
+        SEM_CLUSTER_CAP,
+        kmp_assign,
+    )
+    from fpl_data_pipeline_spark.tables import table
+
+    freq = (
+        kmp_assign(table(spark, sf_dir, "embeddings"))
+        .groupBy("c_id")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return _joinrows(freq, SEM_CLUSTER_CAP)
+
+
+def _joinrows(freq, cap):
+    pairs = (F.col("df") * (F.col("df") - 1) / 2).alias("p")
+    r = freq.select(
+        F.sum(F.when(F.col("df") <= cap, pairs).otherwise(0.0)).alias("capped"),
+        F.sum(pairs).alias("uncapped"),
+    ).first()
+    return {
+        "capped_join_rows": int(r["capped"]),
+        "uncapped_join_rows": int(r["uncapped"]),
+        "cap_saves_x": round(r["uncapped"] / max(r["capped"], 1.0), 1),
+    }
+
+
 def emb_neardup_candidates(emb):
     """Full banded-LSH candidate set (pre-cosine, pre-top-k) — the REAL
     candidate stage (round 6: lowest-surviving-band emission, ND_BAND_CAP
@@ -82,18 +140,7 @@ def _cap_effect_over(spark, docs) -> dict:
     from pyspark.sql import Window
 
     out = {}
-
-    def joinrows(freq, cap):
-        pairs = (F.col("df") * (F.col("df") - 1) / 2).alias("p")
-        r = freq.select(
-            F.sum(F.when(F.col("df") <= cap, pairs).otherwise(0.0)).alias("capped"),
-            F.sum(pairs).alias("uncapped"),
-        ).first()
-        return {
-            "capped_join_rows": int(r["capped"]),
-            "uncapped_join_rows": int(r["uncapped"]),
-            "cap_saves_x": round(r["uncapped"] / max(r["capped"], 1.0), 1),
-        }
+    joinrows = _joinrows
 
     sh_freq = (
         shingles(docs).groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -142,6 +189,7 @@ def probe(spark, sf_dir: str) -> dict:
         ("emb_neardup", emb_neardup_candidates(emb)),
         ("minhash", _portable_minhash_candidates(docs)),
         ("cf_pairs", cf_candidate_pairs(spark, sf_dir)),
+        ("semdedup", semdedup_candidate_pairs(spark, sf_dir)),
     ):
         t0 = time.perf_counter()
         out[name] = {"pairs": frame.count(), "sec": round(time.perf_counter() - t0, 2)}
@@ -156,6 +204,7 @@ def main() -> None:
     base = probe(spark, base_dir)
     blown = probe(spark, blown_dir)
     caps = cap_effect(spark, blown_dir)
+    caps["semdedup_clusters"] = semdedup_cluster_rows(spark, blown_dir)
     caps_bp = cap_effect_with_boilerplate(spark, blown_dir)
     growth = {
         k: {
@@ -170,6 +219,7 @@ def main() -> None:
             "emb_neardup",
             "minhash",
             "cf_pairs",
+            "semdedup",
         )
     }
     print(
