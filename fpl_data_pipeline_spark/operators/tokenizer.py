@@ -172,3 +172,162 @@ def wordpiece_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- BPE merge training: the iterative half bpe_pair_stats only counts ------
+# Sennrich et al. '16: repeatedly merge the corpus's most frequent adjacent
+# symbol pair. bpe_pair_stats (functions/corpus_queries.py) surfaces merge
+# candidate #1; this runs the actual training loop for BPE_MERGES rounds
+# and emits the learned merge table — the artifact a tokenizer ships.
+#
+# Scale design: the corpus collapses ONCE to the (word, freq) vocabulary
+# (Heaps' law keeps it ~10^5-10^6 rows at any corpus size; the pin makes
+# the corpus pass run exactly once), and every training round is
+# vocabulary-sized: one pair hash-agg for the argmax, one broadcast of the
+# 1-row winner, one builtin replace() to apply it. No collects, no UDFs —
+# the whole loop is one lazy plan.
+#
+# The symbol sequence is a DELIMITED STRING, each symbol wrapped _sym_
+# ("hello" -> "_h__e__l__l__o_"): applying merge (a, b) is then
+# replace(seq, '_a__b_', '_ab_'), and because both engines' replace() is
+# left-to-right non-overlapping, it IS the BPE merge rule (in "aaa" the
+# first two a's merge, the third survives: "_a__a__a_" -> "_aa__a_").
+# Training is restricted to ^[a-z0-9]+$ words so '_' cannot occur inside a
+# symbol (the standard practice: a byte-level alphabet handles the rest;
+# the restriction is the documented contract of this trainer).
+BPE_MERGES = 4
+
+
+def _bpe_merge_oracle() -> str:
+    its = []
+    prev = "v0"
+    selects = []
+    for it in range(1, BPE_MERGES + 1):
+        its.append(
+            f"""
+    p{it} AS (
+      SELECT s[i] AS a, s[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS pair_count
+      FROM (SELECT freq, list_filter(string_split(seq, '_'), x -> x <> '') AS s
+            FROM {prev}) t,
+           unnest(range(1, greatest(len(s), 1))) AS r(i)
+      WHERE len(s) >= 2
+      GROUP BY 1, 2
+    ),
+    t{it} AS (
+      SELECT a, b, pair_count FROM p{it}
+      ORDER BY pair_count DESC, a ASC, b ASC LIMIT 1
+    ),
+    v{it} AS (
+      SELECT freq,
+             replace(seq, '_' || a || '__' || b || '_', '_' || a || b || '_')
+               AS seq
+      FROM {prev}, t{it}
+    )"""
+        )
+        selects.append(
+            f"SELECT {it} AS merge_rank, a AS sym_a, b AS sym_b,"
+            f" a || b AS merged, pair_count FROM t{it}"
+        )
+        prev = f"v{it}"
+    return f"""
+    WITH toks AS (
+      SELECT unnest({{words}}) AS word FROM documents
+    ),
+    v0 AS (
+      SELECT COUNT(*) AS freq,
+             '_' || array_to_string(
+               list_transform(range(1, length(word) + 1),
+                              i -> substr(word, i, 1)), '__') || '_' AS seq
+      FROM toks WHERE regexp_matches(word, '^[a-z0-9]+$')
+      GROUP BY word
+    ),{",".join(its)}
+    {" UNION ALL ".join(selects)}
+    ORDER BY merge_rank
+    """
+
+
+@register(
+    "bpe_train_merges",
+    _bpe_merge_oracle().format(
+        words="list_filter(string_split(lower(trim(regexp_replace("
+        "text, '\\s+', ' ', 'g'))), ' '), w -> w <> '')"
+    ),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table after BPE_MERGES training rounds:
+    (merge_rank, sym_a, sym_b, merged, pair_count), most frequent pair
+    first — step 2 of tokenizer training, where bpe_pair_stats stops at
+    counting candidates. Deterministic: exact integer pair counts with
+    (count DESC, a ASC, b ASC) tiebreak; the DuckDB oracle replays every
+    round as unrolled CTEs, so the driver value-checks the training loop
+    itself."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "),
+                lambda w: w != "",
+            )
+        ).alias("word")
+    ).filter(F.col("word").rlike("^[a-z0-9]+$"))
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    seq0 = F.concat(F.lit("_"), F.array_join(chars, "__"), F.lit("_"))
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("freq", seq0.alias("seq"))
+        .localCheckpoint(eager=False)  # the one corpus-sized pass
+    )
+    tops = []
+    v = vocab
+    for it in range(1, BPE_MERGES + 1):
+        syms = F.filter(F.split("seq", "_"), lambda x: x != "")
+        pairs = (
+            v.select("freq", syms.alias("s"))
+            .filter(F.size("s") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("s") - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("s"), i).alias("a"),
+                            F.element_at(F.col("s"), i + 1).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        top = (
+            pairs.orderBy(
+                F.col("pair_count").desc(), F.col("a").asc(), F.col("b").asc()
+            )
+            .limit(1)
+            .localCheckpoint(eager=False)  # 1-row winner feeds two consumers
+        )
+        tops.append(
+            top.select(
+                F.lit(it).alias("merge_rank"),
+                F.col("a").alias("sym_a"),
+                F.col("b").alias("sym_b"),
+                F.concat("a", "b").alias("merged"),
+                "pair_count",
+            )
+        )
+        applied = F.replace(
+            F.col("seq"),
+            F.concat(F.lit("_"), F.col("a"), F.lit("__"), F.col("b"), F.lit("_")),
+            F.concat(F.lit("_"), F.col("a"), F.col("b"), F.lit("_")),
+        )
+        v = v.crossJoin(F.broadcast(top.select("a", "b"))).select(
+            "freq", applied.alias("seq")
+        )
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionByName(t)
+    return out.orderBy("merge_rank")

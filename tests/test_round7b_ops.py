@@ -326,3 +326,106 @@ def test_semdedup_cap_reports_not_scans(spark, semdup_dir, monkeypatch):
     for r in capped:
         assert r["n_dup_pairs"] == 0 and r["n_pruned"] == 0
         assert r["n_members"] > 10
+
+
+# --- BPE merge training ------------------------------------------------------
+
+
+def _bpe_reference(word_freqs: dict, n_merges: int):
+    """Textbook BPE trainer (Sennrich et al.): char symbols, corpus-weighted
+    pair counts, greedy left-to-right non-overlapping merge application,
+    (count DESC, a ASC, b ASC) tiebreak."""
+    import re
+
+    vocab = {}
+    for w, f in word_freqs.items():
+        if re.fullmatch(r"[a-z0-9]+", w):
+            t = tuple(w)
+            vocab[t] = vocab.get(t, 0) + f
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                counts[k] = counts.get(k, 0) + f
+        if not counts:
+            break
+        (a, b), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, a, b, a + b, c))
+        new = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new[t] = new.get(t, 0) + f
+        vocab = new
+    return merges
+
+
+def _write_docs(spark, tmp_path, texts):
+    rows = [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(out + "/documents.parquet")
+    return out
+
+
+def _word_freqs(texts):
+    from collections import Counter
+
+    c = Counter()
+    for t in texts:
+        for w in " ".join(t.split()).lower().split(" "):
+            if w:
+                c[w] += 1
+    return dict(c)
+
+
+def test_bpe_merges_planted_chain(spark, tmp_path):
+    """Rank-2 must merge the SYMBOL produced by rank 1 (ab + c) — the
+    property separating a trainer from a one-shot pair count. Punctuated
+    words are excluded by the [a-z0-9]+ contract."""
+    from fpl_data_pipeline_spark.operators.tokenizer import bpe_train_merges
+
+    texts = ["abc abc abc abc ab!c", "abc abc xy xy xy", "ab ab zq"]
+    sf_dir = _write_docs(spark, tmp_path, texts)
+    got = [
+        (r["merge_rank"], r["sym_a"], r["sym_b"], r["merged"], r["pair_count"])
+        for r in bpe_train_merges(spark, sf_dir).collect()
+    ]
+    expect = _bpe_reference(_word_freqs(texts), 4)
+    assert got == expect
+    assert got[0][1:4] == ("a", "b", "ab")
+    assert got[1][1:4] == ("ab", "c", "abc")
+
+
+def test_bpe_merges_random_corpus(spark, tmp_path):
+    """Engine == brute-force on a randomized small corpus (overlap-heavy
+    alphabet so the left-to-right non-overlap rule is exercised)."""
+    import random
+
+    from fpl_data_pipeline_spark.operators.tokenizer import bpe_train_merges
+
+    rng = random.Random(99)
+    words = [
+        "".join(rng.choice("aab") for _ in range(rng.randint(1, 7)))
+        for _ in range(40)
+    ]
+    texts = [" ".join(rng.choices(words, k=25)) for _ in range(12)]
+    sf_dir = _write_docs(spark, tmp_path, texts)
+    got = [
+        (r["merge_rank"], r["sym_a"], r["sym_b"], r["merged"], r["pair_count"])
+        for r in bpe_train_merges(spark, sf_dir).collect()
+    ]
+    assert got == _bpe_reference(_word_freqs(texts), 4)
