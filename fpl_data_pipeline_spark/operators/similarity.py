@@ -2713,8 +2713,16 @@ def _pca_power_iterate(
     u = [1000000] * dim
     for _ in range(iters):
         w = [sum(gm[i][j] * u[j] for j in range(dim)) for i in range(dim)]
-        mx = max(max(abs(x) for x in w), 1)
-        u = [int(math.floor(float(x) / float(mx) * 1000000 + 0.5)) for x in w]
+        raw_mx = max(abs(x) for x in w)
+        if raw_mx == 0:
+            # zero matvec: the Gram is PSD, so M.u = 0 can only happen on
+            # the first step (M^2 x = 0 implies M x = 0) and then persists
+            # — the iterate IS still the all-ones seed; reset explicitly so
+            # the norm never collapses to 0 (the oracle's CASE mirrors this
+            # with the same constant)
+            u = [1000000] * dim
+            continue
+        u = [int(math.floor(float(x) / float(raw_mx) * 1000000 + 0.5)) for x in w]
     wf = [sum(gm[i][j] * u[j] for j in range(dim)) for i in range(dim)]
     num = sum(wf[i] * u[i] for i in range(dim))
     den = sum(x * x for x in u)
@@ -2734,10 +2742,12 @@ def _pca_oracle() -> str:
     ),
     u{it} AS (
       SELECT w.i,
-             CAST(floor(CAST(w AS DOUBLE) / CAST(mx AS DOUBLE) * 1000000 + 0.5)
-                  AS BIGINT) AS u
+             CASE WHEN s.rmx = 0 THEN 1000000
+                  ELSE CAST(floor(CAST(w.w AS DOUBLE) / CAST(s.rmx AS DOUBLE)
+                                  * 1000000 + 0.5) AS BIGINT)
+             END AS u
       FROM w{it} w,
-           (SELECT GREATEST(MAX(ABS(w)), 1) AS mx FROM w{it}) s
+           (SELECT MAX(ABS(w)) AS rmx FROM w{it}) s
     )"""
         )
         prev = f"u{it}"
@@ -2787,11 +2797,13 @@ def _pca_oracle() -> str:
            floor(CAST(u.u * sgn.s AS DOUBLE) / unorm.nrm * 1000000 + 0.5)
              / 1000000 AS loading,
            floor(CAST(r.num AS DOUBLE) / CAST(r.den AS DOUBLE)
-                 / {PCA_Q * PCA_Q} / (nrow.n - 1) * 1000000 + 0.5)
+                 / {PCA_Q * PCA_Q} / GREATEST(nrow.n - 1, 1) * 1000000 + 0.5)
              / 1000000 AS eig_value,
-           floor(CAST(r.num AS DOUBLE) / CAST(r.den AS DOUBLE)
-                 / CAST(tr.trace AS DOUBLE) * 1000000 + 0.5)
-             / 1000000 AS var_share
+           CASE WHEN tr.trace = 0 THEN 0.0
+                ELSE floor(CAST(r.num AS DOUBLE) / CAST(r.den AS DOUBLE)
+                           / CAST(tr.trace AS DOUBLE) * 1000000 + 0.5)
+                     / 1000000
+           END AS var_share
     FROM {prev} u, rayleigh r, tr, sgn, unorm, nrow
     ORDER BY ABS(u.u) DESC, pos ASC
     LIMIT 8
@@ -2829,8 +2841,12 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrm = math.sqrt(float(den))
     mi = min(range(DIM), key=lambda i: (-abs(u[i]), i))
     s = -1 if u[mi] < 0 else 1
-    eig_value = math.floor(lam / (PCA_Q * PCA_Q) / (n - 1) * 1000000 + 0.5) / 1000000
-    var_share = math.floor(lam / float(trace) * 1000000 + 0.5) / 1000000
+    eig_value = (
+        math.floor(lam / (PCA_Q * PCA_Q) / max(n - 1, 1) * 1000000 + 0.5) / 1000000
+    )
+    var_share = (
+        math.floor(lam / float(trace) * 1000000 + 0.5) / 1000000 if trace else 0.0
+    )
     top = sorted(range(DIM), key=lambda i: (-abs(u[i]), i))[:8]
     rows = [
         (

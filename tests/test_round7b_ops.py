@@ -429,3 +429,71 @@ def test_bpe_merges_random_corpus(spark, tmp_path):
         for r in bpe_train_merges(spark, sf_dir).collect()
     ]
     assert got == _bpe_reference(_word_freqs(texts), 4)
+
+
+def test_semdedup_cluster_cap_is_count_prepass(spark):
+    """SEM_CLUSTER_CAP must be a count-agg pre-pass joined back BEFORE the
+    member collect (the engine-wide cap doctrine), never a post-collect
+    array-size filter — asserted on the pair-generation subtree the same
+    way every other cap family is pinned in test_cap_guards."""
+    import re
+
+    from fpl_data_pipeline_spark.operators.dedup import (
+        _expand_member_pairs_streaming,
+    )
+    from fpl_data_pipeline_spark.operators.similarity import SEM_CLUSTER_CAP
+
+    # the groups subtree exactly as semdedup_prune builds it, over a local
+    # assignment stand-in (kmp_assign itself runs driver collects, which a
+    # plan-shape test must not trigger)
+    import pyspark.sql.functions as F
+
+    assigned = spark.createDataFrame(
+        [(i, i % 3) for i in range(12)], "vec_id long, c_id int"
+    )
+    sizes = assigned.groupBy("c_id").agg(F.count(F.lit(1)).alias("n_members"))
+    ok = sizes.filter(F.col("n_members") <= SEM_CLUSTER_CAP).select("c_id")
+    groups = (
+        assigned.join(F.broadcast(ok), "c_id")
+        .groupBy("c_id")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("members"))
+    )
+    plan = (
+        _expand_member_pairs_streaming(groups, "members")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "collect_list" in plan
+    assert "count(1)" in plan, "count-agg pre-pass missing"
+    assert not re.search(r"size\(members[^\n]*<=", plan), (
+        "post-collect size cap crept into the semdedup pair subtree"
+    )
+
+
+def test_pca_power_iterate_rayleigh_bounds():
+    """On arbitrary integer PSD matrices the Rayleigh quotient must stay
+    inside [0, lambda_max] (it is exact at convergence), and the iterate
+    must stay L-infinity-normalized to 1e6 — the invariants that hold at
+    ANY iteration count, convergence or not."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.integers(-50, 50), min_size=6, max_size=6),
+            min_size=6,
+            max_size=6,
+        )
+    )
+    def check(rows):
+        b = np.array(rows, dtype=np.int64)
+        gm = (b.T @ b).tolist()  # PSD by construction
+        u, num, den = _pca_power_iterate([[int(x) for x in r] for r in gm])
+        assert den > 0
+        assert max(abs(x) for x in u) <= 10**6
+        rayleigh = float(num) / float(den)
+        lam_max = float(np.linalg.eigvalsh(np.array(gm, dtype=float))[-1])
+        assert -1e-6 <= rayleigh <= lam_max * (1 + 1e-9) + 1e-6
+
+    check()
