@@ -1813,9 +1813,12 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # selection gate: strictly above the corpus-mean weight — exact-integer
     # comparison w6 * N > S (decimal(38,0) so doc counts beyond 2^63/w6
     # cannot overflow), so the cut is engine-identical with no division
+    # sum in DECIMAL from the start — aggregating in LongType and casting
+    # after would overflow around 1e8 docs x 1e10-micro-nat weights, the
+    # very scale the exact w*N > S comparison exists for
     corpus = scored.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("nn"),
-        F.sum("w6").cast("decimal(38,0)").alias("ss"),
+        F.sum(F.col("w6").cast("decimal(28,0)")).alias("ss"),
     )
     sel = F.when(
         F.col("w6").cast("decimal(28,0)") * F.col("nn") > F.col("ss"), 1
@@ -1831,7 +1834,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sel_rate"
             ),
             F.round(
-                F.sum("w6").cast("double") / F.count(F.lit(1)) / 1000000, 6
+                F.sum(F.col("w6").cast("decimal(28,0)")).cast("double")
+                / F.count(F.lit(1))
+                / 1000000,
+                6,
             ).alias("mean_logw"),
         )
         .orderBy("source")

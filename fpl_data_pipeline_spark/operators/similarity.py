@@ -752,7 +752,14 @@ def kmp_assign(emb: DataFrame) -> DataFrame:
         cents = [new.get(i, c) for i, c in enumerate(cents)]
 
     cdf = spark.createDataFrame(list(enumerate(cents)), "c_id int, c6 array<long>")
-    return score(cdf).select("vec_id", "v6", "c_id", "d2")
+    # pin the final assignment and release the iteration cache: without the
+    # unpersist every kmp_assign caller leaks one full-corpus cached
+    # quantized-embedding copy for the session lifetime (the refactor gave
+    # this helper multiple consumers); the eager checkpoint keeps the
+    # returned relation one-pass for them all
+    out = score(cdf).select("vec_id", "v6", "c_id", "d2").localCheckpoint()
+    vecs.unpersist()
+    return out
 
 
 @register("kmeans_portable", _kmp_oracle())
@@ -2834,6 +2841,12 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram, nrow = _pca_gram(emb)
     cells = {(r["i"], r["j"]): int(r["g"]) for r in gram.collect()}
     n = int(nrow.first()["n"])
+    schema = "pos long, loading double, eig_value double, var_share double"
+    if n == 0:
+        # empty corpus: no component — mirror the oracle, whose CTE chain
+        # is empty and yields 0 rows (the zero-variance guard below covers
+        # the non-empty degenerate case, not this one)
+        return spark.createDataFrame([], schema)
     gm = [[cells.get((i, j), 0) for j in range(DIM)] for i in range(DIM)]
     u, num, den = _pca_power_iterate(gm)
     trace = sum(gm[i][i] for i in range(DIM))
@@ -2857,9 +2870,7 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i in top
     ]
-    return spark.createDataFrame(
-        rows, "pos long, loading double, eig_value double, var_share double"
-    )
+    return spark.createDataFrame(rows, schema)
 
 
 # --- SemDeDup: semantic dedup inside embedding clusters ----------------------
@@ -2882,6 +2893,23 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plan-construction time, which the audit must never do).
 SEM_CLUSTER_CAP = 2000
 SEM_TAU = 0.9  # the paper's web-text operating range (~0.9-0.95)
+
+
+def _sem_capped_groups(
+    assigned: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(sizes, okm, groups): per-cluster member counts, the cap-filtered
+    assignment, and its sorted member arrays — the count-agg pre-pass
+    subtree shared by semdedup_prune, tools/scale_probe.py and the
+    plan-shape cap-guard test, so the cap rule cannot drift between
+    them."""
+    sizes = assigned.groupBy("c_id").agg(F.count(F.lit(1)).alias("n_members"))
+    ok_ids = sizes.filter(F.col("n_members") <= SEM_CLUSTER_CAP).select("c_id")
+    okm = assigned.join(F.broadcast(ok_ids), "c_id")  # <= k rows broadcast
+    groups = okm.groupBy("c_id").agg(
+        F.array_sort(F.collect_list("vec_id")).alias("members")
+    )
+    return sizes, okm, groups
 
 
 def _sem_oracle() -> str:
@@ -2909,7 +2937,8 @@ def _sem_oracle() -> str:
       FROM pairs p
       JOIN norms na ON na.vec_id = p.va
       JOIN norms nb ON nb.vec_id = p.vb
-      WHERE CAST(p.dot AS DOUBLE)
+      WHERE na.n2 > 0 AND nb.n2 > 0
+        AND CAST(p.dot AS DOUBLE)
             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
             >= {SEM_TAU}
     ),
@@ -2943,18 +2972,18 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    assigned = kmp_assign(emb).localCheckpoint(eager=False)
-    sizes = assigned.groupBy("c_id").agg(F.count(F.lit(1)).alias("n_members"))
-    ok_ids = sizes.filter(F.col("n_members") <= SEM_CLUSTER_CAP).select("c_id")
-    okm = assigned.join(F.broadcast(ok_ids), "c_id")  # <= k rows broadcast
+    assigned = kmp_assign(emb)
+    sizes, okm, groups = _sem_capped_groups(assigned)
     n2 = F.aggregate(
         F.zip_with("v6", "v6", lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    feat = okm.select("c_id", "vec_id", "v6", n2.alias("n2"))
-    groups = okm.groupBy("c_id").agg(
-        F.array_sort(F.collect_list("vec_id")).alias("members")
+    # zero-norm quantized vectors (all |x| < 5e-7) have no defined cosine:
+    # excluded from the scan, or the ANSI divide would abort the query
+    # while the oracle's NaN >= tau would fabricate duplicate rows
+    feat = okm.select("c_id", "vec_id", "v6", n2.alias("n2")).filter(
+        F.col("n2") > 0
     )
     pairs = _expand_member_pairs_streaming(groups, "members")
     dot = F.aggregate(

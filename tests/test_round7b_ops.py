@@ -441,23 +441,15 @@ def test_semdedup_cluster_cap_is_count_prepass(spark):
     from fpl_data_pipeline_spark.operators.dedup import (
         _expand_member_pairs_streaming,
     )
-    from fpl_data_pipeline_spark.operators.similarity import SEM_CLUSTER_CAP
+    from fpl_data_pipeline_spark.operators.similarity import _sem_capped_groups
 
-    # the groups subtree exactly as semdedup_prune builds it, over a local
-    # assignment stand-in (kmp_assign itself runs driver collects, which a
-    # plan-shape test must not trigger)
-    import pyspark.sql.functions as F
-
+    # the SHARED helper the query and the scale probe both consume, over a
+    # local assignment stand-in (kmp_assign itself runs driver collects,
+    # which a plan-shape test must not trigger)
     assigned = spark.createDataFrame(
         [(i, i % 3) for i in range(12)], "vec_id long, c_id int"
     )
-    sizes = assigned.groupBy("c_id").agg(F.count(F.lit(1)).alias("n_members"))
-    ok = sizes.filter(F.col("n_members") <= SEM_CLUSTER_CAP).select("c_id")
-    groups = (
-        assigned.join(F.broadcast(ok), "c_id")
-        .groupBy("c_id")
-        .agg(F.array_sort(F.collect_list("vec_id")).alias("members"))
-    )
+    _sizes, _okm, groups = _sem_capped_groups(assigned)
     plan = (
         _expand_member_pairs_streaming(groups, "members")
         ._jdf.queryExecution()
@@ -497,3 +489,26 @@ def test_pca_power_iterate_rayleigh_bounds():
         assert -1e-6 <= rayleigh <= lam_max * (1 + 1e-9) + 1e-6
 
     check()
+
+
+def test_semdedup_tolerates_zero_norm_vectors(spark, tmp_path):
+    """An all-zero embedding (or one quantizing to zero) must be excluded
+    from the cosine scan, not abort the query under ANSI division or
+    fabricate NaN-cosine duplicates in the oracle (code-review finding)."""
+    from fpl_data_pipeline_spark.operators.similarity import semdedup_prune
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (k, [float(x) for x in (rng.randn(DIM) * 2.0)], 0) for k in range(30)
+    ]
+    rows.append((30, [0.0] * DIM, 0))
+    rows.append((31, [1e-9] * DIM, 0))  # quantizes to all-zero v6
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(sf_dir + "/embeddings.parquet")
+    got = semdedup_prune(spark, sf_dir).collect()
+    assert sum(r["n_members"] for r in got) == 32
+    # the two zero-norm vectors never appear in any pair, so at most the
+    # 30 real vectors participate; nothing threw, nothing NaN'd
+    for r in got:
+        assert r["prune_rate"] is not None
