@@ -393,3 +393,113 @@ def dupgraph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "round long, n_nodes long, n_edges long").orderBy(
         "round"
     )
+
+
+# --- label propagation communities (LPA, Raghavan et al. '07) ----------------
+# The fourth graph primitive of the curation pipeline: CC gives the
+# transitive-closure clusters (too coarse when boilerplate chains bridge
+# unrelated mirror sets), k-core separates robust members from pendants;
+# LPA finds the DENSITY communities in between — each node adopts the
+# label most common among its neighbors, so mirror farms collapse to one
+# label in a round or two while thin bridges fail to propagate across.
+# Deterministic variant: synchronous updates, ties broken by smallest
+# label (the classic formulation's random tiebreak has no place in a
+# value-oracled engine); seed label = own doc_id.
+#
+# Scale shape: one shuffle per round (labels join on the undirected edge
+# list + per-node argmax window keyed by node — never global), identical
+# to the Pregel shape PageRank uses; LPA_ITER bounded, oracle unrolls the
+# rounds as CTEs.
+LPA_ITER = 3
+
+
+def _lpa_rounds_sql() -> str:
+    its = []
+    prev = "l0"
+    for it in range(1, LPA_ITER + 1):
+        its.append(
+            f"""
+    r{it} AS (
+      SELECT u.src AS node, l.label, COUNT(*) AS c
+      FROM und u JOIN {prev} l ON l.node = u.dst
+      GROUP BY 1, 2
+    ),
+    l{it} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM r{it}
+      ) WHERE rn = 1
+    )"""
+        )
+        prev = f"l{it}"
+    return ",".join(its)
+
+
+def lpa_labels(edges: DataFrame, iters: int = LPA_ITER) -> DataFrame:
+    """(node, label) after ``iters`` synchronous LPA rounds over an
+    undirected (doc_id_a, doc_id_b) edge list — split out so the planted
+    bridge-graph test drives the exact production loop."""
+    from pyspark.sql import Window
+
+    und = edges.select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    ).unionAll(
+        edges.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst"))
+    )
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(iters):
+        votes = (
+            und.join(labels.select(F.col("node").alias("dst"), "label"), "dst")
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("c").desc(), F.col("label").asc()
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels
+
+
+@register(
+    "dupgraph_lpa_communities",
+    _EDGES_SQL
+    + f"""
+    , und AS (
+      SELECT doc_id_a AS src, doc_id_b AS dst FROM ed
+      UNION ALL
+      SELECT doc_id_b, doc_id_a FROM ed
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),{_lpa_rounds_sql()}
+    SELECT label AS community, COUNT(*) AS n_members
+    FROM l{LPA_ITER}
+    GROUP BY label
+    ORDER BY n_members DESC, community ASC
+    LIMIT 20
+    """,
+)
+def dupgraph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 LPA communities of the near-dup graph after LPA_ITER
+    synchronous rounds: density communities between CC's transitive
+    closure (over-merges across boilerplate bridges) and k-core's robust
+    cores — the cluster granularity a dedup keeper policy actually wants.
+    Smallest-label tiebreak makes every round bit-deterministic."""
+    d = table(spark, sf_dir, "documents")
+    edges = _dup_edges(d).localCheckpoint(eager=False)  # feeds all rounds
+    return (
+        lpa_labels(edges)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .select(F.col("label").alias("community"), "n_members")
+        .orderBy(F.col("n_members").desc(), F.col("community").asc())
+        .limit(20)
+    )

@@ -512,3 +512,40 @@ def test_semdedup_tolerates_zero_norm_vectors(spark, tmp_path):
     # 30 real vectors participate; nothing threw, nothing NaN'd
     for r in got:
         assert r["prune_rate"] is not None
+
+
+# --- LPA communities ---------------------------------------------------------
+
+
+def test_lpa_separates_bridged_cliques(spark):
+    """Two triangles joined by a single bridge edge: connected components
+    merges them into one cluster; LPA must keep two density communities
+    (the whole reason the operator exists). Also checks the engine loop
+    against a synchronous brute-force reference with the same smallest-
+    label tiebreak."""
+    from fpl_data_pipeline_spark.operators.graph import LPA_ITER, lpa_labels
+
+    edge_list = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    edges = spark.createDataFrame(edge_list, "doc_id_a long, doc_id_b long")
+    got = {r["node"]: r["label"] for r in lpa_labels(edges).collect()}
+
+    # brute-force synchronous LPA
+    from collections import Counter, defaultdict
+
+    nbrs = defaultdict(set)
+    for a, b in edge_list:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    lab = {n: n for n in nbrs}
+    for _ in range(LPA_ITER):
+        new = {}
+        for n in nbrs:
+            c = Counter(lab[m] for m in nbrs[n])
+            best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            new[n] = best
+        lab = new
+    assert got == lab
+    communities = defaultdict(set)
+    for n, l in got.items():
+        communities[l].add(n)
+    assert sorted(map(sorted, communities.values())) == [[1, 2, 3], [4, 5, 6]]
