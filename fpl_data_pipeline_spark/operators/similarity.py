@@ -2736,7 +2736,12 @@ def _pca_power_iterate(
     return u, num, den
 
 
-def _pca_oracle() -> str:
+def _pca_cte_sql() -> str:
+    """The shared WITH-body: 3-dp quantization (v keeps vec_id for
+    consumers that score per-row), integer means, exact Gram, and the
+    PCA_ITERS unrolled power-iteration CTEs ending at u{PCA_ITERS} —
+    reused by the emb_pca_top_component oracle and by every oracle that
+    consumes the learned direction (emb_abtt_query_shift)."""
     dim = DIM
     steps = []
     prev = "u0"
@@ -2759,8 +2764,9 @@ def _pca_oracle() -> str:
         )
         prev = f"u{it}"
     return f"""
-    WITH v AS (
-      SELECT list_transform(embedding,
+    v AS (
+      SELECT vec_id,
+             list_transform(embedding,
                x -> CAST(floor(x::DOUBLE * {PCA_Q} + 0.5) AS BIGINT)) AS v3
       FROM embeddings
     ),
@@ -2784,7 +2790,13 @@ def _pca_oracle() -> str:
       GROUP BY 1, 2
     ),
     nrow AS (SELECT COUNT(*) AS n FROM v),
-    u0 AS (SELECT i, CAST(1000000 AS BIGINT) AS u FROM range(0, {dim}) t(i)),{",".join(steps)},
+    u0 AS (SELECT i, CAST(1000000 AS BIGINT) AS u FROM range(0, {dim}) t(i)),{",".join(steps)}"""
+
+
+def _pca_oracle() -> str:
+    prev = f"u{PCA_ITERS}"
+    return f"""
+    WITH {_pca_cte_sql()},
     wf AS (
       SELECT m.i, SUM(CAST(m.g AS HUGEINT) * u.u) AS w
       FROM gram m JOIN {prev} u ON u.i = m.j GROUP BY m.i
@@ -2838,16 +2850,13 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     emb = table(spark, sf_dir, "embeddings")
-    gram, nrow = _pca_gram(emb)
-    cells = {(r["i"], r["j"]): int(r["g"]) for r in gram.collect()}
-    n = int(nrow.first()["n"])
+    gm, n = _collect_gram(emb)
     schema = "pos long, loading double, eig_value double, var_share double"
     if n == 0:
         # empty corpus: no component — mirror the oracle, whose CTE chain
         # is empty and yields 0 rows (the zero-variance guard below covers
         # the non-empty degenerate case, not this one)
         return spark.createDataFrame([], schema)
-    gm = [[cells.get((i, j), 0) for j in range(DIM)] for i in range(DIM)]
     u, num, den = _pca_power_iterate(gm)
     trace = sum(gm[i][i] for i in range(DIM))
     lam = float(num) / float(den)
@@ -3035,4 +3044,170 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("prune_rate"),
         )
         .orderBy("cluster_id")
+    )
+
+
+# --- all-but-the-top applied: anisotropy-corrected retrieval ------------------
+# emb_pca_top_component MEASURES the dominant direction; this applies the
+# Mu & Viswanath '18 correction — subtract each vector's projection onto
+# that direction — and shows what it changes: the top-10 cosine neighbors
+# of a probe vector under corrected vs raw similarity. The correction is
+# map-side (one zip_with per row against the broadcast 64-int direction);
+# the only corpus-scale stages are the Gram pass (shared shape with the
+# PCA query) and one scoring scan, so the query is two passes at any
+# corpus size.
+#
+# Portability: the direction u and den = sum(u^2) are exact integers from
+# the shared power iteration; each corrected component is
+# floor(v3_i - double(t) * u_i / den + 0.5) with t = sum(v3_j * u_j) an
+# exact per-row integer — every double op is a deterministic function of
+# exact integers, and the DuckDB oracle replays the identical expression
+# through the shared _pca_cte_sql direction.
+
+
+def _collect_gram(emb: DataFrame) -> tuple[list[list[int]], int]:
+    """(gm, n): the exact-integer centered Gram as a driver-side matrix
+    plus the corpus count — the dim^2-bounded collect shared by the PCA
+    epilogues."""
+    gram, nrow = _pca_gram(emb)
+    cells = {(r["i"], r["j"]): int(r["g"]) for r in gram.collect()}
+    n = int(nrow.first()["n"])
+    gm = [[cells.get((i, j), 0) for j in range(DIM)] for i in range(DIM)]
+    return gm, n
+
+
+def _abtt_oracle() -> str:
+    dim = DIM
+    prev = f"u{PCA_ITERS}"
+    return f"""
+    WITH {_pca_cte_sql()},
+    dn AS (SELECT SUM(CAST(u AS HUGEINT) * u) AS den FROM {prev}),
+    uarr AS (SELECT list(u ORDER BY i) AS ua FROM {prev}),
+    proj AS (
+      SELECT vec_id, v3,
+             list_sum(list_transform(range(1, {dim} + 1),
+                                     i -> v3[i] * ua[i])) AS t
+      FROM v, uarr
+    ),
+    corr AS (
+      SELECT vec_id, v3,
+             list_transform(range(1, {dim} + 1),
+               i -> CAST(floor(v3[i] - CAST(t AS DOUBLE) * ua[i]
+                               / CAST(den AS DOUBLE) + 0.5) AS BIGINT)) AS c3
+      FROM proj, uarr, dn
+    ),
+    scored AS (
+      SELECT e.vec_id,
+             list_sum(list_transform(range(1, {dim} + 1),
+                                     i -> e.c3[i] * q.c3[i])) AS dc,
+             list_sum(list_transform(range(1, {dim} + 1),
+                                     i -> e.c3[i] * e.c3[i])) AS nc,
+             list_sum(list_transform(range(1, {dim} + 1),
+                                     i -> q.c3[i] * q.c3[i])) AS qnc,
+             list_sum(list_transform(range(1, {dim} + 1),
+                                     i -> e.v3[i] * q.v3[i])) AS dr,
+             list_sum(list_transform(range(1, {dim} + 1),
+                                     i -> e.v3[i] * e.v3[i])) AS nr,
+             list_sum(list_transform(range(1, {dim} + 1),
+                                     i -> q.v3[i] * q.v3[i])) AS qnr
+      FROM corr e, (SELECT * FROM corr WHERE vec_id = 0) q
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id,
+           floor(CAST(dc AS DOUBLE)
+                 / (sqrt(CAST(nc AS DOUBLE)) * sqrt(CAST(qnc AS DOUBLE)))
+                 * 1000000 + 0.5) / 1000000 AS cos_corrected,
+           floor(CAST(dr AS DOUBLE)
+                 / (sqrt(CAST(nr AS DOUBLE)) * sqrt(CAST(qnr AS DOUBLE)))
+                 * 1000000 + 0.5) / 1000000 AS cos_raw
+    FROM scored
+    WHERE nc > 0 AND qnc > 0 AND nr > 0 AND qnr > 0
+    ORDER BY cos_corrected DESC, vec_id ASC
+    LIMIT 10
+    """
+
+
+@register("emb_abtt_query_shift", _abtt_oracle())
+def emb_abtt_query_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 neighbors of probe vector 0 under all-but-the-top CORRECTED
+    cosine, with the raw cosine alongside — the before/after readout that
+    says whether the corpus's dominant direction was distorting retrieval
+    (big rank shifts + corrected ≉ raw = the bias direction was carrying
+    the similarity; near-identical columns = retrieval was already
+    content-driven)."""
+    import math
+
+    emb = table(spark, sf_dir, "embeddings")
+    gm, n = _collect_gram(emb)
+    schema = "vec_id long, cos_corrected double, cos_raw double"
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    u, _num, den = _pca_power_iterate(gm)
+    lit_u = F.array(*[F.lit(int(x)).cast("long") for x in u])
+    den_d = float(den)
+    v3 = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * PCA_Q + F.lit(0.5)).cast("long"),
+    )
+    base = emb.select("vec_id", v3.alias("v3")).withColumn(
+        "t",
+        F.aggregate(
+            F.zip_with("v3", lit_u, lambda x, ui: x * ui),
+            F.lit(0).cast("long"),
+            lambda acc, val: acc + val,
+        ),
+    )
+    c3 = F.zip_with(
+        "v3",
+        lit_u,
+        lambda x, ui: F.floor(
+            x - F.col("t").cast("double") * ui / F.lit(den_d) + F.lit(0.5)
+        ).cast("long"),
+    )
+    corr = base.select("vec_id", "v3", c3.alias("c3"))
+    q = corr.filter(F.col("vec_id") == 0).select(
+        F.col("v3").alias("qv3"), F.col("c3").alias("qc3")
+    )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, val: acc + val,
+        )
+
+    scored = (
+        corr.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            _dot("c3", "qc3").alias("dc"),
+            _dot("c3", "c3").alias("nc"),
+            _dot("qc3", "qc3").alias("qnc"),
+            _dot("v3", "qv3").alias("dr"),
+            _dot("v3", "v3").alias("nr"),
+            _dot("qv3", "qv3").alias("qnr"),
+        )
+        .filter(
+            (F.col("nc") > 0) & (F.col("qnc") > 0)
+            & (F.col("nr") > 0) & (F.col("qnr") > 0)
+        )
+    )
+
+    def _cos6(dot, na, nb):
+        return F.floor(
+            F.col(dot).cast("double")
+            / (F.sqrt(F.col(na).cast("double")) * F.sqrt(F.col(nb).cast("double")))
+            * 1000000
+            + F.lit(0.5)
+        ) / 1000000
+
+    return (
+        scored.select(
+            "vec_id",
+            _cos6("dc", "nc", "qnc").alias("cos_corrected"),
+            _cos6("dr", "nr", "qnr").alias("cos_raw"),
+        )
+        .orderBy(F.col("cos_corrected").desc(), F.col("vec_id").asc())
+        .limit(10)
     )

@@ -65,12 +65,13 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # dedup_clusters, kmeans_embeddings) stay out: a driver rows-only check
 # adds nothing over the planted-pair VALUE checks in
 # tests/test_cap_guards.py, which pin them to the oracle-checked md5 twins.
-# Round-7 continuation: five new LLM-pipeline operators (distributed PCA,
-# DSIR, SemDeDup, the BPE merge trainer, LPA communities) and the
-# kmp_assign refactor's consumer kmeans_portable take six slots; six
-# unchanged, cumulatively-green re-proof fillers (text_token_counts,
-# text_lang_id, zipf_alpha_words, source_lexical_diversity,
-# tfidf_top_terms, vocab_oov_rates) rotate out to hold the window at 50.
+# Round-7 continuation: six new LLM-pipeline operators (distributed PCA,
+# DSIR, SemDeDup, the BPE merge trainer, LPA communities, the applied
+# all-but-the-top correction) and the kmp_assign refactor's consumer
+# kmeans_portable take seven slots; seven unchanged, cumulatively-green
+# re-proof fillers (text_token_counts, text_lang_id, zipf_alpha_words,
+# source_lexical_diversity, tfidf_top_terms, vocab_oov_rates,
+# doc_packing_summary) rotate out to hold the window at 50.
 DRIVER_WINDOW_PRIORITY = [
     "flagship_customer_activity",
     # --- plans/behavior changed in round 7 -> driver-proven this round ---
@@ -121,6 +122,7 @@ DRIVER_WINDOW_PRIORITY = [
     "semdedup_prune",
     "bpe_train_merges",
     "dupgraph_lpa_communities",
+    "emb_abtt_query_shift",
     "kmeans_portable",
     # --- re-proof rotation: siblings of touched helpers + headliners ---
     "dedup_minhash_portable",
@@ -133,7 +135,6 @@ DRIVER_WINDOW_PRIORITY = [
     "dedup_exact_groups",
     "dedup_cross_source_matrix",
     "dedup_intradoc_segments",
-    "doc_packing_summary",
     "binary_ingest_arrow",
 ]
 

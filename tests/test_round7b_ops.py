@@ -549,3 +549,47 @@ def test_lpa_separates_bridged_cliques(spark):
     for n, l in got.items():
         communities[l].add(n)
     assert sorted(map(sorted, communities.values())) == [[1, 2, 3], [4, 5, 6]]
+
+
+# --- all-but-the-top corrected retrieval --------------------------------------
+
+
+def test_abtt_recovers_content_neighbor_under_anisotropy(spark, tmp_path):
+    """Corpus = strong shared direction d (the anisotropy) + per-doc
+    content. Probe 0 has a planted content twin; raw cosine is dominated
+    by d (the twin does NOT win), corrected cosine must rank the twin
+    first — the exact failure mode all-but-the-top exists to fix."""
+    from fpl_data_pipeline_spark.operators.similarity import emb_abtt_query_shift
+
+    rng = np.random.RandomState(21)
+    d = rng.randn(DIM)
+    d /= np.linalg.norm(d)
+    c0 = rng.randn(DIM)
+    c0 -= (c0 @ d) * d  # content orthogonal to the bias direction
+    c0 /= np.linalg.norm(c0)
+    rows = []
+    # probe (vec_id 0) and its content twin (vec_id 7): same content,
+    # different bias magnitudes
+    rows.append((0, [float(x) for x in (6.0 * d + 1.0 * c0)], 0))
+    for k in range(1, 40):
+        if k == 7:
+            v = 4.0 * d + 1.0 * c0  # the twin
+        else:
+            ck = rng.randn(DIM)
+            ck -= (ck @ d) * d
+            ck /= np.linalg.norm(ck)
+            v = (5.0 + 0.5 * math.sin(k)) * d + 1.0 * ck
+        rows.append((k, [float(x) for x in v], k % 3))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(sf_dir + "/embeddings.parquet")
+
+    got = emb_abtt_query_shift(spark, sf_dir).collect()
+    # every raw cosine is inflated near 1 by the shared direction...
+    assert all(r["cos_raw"] > 0.9 for r in got)
+    # ...but the corrected ranking puts the content twin first, by a
+    # decisive margin over the next corrected neighbor
+    assert got[0]["vec_id"] == 7
+    assert got[0]["cos_corrected"] > 0.9
+    # decisive margin over the best non-twin corrected neighbor
+    assert got[0]["cos_corrected"] - got[1]["cos_corrected"] > 0.1

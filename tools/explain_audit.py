@@ -46,6 +46,9 @@ INTENTIONAL_CROSS = {
     "emb_pca_top_component",
     # broadcast 1-row bucket-LM totals + 1-row corpus mean-weight scalar
     "dsir_importance_weights",
+    # broadcast 1-row corrected-query block against the scoring scan (the
+    # ann_cosine_topk shape) + the 1-row mean-array block of the Gram pass
+    "emb_abtt_query_shift",
     # broadcast 1-row source-count scalar
     "token_budget_plan",
     # broadcast 1-row corpus stats + 1-row query vector
