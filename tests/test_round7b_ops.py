@@ -593,3 +593,45 @@ def test_abtt_recovers_content_neighbor_under_anisotropy(spark, tmp_path):
     assert got[0]["cos_corrected"] > 0.9
     # decisive margin over the best non-twin corrected neighbor
     assert got[0]["cos_corrected"] - got[1]["cos_corrected"] > 0.1
+
+
+# --- empty-corpus robustness for the whole continuation batch -----------------
+
+
+@pytest.fixture()
+def empty_dir(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    out = str(tmp_path)
+    docs.coalesce(1).write.mode("overwrite").parquet(out + "/documents.parquet")
+    emb.coalesce(1).write.mode("overwrite").parquet(out + "/embeddings.parquet")
+    return out
+
+
+def test_new_ops_survive_empty_corpus(spark, empty_dir):
+    """Every round-7-continuation operator must return an empty (or
+    degenerate-but-sane) frame on an empty corpus instead of throwing —
+    the PCA empty-table divergence showed this class of bug is real."""
+    from fpl_data_pipeline_spark.functions.corpus_queries import (
+        dsir_importance_weights,
+    )
+    from fpl_data_pipeline_spark.operators.graph import dupgraph_lpa_communities
+    from fpl_data_pipeline_spark.operators.similarity import (
+        emb_abtt_query_shift,
+        emb_pca_top_component,
+        semdedup_prune,
+    )
+    from fpl_data_pipeline_spark.operators.tokenizer import bpe_train_merges
+
+    for fn in (
+        emb_pca_top_component,
+        emb_abtt_query_shift,
+        semdedup_prune,
+        dsir_importance_weights,
+        bpe_train_merges,
+        dupgraph_lpa_communities,
+    ):
+        rows = fn(spark, empty_dir).collect()
+        assert rows == [], f"{fn.__name__} returned {rows!r} on an empty corpus"
