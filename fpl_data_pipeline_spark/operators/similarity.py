@@ -2681,16 +2681,7 @@ def _pca_gram(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
         lambda x: F.floor(x.cast("double") * PCA_Q + F.lit(0.5)).cast("long"),
     )
     vecs = emb.select(v3.alias("v3"))
-    pe = vecs.select(F.posexplode("v3").alias("pos", "val"))
-    means = pe.groupBy("pos").agg(
-        F.floor(F.sum("val").cast("double") / F.count(F.lit(1)) + F.lit(0.5))
-        .cast("long")
-        .alias("m")
-    )
-    marr = (
-        means.agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select(F.transform("pm", lambda s: s["m"]).alias("marr"))
-    )
+    marr = _pca_marr(vecs)
     centered = vecs.crossJoin(F.broadcast(marr)).select(
         F.zip_with("v3", "marr", lambda x, m: x - m).alias("c")
     )
@@ -2772,7 +2763,7 @@ def _pca_cte_sql() -> str:
     ),
     pe AS (
       SELECT vid, i AS pos, v3[i + 1] AS val
-      FROM (SELECT row_number() OVER () AS vid, v3 FROM v)
+      FROM (SELECT vec_id AS vid, v3 FROM v)
            CROSS JOIN range(0, {dim}) t(i)
     ),
     means AS (
@@ -3065,6 +3056,31 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 # through the shared _pca_cte_sql direction.
 
 
+def _dot_long(a, b):
+    """Exact-integer dot product of two long-array columns (index-ordered
+    fold — order-fixed, so bit-identical on both engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, val: acc + val,
+    )
+
+
+def _pca_marr(vecs: DataFrame) -> DataFrame:
+    """1-row integer mean array over a (v3) relation — the centering block
+    shared by the Gram pass and the abtt correction."""
+    pe = vecs.select(F.posexplode("v3").alias("pos", "val"))
+    means = pe.groupBy("pos").agg(
+        F.floor(F.sum("val").cast("double") / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("long")
+        .alias("m")
+    )
+    return (
+        means.agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(F.transform("pm", lambda s: s["m"]).alias("marr"))
+    )
+
+
 def _collect_gram(emb: DataFrame) -> tuple[list[list[int]], int]:
     """(gm, n): the exact-integer centered Gram as a driver-side matrix
     plus the corpus count — the dim^2-bounded collect shared by the PCA
@@ -3083,16 +3099,22 @@ def _abtt_oracle() -> str:
     WITH {_pca_cte_sql()},
     dn AS (SELECT SUM(CAST(u AS HUGEINT) * u) AS den FROM {prev}),
     uarr AS (SELECT list(u ORDER BY i) AS ua FROM {prev}),
-    proj AS (
+    marr AS (SELECT list(m ORDER BY pos) AS ma FROM means),
+    vcent AS (
       SELECT vec_id, v3,
+             list_transform(range(1, {dim} + 1), i -> v3[i] - ma[i]) AS vc
+      FROM v, marr
+    ),
+    proj AS (
+      SELECT vec_id, v3, vc,
              list_sum(list_transform(range(1, {dim} + 1),
-                                     i -> v3[i] * ua[i])) AS t
-      FROM v, uarr
+                                     i -> vc[i] * ua[i])) AS t
+      FROM vcent, uarr
     ),
     corr AS (
       SELECT vec_id, v3,
              list_transform(range(1, {dim} + 1),
-               i -> CAST(floor(v3[i] - CAST(t AS DOUBLE) * ua[i]
+               i -> CAST(floor(vc[i] - CAST(t AS DOUBLE) * ua[i]
                                / CAST(den AS DOUBLE) + 0.5) AS BIGINT)) AS c3
       FROM proj, uarr, dn
     ),
@@ -3132,11 +3154,11 @@ def emb_abtt_query_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 neighbors of probe vector 0 under all-but-the-top CORRECTED
     cosine, with the raw cosine alongside — the before/after readout that
     says whether the corpus's dominant direction was distorting retrieval
-    (big rank shifts + corrected ≉ raw = the bias direction was carrying
-    the similarity; near-identical columns = retrieval was already
-    content-driven)."""
-    import math
-
+    (big rank shifts + corrected ≉ raw = the mean/bias direction was
+    carrying the similarity; near-identical columns = retrieval was
+    already content-driven). Full Mu & Viswanath correction: subtract the
+    corpus MEAN first (the direction was learned on centered data), then
+    remove the projection onto the learned direction."""
     emb = table(spark, sf_dir, "embeddings")
     gm, n = _collect_gram(emb)
     schema = "vec_id long, cos_corrected double, cos_raw double"
@@ -3149,16 +3171,17 @@ def emb_abtt_query_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         lambda x: F.floor(x.cast("double") * PCA_Q + F.lit(0.5)).cast("long"),
     )
-    base = emb.select("vec_id", v3.alias("v3")).withColumn(
-        "t",
-        F.aggregate(
-            F.zip_with("v3", lit_u, lambda x, ui: x * ui),
-            F.lit(0).cast("long"),
-            lambda acc, val: acc + val,
-        ),
+    vecs = emb.select("vec_id", v3.alias("v3"))
+    marr = _pca_marr(vecs)
+    base = (
+        vecs.crossJoin(F.broadcast(marr))
+        .select(
+            "vec_id", "v3", F.zip_with("v3", "marr", lambda x, m: x - m).alias("vc")
+        )
+        .withColumn("t", _dot_long("vc", lit_u))
     )
     c3 = F.zip_with(
-        "v3",
+        "vc",
         lit_u,
         lambda x, ui: F.floor(
             x - F.col("t").cast("double") * ui / F.lit(den_d) + F.lit(0.5)
@@ -3168,25 +3191,17 @@ def emb_abtt_query_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = corr.filter(F.col("vec_id") == 0).select(
         F.col("v3").alias("qv3"), F.col("c3").alias("qc3")
     )
-
-    def _dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, val: acc + val,
-        )
-
     scored = (
         corr.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
-            _dot("c3", "qc3").alias("dc"),
-            _dot("c3", "c3").alias("nc"),
-            _dot("qc3", "qc3").alias("qnc"),
-            _dot("v3", "qv3").alias("dr"),
-            _dot("v3", "v3").alias("nr"),
-            _dot("qv3", "qv3").alias("qnr"),
+            _dot_long("c3", "qc3").alias("dc"),
+            _dot_long("c3", "c3").alias("nc"),
+            _dot_long("qc3", "qc3").alias("qnc"),
+            _dot_long("v3", "qv3").alias("dr"),
+            _dot_long("v3", "v3").alias("nr"),
+            _dot_long("qv3", "qv3").alias("qnr"),
         )
         .filter(
             (F.col("nc") > 0) & (F.col("qnc") > 0)
