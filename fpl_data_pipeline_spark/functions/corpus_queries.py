@@ -1802,7 +1802,16 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docw = (
         docfeat.join(F.broadcast(lr), "bucket")
         .groupBy("doc_id")
-        .agg(F.sum(F.col("n") * F.col("lr6")).alias("w6"))
+        # per-doc sum in DECIMAL, like the corpus-level aggregate below: a
+        # LongType sum would wrap silently at ~2^63 micro-nats (a
+        # multi-hundred-billion-token doc) while the oracle sums in
+        # HUGEINT; the final long cast keeps the downstream schema and
+        # fails loudly (ANSI) instead of diverging quietly
+        .agg(
+            F.sum((F.col("n") * F.col("lr6")).cast("decimal(28,0)"))
+            .cast("long")
+            .alias("w6")
+        )
     )
     scored = (
         d.select("doc_id", "source")

@@ -410,6 +410,13 @@ def dupgraph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # list + per-node argmax window keyed by node — never global), identical
 # to the Pregel shape PageRank uses; LPA_ITER bounded, oracle unrolls the
 # rounds as CTEs.
+#
+# Known semantic caveat of the SYNCHRONOUS variant: on bipartite-ish
+# regions labels can oscillate with period 2, so odd vs even LPA_ITER can
+# report different (each internally consistent, engine-identical)
+# labelings. Deterministic and oracle-matched at any fixed LPA_ITER — but
+# treat the round count as part of the operator's definition, not a mere
+# convergence knob.
 LPA_ITER = 3
 
 

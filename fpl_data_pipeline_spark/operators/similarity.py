@@ -2720,7 +2720,22 @@ def _pca_power_iterate(
             # with the same constant)
             u = [1000000] * dim
             continue
-        u = [int(math.floor(float(x) / float(raw_mx) * 1000000 + 0.5)) for x in w]
+        # magnitude bound: the oracle accumulates these matvecs in
+        # HUGEINT (max ~1.7e38), which overflows — loudly — long before
+        # float() here could (~1.8e308); so past ~1.8e308 is unreachable
+        # anywhere the oracle still runs. The saturation below makes the
+        # conversion itself mirror DuckDB's HUGEINT->DOUBLE cast (to
+        # +/-inf) instead of raising mid-expression; a non-finite
+        # quotient then still fails loudly at the int() step, exactly
+        # where DuckDB's CAST(inf AS BIGINT) fails — identical
+        # degradation, no silent divergence window
+        def _fsat(x: int) -> float:
+            try:
+                return float(x)
+            except OverflowError:
+                return math.inf if x > 0 else -math.inf
+
+        u = [int(math.floor(_fsat(x) / _fsat(raw_mx) * 1000000 + 0.5)) for x in w]
     wf = [sum(gm[i][j] * u[j] for j in range(dim)) for i in range(dim)]
     num = sum(wf[i] * u[i] for i in range(dim))
     den = sum(x * x for x in u)

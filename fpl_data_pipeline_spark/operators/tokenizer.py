@@ -260,7 +260,15 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting candidates. Deterministic: exact integer pair counts with
     (count DESC, a ASC, b ASC) tiebreak; the DuckDB oracle replays every
     round as unrolled CTEs, so the driver value-checks the training loop
-    itself."""
+    itself.
+
+    Exhaustion contract: if a round finds NO adjacent pair (every vocab
+    word already collapsed to a single symbol), that round's 1-row argmax
+    is empty, its cross join applies no merge, and the output carries
+    FEWER than BPE_MERGES rows — with no sentinel. Consumers must treat
+    merge_rank as 1..row_count, not 1..BPE_MERGES. Identical on both
+    engines (the oracle's LIMIT 1 over an empty p{it} is the same empty
+    relation)."""
     d = table(spark, sf_dir, "documents")
     words = d.select(
         F.explode(
