@@ -632,11 +632,18 @@ _KMP_D2_SQL = (
 ).format(dim=DIM)
 
 
-def _kmp_cte_sql() -> str:
+def _kmp_cte_sql(k_sql: str = str(KMP_K)) -> str:
     """The shared WITH-body: 6-dp quantization, first-k seed, KMP_ITERS
     unrolled Lloyd steps, and the final assignment ``afinal(vec_id, v6,
     c_id, d2)`` — reused by the kmeans_portable oracle and by every oracle
-    that consumes the portable clustering (semdedup_prune)."""
+    that consumes the portable clustering (semdedup_prune).
+
+    ``k_sql`` is the cluster-count expression the seed filter evaluates:
+    the literal KMP_K by default (kmeans_portable's fixed twin), or a
+    scalar subquery over ``v`` for corpus-scaled consumers (semdedup's
+    ceil(n / SEM_TARGET_POP) — the oracle must replay whatever k the
+    Spark side derives, so the derivation lives IN the SQL, in the same
+    exact integer arithmetic)."""
     steps = []
     prev = "c0"
     for it in range(1, KMP_ITERS + 1):
@@ -680,8 +687,9 @@ def _kmp_cte_sql() -> str:
       FROM embeddings
     ),
     c0 AS (
-      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_id, v6 AS c6
-      FROM (SELECT vec_id, v6 FROM v ORDER BY vec_id LIMIT {KMP_K})
+      SELECT rn - 1 AS c_id, v6 AS c6
+      FROM (SELECT v6, row_number() OVER (ORDER BY vec_id) AS rn FROM v)
+      WHERE rn <= {k_sql}
     ),{",".join(steps)},{final}"""
 
 
@@ -698,19 +706,34 @@ def _kmp_oracle() -> str:
     """
 
 
-def kmp_assign(emb: DataFrame) -> DataFrame:
+def kmp_assign(emb: DataFrame, target_pop: int | None = None) -> DataFrame:
     """(vec_id, v6, c_id, d2): the final exact-integer Lloyd assignment
     after KMP_ITERS iterations — the engine half shared by
     kmeans_portable and semdedup_prune (both oracles replay it through
     the same _kmp_cte_sql). Collects only the k x dim centroid block per
-    iteration (bounded by k, never by the data)."""
+    iteration (bounded by k, never by the data).
+
+    ``target_pop`` is the corpus-scaled mode: k = max(KMP_K,
+    ceil(n / target_pop)) in exact integer arithmetic, so cluster
+    populations stay ~target_pop at ANY corpus size instead of growing
+    with it (the round-7 failure mode: fixed k=8 pushed every cluster
+    over SEM_CLUSTER_CAP at the 10x probe and the pair scan degenerated
+    to 0 executed pairs). The one extra job is a count over the cached
+    quantized vectors; the per-iteration driver traffic stays k x dim.
+    None keeps the fixed-k twin (kmeans_portable's stable contract)."""
     spark = emb.sparkSession
     v6 = F.transform(
         "embedding",
         lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5)).cast("long"),
     )
     vecs = emb.select("vec_id", v6.alias("v6")).cache()
-    cents = [list(r["v6"]) for r in vecs.orderBy("vec_id").limit(KMP_K).collect()]
+    k = KMP_K
+    if target_pop is not None:
+        n = vecs.count()
+        # ceil via integer arithmetic — the oracle's (COUNT(*) + p-1) // p
+        # must reproduce this bit-for-bit, so no float ceil on either side
+        k = max(KMP_K, (n + target_pop - 1) // target_pop)
+    cents = [list(r["v6"]) for r in vecs.orderBy("vec_id").limit(k).collect()]
 
     def score(cdf):
         d2 = F.aggregate(
@@ -2908,6 +2931,26 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plan-construction time, which the audit must never do).
 SEM_CLUSTER_CAP = 2000
 SEM_TAU = 0.9  # the paper's web-text operating range (~0.9-0.95)
+# Corpus-scaled k (round-8): semdedup derives k = max(KMP_K,
+# ceil(n / SEM_TARGET_POP)), so expected cluster population tracks
+# SEM_TARGET_POP at any corpus size and SEM_CLUSTER_CAP (4x the target)
+# stays the skew tripwire it was designed to be — firing on a genuinely
+# lopsided cluster, not on uniform growth. With the round-7 fixed k=8,
+# a 10x corpus pushed EVERY cluster over the cap and the operator
+# refused all work; now k grows instead (10x corpus -> 10x clusters,
+# same per-cluster quadratic block).
+SEM_TARGET_POP = SEM_CLUSTER_CAP // 4
+
+
+def _sem_k_sql() -> str:
+    """The oracle's k expression: the same max(KMP_K, ceil(n/pop)) the
+    Spark side computes, in the same integer arithmetic (DuckDB // is
+    integer floor-div on BIGINT), as a scalar subquery over the shared
+    quantized CTE v."""
+    return (
+        f"(SELECT GREATEST({KMP_K},"
+        f" (COUNT(*) + {SEM_TARGET_POP - 1}) // {SEM_TARGET_POP}) FROM v)"
+    )
 
 
 def _sem_capped_groups(
@@ -2930,7 +2973,7 @@ def _sem_capped_groups(
 def _sem_oracle() -> str:
     dim = DIM
     return f"""
-    WITH {_kmp_cte_sql()},
+    WITH {_kmp_cte_sql(_sem_k_sql())},
     sizes AS (SELECT c_id, COUNT(*) AS n_members FROM afinal GROUP BY c_id),
     okm AS (
       SELECT a.* FROM afinal a JOIN sizes s USING (c_id)
@@ -2980,14 +3023,17 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering: semantic-duplicate pairs at cosine >= SEM_TAU, vectors
     pruned under the keep-lowest-vec_id rule, and the cluster prune rate.
     A capped = 1 row means the cluster exceeded SEM_CLUSTER_CAP and was
-    excluded from the pair scan — at production scale the fix is more
-    clusters (k grows with the corpus), never a bigger quadratic block."""
+    excluded from the pair scan. k is corpus-scaled (max(KMP_K,
+    ceil(n / SEM_TARGET_POP)), replayed identically by the oracle's
+    scalar subquery), so uniform corpus growth adds clusters rather than
+    cluster population — the cap now fires only on genuine skew, never
+    on scale."""
     from fpl_data_pipeline_spark.operators.dedup import (
         _expand_member_pairs_streaming,
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    assigned = kmp_assign(emb)
+    assigned = kmp_assign(emb, target_pop=SEM_TARGET_POP)
     sizes, okm, groups = _sem_capped_groups(assigned)
     n2 = F.aggregate(
         F.zip_with("v6", "v6", lambda x, y: x * y),

@@ -1,0 +1,122 @@
+"""Round-8 operator tests: corpus-scaled SemDeDup k (verdict task #1) and
+the BPE trainer's eager-checkpoint cadence (verdict task #2).
+
+The round-7 failure mode under test: with fixed k=8, a 10x corpus pushed
+every k-means cluster over SEM_CLUSTER_CAP and semdedup_prune degenerated
+to 0 executed pairs. Round 8 derives k = max(KMP_K, ceil(n /
+SEM_TARGET_POP)) in exact integer arithmetic ON BOTH ENGINES (the Spark
+side from a count over the cached quantized vectors, the oracle from a
+scalar subquery over the shared quantized CTE), so cluster population
+tracks the target at any corpus size.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+import fpl_data_pipeline_spark.operators.similarity as S
+from fpl_data_pipeline_spark.operators.similarity import DIM
+
+
+def test_sem_k_formula_integer_equivalence():
+    """The Spark-side k derivation and the oracle's GREATEST/(//) SQL must
+    agree at every boundary — same max, same ceil, no float anywhere."""
+    con = duckdb.connect()
+    pop = S.SEM_TARGET_POP
+    kmp = S.KMP_K
+    for n in [1, 7, 8, 9, pop - 1, pop, pop + 1, 4 * pop * kmp // 4 - 1,
+              kmp * pop, kmp * pop + 1, 10 * kmp * pop + 3]:
+        py_k = max(kmp, (n + pop - 1) // pop)
+        sql_k = con.execute(
+            f"SELECT GREATEST({kmp}, ({n} + {pop - 1}) // {pop})"
+        ).fetchone()[0]
+        assert py_k == sql_k, (n, py_k, sql_k)
+
+
+@pytest.fixture()
+def scaled_semdup_dir(spark, tmp_path):
+    """300 vectors in 12 well-separated direction groups + 4 planted
+    near-copies — big enough that a monkeypatched SEM_TARGET_POP=20 forces
+    k = ceil(300+4/20) = 16 > KMP_K, exercising the corpus-scaled path the
+    sf0.01 driver window (where k stays at KMP_K) cannot reach."""
+    rng = np.random.RandomState(17)
+    base = rng.randn(12, DIM)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for g in range(12):
+        for _ in range(25):
+            v = base[g] * 5.0 + 0.3 * rng.randn(DIM)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    dup = base[3] * 5.0 + 0.3 * rng.randn(DIM)
+    dup_ids = []
+    for _ in range(4):
+        v = dup + 0.001 * rng.randn(DIM)
+        rows.append((vid, [float(x) for x in v]))
+        dup_ids.append(vid)
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(out + "/embeddings.parquet")
+    return out, dup_ids
+
+
+def test_semdedup_scaled_k_oracle_parity(spark, scaled_semdup_dir, monkeypatch):
+    """With k driven past KMP_K by the corpus size, Spark and the
+    REGENERATED oracle (same monkeypatched SEM_TARGET_POP — _sem_oracle
+    reads the module globals at call time) must agree exactly, and the
+    clustering must actually have used the derived k."""
+    sf_dir, dup_ids = scaled_semdup_dir
+    monkeypatch.setattr(S, "SEM_TARGET_POP", 20)
+    got = S.semdedup_prune(spark, sf_dir).collect()
+
+    # the derived k fired: more clusters than the fixed-k twin can make
+    assert len(got) > S.KMP_K
+    # and none of them is capped (uniform growth -> more clusters, not
+    # bigger ones: the round-7 collapse is structurally gone)
+    assert sum(r["capped"] for r in got) == 0
+    # the planted family still gets pruned under the new clustering
+    assert sum(r["n_pruned"] for r in got) >= len(dup_ids) - 1
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{sf_dir}/embeddings.parquet/*.parquet'"
+    )
+    oracle = con.execute(S._sem_oracle()).fetchall()
+    assert len(oracle) == len(got)
+    for g, o in zip(sorted(got, key=lambda r: r["cluster_id"]), oracle):
+        assert (g["cluster_id"], g["n_members"], g["capped"]) == (
+            o[0], o[1], o[2],
+        ), (g, o)
+        assert (g["n_dup_pairs"], g["n_pruned"]) == (o[3], o[4]), (g, o)
+        assert abs(g["prune_rate"] - o[5]) < 1e-12, (g, o)
+
+
+def test_kmp_assign_fixed_twin_unchanged(spark, scaled_semdup_dir):
+    """kmeans_portable's contract: kmp_assign with NO target_pop still
+    seeds exactly KMP_K centroids regardless of corpus size."""
+    from fpl_data_pipeline_spark.tables import table
+
+    sf_dir, _ = scaled_semdup_dir
+    a = S.kmp_assign(table(spark, sf_dir, "embeddings"))
+    assert a.agg({"c_id": "max"}).first()[0] < S.KMP_K
+
+
+def test_semdedup_scaled_k_pairs_execute_under_blowup(
+    spark, scaled_semdup_dir, monkeypatch
+):
+    """The exact round-7 degeneration, in miniature: clusters at ~4x the
+    target population would breach the cap under fixed k; with the
+    corpus-scaled k the scan executes real pairs. Cap = 4x target (the
+    production ratio), corpus 304 vecs, target 20 -> expected pop ~19,
+    cap 80 — nothing capped, pairs > 0."""
+    sf_dir, _ = scaled_semdup_dir
+    monkeypatch.setattr(S, "SEM_TARGET_POP", 20)
+    monkeypatch.setattr(S, "SEM_CLUSTER_CAP", 80)
+    got = S.semdedup_prune(spark, sf_dir).collect()
+    assert sum(r["capped"] for r in got) == 0
+    assert sum(r["n_dup_pairs"] for r in got) > 0

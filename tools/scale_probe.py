@@ -57,28 +57,34 @@ _ASSIGN_MEMO: dict = {}
 
 
 def _kmp_assigned(spark, sf_dir):
-    """Memoized portable k-means assignment per scale dir — kmp_assign
-    runs KMP_ITERS collect-driven Lloyd rounds, so the two semdedup
-    probes below must share one training run, not pay it twice. Note the
-    Lloyd cost lands here at construction time, OUTSIDE the per-family
-    'sec' timing: the probe times the candidate expansion, by design."""
+    """Memoized portable k-means assignment per scale dir, in the
+    corpus-scaled mode semdedup_prune itself uses (k = max(KMP_K,
+    ceil(n / SEM_TARGET_POP))) — kmp_assign runs KMP_ITERS collect-driven
+    Lloyd rounds, so the two semdedup probes below must share one
+    training run, not pay it twice. Note the Lloyd cost lands here at
+    construction time, OUTSIDE the per-family 'sec' timing: the probe
+    times the candidate expansion, by design."""
     if sf_dir not in _ASSIGN_MEMO:
-        from fpl_data_pipeline_spark.operators.similarity import kmp_assign
+        from fpl_data_pipeline_spark.operators.similarity import (
+            SEM_TARGET_POP,
+            kmp_assign,
+        )
         from fpl_data_pipeline_spark.tables import table
 
-        _ASSIGN_MEMO[sf_dir] = kmp_assign(table(spark, sf_dir, "embeddings"))
+        _ASSIGN_MEMO[sf_dir] = kmp_assign(
+            table(spark, sf_dir, "embeddings"), target_pop=SEM_TARGET_POP
+        )
     return _ASSIGN_MEMO[sf_dir]
 
 
 def semdedup_candidate_pairs(spark, sf_dir):
     """Within-cluster SemDeDup pair set (pre-cosine) — the
-    SEM_CLUSTER_CAP-bounded quadratic block scan (round-7 continuation),
-    built by the SAME _sem_capped_groups helper the query uses. With
-    fixed KMP_K the blowup pushes every cluster over the cap, so the
-    blown-scale count collapses to 0: that IS the tripwire firing (the
-    production fix is k growing with the corpus, never a bigger block);
-    the analytic capped-vs-uncapped join-row accounting is reported by
-    cap_effect alongside."""
+    SEM_CLUSTER_CAP-bounded quadratic block scan, built by the SAME
+    _sem_capped_groups helper the query uses, over the SAME corpus-scaled
+    clustering (round 8: k grows with the corpus, so the blowup now adds
+    clusters instead of pushing every cluster over the cap — the round-7
+    collapse-to-0 tripwire is retired by construction, and the probe's
+    job is to show the pair count grows ~linearly with the corpus)."""
     from fpl_data_pipeline_spark.operators.dedup import (
         _expand_member_pairs_streaming,
     )
