@@ -196,6 +196,15 @@ def wordpiece_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # symbol (the standard practice: a byte-level alphabet handles the rest;
 # the restriction is the documented contract of this trainer).
 BPE_MERGES = 4
+# Lineage cadence (round 8): each round's vocab plan is one crossJoin +
+# replace() on top of the previous round's, so without truncation the
+# analyzed plan grows linearly with the merge count — the same
+# lineage-creep class connected_components hit at 442 joins. A LAZY
+# checkpoint every BPE_CKPT_EVERY rounds bounds the chain at a constant
+# number of stacked rounds while keeping construction job-free (the
+# plan-only doctrine); the A/B at 16/32 merges (tools/bpe_scale_ab.py,
+# BENCH_NOTES) is the flat-per-round-cost evidence.
+BPE_CKPT_EVERY = 8
 
 
 def _bpe_merge_oracle() -> str:
@@ -269,7 +278,14 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge_rank as 1..row_count, not 1..BPE_MERGES. Identical on both
     engines (the oracle's LIMIT 1 over an empty p{it} is the same empty
     relation)."""
-    d = table(spark, sf_dir, "documents")
+    return bpe_merge_table(bpe_vocab(table(spark, sf_dir, "documents")), BPE_MERGES)
+
+
+def bpe_vocab(d: DataFrame) -> DataFrame:
+    """The one corpus-sized pass: documents -> (freq, seq) trainable
+    vocabulary (Heaps' law keeps it ~10^5-10^6 rows at any corpus size),
+    lazily checkpointed so every training round reads the collapsed table,
+    never the corpus."""
     words = d.select(
         F.explode(
             F.filter(
@@ -277,64 +293,92 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda w: w != "",
             )
         ).alias("word")
-    ).filter(F.col("word").rlike("^[a-z0-9]+$"))
+    )
+    return bpe_vocab_from_words(words)
+
+
+def bpe_vocab_from_words(words: DataFrame) -> DataFrame:
+    """(freq, seq) vocabulary from a one-column ``word`` frame — the
+    [a-z0-9]+ trainable-unit contract and the _sym_-delimited char
+    sequence live here so bpe_vocab and the vocab-scale stress harness
+    (tools/bpe_scale_ab.py) collapse words identically."""
     chars = F.transform(
         F.sequence(F.lit(1), F.length("word")),
         lambda i: F.col("word").substr(i, F.lit(1)),
     )
     seq0 = F.concat(F.lit("_"), F.array_join(chars, "__"), F.lit("_"))
-    vocab = (
-        words.groupBy("word")
+    return (
+        words.filter(F.col("word").rlike("^[a-z0-9]+$"))
+        .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select("freq", seq0.alias("seq"))
-        .localCheckpoint(eager=False)  # the one corpus-sized pass
+        .localCheckpoint(eager=False)
     )
+
+
+def bpe_round(v: DataFrame, it: int) -> tuple[DataFrame, DataFrame]:
+    """One training round over the (freq, seq) vocabulary: returns
+    (merge_row, next_v) — the 1-row winner labeled with merge_rank=it and
+    the vocabulary with that merge applied. The winner is lazily
+    checkpointed (it feeds both the output union and next_v's broadcast);
+    shared verbatim by bpe_train_merges and tools/bpe_scale_ab.py so the
+    measured loop IS the shipped loop."""
+    syms = F.filter(F.split("seq", "_"), lambda x: x != "")
+    pairs = (
+        v.select("freq", syms.alias("s"))
+        .filter(F.size("s") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("s") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("s"), i).alias("a"),
+                        F.element_at(F.col("s"), i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+    top = (
+        pairs.orderBy(
+            F.col("pair_count").desc(), F.col("a").asc(), F.col("b").asc()
+        )
+        .limit(1)
+        .localCheckpoint(eager=False)  # 1-row winner feeds two consumers
+    )
+    merge_row = top.select(
+        F.lit(it).alias("merge_rank"),
+        F.col("a").alias("sym_a"),
+        F.col("b").alias("sym_b"),
+        F.concat("a", "b").alias("merged"),
+        "pair_count",
+    )
+    applied = F.replace(
+        F.col("seq"),
+        F.concat(F.lit("_"), F.col("a"), F.lit("__"), F.col("b"), F.lit("_")),
+        F.concat(F.lit("_"), F.col("a"), F.col("b"), F.lit("_")),
+    )
+    next_v = v.crossJoin(F.broadcast(top.select("a", "b"))).select(
+        "freq", applied.alias("seq")
+    )
+    return merge_row, next_v
+
+
+def bpe_merge_table(vocab: DataFrame, n_merges: int) -> DataFrame:
+    """n_merges training rounds over a (freq, seq) vocabulary, lineage
+    truncated every BPE_CKPT_EVERY rounds (lazy — construction stays
+    job-free; the checkpoint materializes on first evaluation and bounds
+    the stacked-round plan depth at the cadence)."""
     tops = []
     v = vocab
-    for it in range(1, BPE_MERGES + 1):
-        syms = F.filter(F.split("seq", "_"), lambda x: x != "")
-        pairs = (
-            v.select("freq", syms.alias("s"))
-            .filter(F.size("s") >= 2)
-            .select(
-                "freq",
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("s") - 1),
-                        lambda i: F.struct(
-                            F.element_at(F.col("s"), i).alias("a"),
-                            F.element_at(F.col("s"), i + 1).alias("b"),
-                        ),
-                    )
-                ).alias("p"),
-            )
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("freq").alias("pair_count"))
-        )
-        top = (
-            pairs.orderBy(
-                F.col("pair_count").desc(), F.col("a").asc(), F.col("b").asc()
-            )
-            .limit(1)
-            .localCheckpoint(eager=False)  # 1-row winner feeds two consumers
-        )
-        tops.append(
-            top.select(
-                F.lit(it).alias("merge_rank"),
-                F.col("a").alias("sym_a"),
-                F.col("b").alias("sym_b"),
-                F.concat("a", "b").alias("merged"),
-                "pair_count",
-            )
-        )
-        applied = F.replace(
-            F.col("seq"),
-            F.concat(F.lit("_"), F.col("a"), F.lit("__"), F.col("b"), F.lit("_")),
-            F.concat(F.lit("_"), F.col("a"), F.col("b"), F.lit("_")),
-        )
-        v = v.crossJoin(F.broadcast(top.select("a", "b"))).select(
-            "freq", applied.alias("seq")
-        )
+    for it in range(1, n_merges + 1):
+        merge_row, v = bpe_round(v, it)
+        tops.append(merge_row)
+        if it % BPE_CKPT_EVERY == 0 and it < n_merges:
+            v = v.localCheckpoint(eager=False)
     out = tops[0]
     for t in tops[1:]:
         out = out.unionByName(t)

@@ -106,6 +106,35 @@ def test_kmp_assign_fixed_twin_unchanged(spark, scaled_semdup_dir):
     assert a.agg({"c_id": "max"}).first()[0] < S.KMP_K
 
 
+def test_bpe_merge_table_16_rounds_crosses_ckpt_boundary(spark, tmp_path):
+    """bpe_merge_table at 16 merges — twice across the BPE_CKPT_EVERY=8
+    lazy-checkpoint boundary — must equal the textbook trainer exactly:
+    the lineage truncation is a physical cadence, never a semantic one."""
+    from test_round7b_ops import _bpe_reference, _word_freqs, _write_docs
+
+    from fpl_data_pipeline_spark.operators.tokenizer import (
+        bpe_merge_table,
+        bpe_vocab,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    words = [
+        "".join(rng.choice("abcd") for _ in range(rng.randint(2, 9)))
+        for _ in range(60)
+    ]
+    texts = [" ".join(rng.choices(words, k=30)) for _ in range(15)]
+    sf_dir = _write_docs(spark, tmp_path, texts)
+    d = spark.read.parquet(sf_dir + "/documents.parquet")
+    got = [
+        (r["merge_rank"], r["sym_a"], r["sym_b"], r["merged"], r["pair_count"])
+        for r in bpe_merge_table(bpe_vocab(d), 16).collect()
+    ]
+    assert got == _bpe_reference(_word_freqs(texts), 16)
+    assert len(got) == 16
+
+
 def test_semdedup_scaled_k_pairs_execute_under_blowup(
     spark, scaled_semdup_dir, monkeypatch
 ):
