@@ -971,7 +971,18 @@ def winnowing_candidate_pairs(d: DataFrame, fp_cap: int = WINNOW_FP_CAP) -> Data
     # first bounds aggregation state to one long per fingerprint; the join
     # back is one extra exchange — the same trade every other capped
     # family made. collect_list suffices after the distinct.
-    fps = winnow_doc_fingerprints(d)
+    # lazy checkpoint (round 8): the pre-pass gave the exploded relation
+    # TWO consumers (the df count agg and the join probe) and no
+    # ReusedExchange fires (verified: 2 parquet scans in the executed
+    # plan), so the per-gram md5 + window-min transform — the query's
+    # most expensive stage — ran twice. Materializing (doc_id, fp) once
+    # is linear in the corpus and construction stays job-free. Interleaved
+    # A/B at the 10x blowup: ~2x faster (medians ~23.7 s -> ~11.1 s); at
+    # sf0.1 it is noise-neutral because the stage is cheap there
+    # (BENCH_NOTES round 8). The residual ~+25% vs the round-6
+    # post-collect shape is the join-back exchange — the documented price
+    # of a bounded aggregation buffer at 100 TB, re-measured and kept.
+    fps = winnow_doc_fingerprints(d).localCheckpoint(eager=False)
     keep = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("dfp"))

@@ -40,7 +40,13 @@ SF_DIR = "/root/testdata/sf0.001"
 # adds at least one job beyond this budget and fails the assertion.
 CONSTRUCTION_LAZY = {
     "emb_neardup_pairs": 1,  # ids pin is scan-only -> nothing to execute
-    "dedup_winnowing_pairs": 1,  # pin-free since the round-7 pre-pass
+    # round 8: the fps pin (one compute of the md5+window-min stage for
+    # the pre-pass's two consumers; 2x at the 10x blowup) sits above
+    # _ensure_parallel's conditional repartition, so on a BELOW-PARALLEL
+    # input like sf0.001 the lazy checkpoint's toRdd finalizes that
+    # exchange (1 job — the exchange-bearing-pin class documented above);
+    # on already-parallel inputs the subtree is scan-only and job-free
+    "dedup_winnowing_pairs": 2,
     "dedup_span_matches": 1,  # pin-free
     "dedup_segment_boilerplate": 1,  # segs pin is scan-only
     "candidate_cap_audit": 5,  # pin-free; documents/embeddings/customer/lineitem/orders
