@@ -140,3 +140,72 @@ def test_ppm_decoder_header_comments_and_whitespace():
     feats = decode_payload(payload, "image/ppm")
     assert feats != decode_stub(payload)
     assert feats[5] == 2.0 and feats[6] == 1.0
+
+
+def _bmp24(w: int, h: int, rgb_rows: list[list[tuple[int, int, int]]],
+           top_down: bool = False) -> bytes:
+    """Minimal BITMAPINFOHEADER 24bpp BI_RGB writer (rows given TOP-first
+    visually; storage order follows the header's sign convention)."""
+    stride = (w * 3 + 3) & ~3
+    rows = rgb_rows if top_down else list(reversed(rgb_rows))
+    raster = b"".join(
+        b"".join(bytes((b, g, r)) for (r, g, b) in row).ljust(stride, b"\x00")
+        for row in rows
+    )
+    size = 54 + len(raster)
+    hdr = (
+        b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + (-h if top_down else h).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + b"\x00" * 20
+    )
+    return hdr + raster
+
+
+def test_bmp_decoder_runs_real_branch_in_container():
+    """The pure-Python BMP decoder is the SECOND in-container real-codec
+    format (round 8): exact luma stats, bottom-up row order unwound."""
+    # visual: red, green / blue, white — same pixels as the PPM test, so
+    # the two real formats must produce IDENTICAL features except byte_len
+    payload = _bmp24(2, 2, [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]])
+    feats = decode_payload(payload, "image/bmp")
+    assert feats != decode_stub(payload)
+    lum = {"r": 255 * 299 // 1000, "g": 255 * 587 // 1000, "b": 255 * 114 // 1000}
+    assert feats[1] == float(min(lum.values()))
+    assert feats[2] == 255.0
+    assert feats[3] == float(lum["r"])  # first sampled = visual top-left
+    assert feats[4] == 255.0            # last sampled = visual bottom-right
+    assert feats[5] == 2.0 and feats[6] == 2.0
+    assert feats[7] == float(len(payload))
+    assert feats[0] == (16 * (lum["r"] + lum["g"] + lum["b"] + 255)) / 64.0
+
+    ppm = _p6(2, 2, [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]])
+    assert decode_payload(ppm, "image/ppm")[:7] == feats[:7]
+
+
+def test_bmp_decoder_top_down_rows():
+    """Negative biHeight stores rows top-first; visual stats must match the
+    bottom-up encoding of the same image."""
+    rows = [[(10, 20, 30), (40, 50, 60)], [(70, 80, 90), (200, 210, 220)]]
+    up = decode_payload(_bmp24(2, 2, rows), "image/bmp")
+    down = decode_payload(_bmp24(2, 2, rows, top_down=True), "image/bmp")
+    assert up[:7] == down[:7]
+    assert up != decode_stub(_bmp24(2, 2, rows))
+
+
+def test_bmp_decoder_rejects_malformed_payloads():
+    good = _bmp24(2, 2, [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (10, 11, 12)]])
+    cases = [
+        b"BM" + good[2:40],                       # truncated raster
+        b"BX" + good[2:],                         # wrong magic
+        good[:30] + (1).to_bytes(4, "little") + good[34:],   # RLE compression
+        good[:28] + (8).to_bytes(2, "little") + good[30:],   # palette bpp
+        good[:14] + (124).to_bytes(4, "little") + good[18:], # BITMAPV5HEADER
+    ]
+    for payload in cases:
+        assert decode_payload(payload, "image/bmp") == decode_stub(payload), (
+            payload[:20]
+        )
