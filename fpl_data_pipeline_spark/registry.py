@@ -45,97 +45,87 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 
 
 # The driver's correctness gate checks the FIRST 50 registered queries per
-# round. Round-7 window: the continuity anchor first; then EVERY oracled
-# query whose physical plan (or UDF behavior) changed this round — the
-# doc_bigrams tokenization-projection consumers, the count-agg pre-pass
-# migrations (_set_overlap_stats df-cap, WINNOW_FP_CAP, SPAN_DF_CAP) and
-# their whole Jaccard/containment/consensus/dup-graph consumer tree, the
-# connected-components probe fusion, the lazy-checkpoint flips
-# (emb_neardup / phrase search / portable simhash / minhash-estimate /
-# hashed-vector / prefix-filter / segment-boilerplate), the eleven-family
-# candidate_cap_audit with its factored keyed-relation helpers
-# (record_linkage_scores, geo_proximity_pairs), and the multimodal decode
-# dispatch (multimodal_features). This also closes the round-6 policy
-# exception by windowing dedup_consensus_pairs. lm_heldout_perplexity and
-# doc_novelty_scores ride along per the round-6 verdict's task #1 wording
-# (helper-family consumers). The remaining slots re-prove sibling queries
-# of the touched helpers plus headline stalwarts — the never-windowed
-# backlog has been zero since round 6 and stays zero. The four
-# rows-only-by-design names (dedup_minhash_pairs, dedup_simhash_pairs,
-# dedup_clusters, kmeans_embeddings) stay out: a driver rows-only check
-# adds nothing over the planted-pair VALUE checks in
-# tests/test_cap_guards.py, which pin them to the oracle-checked md5 twins.
-# Round-7 continuation: six new LLM-pipeline operators (distributed PCA,
-# DSIR, SemDeDup, the BPE merge trainer, LPA communities, the applied
-# all-but-the-top correction) and the kmp_assign refactor's consumer
-# kmeans_portable take seven slots; seven unchanged, cumulatively-green
-# re-proof fillers (text_token_counts, text_lang_id, zipf_alpha_words,
-# source_lexical_diversity, tfidf_top_terms, vocab_oov_rates,
-# doc_packing_summary) rotate out to hold the window at 50.
+# round. Window policy (round-8, encoding the round-7 verdict's task #5):
+#
+#   1. the continuity anchor (flagship) first;
+#   2. then EVERY oracled query whose physical plan or UDF behavior
+#      changed this round (the changed-plans-in-window invariant);
+#   3. every REMAINING slot goes to the OLDEST-GREEN queries first —
+#      staleness = the most recent round whose CORRECTNESS_r0N.json shows
+#      the name green — so no cumulative green can age unboundedly (by
+#      round 7 some round-1 greens were six rounds stale; under this rule
+#      the staleness ceiling is ceil(229 unchanged names / ~40 spare
+#      slots) ≈ 6 windows and FALLS as the changed set shrinks). Ties
+#      break alphabetically for reproducibility.
+#
+# The four rows-only-by-design names (dedup_minhash_pairs,
+# dedup_simhash_pairs, dedup_clusters, kmeans_embeddings) stay out: a
+# driver rows-only check adds nothing over the planted-pair VALUE checks
+# in tests/test_cap_guards.py, which pin them to oracle-checked md5 twins.
+#
+# Round-8 changed set (9 + anchor): semdedup_prune (corpus-scaled k; its
+# oracle now derives k via a scalar subquery) and kmeans_portable (the
+# shared _kmp_cte_sql seed became an rn-filter); dsir_importance_weights
+# (per-doc weight sum in decimal); bpe_train_merges (bpe_round refactor +
+# BPE_CKPT_EVERY lineage cadence); dedup_winnowing_pairs (fps lazy pin);
+# multimodal_features + binary_ingest_arrow (BMP decoder in the decode
+# dispatch); emb_pca_top_component + emb_abtt_query_shift (saturating
+# float conversion in the shared power iteration). The other 40 slots are
+# the 40 alphabetically-first of the 44 queries whose last green window
+# is round 1 — the stalest cohort in the registry.
 DRIVER_WINDOW_PRIORITY = [
     "flagship_customer_activity",
-    # --- plans/behavior changed in round 7 -> driver-proven this round ---
-    # doc_bigrams projection fix + helper-family consumers
-    "text_top_bigrams",
-    "quality_bigram_surprisal",
-    "quality_repetition_signals",
-    "lm_heldout_perplexity",
-    "doc_novelty_scores",
-    # count-agg pre-pass migrations + their consumer tree
-    "dedup_ngram_jaccard",
-    "dedup_charngram_jaccard",
-    "dedup_containment_pairs",
-    "dedup_consensus_pairs",
-    "dedup_threshold_sweep",
-    "dedup_winnowing_pairs",
-    "dedup_span_matches",
-    "dupgraph_degree_stats",
-    "pagerank_dupgraph",
-    "dupgraph_triangle_stats",
-    "dupgraph_kcore_peel",
-    # connected-components probe fusion
-    "dedup_clusters_exact",
-    "dedup_clusters_portable",
-    "dedup_apply_summary",
-    "emb_semantic_clusters",
-    # lazy-checkpoint flips
-    "emb_neardup_pairs",
-    "phrase_search_topdocs",
-    "dedup_simhash_portable",
-    "minhash_estimate_error",
-    "text_hash_vector_dups",
-    "dedup_prefix_filter_pairs",
-    "dedup_segment_boilerplate",
-    # eleven-family cap audit + factored keyed-relation helpers
-    "candidate_cap_audit",
-    "record_linkage_scores",
-    "geo_proximity_pairs",
-    # multimodal decode dispatch (PPM real path + bounded PIL decode)
-    "multimodal_features",
-    # --- new in the round-7 continuation: LLM-pipeline additions ---
-    # distributed PCA (all-but-the-top anisotropy gate), DSIR importance
-    # resampling, SemDeDup within-cluster prune; kmeans_portable rides
-    # along because its assignment stage was factored into the shared
-    # kmp_assign helper semdedup consumes (plan-bearing code touched)
-    "emb_pca_top_component",
-    "dsir_importance_weights",
+    # --- plans/behavior changed in round 8 -> driver-proven this round ---
     "semdedup_prune",
-    "bpe_train_merges",
-    "dupgraph_lpa_communities",
-    "emb_abtt_query_shift",
     "kmeans_portable",
-    # --- re-proof rotation: siblings of touched helpers + headliners ---
-    "dedup_minhash_portable",
-    "dedup_hybrid_verify",
-    "hybrid_search_topk",
-    "contamination_overlap",
-    "quality_unigram_surprisal",
-    "cf_item_similarity",
-    "text_quality_scores",
-    "dedup_exact_groups",
-    "dedup_cross_source_matrix",
-    "dedup_intradoc_segments",
+    "dsir_importance_weights",
+    "bpe_train_merges",
+    "dedup_winnowing_pairs",
+    "multimodal_features",
     "binary_ingest_arrow",
+    "emb_pca_top_component",
+    "emb_abtt_query_shift",
+    # --- staleness rotation: the 40 oldest greens (all last-green r1) ---
+    "agg_avg_const_divisor",
+    "agg_filtered_pivot",
+    "agg_supplier_stats",
+    "anti_join_orphans",
+    "asof_join_cogrouped",
+    "asof_join_purchase_click",
+    "coalesce_outer",
+    "concat_names",
+    "count_by_status",
+    "cube_order_priority_status",
+    "derived_ratio",
+    "dim_decorate",
+    "distinct_periods",
+    "except_lapsed_customers",
+    "explode_part_words",
+    "filter_equality",
+    "filter_isnull_postjoin",
+    "filter_range_hwm",
+    "grouping_sets_lineitem",
+    "high_water_mark",
+    "intersect_repeat_customers",
+    "join_multiway_revenue",
+    "json_extract",
+    "map_decode",
+    "percentile_prices_by_flag",
+    "projection",
+    "range_join_signup_activity",
+    "rollup_lineitem_status",
+    "salted_agg_user_activity",
+    "semi_join",
+    "stats_agg_lineitem",
+    "topk_basic",
+    "topk_last_3_periods",
+    "topk_order_revenue",
+    "topk_part_revenue",
+    "topk_supplier_volume",
+    "topk_value_ratio",
+    "union_all_frames",
+    "window_lag_delta",
+    "window_moving_sum",
 ]
 
 

@@ -185,6 +185,33 @@ def cap_effect_with_boilerplate(spark, sf_dir: str) -> dict:
     return _cap_effect_over(spark, docs)
 
 
+def query_growth(spark, base_dir: str, blown_dir: str) -> dict:
+    """Full-query wall-time growth for the round-7 operators whose scale
+    story is NOT a candidate-pair count (round-8 extension): DSIR's
+    bucket-count table is B-bounded but its doc-weight join is
+    corpus-sized, and LPA is iteration-count x edge-shuffle. Times one
+    warm execution at each scale (cold JIT paid by an untimed first run
+    at the base dir) and reports blown/base wall ratios — ~factor or
+    below means the corpus-sized stages are linear, which is the claim."""
+    from fpl_data_pipeline_spark.registry import QUERIES, load_all
+
+    load_all()
+    out = {}
+    for name in ("dsir_importance_weights", "dupgraph_lpa_communities"):
+        fn = QUERIES[name]
+        fn(spark, base_dir).count()  # warm JIT/codegen once
+        secs = {}
+        for tag, d in (("base", base_dir), ("blown", blown_dir)):
+            t0 = time.perf_counter()
+            fn(spark, d).count()
+            secs[tag] = round(time.perf_counter() - t0, 2)
+        out[name] = {
+            **secs,
+            "time_ratio": round(secs["blown"] / max(secs["base"], 1e-9), 2),
+        }
+    return out
+
+
 def probe(spark, sf_dir: str) -> dict:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -213,6 +240,7 @@ def main() -> None:
     blown = probe(spark, blown_dir)
     caps = cap_effect(spark, blown_dir)
     caps["semdedup_clusters"] = semdedup_cluster_rows(spark, blown_dir)
+    qgrowth = query_growth(spark, base_dir, blown_dir)
     caps_bp = cap_effect_with_boilerplate(spark, blown_dir)
     growth = {
         k: {
@@ -238,6 +266,7 @@ def main() -> None:
                 "base": base,
                 "blown": blown,
                 "growth": growth,
+                "full_query_growth": qgrowth,
                 "cap_effect_at_blown": caps,
                 "cap_effect_at_blown_with_boilerplate_footer": caps_bp,
             }
