@@ -83,6 +83,40 @@ def _cpu_canary_ms() -> float:
     return round((time.perf_counter() - t0) * 1000, 1)
 
 
+def _short_canary_ms() -> float:
+    """1/4-size canary (~60 ms idle) cheap enough to run around EVERY
+    query rep. Round-7 verdict task #4: the box takes external load
+    bursts MID-run (minhash [4.7, 19.5, 7.8] in one session), so gating
+    only the run start lets a burst land inside a rep and skew the
+    committed median. The inline canary runs on the driver thread while
+    our own executors are idle (before/after the rep, never during), so
+    a slow reading means EXTERNAL contention, not self-load."""
+    t0 = time.perf_counter()
+    h = 0
+    for i in range(500_000):
+        h = (h * 1315423911 + i) & 0xFFFFFFFFFFFFFFFF
+    return (time.perf_counter() - t0) * 1000
+
+
+def _gated_rep(fn, base_ms: float, max_attempts: int = 3):
+    """(seconds, discarded, suspect): time one rep, discarding and
+    re-running it when the surrounding inline canaries exceed 1.2x the
+    run-start baseline (an external burst overlapped the rep). Bounded:
+    after max_attempts the last timing stands and is flagged suspect, so
+    a permanently busy host still yields an artifact that self-reports."""
+    discarded = 0
+    for _ in range(max_attempts):
+        pre = _short_canary_ms()
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        post = _short_canary_ms()
+        if pre <= 1.2 * base_ms and post <= 1.2 * base_ms:
+            return dt, discarded, False
+        discarded += 1
+    return dt, discarded - 1, True
+
+
 def _jvm_count() -> int:
     """Concurrent JVMs on the host (contention evidence for the bench JSON)."""
     n = 0
@@ -169,11 +203,20 @@ def main() -> None:
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     runs: dict[str, list[float]] = {n: [] for n in HEADLINE if n in QUERIES}
+    # run-start baseline for the per-rep canary gate: best of 3 (the MIN is
+    # the machine's true idle speed; any mean would bake a burst into the
+    # baseline and blind the gate)
+    base_ms = min(_short_canary_ms() for _ in range(3))
+    discarded: dict[str, int] = {n: 0 for n in runs}
+    suspect: dict[str, int] = {n: 0 for n in runs}
     for _ in range(reps):
         for name in runs:
-            t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).count()
-            runs[name].append(time.perf_counter() - t0)
+            dt, disc, sus = _gated_rep(
+                lambda n=name: QUERIES[n](spark, sf_dir).count(), base_ms
+            )
+            runs[name].append(dt)
+            discarded[name] += disc
+            suspect[name] += int(sus)
 
     timings = {n: round(statistics.median(ts), 3) for n, ts in runs.items()}
     total = round(sum(timings.values()), 3)
@@ -199,6 +242,12 @@ def main() -> None:
             # single-thread CPU calibration (see _cpu_canary_ms): compare
             # across rounds before attributing query drift to plans
             "cpu_canary_ms": _cpu_canary_ms(),
+            # per-rep canary gate (round-8): reps whose surrounding inline
+            # canaries read >1.2x the run-start baseline were discarded and
+            # re-run (external burst overlapped the rep); suspect = reps
+            # that stood despite failing the gate at the retry bound
+            "reps_discarded": sum(discarded.values()),
+            "reps_suspect": sum(suspect.values()),
         },
     }
 
@@ -207,6 +256,11 @@ def main() -> None:
         "spread": {n: round(max(ts) - min(ts), 3) for n, ts in runs.items()},
         "loadavg_before": load_before,
         "loadavg_after": load_after,
+        "rep_gate": {
+            "base_short_canary_ms": round(base_ms, 1),
+            "discarded_by_query": {n: c for n, c in discarded.items() if c},
+            "suspect_by_query": {n: c for n, c in suspect.items() if c},
+        },
     }
 
     # sf1-equivalent pass (round-3 verdict #7): when the 10x FK-consistent
