@@ -2697,3 +2697,129 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+# --- LSH operating-point audit: theory vs measured S-curve -------------------
+# The (b, r) banding choice is the ONE free parameter of MinHash-LSH, and
+# its whole contract is the S-curve P(candidate | jaccard=s) = 1-(1-s^r)^b.
+# This audits that contract on the corpus itself: for every exact-Jaccard
+# pair (the capped word-3-gram family — the engine's defined jaccard), did
+# the portable banding emit it as a candidate? Bucketed by jaccard decile,
+# measured candidate rate vs the analytic curve — the recall/efficiency
+# evidence a dedup operator owes before its threshold ships. A bucket whose
+# measured rate falls visibly below theory means band-key collisions or cap
+# interference; one above means correlated permutations.
+#
+# Scale shape: both inputs are the existing bounded families (the df-capped
+# exact pair set and the band-capped candidate set); the audit adds one
+# pair-keyed LEFT join and a 10-row aggregate. Determinism: buckets are
+# exact integer math ((10*n_common) div union); the theoretical rate is
+# quantized per pair to integer micro-units BEFORE the sum (a raw double
+# SUM would be partition-order-dependent); powers are expanded to products
+# (s*s etc.) because pow() is not bit-identical across libm
+# implementations while *, -, / are IEEE-exact on both engines.
+
+
+@register(
+    "lsh_operating_point",
+    _PMH_COMMON_SQL
+    + f"""
+    , exploded0 AS (SELECT doc_id, unnest(gs) AS shingle FROM grams),
+    freq AS (SELECT shingle, COUNT(*) AS df FROM exploded0 GROUP BY shingle),
+    exploded AS (
+      SELECT e.doc_id, e.shingle
+      FROM exploded0 e JOIN freq USING (shingle)
+      WHERE df <= {SHINGLE_DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM exploded GROUP BY doc_id),
+    pair_inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_common
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jp AS (
+      SELECT doc_id_a, doc_id_b, n_common,
+             sa.n_shingles AS na, sb.n_shingles AS nb
+      FROM pair_inter
+      JOIN sizes sa ON sa.doc_id = doc_id_a
+      JOIN sizes sb ON sb.doc_id = doc_id_b
+    ),
+    audit0 AS (
+      SELECT LEAST((10 * n_common) // (na + nb - n_common), 9) AS j_bucket,
+             CAST(n_common AS DOUBLE) / (na + nb - n_common) AS s,
+             CASE WHEN c.doc_id_a IS NULL THEN 0 ELSE 1 END AS is_cand
+      FROM jp LEFT JOIN (SELECT DISTINCT doc_id_a, doc_id_b FROM scored) c
+        USING (doc_id_a, doc_id_b)
+    ),
+    audit AS (
+      SELECT j_bucket, is_cand,
+             CAST(floor((1 - ((1 - (s*s)*(s*s)) * (1 - (s*s)*(s*s)))
+                             * ((1 - (s*s)*(s*s)) * (1 - (s*s)*(s*s))))
+                        * 1000000 + 0.5) AS BIGINT) AS p6
+      FROM audit0
+    )
+    SELECT CAST(j_bucket AS BIGINT) AS j_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(is_cand) AS BIGINT) AS n_candidates,
+           floor(CAST(SUM(is_cand) AS DOUBLE) / COUNT(*) * 1000000 + 0.5)
+             / 1000000 AS candidate_rate,
+           floor(CAST(SUM(p6) AS DOUBLE) / COUNT(*) + 0.5) / 1000000
+             AS theoretical_rate
+    FROM audit
+    GROUP BY j_bucket
+    ORDER BY j_bucket
+    """,
+)
+def lsh_operating_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured vs theoretical MinHash-LSH candidate rate per exact-Jaccard
+    decile, for the portable (b=4, r=4) banding: (j_bucket, n_pairs,
+    n_candidates, candidate_rate, theoretical_rate). The abscissa is the
+    capped-universe jaccard (the engine's defined jaccard; divergence from
+    the sketch's uncapped view exists only where the df caps fire, which
+    candidate_cap_audit reports separately)."""
+    d = table(spark, sf_dir, "documents")
+    stats = _set_overlap_stats(shingles(d), "shingle")
+    cand = (
+        _portable_minhash_candidates(d)
+        .select("doc_id_a", "doc_id_b")
+        .withColumn("is_cand", F.lit(1))
+    )
+    u = F.col("na") + F.col("nb") - F.col("n_common")
+    s = F.col("n_common").cast("double") / u
+    s4 = (s * s) * (s * s)
+    q = F.lit(1) - s4
+    p = F.lit(1) - (q * q) * (q * q)
+    audit = (
+        stats.join(cand, ["doc_id_a", "doc_id_b"], "left")
+        .select(
+            F.least(
+                F.expr("(10 * n_common) div (na + nb - n_common)"), F.lit(9)
+            ).alias("j_bucket"),
+            F.coalesce(F.col("is_cand"), F.lit(0)).alias("is_cand"),
+            F.floor(p * 1000000 + F.lit(0.5)).cast("long").alias("p6"),
+        )
+    )
+    return (
+        audit.groupBy("j_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("is_cand").alias("n_candidates"),
+            (
+                F.floor(
+                    F.sum("is_cand").cast("double")
+                    / F.count(F.lit(1))
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("candidate_rate"),
+            (
+                F.floor(
+                    F.sum("p6").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("theoretical_rate"),
+        )
+        .orderBy("j_bucket")
+    )

@@ -207,10 +207,20 @@ BPE_MERGES = 4
 BPE_CKPT_EVERY = 8
 
 
-def _bpe_merge_oracle() -> str:
+# DuckDB expression for the _sym_-delimited char sequence of {col}
+_SEQ0_SQL = (
+    "'_' || array_to_string(list_transform(range(1, length({col}) + 1),"
+    " i -> substr({col}, i, 1)), '__') || '_'"
+)
+
+
+def _bpe_rounds_cte() -> str:
+    """The shared WITH-body: toks -> v0 (trainable vocab) -> BPE_MERGES
+    unrolled training rounds, each exposing its 1-row winner t{{it}} and
+    merged vocab v{{it}} — reused by the bpe_train_merges oracle and by
+    every oracle that consumes the learned merges (bpe_encode_fertility)."""
     its = []
     prev = "v0"
-    selects = []
     for it in range(1, BPE_MERGES + 1):
         its.append(
             f"""
@@ -233,23 +243,27 @@ def _bpe_merge_oracle() -> str:
       FROM {prev}, t{it}
     )"""
         )
-        selects.append(
-            f"SELECT {it} AS merge_rank, a AS sym_a, b AS sym_b,"
-            f" a || b AS merged, pair_count FROM t{it}"
-        )
         prev = f"v{it}"
-    return f"""
-    WITH toks AS (
+    seq0 = _SEQ0_SQL.format(col="word")
+    return f"""toks AS (
       SELECT unnest({{words}}) AS word FROM documents
     ),
     v0 AS (
       SELECT COUNT(*) AS freq,
-             '_' || array_to_string(
-               list_transform(range(1, length(word) + 1),
-                              i -> substr(word, i, 1)), '__') || '_' AS seq
+             {seq0} AS seq
       FROM toks WHERE regexp_matches(word, '^[a-z0-9]+$')
       GROUP BY word
-    ),{",".join(its)}
+    ),{",".join(its)}"""
+
+
+def _bpe_merge_oracle() -> str:
+    selects = [
+        f"SELECT {it} AS merge_rank, a AS sym_a, b AS sym_b,"
+        f" a || b AS merged, pair_count FROM t{it}"
+        for it in range(1, BPE_MERGES + 1)
+    ]
+    return f"""
+    WITH {_bpe_rounds_cte()}
     {" UNION ALL ".join(selects)}
     ORDER BY merge_rank
     """
@@ -297,21 +311,27 @@ def bpe_vocab(d: DataFrame) -> DataFrame:
     return bpe_vocab_from_words(words)
 
 
+def _seq0_col(word_col: str = "word"):
+    """The _sym_-delimited char-sequence expression for a word column —
+    Spark twin of _SEQ0_SQL, shared by the trainer vocab and the encode
+    apply (bpe_encode_fertility)."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(word_col)),
+        lambda i: F.col(word_col).substr(i, F.lit(1)),
+    )
+    return F.concat(F.lit("_"), F.array_join(chars, "__"), F.lit("_"))
+
+
 def bpe_vocab_from_words(words: DataFrame) -> DataFrame:
     """(freq, seq) vocabulary from a one-column ``word`` frame — the
     [a-z0-9]+ trainable-unit contract and the _sym_-delimited char
     sequence live here so bpe_vocab and the vocab-scale stress harness
     (tools/bpe_scale_ab.py) collapse words identically."""
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length("word")),
-        lambda i: F.col("word").substr(i, F.lit(1)),
-    )
-    seq0 = F.concat(F.lit("_"), F.array_join(chars, "__"), F.lit("_"))
     return (
         words.filter(F.col("word").rlike("^[a-z0-9]+$"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .select("freq", seq0.alias("seq"))
+        .select("freq", _seq0_col().alias("seq"))
         .localCheckpoint(eager=False)
     )
 
@@ -383,3 +403,173 @@ def bpe_merge_table(vocab: DataFrame, n_merges: int) -> DataFrame:
     for t in tops[1:]:
         out = out.unionByName(t)
     return out.orderBy("merge_rank")
+
+
+# --- BPE apply: encode fertility of the LEARNED merges --------------------
+# Completes the tokenizer story (pair counts -> trained merges -> applied
+# encode): trains the BPE_MERGES merge table on the corpus, applies it to
+# the corpus vocabulary, and reports per-source FERTILITY — tokens per
+# word and chars per token — the metric tokenizer teams actually gate on
+# (a source whose fertility stays near chars-per-token ~1 is being
+# shattered to characters; one near words ~1 compresses well).
+#
+# Scale shape: ONE corpus tokenization pass builds (source, word, cnt);
+# the trainer vocab is its word-marginal (vocab-sized, Heaps-bounded) and
+# the merge APPLICATION runs over DISTINCT words only — never the corpus —
+# with each 1-row merge broadcast; per-source stats then join the
+# vocab-sized token counts back to the (source, word) counts. All
+# arithmetic is exact integers until the two final divisions.
+#
+# Merge application uses a LEFT join on TRUE (not a crossJoin) so the
+# exhaustion contract degrades correctly: an empty round's winner leaves
+# the vocabulary unchanged instead of annihilating it.
+
+
+def _bpe_fertility_oracle() -> str:
+    seq0 = _SEQ0_SQL.format(col="word")
+    apply_its = []
+    prev = "w0"
+    for it in range(1, BPE_MERGES + 1):
+        apply_its.append(
+            f"""
+    w{it} AS (
+      SELECT word,
+             CASE WHEN t.a IS NULL THEN seq
+                  ELSE replace(seq, '_' || t.a || '__' || t.b || '_',
+                               '_' || t.a || t.b || '_')
+             END AS seq
+      FROM {prev} LEFT JOIN t{it} t ON TRUE
+    )"""
+        )
+        prev = f"w{it}"
+    return f"""
+    WITH {_bpe_rounds_cte()},
+    swf AS (
+      SELECT source, word, COUNT(*) AS cnt
+      FROM (SELECT source, unnest({{words}}) AS word FROM documents)
+      WHERE regexp_matches(word, '^[a-z0-9]+$')
+      GROUP BY source, word
+    ),
+    w0 AS (
+      SELECT word, {seq0} AS seq
+      FROM (SELECT DISTINCT word FROM swf)
+    ),{",".join(apply_its)},
+    wtok AS (
+      SELECT word,
+             len(list_filter(string_split(seq, '_'), x -> x <> '')) AS tok
+      FROM {prev}
+    )
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS n_words,
+           CAST(SUM(cnt * tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(cnt * length(word)) AS BIGINT) AS n_chars,
+           floor(CAST(SUM(cnt * tok) AS DOUBLE) / SUM(cnt) * 1000000 + 0.5)
+             / 1000000 AS tokens_per_word,
+           floor(CAST(SUM(cnt * length(word)) AS DOUBLE) / SUM(cnt * tok)
+                 * 1000000 + 0.5) / 1000000 AS chars_per_token
+    FROM swf JOIN wtok USING (word)
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@register(
+    "bpe_encode_fertility",
+    _bpe_fertility_oracle().format(
+        words="list_filter(string_split(lower(trim(regexp_replace("
+        "text, '\\s+', ' ', 'g'))), ' '), w -> w <> '')"
+    ),
+)
+def bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source encode fertility under the LEARNED BPE merge table:
+    (source, n_words, n_tokens, n_chars, tokens_per_word,
+    chars_per_token), trainable words only ([a-z0-9]+, the trainer's
+    contract). The oracle replays training AND application as unrolled
+    CTEs, so the driver value-checks the full train->encode path."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "),
+                lambda w: w != "",
+            )
+        ).alias("word"),
+    ).filter(F.col("word").rlike("^[a-z0-9]+$"))
+    # the one corpus-sized pass; everything downstream is vocab-sized
+    swf = (
+        toks.groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = (
+        swf.groupBy("word")
+        .agg(F.sum("cnt").alias("freq"))
+        .select("freq", _seq0_col().alias("seq"))
+    )
+    merges = bpe_merge_table(vocab, BPE_MERGES)
+    # the whole (<= BPE_MERGES)-row merge table collapses to ONE array row,
+    # attached to the vocabulary by a broadcast EQUI-join whose key is
+    # data-derived on both sides (least(1, size/length) — a literal key
+    # would be constant-folded back into the nested-loop join the explain
+    # audit red-flags), then applied as one rank-ordered fold. A fully
+    # exhausted training run (empty merge table) yields k=0 on the build
+    # side: the LEFT join misses and the vocabulary passes through intact.
+    marr = merges.agg(
+        F.array_sort(
+            F.collect_list(F.struct("merge_rank", "sym_a", "sym_b"))
+        ).alias("marr")
+    ).select("marr", F.least(F.lit(1), F.size("marr")).alias("k"))
+    wseq = (
+        swf.select("word")
+        .distinct()
+        .select(
+            "word",
+            _seq0_col().alias("seq"),
+            F.least(F.lit(1), F.length("word")).alias("k"),  # words nonempty
+        )
+    )
+    applied = F.when(F.col("marr").isNull(), F.col("seq")).otherwise(
+        F.aggregate(
+            "marr",
+            F.col("seq"),
+            lambda acc, m: F.replace(
+                acc,
+                F.concat(
+                    F.lit("_"), m["sym_a"], F.lit("__"), m["sym_b"], F.lit("_")
+                ),
+                F.concat(F.lit("_"), m["sym_a"], m["sym_b"], F.lit("_")),
+            ),
+        )
+    )
+    wseq = wseq.join(F.broadcast(marr), "k", "left").select(
+        "word", applied.alias("seq")
+    )
+    wtok = wseq.select(
+        "word",
+        F.size(F.filter(F.split("seq", "_"), lambda x: x != "")).alias("tok"),
+    )
+    g = swf.join(wtok, "word").groupBy("source")
+    n_words = F.sum("cnt")
+    n_tokens = F.sum(F.col("cnt") * F.col("tok"))
+    n_chars = F.sum(F.col("cnt") * F.length("word"))
+    return (
+        g.agg(
+            n_words.alias("n_words"),
+            n_tokens.alias("n_tokens"),
+            n_chars.alias("n_chars"),
+            (
+                F.floor(
+                    n_tokens.cast("double") / n_words * 1000000 + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("tokens_per_word"),
+            (
+                F.floor(
+                    n_chars.cast("double") / n_tokens * 1000000 + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )

@@ -63,16 +63,19 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # driver rows-only check adds nothing over the planted-pair VALUE checks
 # in tests/test_cap_guards.py, which pin them to oracle-checked md5 twins.
 #
-# Round-8 changed set (9 + anchor): semdedup_prune (corpus-scaled k; its
+# Round-8 changed set (11 + anchor): semdedup_prune (corpus-scaled k; its
 # oracle now derives k via a scalar subquery) and kmeans_portable (the
 # shared _kmp_cte_sql seed became an rn-filter); dsir_importance_weights
 # (per-doc weight sum in decimal); bpe_train_merges (bpe_round refactor +
 # BPE_CKPT_EVERY lineage cadence); dedup_winnowing_pairs (fps lazy pin);
 # multimodal_features + binary_ingest_arrow (BMP decoder in the decode
 # dispatch); emb_pca_top_component + emb_abtt_query_shift (saturating
-# float conversion in the shared power iteration). The other 40 slots are
-# the 40 alphabetically-first of the 44 queries whose last green window
-# is round 1 — the stalest cohort in the registry.
+# float conversion in the shared power iteration); and the two NEW names
+# (bpe_encode_fertility — the trained-merges encode/fertility readout;
+# lsh_operating_point — measured-vs-theory S-curve audit), keeping the
+# never-windowed backlog at zero. The other 38 slots are the
+# alphabetically-first of the 44 queries whose last green window is
+# round 1 — the stalest cohort in the registry.
 DRIVER_WINDOW_PRIORITY = [
     "flagship_customer_activity",
     # --- plans/behavior changed in round 8 -> driver-proven this round ---
@@ -85,6 +88,9 @@ DRIVER_WINDOW_PRIORITY = [
     "binary_ingest_arrow",
     "emb_pca_top_component",
     "emb_abtt_query_shift",
+    # --- new in round 8 ---
+    "bpe_encode_fertility",
+    "lsh_operating_point",
     # --- staleness rotation: the 40 oldest greens (all last-green r1) ---
     "agg_avg_const_divisor",
     "agg_filtered_pivot",
@@ -124,8 +130,6 @@ DRIVER_WINDOW_PRIORITY = [
     "topk_supplier_volume",
     "topk_value_ratio",
     "union_all_frames",
-    "window_lag_delta",
-    "window_moving_sum",
 ]
 
 

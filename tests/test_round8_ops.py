@@ -149,3 +149,168 @@ def test_semdedup_scaled_k_pairs_execute_under_blowup(
     got = S.semdedup_prune(spark, sf_dir).collect()
     assert sum(r["capped"] for r in got) == 0
     assert sum(r["n_dup_pairs"] for r in got) > 0
+
+
+# --- BPE encode fertility ----------------------------------------------------
+
+
+def _apply_merges_ref(word: str, merges) -> int:
+    """Token count for one word after applying the learned merges in rank
+    order with the left-to-right non-overlapping rule."""
+    syms = list(word)
+    for _, a, b, ab, _ in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(ab)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+def _write_docs_sourced(spark, tmp_path, texts_by_source):
+    rows = []
+    i = 0
+    for src, texts in texts_by_source.items():
+        for t in texts:
+            rows.append((i, t, "en", src, len(t)))
+            i += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(out + "/documents.parquet")
+    return out
+
+
+def test_bpe_encode_fertility_matches_reference(spark, tmp_path):
+    """Engine fertility == textbook trainer + rank-order merge application,
+    per source, on an overlap-heavy corpus."""
+    import math
+    import random
+
+    from test_round7b_ops import _bpe_reference, _word_freqs
+
+    from fpl_data_pipeline_spark.operators.tokenizer import (
+        BPE_MERGES,
+        bpe_encode_fertility,
+    )
+
+    rng = random.Random(31)
+    pool = [
+        "".join(rng.choice("abc") for _ in range(rng.randint(1, 8)))
+        for _ in range(30)
+    ]
+    by_source = {
+        "alpha": [" ".join(rng.choices(pool, k=20)) for _ in range(6)],
+        "beta": [" ".join(rng.choices(pool[:10], k=20)) for _ in range(6)],
+    }
+    sf_dir = _write_docs_sourced(spark, tmp_path, by_source)
+    all_texts = by_source["alpha"] + by_source["beta"]
+    merges = _bpe_reference(_word_freqs(all_texts), BPE_MERGES)
+
+    got = {r["source"]: r for r in bpe_encode_fertility(spark, sf_dir).collect()}
+    for src, texts in by_source.items():
+        wf = _word_freqs(texts)
+        n_words = sum(wf.values())
+        n_tokens = sum(c * _apply_merges_ref(w, merges) for w, c in wf.items())
+        n_chars = sum(c * len(w) for w, c in wf.items())
+        r = got[src]
+        assert (r["n_words"], r["n_tokens"], r["n_chars"]) == (
+            n_words, n_tokens, n_chars,
+        ), src
+        assert r["tokens_per_word"] == math.floor(
+            n_tokens / n_words * 1e6 + 0.5
+        ) / 1e6
+        assert r["chars_per_token"] == math.floor(
+            n_chars / n_tokens * 1e6 + 0.5
+        ) / 1e6
+
+
+def test_bpe_encode_fertility_survives_merge_exhaustion(spark, tmp_path):
+    """When training exhausts before BPE_MERGES rounds (every word one
+    symbol), the LEFT-join-on-TRUE application must leave the vocabulary
+    intact for the empty rounds — never annihilate it (the crossJoin
+    failure mode the operator's design note documents)."""
+    from fpl_data_pipeline_spark.operators.tokenizer import bpe_encode_fertility
+
+    # only pair anywhere: (a,a) in "aa" -> merge 1 = aa; rounds 2-4 empty
+    sf_dir = _write_docs_sourced(
+        spark, tmp_path, {"s": ["a aa a aa a", "b aa b"]}
+    )
+    rows = bpe_encode_fertility(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # words: a x3, aa x2, b x2 (doc2: b, aa, b), a x? recount: doc1 = a aa a aa a
+    # -> a x3, aa x2; doc2 = b aa b -> b x2, aa x1. totals: a3 b2 aa3
+    assert r["n_words"] == 8
+    # merged 'aa' is 1 token; 'a' and 'b' are 1 token each
+    assert r["n_tokens"] == 8
+    assert r["n_chars"] == 3 + 2 + 6
+
+
+# --- LSH operating point -------------------------------------------------
+
+
+def test_lsh_operating_point_planted_spectrum(spark, tmp_path):
+    """Planted corpus: exact duplicates (j=1.0) + disjoint docs. Bucket 9
+    must measure candidate_rate 1.0 (identical signatures share every
+    band) with theoretical_rate ~1; all rates bounded; the theory column
+    is monotone nondecreasing in the bucket; bucket counts partition the
+    exact pair set."""
+    import random
+
+    from fpl_data_pipeline_spark.operators.dedup import (
+        _ngram_jaccard_pairs,
+        lsh_operating_point,
+    )
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(400)]
+    texts = []
+    for _ in range(30):  # disjoint-ish background docs
+        texts.append(" ".join(rng.choices(vocab, k=30)))
+    for i in range(4):  # 4 exact-duplicate pairs
+        t = " ".join(rng.choices(vocab, k=30))
+        texts += [t, t]
+    rows = [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(sf_dir + "/documents.parquet")
+
+    got = lsh_operating_point(spark, sf_dir).collect()
+    by_bucket = {r["j_bucket"]: r for r in got}
+    assert 9 in by_bucket
+    assert by_bucket[9]["n_pairs"] >= 4
+    assert by_bucket[9]["candidate_rate"] == 1.0
+    assert by_bucket[9]["theoretical_rate"] >= 0.999
+    for r in got:
+        assert 0 <= r["n_candidates"] <= r["n_pairs"]
+        assert 0.0 <= r["candidate_rate"] <= 1.0
+        assert 0.0 <= r["theoretical_rate"] <= 1.0
+    theory = [r["theoretical_rate"] for r in sorted(got, key=lambda r: r["j_bucket"])]
+    assert theory == sorted(theory)
+    # buckets partition the exact pair universe
+    n_exact = _ngram_jaccard_pairs(spark.read.parquet(sf_dir + "/documents.parquet")).count()
+    assert sum(r["n_pairs"] for r in got) == n_exact
+
+
+def test_lsh_theoretical_rate_formula():
+    """p6 quantization == the closed form 1-(1-s^4)^4 at known jaccards."""
+    import math
+
+    for n_common, na, nb in [(5, 10, 10), (9, 10, 10), (1, 30, 30), (10, 10, 10)]:
+        s = n_common / (na + nb - n_common)
+        p = 1 - (1 - s**4) ** 4
+        p6 = math.floor(p * 1e6 + 0.5)
+        # matches the engine's product-expanded expression bit-for-bit
+        s_ = n_common / (na + nb - n_common)
+        s4 = (s_ * s_) * (s_ * s_)
+        q = 1 - s4
+        pe = 1 - (q * q) * (q * q)
+        assert math.floor(pe * 1e6 + 0.5) == p6
