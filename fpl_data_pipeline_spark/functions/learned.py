@@ -466,3 +466,352 @@ def nb_alpha_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("alpha").asc())
     )
+
+
+# --- logistic regression, gradient-TRAINED in-engine --------------------------
+# The fasttext-style linear quality/language filter every LLM data pipeline
+# ships: hashed bag-of-words features -> linear score -> threshold. Naive
+# Bayes above is count-fitted; this one is fitted by actual GRADIENT
+# DESCENT (LR_STEPS full-batch steps, unrolled), making it the engine's
+# first iteratively-OPTIMIZED model with value-level oracle parity — the
+# same unrolled-CTE discipline as the Lloyd/power-iteration twins.
+#
+# Determinism (the reason this can be value-oracled at all):
+# - the sigmoid is the RATIONAL approximation 0.5 + 0.5*z/(1+|z|), built
+#   from +,*,/,abs only — IEEE-exact and bit-identical on both engines,
+#   where libm exp() (the true sigmoid) is not;
+# - per-doc residuals quantize to integer micro-units BEFORE the gradient
+#   sum (a raw double sum is partition-order-dependent);
+# - weights are integer micro-unit vectors updated by floor(eta*mean+0.5),
+#   so every step's state is exact integers (the kmp_assign convention).
+#
+# Scale shape: one tokenization pass reduces to the (doc, bucket, n)
+# feature relation (pinned; every step reuses it); each step is one
+# broadcast join against the LR_B-row weight vector + two hash aggs
+# (per-doc dot, per-bucket gradient). Nothing driver-side, nothing
+# corpus-quadratic; LR_STEPS bounded, model size LR_B rows.
+
+LR_B = 64  # hashed feature buckets (md5-portable fixed key space)
+LR_STEPS = 3
+# Features are per-doc bucket FRACTIONS (quantized to micro-units), not raw
+# counts: ||x||_1 = 1 bounds the loss curvature so full-batch descent is
+# stable at eta <= ~2 on ANY corpus — raw counts made the step size
+# corpus-dependent and oscillated to the all-negative predictor on the
+# first try (recorded in BENCH_NOTES round 8).
+LR_ETA = 2.0
+LR_TRAIN_CUT = "cc"  # same 80% md5 split convention as Naive Bayes
+
+_LR_WORDS = (
+    "list_filter(string_split(lower(trim(regexp_replace("
+    "text, '\\s+', ' ', 'g'))), ' '), w -> w <> '')"
+)
+_LR_SPLIT = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
+
+
+def _lr_cte() -> str:
+    """Shared WITH-body: hashed features on the train split, label frame,
+    w0 = 0, and LR_STEPS unrolled gradient steps ending at w{LR_STEPS} —
+    reused by the weights oracle and the held-out eval oracle."""
+    parts = [
+        f"""toks AS (
+      SELECT doc_id, unnest({_LR_WORDS}) AS tok FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT % {LR_B} AS bucket
+      FROM toks
+    ),
+    docn AS (
+      SELECT doc_id, bucket, COUNT(*) AS n FROM feat
+      WHERE {_LR_SPLIT} < '{LR_TRAIN_CUT}'
+      GROUP BY 1, 2
+    ),
+    docfeat AS (
+      SELECT doc_id, bucket, n,
+             CAST(floor(CAST(n AS DOUBLE)
+                        / (SUM(n) OVER (PARTITION BY doc_id))
+                        * 1000000 + 0.5) AS BIGINT) AS x6
+      FROM docn
+    ),
+    lab AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    ntr AS (
+      SELECT COUNT(*) AS n FROM documents WHERE {_LR_SPLIT} < '{LR_TRAIN_CUT}'
+    ),
+    w0 AS (
+      SELECT unnest(range(0, {LR_B})) AS bucket, CAST(0 AS BIGINT) AS w6
+    )"""
+    ]
+    for t in range(1, LR_STEPS + 1):
+        z = "(CAST(s.dot AS DOUBLE) / 1000000000000)"
+        parts.append(
+            f"""
+    s{t} AS (
+      SELECT df.doc_id,
+             CAST(SUM(CAST(df.x6 * w.w6 AS HUGEINT)) AS BIGINT) AS dot
+      FROM docfeat df JOIN w{t - 1} w USING (bucket)
+      GROUP BY df.doc_id
+    ),
+    r{t} AS (
+      SELECT s.doc_id,
+             CAST(floor(((0.5 + 0.5 * ({z} / (1 + abs({z})))) - l.y)
+                        * 1000000 + 0.5) AS BIGINT) AS resid6
+      FROM s{t} s JOIN lab l USING (doc_id)
+    ),
+    g{t} AS (
+      SELECT df.bucket, SUM(CAST(df.x6 * r.resid6 AS HUGEINT)) AS g
+      FROM docfeat df JOIN r{t} r USING (doc_id)
+      GROUP BY df.bucket
+    ),
+    w{t} AS (
+      SELECT w.bucket,
+             w.w6 - CAST(floor({LR_ETA} * (CAST(COALESCE(g.g, 0) AS DOUBLE)
+                                           / n.n) / 1000000 + 0.5)
+                         AS BIGINT) AS w6
+      FROM w{t - 1} w LEFT JOIN g{t} g USING (bucket) CROSS JOIN ntr n
+    )"""
+        )
+    return ",".join(parts)
+
+
+def _lr_features(d: DataFrame):
+    """(docfeat, lab, ntr_frame): hashed train-split features (pinned — six
+    consumers across the unrolled steps), labels, and the 1-row train count
+    carrying a data-derived join key (least(1, n): a literal key would be
+    constant-folded back into a nested-loop join)."""
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "),
+                lambda w: w != "",
+            )
+        ).alias("tok"),
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"), F.lit(LR_B)
+    )
+    split = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    docn = (
+        toks.filter(split < LR_TRAIN_CUT)
+        .groupBy("doc_id", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    x6 = F.floor(
+        F.col("n").cast("double")
+        / F.sum("n").over(Window.partitionBy("doc_id"))
+        * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    docfeat = docn.select(
+        "doc_id", "bucket", "n", x6.alias("x6")
+    ).localCheckpoint(eager=False)
+    lab = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    ntr = (
+        d.filter(split < LR_TRAIN_CUT)
+        .agg(F.count(F.lit(1)).alias("ntr"))
+        .select("ntr", F.least(F.lit(1), F.col("ntr")).alias("k"))
+    )
+    return docfeat, lab, ntr
+
+
+def _lr_step(docfeat: DataFrame, lab: DataFrame, ntr: DataFrame, w: DataFrame):
+    """One full-batch gradient step: w (bucket, w6) -> w' (bucket, w6)."""
+    dot = (
+        docfeat.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum((F.col("x6") * F.col("w6")).cast("decimal(28,0)"))
+            .cast("long")
+            .alias("dot")
+        )
+    )
+    z = F.col("dot").cast("double") / 1000000000000
+    sig = F.lit(0.5) + F.lit(0.5) * (z / (F.lit(1) + F.abs(z)))
+    resid = dot.join(lab, "doc_id").select(
+        "doc_id",
+        F.floor((sig - F.col("y")) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("resid6"),
+    )
+    grad = (
+        docfeat.join(resid, "doc_id")
+        .groupBy("bucket")
+        .agg(
+            F.sum((F.col("x6") * F.col("resid6")).cast("decimal(28,0)")).alias("g")
+        )
+    )
+    return (
+        w.join(grad, "bucket", "left")
+        .withColumn("k", F.least(F.lit(1), F.col("bucket") + 1))
+        .join(F.broadcast(ntr), "k")
+        .select(
+            "bucket",
+            (
+                F.col("w6")
+                - F.floor(
+                    F.lit(LR_ETA)
+                    * (
+                        F.coalesce(F.col("g"), F.lit(0).cast("decimal(28,0)"))
+                        .cast("double")
+                        / F.col("ntr")
+                    )
+                    / 1000000
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("w6"),
+        )
+    )
+
+
+def lr_train_weights(d: DataFrame) -> DataFrame:
+    """(bucket, w6) after LR_STEPS unrolled gradient steps from w0 = 0 —
+    the engine half shared by logreg_train_weights and logreg_train_eval
+    (both oracles replay it through the same _lr_cte)."""
+    spark = d.sparkSession
+    docfeat, lab, ntr = _lr_features(d)
+    w = spark.range(LR_B).select(
+        F.col("id").alias("bucket"), F.lit(0).cast("long").alias("w6")
+    )
+    for _ in range(LR_STEPS):
+        w = _lr_step(docfeat, lab, ntr, w)
+    return w
+
+
+@register(
+    "logreg_train_weights",
+    f"""
+    WITH {_lr_cte()}
+    SELECT w.bucket AS bucket,
+           CAST(w.w6 AS DOUBLE) / 1000000 AS weight,
+           CAST(COALESCE(bn.n_toks, 0) AS BIGINT) AS n_train_tokens
+    FROM w{LR_STEPS} w
+    LEFT JOIN (SELECT bucket, CAST(SUM(n) AS BIGINT) AS n_toks
+               FROM docfeat GROUP BY bucket) bn USING (bucket)
+    ORDER BY bucket
+    """,
+)
+def logreg_train_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fitted LR_B-bucket linear model after LR_STEPS gradient steps
+    on the 80% md5 train split (label: lang = 'en'): (bucket, weight,
+    n_train_tokens). The driver value-checks the optimizer itself — every
+    step's dot products, residuals, gradient and update are replayed by
+    the oracle's unrolled CTEs."""
+    d = table(spark, sf_dir, "documents")
+    w = lr_train_weights(d)
+    docfeat, _, _ = _lr_features(d)
+    bn = docfeat.groupBy("bucket").agg(F.sum("n").cast("long").alias("n_toks"))
+    return (
+        w.join(bn, "bucket", "left")
+        .select(
+            "bucket",
+            (F.col("w6").cast("double") / 1000000).alias("weight"),
+            F.coalesce(F.col("n_toks"), F.lit(0)).alias("n_train_tokens"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "logreg_train_eval",
+    f"""
+    WITH {_lr_cte()},
+    ev AS (
+      SELECT doc_id, bucket, COUNT(*) AS n FROM feat
+      WHERE {_LR_SPLIT} >= '{LR_TRAIN_CUT}'
+      GROUP BY 1, 2
+    ),
+    sc AS (
+      SELECT e.doc_id,
+             CAST(SUM(CAST(e.n * w.w6 AS HUGEINT)) AS BIGINT) AS dot6
+      FROM ev e JOIN w{LR_STEPS} w USING (bucket)
+      GROUP BY e.doc_id
+    ),
+    pred AS (
+      SELECT d.source, l.y,
+             CASE WHEN COALESCE(s.dot6, 0) > 0 THEN 1 ELSE 0 END AS yhat
+      FROM documents d
+      JOIN lab l USING (doc_id)
+      LEFT JOIN sc s USING (doc_id)
+      WHERE {_LR_SPLIT.replace('doc_id', 'd.doc_id')} >= '{LR_TRAIN_CUT}'
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN yhat = y THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           floor(CAST(SUM(CASE WHEN yhat = y THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) * 1000000 + 0.5) / 1000000 AS accuracy
+    FROM pred
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def logreg_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out (20% md5 split) per-source readout of the gradient-trained
+    model: (source, n_docs, n_pos, n_correct, accuracy). Prediction is the
+    exact-integer sign test dot6 > 0 (a tokenless doc scores 0 -> negative
+    class), so the readout cannot flip on float accumulation."""
+    d = table(spark, sf_dir, "documents")
+    w = lr_train_weights(d).localCheckpoint(eager=False)
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "),
+                lambda w_: w_ != "",
+            )
+        ).alias("tok"),
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"), F.lit(LR_B)
+    )
+    split = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    ev = (
+        toks.filter(split >= LR_TRAIN_CUT)
+        .groupBy("doc_id", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sc = (
+        ev.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum((F.col("n") * F.col("w6")).cast("decimal(28,0)"))
+            .cast("long")
+            .alias("dot6")
+        )
+    )
+    pred = (
+        d.filter(split >= LR_TRAIN_CUT)
+        .select("doc_id", "source", F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"))
+        .join(sc, "doc_id", "left")
+        .select(
+            "source",
+            "y",
+            F.when(F.coalesce(F.col("dot6"), F.lit(0)) > 0, 1)
+            .otherwise(0)
+            .alias("yhat"),
+        )
+    )
+    correct = F.sum(F.when(F.col("yhat") == F.col("y"), 1).otherwise(0))
+    return (
+        pred.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("y").alias("n_pos"),
+            correct.alias("n_correct"),
+            (
+                F.floor(
+                    correct.cast("double") / F.count(F.lit(1)) * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("accuracy"),
+        )
+        .orderBy("source")
+    )

@@ -70,12 +70,13 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # BPE_CKPT_EVERY lineage cadence); dedup_winnowing_pairs (fps lazy pin);
 # multimodal_features + binary_ingest_arrow (BMP decoder in the decode
 # dispatch); emb_pca_top_component + emb_abtt_query_shift (saturating
-# float conversion in the shared power iteration); and the two NEW names
+# float conversion in the shared power iteration); and the four NEW names
 # (bpe_encode_fertility — the trained-merges encode/fertility readout;
-# lsh_operating_point — measured-vs-theory S-curve audit), keeping the
-# never-windowed backlog at zero. The other 38 slots are the
-# alphabetically-first of the 44 queries whose last green window is
-# round 1 — the stalest cohort in the registry.
+# lsh_operating_point — measured-vs-theory S-curve audit;
+# logreg_train_weights / logreg_train_eval — the gradient-trained linear
+# quality filter), keeping the never-windowed backlog at zero. The other
+# 36 slots are the alphabetically-first of the 44 queries whose last
+# green window is round 1 — the stalest cohort in the registry.
 DRIVER_WINDOW_PRIORITY = [
     "flagship_customer_activity",
     # --- plans/behavior changed in round 8 -> driver-proven this round ---
@@ -91,7 +92,9 @@ DRIVER_WINDOW_PRIORITY = [
     # --- new in round 8 ---
     "bpe_encode_fertility",
     "lsh_operating_point",
-    # --- staleness rotation: the 40 oldest greens (all last-green r1) ---
+    "logreg_train_weights",
+    "logreg_train_eval",
+    # --- staleness rotation: the 36 oldest greens (all last-green r1) ---
     "agg_avg_const_divisor",
     "agg_filtered_pivot",
     "agg_supplier_stats",
@@ -128,8 +131,6 @@ DRIVER_WINDOW_PRIORITY = [
     "topk_order_revenue",
     "topk_part_revenue",
     "topk_supplier_volume",
-    "topk_value_ratio",
-    "union_all_frames",
 ]
 
 
