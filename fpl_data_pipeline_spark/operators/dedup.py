@@ -2823,3 +2823,153 @@ def lsh_operating_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("j_bucket")
     )
+
+
+# --- content-defined chunking (CDC) dedup ------------------------------------
+# The storage-dedup classic (rsync/LBFS/FastCDC), word-granular: a chunk
+# boundary falls AFTER every word whose hash = 0 mod CDC_G, so boundaries
+# are decided by CONTENT, not position — an insertion re-chunks only the
+# chunk it lands in, and every later chunk (and its hash) survives
+# verbatim. That is the modality the fixed n-gram families lack: shift a
+# document by one word and every 3-gram changes, but ~all CDC chunks
+# persist. Average chunk length = CDC_G words (geometric).
+#
+# Scale shape: NO pair join anywhere — the whole operator is two hash
+# aggregations (chunk assembly per doc, chunk-hash document frequency)
+# plus one equi-join of the chunk relation against the B-bounded df
+# table, all linear in corpus size. The cumulative-sum chunk id is a
+# per-doc window (the events sessionization shape — partition-local,
+# never global). Portability: boundaries come from md5 (identical on
+# both engines); chunk text is position-ordered; every rate follows the
+# floor(x*1e6+0.5) convention.
+CDC_G = 8  # expected words per chunk
+
+
+@register(
+    "dedup_cdc_chunks",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    toks AS (
+      SELECT n.doc_id, r.i AS pos, ws[r.i] AS word
+      FROM (SELECT doc_id, string_split(t, ' ') AS ws FROM norm) n,
+           unnest(range(1, len(ws) + 1)) AS r(i)
+      WHERE ws[r.i] <> ''
+    ),
+    flagged AS (
+      SELECT doc_id, pos, word,
+             CASE WHEN ('0x' || substr(md5(word), 1, 8))::BIGINT % {CDC_G} = 0
+                  THEN 1 ELSE 0 END AS bf
+      FROM toks
+    ),
+    cids AS (
+      SELECT doc_id, pos, word,
+             SUM(bf) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) - bf AS chunk_id
+      FROM flagged
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+             md5(string_agg(word, ' ' ORDER BY pos)) AS chash
+      FROM cids GROUP BY doc_id, chunk_id
+    ),
+    cdf AS (
+      SELECT chash, COUNT(DISTINCT doc_id) AS ddf FROM chunks GROUP BY chash
+    ),
+    per_doc AS (
+      SELECT c.doc_id,
+             COUNT(*) AS n_chunks,
+             CAST(SUM(CASE WHEN f.ddf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup
+      FROM chunks c JOIN cdf f USING (chash)
+      GROUP BY c.doc_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(COALESCE(p.n_chunks, 0)) AS BIGINT) AS n_chunks,
+           CAST(SUM(COALESCE(p.n_dup, 0)) AS BIGINT) AS n_dup_chunks,
+           floor(CAST(SUM(COALESCE(p.n_dup, 0)) AS DOUBLE)
+                 / greatest(SUM(COALESCE(p.n_chunks, 0)), 1)
+                 * 1000000 + 0.5) / 1000000 AS dup_chunk_rate
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source content-defined-chunk duplication: (source, n_docs,
+    n_chunks, n_dup_chunks, dup_chunk_rate), where a chunk is duplicated
+    when its hash appears in >= 2 distinct documents. The
+    insertion-robustness property (edit one word, later chunks survive)
+    is pinned by tests/test_round8_ops.py against a planted edit."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(_norm_text(F.col("text")), " "), lambda w: w != ""
+            )
+        ).alias("pos", "word"),
+    )
+    bf = (
+        F.pmod(
+            F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long"),
+            F.lit(CDC_G),
+        )
+        == 0
+    ).cast("int")
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cids = toks.select(
+        "doc_id",
+        "pos",
+        "word",
+        (F.sum(bf).over(w_cum) - bf).alias("chunk_id"),
+    )
+    chunks = cids.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            )
+        ).alias("chash")
+    )
+    cdf = chunks.groupBy("chash").agg(F.countDistinct("doc_id").alias("ddf"))
+    per_doc = (
+        chunks.join(cdf, "chash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("ddf") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    n_chunks = F.sum(F.coalesce(F.col("n_chunks"), F.lit(0)))
+    n_dup = F.sum(F.coalesce(F.col("n_dup"), F.lit(0)))
+    return (
+        d.select("doc_id", "source")
+        .join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            n_chunks.alias("n_chunks"),
+            n_dup.alias("n_dup_chunks"),
+            (
+                F.floor(
+                    n_dup.cast("double")
+                    / F.greatest(n_chunks, F.lit(1))
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("dup_chunk_rate"),
+        )
+        .orderBy("source")
+    )

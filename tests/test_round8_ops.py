@@ -360,3 +360,61 @@ def test_logreg_learns_planted_separable_corpus(spark, tmp_path):
     w = logreg_train_weights(spark, sf_dir).collect()
     assert len(w) == 64
     assert any(r["weight"] > 0 for r in w) and any(r["weight"] < 0 for r in w)
+
+
+# --- content-defined chunking dedup ----------------------------------------
+
+
+def test_cdc_chunks_insertion_robustness(spark, tmp_path):
+    """The CDC property fixed n-grams lack: insert ONE word mid-document
+    and most chunks (all before the edit's chunk and all after it) keep
+    their hashes, so the pair of documents shares most chunks. Also
+    brute-force the chunking rule itself."""
+    import hashlib
+    import random
+
+    from fpl_data_pipeline_spark.operators.dedup import CDC_G, dedup_cdc_chunks
+
+    rng = random.Random(23)
+    words = [f"tok{rng.randint(0, 500)}" for _ in range(300)]
+    original = " ".join(words)
+    edited = " ".join(words[:150] + ["inserted"] + words[150:])
+    background = [
+        " ".join(f"bg{rng.randint(0, 500)}" for _ in range(100)) for _ in range(5)
+    ]
+    rows = [(0, original, "en", "pair", len(original)),
+            (1, edited, "en", "pair", len(edited))] + [
+        (i + 2, t, "en", "bg", len(t)) for i, t in enumerate(background)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(sf_dir + "/documents.parquet")
+
+    got = {r["source"]: r for r in dedup_cdc_chunks(spark, sf_dir).collect()}
+
+    # brute-force the rule: boundary after words whose md5-int % G == 0
+    def chunk_hashes(text):
+        ws = " ".join(text.split()).lower().split(" ")
+        chunks, cur = [], []
+        for w in ws:
+            cur.append(w)
+            if int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % CDC_G == 0:
+                chunks.append(" ".join(cur))
+                cur = []
+        if cur:
+            chunks.append(" ".join(cur))
+        return chunks
+
+    ca, cb = chunk_hashes(original), chunk_hashes(edited)
+    shared = set(ca) & set(cb)
+    expect_dup = sum(1 for c in ca if c in shared) + sum(
+        1 for c in cb if c in shared
+    )
+    assert got["pair"]["n_chunks"] == len(ca) + len(cb)
+    assert got["pair"]["n_dup_chunks"] == expect_dup
+    # the property: a 1-word insertion leaves MOST chunks shared
+    assert expect_dup >= 0.8 * (len(ca) + len(cb))
+    # disjoint background stays unduplicated
+    assert got["bg"]["n_dup_chunks"] == 0
