@@ -1323,3 +1323,99 @@ def cf_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_negative_popularity"
         ),
     )
+
+
+# --- temperature-scaled mixture plan ------------------------------------------
+# The Gopher/PaLM mixing knob domain_mixture_weights' uniform target can't
+# express: sample source s with probability proportional to n_s^alpha,
+# alpha in (0, 1) — upweights small high-quality domains without flattening
+# the mix entirely. alpha = 0.5 here BECAUSE sqrt is the one power IEEE-754
+# requires to be correctly rounded (pow(x, 0.7) is libm-dependent and
+# engine-divergent); the per-source sqrt quantizes to micro-units BEFORE
+# the normalizing sum, so the denominator is an exact integer and every
+# reported ratio is a deterministic function of exact integers.
+#
+# Scale shape: one token-count scan collapses to the |sources|-row share
+# table; the totals are a 1-row broadcast scalar (INTENTIONAL_CROSS, the
+# domain_mixture_weights precedent). boost doubles as the per-source epoch
+# count at a one-total-pass token budget: boost > 1 means the temperature
+# mix repeats that source (the small-domain multi-epoch effect the paper
+# formulation implies).
+MIX_ALPHA_NOTE = "alpha = 0.5 (sqrt: the only correctly-rounded IEEE power)"
+
+
+@register(
+    "mixture_temperature_plan",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split(lower(trim(regexp_replace(
+               text, '\\s+', ' ', 'g'))), ' '), w -> w <> '')) AS n_toks
+      FROM documents
+    ),
+    shares AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+             CAST(floor(sqrt(CAST(SUM(n_toks) AS DOUBLE)) * 1000000 + 0.5)
+                  AS BIGINT) AS s6
+      FROM toks GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) AS HUGEINT) AS tot_n,
+             CAST(SUM(s6) AS HUGEINT) AS tot_s
+      FROM shares
+    )
+    SELECT source, n_docs, n_tokens,
+           floor(CAST(n_tokens AS DOUBLE) / CAST(tot_n AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS p_raw,
+           floor(CAST(s6 AS DOUBLE) / CAST(tot_s AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS p_temp,
+           floor((CAST(s6 AS DOUBLE) / CAST(tot_s AS DOUBLE))
+                 / (CAST(n_tokens AS DOUBLE) / CAST(tot_n AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS boost
+    FROM shares, tot
+    ORDER BY source
+    """,
+)
+def mixture_temperature_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source temperature-mix plan at alpha = 0.5: (source, n_docs,
+    n_tokens, p_raw, p_temp, boost) where p_temp ~ sqrt(n_tokens)
+    normalized and boost = p_temp / p_raw is both the sampling multiplier
+    and the epoch count at a one-total-pass budget."""
+    d = table(spark, sf_dir, "documents")
+    n_toks = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "),
+            lambda w: w != "",
+        )
+    )
+    shares = (
+        d.select("source", n_toks.alias("n_toks"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.floor(
+                F.sqrt(F.sum("n_toks").cast("double")) * 1000000 + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("s6"),
+        )
+    )
+    tot = shares.agg(
+        F.sum(F.col("n_tokens").cast("decimal(28,0)")).alias("tot_n"),
+        F.sum(F.col("s6").cast("decimal(28,0)")).alias("tot_s"),
+    )
+    j = shares.crossJoin(F.broadcast(tot))
+    p_raw = F.col("n_tokens").cast("double") / F.col("tot_n").cast("double")
+    p_temp = F.col("s6").cast("double") / F.col("tot_s").cast("double")
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return j.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        q6(p_raw).alias("p_raw"),
+        q6(p_temp).alias("p_temp"),
+        q6(p_temp / p_raw).alias("boost"),
+    ).orderBy("source")

@@ -418,3 +418,34 @@ def test_cdc_chunks_insertion_robustness(spark, tmp_path):
     assert expect_dup >= 0.8 * (len(ca) + len(cb))
     # disjoint background stays unduplicated
     assert got["bg"]["n_dup_chunks"] == 0
+
+
+# --- temperature mixture plan ------------------------------------------------
+
+
+def test_mixture_temperature_halves_log_ratio(spark, tmp_path):
+    """alpha = 0.5 semantics: a source with 4x the tokens of another gets
+    exactly 2x its temperature probability (sqrt), and boost up-weights
+    the small source (boost > 1) while down-weighting the large one."""
+    from fpl_data_pipeline_spark.operators.sampling import (
+        mixture_temperature_plan,
+    )
+
+    # big: 4 docs x 64 tokens; small: 1 doc x 64 tokens -> 4x token ratio
+    rows = []
+    for i in range(4):
+        rows.append((i, " ".join(["tok"] * 64), "en", "big", 64))
+    rows.append((4, " ".join(["tok"] * 64), "en", "small", 64))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(sf_dir + "/documents.parquet")
+
+    got = {r["source"]: r for r in mixture_temperature_plan(spark, sf_dir).collect()}
+    big, small = got["big"], got["small"]
+    assert big["n_tokens"] == 4 * small["n_tokens"]
+    assert abs(big["p_temp"] / small["p_temp"] - 2.0) < 1e-4
+    assert abs(big["p_raw"] / small["p_raw"] - 4.0) < 1e-4
+    assert small["boost"] > 1.0 > big["boost"]
+    assert abs(big["p_temp"] + small["p_temp"] - 1.0) < 1e-5

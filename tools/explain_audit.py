@@ -51,6 +51,8 @@ INTENTIONAL_CROSS = {
     "emb_abtt_query_shift",
     # broadcast 1-row source-count scalar
     "token_budget_plan",
+    # broadcast 1-row corpus-totals scalar (the domain_mixture_weights shape)
+    "mixture_temperature_plan",
     # broadcast 1-row corpus stats + 1-row query vector
     "hybrid_search_topk",
     # broadcast 4-row subspace grid + 8-row codebook block (PQ assignment)

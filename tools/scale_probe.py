@@ -197,7 +197,16 @@ def query_growth(spark, base_dir: str, blown_dir: str) -> dict:
 
     load_all()
     out = {}
-    for name in ("dsir_importance_weights", "dupgraph_lpa_communities"):
+    for name in (
+        "dsir_importance_weights",
+        "dupgraph_lpa_communities",
+        # round-8 additions: vocab-collapsed apply (fertility), the
+        # gradient trainer (3 corpus passes + 64-row model), and the
+        # join-free CDC chunker — all should grow ~linearly
+        "bpe_encode_fertility",
+        "logreg_train_weights",
+        "dedup_cdc_chunks",
+    ):
         fn = QUERIES[name]
         fn(spark, base_dir).count()  # warm JIT/codegen once
         secs = {}
