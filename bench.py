@@ -98,12 +98,16 @@ def _short_canary_ms() -> float:
     return (time.perf_counter() - t0) * 1000
 
 
-def _gated_rep(fn, base_ms: float, max_attempts: int = 3):
+def _gated_rep(fn, base_ms: float, budget: list, max_attempts: int = 3):
     """(seconds, discarded, suspect): time one rep, discarding and
     re-running it when the surrounding inline canaries exceed 1.2x the
-    run-start baseline (an external burst overlapped the rep). Bounded:
-    after max_attempts the last timing stands and is flagged suspect, so
-    a permanently busy host still yields an artifact that self-reports."""
+    run-start baseline (an external burst overlapped the rep). Bounded
+    twice over: max_attempts per rep, and ``budget`` (a mutable [n]
+    re-run allowance shared across the whole run) so a permanently busy
+    host costs at most budget[0] extra reps total, never attempts x reps
+    — the driver's bench timeout is unknown and must not be consumed by
+    retries. When either bound trips, the last timing stands flagged
+    suspect, and the artifact self-reports."""
     discarded = 0
     for _ in range(max_attempts):
         pre = _short_canary_ms()
@@ -113,6 +117,9 @@ def _gated_rep(fn, base_ms: float, max_attempts: int = 3):
         post = _short_canary_ms()
         if pre <= 1.2 * base_ms and post <= 1.2 * base_ms:
             return dt, discarded, False
+        if budget[0] <= 0:
+            return dt, discarded, True
+        budget[0] -= 1
         discarded += 1
     return dt, discarded - 1, True
 
@@ -209,10 +216,14 @@ def main() -> None:
     base_ms = min(_short_canary_ms() for _ in range(3))
     discarded: dict[str, int] = {n: 0 for n in runs}
     suspect: dict[str, int] = {n: 0 for n in runs}
+    # global re-run allowance: at most ~60% extra reps across the run
+    retry_budget = [max(10, (reps * len(runs)) * 6 // 10)]
     for _ in range(reps):
         for name in runs:
             dt, disc, sus = _gated_rep(
-                lambda n=name: QUERIES[n](spark, sf_dir).count(), base_ms
+                lambda n=name: QUERIES[n](spark, sf_dir).count(),
+                base_ms,
+                retry_budget,
             )
             runs[name].append(dt)
             discarded[name] += disc
@@ -258,6 +269,7 @@ def main() -> None:
         "loadavg_after": load_after,
         "rep_gate": {
             "base_short_canary_ms": round(base_ms, 1),
+            "retry_budget_left": retry_budget[0],
             "discarded_by_query": {n: c for n, c in discarded.items() if c},
             "suspect_by_query": {n: c for n, c in suspect.items() if c},
         },

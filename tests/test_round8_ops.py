@@ -449,3 +449,28 @@ def test_mixture_temperature_halves_log_ratio(spark, tmp_path):
     assert abs(big["p_raw"] / small["p_raw"] - 4.0) < 1e-4
     assert small["boost"] > 1.0 > big["boost"]
     assert abs(big["p_temp"] + small["p_temp"] - 1.0) < 1e-5
+
+
+def test_sem_k_formula_property():
+    """Hypothesis sweep: Spark-side integer k == DuckDB integer k for any
+    (n, target_pop) — the derivation that makes semdedup's oracle replay
+    the engine's clustering at any corpus size."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=10**12),
+        pop=st.integers(min_value=1, max_value=10**6),
+        kmp=st.integers(min_value=1, max_value=64),
+    )
+    def check(n, pop, kmp):
+        py_k = max(kmp, (n + pop - 1) // pop)
+        sql_k = con.execute(
+            f"SELECT GREATEST({kmp}, ({n} + {pop - 1}) // {pop})"
+        ).fetchone()[0]
+        assert py_k == sql_k
+
+    check()
