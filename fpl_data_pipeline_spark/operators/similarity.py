@@ -3287,3 +3287,96 @@ def emb_abtt_query_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_corrected").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+# --- incremental embedding near-dup: batch-vs-state probe ---------------------
+# The embedding-side twin of dedup_incremental_batch (text): vectors ARRIVE,
+# and each new batch must be checked against the existing corpus without
+# recomputing the corpus self-join. The corpus's banded sign-bit keys ARE
+# the state (at deploy time: the bucketBy(band-key) table the self-join
+# already writes); a batch probes by equi-joining its band keys against
+# that state — O(batch x bucket), never O(n^2), never O(corpus pairs).
+# The md5 vec_id split (~10% batch) stands in for the arriving stream the
+# same way the incremental text family simulates its daily feed.
+#
+# The probe differs from the self-join deliberately: no >= 2 bucket floor
+# (a SINGLETON corpus bucket can still match a new vector), a plain
+# UNION-distinct of the two band matches (the lowest-shared-band disjoint
+# emission optimizes the O(n) self-join's dedup exchange; a batch-sized
+# probe's dedup is noise), and the same ND_BAND_CAP on corpus bucket
+# membership (an over-cap bucket is non-discriminative; dropping it is the
+# observable recall trade every capped family makes).
+INC_BATCH_CUT = "e6"  # md5 2-hex prefix >= 'e6': 26/256 ~ 10% arriving batch
+
+
+@register(
+    "emb_incremental_neardup",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_nd_band_sql('embedding', 0)} AS k0,
+             {_nd_band_sql('embedding', 1)} AS k1,
+             substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) AS sp
+      FROM embeddings
+    ),
+    corpus AS (SELECT * FROM b WHERE sp < '{INC_BATCH_CUT}'),
+    batch AS (SELECT * FROM b WHERE sp >= '{INC_BATCH_CUT}'),
+    s0 AS (SELECT k0 FROM corpus GROUP BY k0 HAVING COUNT(*) <= {ND_BAND_CAP}),
+    s1 AS (SELECT k1 FROM corpus GROUP BY k1 HAVING COUNT(*) <= {ND_BAND_CAP}),
+    cand AS (
+      SELECT n.vec_id AS new_id, c.vec_id AS dup_of
+      FROM batch n JOIN s0 ON s0.k0 = n.k0 JOIN corpus c ON c.k0 = n.k0
+      UNION
+      SELECT n.vec_id, c.vec_id
+      FROM batch n JOIN s1 ON s1.k1 = n.k1 JOIN corpus c ON c.k1 = n.k1
+    )
+    SELECT d.new_id, d.dup_of,
+           {_dot_sql('ea.embedding', 'eb.embedding')}
+             / (sqrt({_dot_sql('ea.embedding', 'ea.embedding')})
+                * sqrt({_dot_sql('eb.embedding', 'eb.embedding')})) AS cosine
+    FROM cand d
+    JOIN embeddings ea ON ea.vec_id = d.new_id
+    JOIN embeddings eb ON eb.vec_id = d.dup_of
+    ORDER BY cosine DESC, d.new_id ASC, d.dup_of ASC
+    LIMIT 20
+    """,
+)
+def emb_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 (new_id, dup_of, cosine) matches of the arriving ~10% batch
+    against the 90% corpus state, probed through the banded sign-bit keys
+    — the vectors-arrive twin of the text family's incremental dedup. The
+    corpus is scanned once for its band keys (the persisted state at
+    deploy time) and once for the verify-join; nothing pair-quadratic."""
+    emb = table(spark, sf_dir, "embeddings")
+    sp = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2)
+    corpus = emb.filter(sp < INC_BATCH_CUT)
+    batch = emb.filter(sp >= INC_BATCH_CUT)
+    # the corpus band-key state: pinned — it feeds both cap pre-passes and
+    # both probe joins (the _lsh_candidate_pairs `ids` rationale)
+    ck = lsh_doc_band_keys(corpus).localCheckpoint(eager=False)
+    bk = lsh_doc_band_keys(batch)
+    cands = []
+    for band in ("k0", "k1"):
+        alive = (
+            ck.groupBy(band)
+            .agg(F.count(F.lit(1)).alias("bs"))
+            .filter(F.col("bs") <= ND_BAND_CAP)
+            .drop("bs")
+        )
+        cands.append(
+            bk.select(F.col("vec_id").alias("new_id"), band)
+            .join(F.broadcast(alive), band)
+            .join(ck.select(F.col("vec_id").alias("dup_of"), band), band)
+            .select("new_id", "dup_of")
+        )
+    cand = cands[0].unionByName(cands[1]).distinct()
+    ea = emb.select(F.col("vec_id").alias("new_id"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("dup_of"), F.col("embedding").alias("vb"))
+    cos = (_dot("va", "vb") / (_norm("va") * _norm("vb"))).alias("cosine")
+    return (
+        cand.join(ea, "new_id")
+        .join(eb, "dup_of")
+        .select("new_id", "dup_of", cos)
+        .orderBy(F.col("cosine").desc(), F.col("new_id").asc(), F.col("dup_of").asc())
+        .limit(20)
+    )

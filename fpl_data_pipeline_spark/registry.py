@@ -70,14 +70,15 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # BPE_CKPT_EVERY lineage cadence); dedup_winnowing_pairs (fps lazy pin);
 # multimodal_features + binary_ingest_arrow (BMP decoder in the decode
 # dispatch); emb_pca_top_component + emb_abtt_query_shift (saturating
-# float conversion in the shared power iteration); and the six NEW names
+# float conversion in the shared power iteration); and the seven NEW names
 # (bpe_encode_fertility — the trained-merges encode/fertility readout;
 # lsh_operating_point — measured-vs-theory S-curve audit;
 # logreg_train_weights / logreg_train_eval — the gradient-trained linear
 # quality filter; dedup_cdc_chunks — content-defined chunking, the
 # insertion-robust dedup modality; mixture_temperature_plan — the
-# alpha=0.5 temperature data-mixing knob), keeping the never-windowed backlog at zero. The other
-# 34 slots are the alphabetically-first of the 44 queries whose last
+# alpha=0.5 temperature data-mixing knob; emb_incremental_neardup — the
+# batch-vs-state probe, vectors-arrive incremental dedup), keeping the never-windowed backlog at zero. The other
+# 33 slots are the alphabetically-first of the 44 queries whose last
 # green window is round 1 — the stalest cohort in the registry.
 DRIVER_WINDOW_PRIORITY = [
     "flagship_customer_activity",
@@ -98,7 +99,8 @@ DRIVER_WINDOW_PRIORITY = [
     "logreg_train_eval",
     "dedup_cdc_chunks",
     "mixture_temperature_plan",
-    # --- staleness rotation: the 34 oldest greens (all last-green r1) ---
+    "emb_incremental_neardup",
+    # --- staleness rotation: the 33 oldest greens (all last-green r1) ---
     "agg_avg_const_divisor",
     "agg_filtered_pivot",
     "agg_supplier_stats",
@@ -132,7 +134,6 @@ DRIVER_WINDOW_PRIORITY = [
     "stats_agg_lineitem",
     "topk_basic",
     "topk_last_3_periods",
-    "topk_order_revenue",
 ]
 
 

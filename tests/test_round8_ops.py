@@ -474,3 +474,48 @@ def test_sem_k_formula_property():
         assert py_k == sql_k
 
     check()
+
+
+# --- incremental embedding near-dup -----------------------------------------
+
+
+def test_emb_incremental_neardup_finds_planted_arrival(spark, tmp_path):
+    """A planted arriving near-copy of a corpus vector must surface with
+    cosine ~1, and every match must go batch -> corpus (never
+    corpus -> corpus: the probe's whole point is not re-running the
+    corpus self-join)."""
+    import hashlib
+
+    from fpl_data_pipeline_spark.operators.similarity import (
+        INC_BATCH_CUT,
+        emb_incremental_neardup,
+    )
+
+    def side(vid):
+        return hashlib.md5(str(vid).encode()).hexdigest()[:2] >= INC_BATCH_CUT
+
+    rng = np.random.RandomState(41)
+    rows = []
+    # background corpus+batch vectors, well spread
+    for vid in range(120):
+        v = rng.randn(DIM) * 3.0
+        rows.append((vid, [float(x) for x in v]))
+    # find one corpus id and one batch id; plant batch ~= corpus
+    corpus_ids = [v for v in range(120) if not side(v)]
+    batch_ids = [v for v in range(120) if side(v)]
+    assert corpus_ids and batch_ids
+    src, dst = corpus_ids[0], batch_ids[0]
+    base = np.array(rows[src][1])
+    rows[dst] = (dst, [float(x) for x in (base + 0.001 * rng.randn(DIM))])
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(sf_dir + "/embeddings.parquet")
+
+    got = emb_incremental_neardup(spark, sf_dir).collect()
+    assert got, "no matches surfaced"
+    for r in got:
+        assert side(r["new_id"]) and not side(r["dup_of"])
+    top = got[0]
+    assert (top["new_id"], top["dup_of"]) == (dst, src)
+    assert top["cosine"] > 0.999
