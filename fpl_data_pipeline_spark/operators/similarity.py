@@ -626,6 +626,12 @@ def kmeans_fit(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS) -> DataFram
 # (round-4 verdict #7).
 KMP_K = 8
 KMP_ITERS = 3
+# Upper bound on any DERIVED cluster count (the corpus-scaled semdedup
+# path): the Lloyd loop collects k x dim centroid longs per iteration, so
+# an unclamped k = n/target_pop would make driver traffic corpus-
+# proportional around n ~ 2e9 vectors. At the clamp the collect is ~2 MB;
+# past it, population exceeds the target and the cap tripwire reports.
+KMP_K_MAX = 4096
 _KMP_D2_SQL = (
     "list_sum(list_transform(range(1, {dim}+1),"
     " i -> (v.v6[i] - c.c6[i]) * (v.v6[i] - c.c6[i])))"
@@ -731,8 +737,13 @@ def kmp_assign(emb: DataFrame, target_pop: int | None = None) -> DataFrame:
     if target_pop is not None:
         n = vecs.count()
         # ceil via integer arithmetic — the oracle's (COUNT(*) + p-1) // p
-        # must reproduce this bit-for-bit, so no float ceil on either side
-        k = max(KMP_K, (n + target_pop - 1) // target_pop)
+        # must reproduce this bit-for-bit, so no float ceil on either side;
+        # clamped at KMP_K_MAX so the per-iteration centroid collect stays
+        # driver-bounded (k x dim longs, ~2 MB at the clamp) at ANY corpus
+        # — beyond it cluster population grows past target_pop and the
+        # consumer's SEM_CLUSTER_CAP tripwire fires observably, with
+        # two-level clustering as the documented next step
+        k = min(max(KMP_K, (n + target_pop - 1) // target_pop), KMP_K_MAX)
     cents = [list(r["v6"]) for r in vecs.orderBy("vec_id").limit(k).collect()]
 
     def score(cdf):
@@ -2948,8 +2959,9 @@ def _sem_k_sql() -> str:
     integer floor-div on BIGINT), as a scalar subquery over the shared
     quantized CTE v."""
     return (
-        f"(SELECT GREATEST({KMP_K},"
-        f" (COUNT(*) + {SEM_TARGET_POP - 1}) // {SEM_TARGET_POP}) FROM v)"
+        f"(SELECT LEAST(GREATEST({KMP_K},"
+        f" (COUNT(*) + {SEM_TARGET_POP - 1}) // {SEM_TARGET_POP}),"
+        f" {KMP_K_MAX}) FROM v)"
     )
 
 

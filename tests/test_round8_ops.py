@@ -21,16 +21,20 @@ from fpl_data_pipeline_spark.operators.similarity import DIM
 
 
 def test_sem_k_formula_integer_equivalence():
-    """The Spark-side k derivation and the oracle's GREATEST/(//) SQL must
-    agree at every boundary — same max, same ceil, no float anywhere."""
+    """The Spark-side k derivation and the oracle's LEAST/GREATEST/(//)
+    SQL must agree at every boundary — same max, same ceil, same KMP_K_MAX
+    clamp, no float anywhere."""
     con = duckdb.connect()
     pop = S.SEM_TARGET_POP
     kmp = S.KMP_K
+    kmax = S.KMP_K_MAX
     for n in [1, 7, 8, 9, pop - 1, pop, pop + 1, 4 * pop * kmp // 4 - 1,
-              kmp * pop, kmp * pop + 1, 10 * kmp * pop + 3]:
-        py_k = max(kmp, (n + pop - 1) // pop)
+              kmp * pop, kmp * pop + 1, 10 * kmp * pop + 3,
+              kmax * pop - 1, kmax * pop, kmax * pop + 1, 100 * kmax * pop]:
+        py_k = min(max(kmp, (n + pop - 1) // pop), kmax)
         sql_k = con.execute(
-            f"SELECT GREATEST({kmp}, ({n} + {pop - 1}) // {pop})"
+            f"SELECT LEAST(GREATEST({kmp}, ({n} + {pop - 1}) // {pop}),"
+            f" {kmax})"
         ).fetchone()[0]
         assert py_k == sql_k, (n, py_k, sql_k)
 
@@ -467,9 +471,11 @@ def test_sem_k_formula_property():
         kmp=st.integers(min_value=1, max_value=64),
     )
     def check(n, pop, kmp):
-        py_k = max(kmp, (n + pop - 1) // pop)
+        kmax = S.KMP_K_MAX
+        py_k = min(max(kmp, (n + pop - 1) // pop), kmax)
         sql_k = con.execute(
-            f"SELECT GREATEST({kmp}, ({n} + {pop - 1}) // {pop})"
+            f"SELECT LEAST(GREATEST({kmp}, ({n} + {pop - 1}) // {pop}),"
+            f" {kmax})"
         ).fetchone()[0]
         assert py_k == sql_k
 
