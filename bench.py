@@ -109,7 +109,7 @@ def _gated_rep(fn, base_ms: float, budget: list, max_attempts: int = 3):
     retries. When either bound trips, the last timing stands flagged
     suspect, and the artifact self-reports."""
     discarded = 0
-    for _ in range(max_attempts):
+    for attempt in range(max_attempts):
         pre = _short_canary_ms()
         t0 = time.perf_counter()
         fn()
@@ -117,11 +117,14 @@ def _gated_rep(fn, base_ms: float, budget: list, max_attempts: int = 3):
         post = _short_canary_ms()
         if pre <= 1.2 * base_ms and post <= 1.2 * base_ms:
             return dt, discarded, False
-        if budget[0] <= 0:
+        # only spend budget when another attempt will actually run:
+        # the final attempt's timing stands (flagged suspect) either way,
+        # so decrementing for it would deplete the allowance faster than
+        # the re-runs it is documented to bound (round-8 ADVICE).
+        if attempt == max_attempts - 1 or budget[0] <= 0:
             return dt, discarded, True
         budget[0] -= 1
         discarded += 1
-    return dt, discarded - 1, True
 
 
 def _jvm_count() -> int:

@@ -63,7 +63,7 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # driver rows-only check adds nothing over the planted-pair VALUE checks
 # in tests/test_cap_guards.py, which pin them to oracle-checked md5 twins.
 #
-# Round-8 changed set (11 + anchor): semdedup_prune (corpus-scaled k; its
+# Round-8 changed set (9 changed + 7 new + anchor): semdedup_prune (corpus-scaled k; its
 # oracle now derives k via a scalar subquery) and kmeans_portable (the
 # shared _kmp_cte_sql seed became an rn-filter); dsir_importance_weights
 # (per-doc weight sum in decimal); bpe_train_merges (bpe_round refactor +
