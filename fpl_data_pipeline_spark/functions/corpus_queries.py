@@ -463,8 +463,15 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     5 == 4) is checked against the EXISTING corpus's fingerprint set with
     one join — never rescanning the corpus pair space. This is how a 100 TB
     pipeline dedups daily increments: the fingerprint table is the persisted
-    state (bucketed on fp), the batch joins against it in O(batch), and only
-    'new' docs proceed to the expensive near-dup stages."""
+    state (operators/incremental_state.py: write_fingerprint_state buckets
+    it on fp), the batch joins against it in O(batch) via the shared
+    probe_fingerprint_state operator, and only 'new' docs proceed to the
+    expensive near-dup stages (the persisted round trip is
+    tests/test_incremental_state.py's two-batch sequencing scenario)."""
+    from fpl_data_pipeline_spark.operators.incremental_state import (
+        probe_fingerprint_state,
+    )
+
     d = table(spark, sf_dir, "documents")
     fp = d.select(
         "doc_id",
@@ -476,11 +483,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     batch = fp.filter(F.col("doc_id") % SNAPSHOT_MOD == SNAPSHOT_MOD - 1)
-    labeled = batch.join(
-        existing.withColumn("hit", F.lit(1)), "fp", "left"
-    ).select(
-        F.when(F.col("hit").isNotNull(), "dup_of_corpus").otherwise("new").alias("status")
-    )
+    labeled = probe_fingerprint_state(existing, batch)
     return labeled.groupBy("status").agg(F.count(F.lit(1)).alias("n_docs"))
 
 

@@ -493,6 +493,15 @@ def nb_alpha_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LR_B = 64  # hashed feature buckets (md5-portable fixed key space)
 LR_STEPS = 3
+# Lineage cadence (round 9, the BPE_CKPT_EVERY analogue): each gradient
+# step appends three joins to w's plan, so an unrolled 64-step train would
+# grow the analyzed plan linearly — the connected_components lineage-creep
+# class. A LAZY localCheckpoint every LR_CKPT_EVERY steps bounds the chain
+# at a constant number of stacked steps while keeping construction
+# job-free; tools/logreg_scale_ab.py at 16/64 steps (BENCH_NOTES) is the
+# flat-per-step-cost evidence. Never semantic: the 16-step
+# cadence-crossing test pins ckpt-on == ckpt-off exactly.
+LR_CKPT_EVERY = 8
 # Features are per-doc bucket FRACTIONS (quantized to micro-units), not raw
 # counts: ||x||_1 = 1 bounds the loss curvature so full-batch descent is
 # stable at eta <= ~2 on ANY corpus — raw counts made the step size
@@ -567,9 +576,11 @@ def _lr_cte() -> str:
     ),
     w{t} AS (
       SELECT w.bucket,
-             w.w6 - CAST(floor({LR_ETA} * (CAST(COALESCE(g.g, 0) AS DOUBLE)
-                                           / n.n) / 1000000 + 0.5)
-                         AS BIGINT) AS w6
+             CASE WHEN n.n > 0 THEN
+               w.w6 - CAST(floor({LR_ETA} * (CAST(COALESCE(g.g, 0) AS DOUBLE)
+                                             / n.n) / 1000000 + 0.5)
+                           AS BIGINT)
+             ELSE w.w6 END AS w6
       FROM w{t - 1} w LEFT JOIN g{t} g USING (bucket) CROSS JOIN ntr n
     )"""
         )
@@ -579,8 +590,11 @@ def _lr_cte() -> str:
 def _lr_features(d: DataFrame):
     """(docfeat, lab, ntr_frame): hashed train-split features (pinned — six
     consumers across the unrolled steps), labels, and the 1-row train count
-    carrying a data-derived join key (least(1, n): a literal key would be
-    constant-folded back into a nested-loop join)."""
+    carrying a data-derived join key (least(1, ntr + 1) == 1 for every
+    ntr >= 0: a literal key would be constant-folded back into a
+    nested-loop join, and the pre-round-9 least(1, ntr) went to 0 on an
+    empty train split, silently dropping all LR_B weight rows where the
+    oracle kept them — the round-8 ADVICE divergence)."""
     toks = d.select(
         "doc_id",
         F.explode(
@@ -615,7 +629,7 @@ def _lr_features(d: DataFrame):
     ntr = (
         d.filter(split < LR_TRAIN_CUT)
         .agg(F.count(F.lit(1)).alias("ntr"))
-        .select("ntr", F.least(F.lit(1), F.col("ntr")).alias("k"))
+        .select("ntr", F.least(F.lit(1), F.col("ntr") + 1).alias("k"))
     )
     return docfeat, lab, ntr
 
@@ -646,40 +660,53 @@ def _lr_step(docfeat: DataFrame, lab: DataFrame, ntr: DataFrame, w: DataFrame):
             F.sum((F.col("x6") * F.col("resid6")).cast("decimal(28,0)")).alias("g")
         )
     )
+    upd = F.floor(
+        F.lit(LR_ETA)
+        * (
+            F.coalesce(F.col("g"), F.lit(0).cast("decimal(28,0)")).cast("double")
+            / F.col("ntr")
+        )
+        / 1000000
+        + F.lit(0.5)
+    ).cast("long")
     return (
         w.join(grad, "bucket", "left")
         .withColumn("k", F.least(F.lit(1), F.col("bucket") + 1))
         .join(F.broadcast(ntr), "k")
         .select(
             "bucket",
-            (
-                F.col("w6")
-                - F.floor(
-                    F.lit(LR_ETA)
-                    * (
-                        F.coalesce(F.col("g"), F.lit(0).cast("decimal(28,0)"))
-                        .cast("double")
-                        / F.col("ntr")
-                    )
-                    / 1000000
-                    + F.lit(0.5)
-                ).cast("long")
-            ).alias("w6"),
+            # degenerate-split contract (round-9): with ZERO train docs
+            # there is no gradient information, so the step is the
+            # identity — matching the oracle's CASE WHEN n > 0 branch
+            # exactly instead of the NULL weights DuckDB's 0.0/0 yielded
+            # before the guard.
+            F.when(F.col("ntr") > 0, F.col("w6") - upd)
+            .otherwise(F.col("w6"))
+            .alias("w6"),
         )
     )
 
 
-def lr_train_weights(d: DataFrame) -> DataFrame:
-    """(bucket, w6) after LR_STEPS unrolled gradient steps from w0 = 0 —
+def lr_train_weights(
+    d: DataFrame, steps: int = LR_STEPS, ckpt_every: int = LR_CKPT_EVERY
+) -> DataFrame:
+    """(bucket, w6) after ``steps`` unrolled gradient steps from w0 = 0 —
     the engine half shared by logreg_train_weights and logreg_train_eval
-    (both oracles replay it through the same _lr_cte)."""
+    (both oracles replay it through the same _lr_cte at LR_STEPS; the
+    scale harness tools/logreg_scale_ab.py drives the same loop at 16/64).
+    Every ``ckpt_every`` steps w takes a LAZY localCheckpoint so the
+    analyzed plan stays bounded at a constant number of stacked steps
+    (see LR_CKPT_EVERY); at the shipped LR_STEPS=3 the cadence never
+    fires, so the registered query's plan is the plain unrolled one."""
     spark = d.sparkSession
     docfeat, lab, ntr = _lr_features(d)
     w = spark.range(LR_B).select(
         F.col("id").alias("bucket"), F.lit(0).cast("long").alias("w6")
     )
-    for _ in range(LR_STEPS):
+    for t in range(1, steps + 1):
         w = _lr_step(docfeat, lab, ntr, w)
+        if ckpt_every and t % ckpt_every == 0 and t < steps:
+            w = w.localCheckpoint(eager=False)
     return w
 
 
@@ -701,7 +728,13 @@ def logreg_train_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the 80% md5 train split (label: lang = 'en'): (bucket, weight,
     n_train_tokens). The driver value-checks the optimizer itself — every
     step's dot products, residuals, gradient and update are replayed by
-    the oracle's unrolled CTEs."""
+    the oracle's unrolled CTEs.
+
+    Degenerate-split contract (round-9): a corpus whose every doc_id
+    hashes into the eval split (ntr = 0) yields all LR_B weights at 0.0
+    on BOTH engines — the update step is the identity when there is no
+    gradient information (guarded CASE/when on both sides), not a
+    dropped-rows/NULL-weights divergence."""
     d = table(spark, sf_dir, "documents")
     w = lr_train_weights(d)
     docfeat, _, _ = _lr_features(d)

@@ -3359,29 +3359,25 @@ def emb_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the vectors-arrive twin of the text family's incremental dedup. The
     corpus is scanned once for its band keys (the persisted state at
     deploy time) and once for the verify-join; nothing pair-quadratic."""
+    from fpl_data_pipeline_spark.operators.incremental_state import (
+        band_state_long,
+        probe_band_state,
+    )
+
     emb = table(spark, sf_dir, "embeddings")
     sp = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2)
     corpus = emb.filter(sp < INC_BATCH_CUT)
     batch = emb.filter(sp >= INC_BATCH_CUT)
-    # the corpus band-key state: pinned — it feeds both cap pre-passes and
-    # both probe joins (the _lsh_candidate_pairs `ids` rationale)
-    ck = lsh_doc_band_keys(corpus).localCheckpoint(eager=False)
-    bk = lsh_doc_band_keys(batch)
-    cands = []
-    for band in ("k0", "k1"):
-        alive = (
-            ck.groupBy(band)
-            .agg(F.count(F.lit(1)).alias("bs"))
-            .filter(F.col("bs") <= ND_BAND_CAP)
-            .drop("bs")
-        )
-        cands.append(
-            bk.select(F.col("vec_id").alias("new_id"), band)
-            .join(F.broadcast(alive), band)
-            .join(ck.select(F.col("vec_id").alias("dup_of"), band), band)
-            .select("new_id", "dup_of")
-        )
-    cand = cands[0].unionByName(cands[1]).distinct()
+    # the corpus band-key state in the PERSISTED long form (round 9:
+    # operators/incremental_state.py — at deploy time this relation is the
+    # bucketed state table and the split above disappears): pinned, since
+    # it feeds the cap pre-pass and the probe join (the
+    # _lsh_candidate_pairs `ids` rationale). One (band, k) equi-join now
+    # serves both bands where the wide form needed a join per band and
+    # scanned the state twice.
+    ck = band_state_long(lsh_doc_band_keys(corpus)).localCheckpoint(eager=False)
+    bk = band_state_long(lsh_doc_band_keys(batch))
+    cand = probe_band_state(ck, bk, ND_BAND_CAP)
     ea = emb.select(F.col("vec_id").alias("new_id"), F.col("embedding").alias("va"))
     eb = emb.select(F.col("vec_id").alias("dup_of"), F.col("embedding").alias("vb"))
     cos = (_dot("va", "vb") / (_norm("va") * _norm("vb"))).alias("cosine")

@@ -63,77 +63,74 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # driver rows-only check adds nothing over the planted-pair VALUE checks
 # in tests/test_cap_guards.py, which pin them to oracle-checked md5 twins.
 #
-# Round-8 changed set (9 changed + 7 new + anchor): semdedup_prune (corpus-scaled k; its
-# oracle now derives k via a scalar subquery) and kmeans_portable (the
-# shared _kmp_cte_sql seed became an rn-filter); dsir_importance_weights
-# (per-doc weight sum in decimal); bpe_train_merges (bpe_round refactor +
-# BPE_CKPT_EVERY lineage cadence); dedup_winnowing_pairs (fps lazy pin);
-# multimodal_features + binary_ingest_arrow (BMP decoder in the decode
-# dispatch); emb_pca_top_component + emb_abtt_query_shift (saturating
-# float conversion in the shared power iteration); and the seven NEW names
-# (bpe_encode_fertility — the trained-merges encode/fertility readout;
-# lsh_operating_point — measured-vs-theory S-curve audit;
-# logreg_train_weights / logreg_train_eval — the gradient-trained linear
-# quality filter; dedup_cdc_chunks — content-defined chunking, the
-# insertion-robust dedup modality; mixture_temperature_plan — the
-# alpha=0.5 temperature data-mixing knob; emb_incremental_neardup — the
-# batch-vs-state probe, vectors-arrive incremental dedup), keeping the never-windowed backlog at zero. The other
-# 33 slots are the alphabetically-first of the 44 queries whose last
-# green window is round 1 — the stalest cohort in the registry.
+# Round-9 window (3 changed + anchor + 46 staleness-fillers = 50):
+# logreg_train_weights / logreg_train_eval changed (the empty-train-split
+# guard on BOTH engine and oracle — the round-8 ADVICE divergence — plus
+# the LR_CKPT_EVERY cadence parameter, inert at LR_STEPS=3) and
+# emb_incremental_neardup changed (the probe now goes through the
+# long-form persisted-state shape of operators/incremental_state.py: one
+# (band, k) equi-join for both bands). dedup_incremental_batch was
+# refactored onto the same shared probe but its optimized plan is
+# byte-identical (verified by plan diff), so it is NOT re-windowed. Zero
+# new names this round (verdict task #8: growth <= what tasks #1/#5
+# need). The remaining 46 slots drain the staleness tail COMPLETELY: the
+# 11 names last-green in round 1, then the 35 last-green in round 2
+# (oldest-green-first, ties alphabetical) — after this window no name's
+# last green is older than round 3.
 DRIVER_WINDOW_PRIORITY = [
     "flagship_customer_activity",
-    # --- plans/behavior changed in round 8 -> driver-proven this round ---
-    "semdedup_prune",
-    "kmeans_portable",
-    "dsir_importance_weights",
-    "bpe_train_merges",
-    "dedup_winnowing_pairs",
-    "multimodal_features",
-    "binary_ingest_arrow",
-    "emb_pca_top_component",
-    "emb_abtt_query_shift",
-    # --- new in round 8 ---
-    "bpe_encode_fertility",
-    "lsh_operating_point",
+    # --- plans/behavior changed in round 9 -> driver-proven this round ---
     "logreg_train_weights",
     "logreg_train_eval",
-    "dedup_cdc_chunks",
-    "mixture_temperature_plan",
     "emb_incremental_neardup",
-    # --- staleness rotation: the 33 oldest greens (all last-green r1) ---
-    "agg_avg_const_divisor",
-    "agg_filtered_pivot",
-    "agg_supplier_stats",
-    "anti_join_orphans",
-    "asof_join_cogrouped",
-    "asof_join_purchase_click",
-    "coalesce_outer",
-    "concat_names",
-    "count_by_status",
-    "cube_order_priority_status",
-    "derived_ratio",
-    "dim_decorate",
-    "distinct_periods",
-    "except_lapsed_customers",
-    "explode_part_words",
-    "filter_equality",
-    "filter_isnull_postjoin",
-    "filter_range_hwm",
-    "grouping_sets_lineitem",
-    "high_water_mark",
-    "intersect_repeat_customers",
-    "join_multiway_revenue",
-    "json_extract",
-    "map_decode",
-    "percentile_prices_by_flag",
-    "projection",
-    "range_join_signup_activity",
-    "rollup_lineitem_status",
-    "salted_agg_user_activity",
-    "semi_join",
-    "stats_agg_lineitem",
-    "topk_basic",
-    "topk_last_3_periods",
+    # --- staleness rotation: the 11 last-green-r1 names ---
+    "topk_order_revenue",
+    "topk_part_revenue",
+    "topk_supplier_volume",
+    "topk_value_ratio",
+    "union_all_frames",
+    "window_lag_delta",
+    "window_moving_sum",
+    "window_range_30d_spend",
+    "window_rank_per_customer",
+    "window_rank_periods",
+    "window_value_functions",
+    # --- staleness rotation: the 35 last-green-r2 names ---
+    "ann_batch_topk",
+    "ann_cosine_topk",
+    "ann_ivf_probe",
+    "ann_lsh_bucketed",
+    "approx_distinct_customers",
+    "approx_quantiles_price",
+    "collect_sorted_orderkeys",
+    "conditional_funcs_lineitem",
+    "date_funcs_orders",
+    "doc_fingerprints",
+    "emb_cluster_centroids",
+    "emb_vector_stats",
+    "events_hourly_stats",
+    "events_incremental_rollup",
+    "events_session_window",
+    "events_sessions",
+    "exists_high_value_customers",
+    "fk_integrity_summary",
+    "gap_fill_monthly_revenue",
+    "json_parse_aggregate",
+    "math_funcs_lineitem",
+    "multimodal_frame_sample",
+    "null_profile_orders",
+    "pivot_docs_source_lang",
+    "pk_uniqueness_summary",
+    "profile_documents",
+    "quality_filter_funnel",
+    "regex_funcs_part",
+    "sample_hash_bucket",
+    "split_train_test",
+    "stratified_sample_counts",
+    "string_funcs_part",
+    "text_lang_id",
+    "text_token_counts",
+    "unpivot_part_measures",
 ]
 
 

@@ -1,0 +1,117 @@
+"""Pin dedup_ngram_jaccard's 10x probe ratio on a FIXED-SEED corpus — the
+round-8 verdict's task #2.
+
+The family's 10x time ratio in scale_probe.py drifted x7.4-x67 across
+rounds. The pair count never drifted (the blowup is deterministic), so the
+suspects are (a) machine-load noise on the single unreplicated timing and
+(b) any cross-round change in the driver-generated testdata. This probe
+removes both: the corpus is generated here from a fixed seed (identical
+bytes every round, independent of /root/testdata), and every timing is the
+MEDIAN of 3 canary-gated reps (bench.py's inline-canary discipline: a rep
+bracketed by a slow canary overlapped an external burst and is re-run).
+
+    python tools/ngram_probe.py [n_docs] [factor]
+
+Defaults: 5000 docs x ~50 Zipf-sampled words (the sf0.1 documents shape),
+factor 10 with the same near-dup per-copy suffix make_blowup.py applies.
+Output: one JSON line; recorded in BENCH_NOTES.md. Done-when (verdict):
+two consecutive rounds report the same ratio +-20%, else interleave-A/B
+the family's code across rounds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from bench import _short_canary_ms  # noqa: E402
+from fpl_data_pipeline_spark import get_spark  # noqa: E402
+from fpl_data_pipeline_spark.operators.dedup import _ngram_jaccard_pairs  # noqa: E402
+
+SEED = 1789
+VOCAB = 2000
+SCRATCH = ".ngram_probe"
+
+
+def _corpus_rows(n_docs: int):
+    """Deterministic Zipf-ish corpus: rank-r word drawn with weight 1/r —
+    the heavy-head shingle df distribution the SHINGLE_DF_CAP exists for."""
+    rng = random.Random(SEED)
+    words = [f"w{i}" for i in range(VOCAB)]
+    weights = [1.0 / (i + 1) for i in range(VOCAB)]
+    rows = []
+    for doc_id in range(n_docs):
+        n = rng.randint(30, 70)
+        rows.append((doc_id, " ".join(rng.choices(words, weights=weights, k=n))))
+    return rows
+
+
+def _write(spark, rows, factor: int):
+    base = spark.createDataFrame(rows, "doc_id long, text string")
+    copies = [base]
+    for k in range(1, factor):
+        copies.append(
+            base.select(
+                (F.col("doc_id") + F.lit(k * len(rows))).alias("doc_id"),
+                F.concat("text", F.lit(f" rep{k}")).alias("text"),
+            )
+        )
+    paths = {}
+    for tag, df in (("base", base), ("blown", copies[0].unionByName(*copies[1:]) if factor > 1 else base)):
+        p = f"{SCRATCH}/{tag}"
+        df.repartition(8).write.mode("overwrite").parquet(p)
+        paths[tag] = p
+    return paths
+
+
+def _gated_median(fn, base_ms: float, reps: int = 3) -> tuple:
+    """Median of ``reps`` canary-clean timings (each rep re-tried up to 3x
+    when a surrounding canary exceeds 1.2x the quiet baseline)."""
+    times, dirty = [], 0
+    for _ in range(reps):
+        for attempt in range(3):
+            pre = _short_canary_ms()
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            post = _short_canary_ms()
+            if pre <= 1.2 * base_ms and post <= 1.2 * base_ms:
+                break
+            dirty += 1
+        times.append(dt)
+    return round(statistics.median(times), 2), [round(t, 2) for t in times], dirty
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark("ngram_probe")
+    base_ms = min(_short_canary_ms() for _ in range(5))
+    paths = _write(spark, _corpus_rows(n_docs), factor)
+
+    out = {"seed": SEED, "n_docs": n_docs, "factor": factor,
+           "canary_base_ms": round(base_ms, 1)}
+    for tag in ("base", "blown"):
+        docs = spark.read.parquet(paths[tag])
+        pairs = _ngram_jaccard_pairs(docs)
+        n_pairs = pairs.count()  # warm JIT/codegen + page cache, untimed
+        med, reps, dirty = _gated_median(lambda: pairs.count(), base_ms)
+        out[tag] = {"pairs": n_pairs, "median_sec": med, "rep_secs": reps,
+                    "reps_dirty": dirty}
+    out["pair_ratio"] = round(out["blown"]["pairs"] / max(out["base"]["pairs"], 1), 2)
+    out["time_ratio"] = round(
+        out["blown"]["median_sec"] / max(out["base"]["median_sec"], 1e-9), 2
+    )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

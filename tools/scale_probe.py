@@ -218,6 +218,25 @@ def query_growth(spark, base_dir: str, blown_dir: str) -> dict:
             **secs,
             "time_ratio": round(secs["blown"] / max(secs["base"], 1e-9), 2),
         }
+    # LPA is edge-bound, and the blowup makes every copy a near-dup of its
+    # original, so the dup graph's edge count grows ~factor^2 while the
+    # corpus grows ~factor — raw wall ratio overstates the per-unit cost
+    # the way pagerank's did (round-7 caveat). Report the edge counts and
+    # the per-edge-normalized ratio alongside, the pagerank convention
+    # (round-8 verdict task #6).
+    from fpl_data_pipeline_spark.operators.graph import _dup_edges
+
+    e = {}
+    for tag, d in (("base", base_dir), ("blown", blown_dir)):
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        e[tag] = _dup_edges(docs).count()
+    lpa = out["dupgraph_lpa_communities"]
+    lpa["edges_base"] = e["base"]
+    lpa["edges_blown"] = e["blown"]
+    lpa["edge_ratio"] = round(e["blown"] / max(e["base"], 1), 2)
+    lpa["per_edge_time_ratio"] = round(
+        lpa["time_ratio"] / max(lpa["edge_ratio"], 1e-9), 4
+    )
     return out
 
 
