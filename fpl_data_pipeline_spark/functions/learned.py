@@ -493,15 +493,20 @@ def nb_alpha_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LR_B = 64  # hashed feature buckets (md5-portable fixed key space)
 LR_STEPS = 3
-# Lineage cadence (round 9, the BPE_CKPT_EVERY analogue): each gradient
-# step appends three joins to w's plan, so an unrolled 64-step train would
-# grow the analyzed plan linearly — the connected_components lineage-creep
-# class. A LAZY localCheckpoint every LR_CKPT_EVERY steps bounds the chain
-# at a constant number of stacked steps while keeping construction
-# job-free; tools/logreg_scale_ab.py at 16/64 steps (BENCH_NOTES) is the
-# flat-per-step-cost evidence. Never semantic: the 16-step
-# cadence-crossing test pins ckpt-on == ckpt-off exactly.
-LR_CKPT_EVERY = 8
+# Lineage cadence (round 9, the BPE_CKPT_EVERY analogue): w feeds TWO
+# consumers per step (the dot broadcast and the update join), so an
+# untruncated plan DOUBLES per step — worse than the linear
+# connected_components creep; a cadence-off arm at just 12 steps (2^12
+# tree copies) ran >15 min of driver-side analysis at sf0.1. A LAZY
+# localCheckpoint every LR_CKPT_EVERY steps bounds the stacked tree at
+# 2^LR_CKPT_EVERY while keeping construction job-free. The cadence is
+# MEASURED, not guessed (tools/logreg_scale_ab.py, 64 steps at sf0.1,
+# BENCH_NOTES round-9 table): every cadence is flat across windows (no
+# cross-window creep), but within-window analysis doubles, so tighter
+# wins outright — total 236 s at cadence 8, 60 s at 4, 18 s at 2.
+# Never semantic: the 16-step reference test crosses 7 boundaries
+# bit-for-bit, and the on-vs-off twin pins equality directly.
+LR_CKPT_EVERY = 2
 # Features are per-doc bucket FRACTIONS (quantized to micro-units), not raw
 # counts: ||x||_1 = 1 bounds the loss curvature so full-batch descent is
 # stable at eta <= ~2 on ANY corpus — raw counts made the step size

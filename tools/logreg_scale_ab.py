@@ -83,8 +83,16 @@ def run(spark, sf_dir: str, n_steps: int, ckpt_every: int) -> dict:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--no-ckpt"]
-    ckpt_every = 0 if "--no-ckpt" in sys.argv[1:] else LR_CKPT_EVERY
+    argv = sys.argv[1:]
+    ckpt_every = LR_CKPT_EVERY
+    if "--no-ckpt" in argv:
+        ckpt_every = 0
+        argv = [a for a in argv if a != "--no-ckpt"]
+    if "--ckpt" in argv:
+        i = argv.index("--ckpt")
+        ckpt_every = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    args = argv
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     counts = [int(x) for x in args[1:]] or [16, 64]
     spark = get_spark("logreg_scale_ab")

@@ -64,8 +64,11 @@ def _write(spark, rows, factor: int):
                 F.concat("text", F.lit(f" rep{k}")).alias("text"),
             )
         )
+    from functools import reduce
+
+    blown = reduce(lambda a, b: a.unionByName(b), copies)
     paths = {}
-    for tag, df in (("base", base), ("blown", copies[0].unionByName(*copies[1:]) if factor > 1 else base)):
+    for tag, df in (("base", base), ("blown", blown)):
         p = f"{SCRATCH}/{tag}"
         df.repartition(8).write.mode("overwrite").parquet(p)
         paths[tag] = p
