@@ -127,6 +127,21 @@ def _gated_rep(fn, base_ms: float, budget: list, max_attempts: int = 3):
         discarded += 1
 
 
+def _cpu_jiffies() -> tuple:
+    """(steal, total) jiffies from /proc/stat's aggregate cpu line — the
+    hypervisor-contention counter the single-thread canary cannot see.
+    Round-9 motivation: a session recorded canaries FASTER than the prior
+    round (230-250 ms vs 264.8) while every 32-thread query read 15-30%
+    slower — single-thread speed was fine, the parallel workload was
+    starved (steal / memory bandwidth). Reporting the run's steal% makes
+    that machine state visible inside the artifact."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
 def _jvm_count() -> int:
     """Concurrent JVMs on the host (contention evidence for the bench JSON)."""
     n = 0
@@ -203,6 +218,7 @@ def main() -> None:
     )
     load_before = os.getloadavg()
     jvms_before = _jvm_count()
+    steal0, jiff0 = _cpu_jiffies()
     spark = get_spark("bench")
     # Keep stdout clean for the driver's tail capture: no stage-progress
     # carriage-return bars, no WARN chatter after session start.
@@ -262,6 +278,12 @@ def main() -> None:
             # that stood despite failing the gate at the retry bound
             "reps_discarded": sum(discarded.values()),
             "reps_suspect": sum(suspect.values()),
+            # hypervisor steal% over the whole run (see _cpu_jiffies):
+            # >~1% explains slow-parallel/fast-canary sessions
+            "steal_pct": round(
+                100.0 * (_cpu_jiffies()[0] - steal0)
+                / max(_cpu_jiffies()[1] - jiff0, 1), 2
+            ),
         },
     }
 
