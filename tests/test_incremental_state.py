@@ -137,3 +137,24 @@ def test_fingerprint_state_round_trip(spark, tmp_path):
         assert got == {10: "dup_of_corpus", 11: "new"}
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_probe_band_state_drops_overcap_buckets(spark):
+    """The alive pre-pass in the shared probe: a (band, k) bucket whose
+    corpus membership exceeds the cap is non-discriminative and emits NO
+    candidates, while under-cap buckets still probe — the boilerplate
+    guard, now pinned on the persisted-shape code path."""
+    state = spark.createDataFrame(
+        # bucket (0, 'hot') holds 3 corpus vectors; (1, 'cold') holds 2
+        [(1, 0, "hot"), (2, 0, "hot"), (3, 0, "hot"), (4, 1, "cold"), (5, 1, "cold")],
+        "vec_id long, band int, k string",
+    )
+    batch = spark.createDataFrame(
+        [(100, 0, "hot"), (100, 1, "cold")], "vec_id long, band int, k string"
+    )
+    got = {
+        (r["new_id"], r["dup_of"])
+        for r in probe_band_state(state, batch, cap=2).collect()
+    }
+    # hot bucket (3 > cap) dropped entirely; cold bucket (2 <= cap) probes
+    assert got == {(100, 4), (100, 5)}
