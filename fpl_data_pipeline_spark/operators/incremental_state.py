@@ -111,11 +111,33 @@ def write_fingerprint_state(state: DataFrame, table_name: str, path: str,
 def append_band_state(spark: SparkSession, table_name: str,
                       new_keys: DataFrame) -> None:
     """Fold an accepted batch's band keys into the persisted state — the
-    between-increments step of the deployment loop (bucketBy appends keep
-    the bucketed layout; each append adds one file set per bucket, compacted
-    on the usual small-file cadence, sources/compaction.py)."""
+    between-increments step of the deployment loop. bucketBy appends keep
+    the bucketed layout, but each append adds one file set per bucket;
+    run compact_band_state on the usual small-file cadence
+    (sources/compaction.py's planner decides when)."""
     from fpl_data_pipeline_spark.sources.bucketing import _bucket_count
 
     new_keys.write.format("parquet").mode("append").bucketBy(
         _bucket_count(spark, table_name), "band", "k"
     ).sortBy("band", "k").saveAsTable(table_name)
+
+
+def compact_band_state(spark: SparkSession, table_name: str,
+                       path: str) -> None:
+    """Rewrite the appended state table as one file set per bucket,
+    preserving the bucketed layout (bucket count and keys read from the
+    catalog). N appends leave N file sets per bucket — correct but
+    ever-smaller files; this is the OPTIMIZE step of the deployment loop.
+    ``path`` must be a NEW location: the rewrite is
+    read-all -> write-bucketed -> swap (the table name moves atomically at
+    the saveAsTable), never an in-place overwrite of files a concurrent
+    probe may be reading."""
+    from fpl_data_pipeline_spark.sources.bucketing import (
+        _bucket_count,
+        write_bucketed,
+    )
+
+    n = _bucket_count(spark, table_name)
+    snapshot = spark.table(table_name).localCheckpoint()  # read BEFORE drop
+    spark.sql(f"DROP TABLE {table_name}")
+    write_bucketed(snapshot, table_name, ["band", "k"], n, path)

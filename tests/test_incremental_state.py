@@ -158,3 +158,51 @@ def test_probe_band_state_drops_overcap_buckets(spark):
     }
     # hot bucket (3 > cap) dropped entirely; cold bucket (2 <= cap) probes
     assert got == {(100, 4), (100, 5)}
+
+
+def test_compact_band_state_preserves_probe_and_shrinks_files(
+    spark, three_batches, tmp_path
+):
+    """The OPTIMIZE step of the loop: after an append leaves two file sets
+    per bucket, compaction rewrites to one set — probe results identical,
+    layout still bucketed (append after compaction still works), file
+    count strictly smaller."""
+    import os
+
+    from fpl_data_pipeline_spark.operators.incremental_state import (
+        compact_band_state,
+    )
+
+    b1, b2, b3 = three_batches
+    tbl = "inc_band_state_compact_t"
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+
+    def parquet_files(p):
+        return sum(
+            1
+            for root, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    try:
+        write_band_state(band_state_long(lsh_doc_band_keys(b1)), tbl, p1)
+        append_band_state(spark, tbl, band_state_long(lsh_doc_band_keys(b2)))
+        before_files = parquet_files(p1)
+        probe = lambda: sorted(  # noqa: E731
+            (r["new_id"], r["dup_of"])
+            for r in probe_band_state(
+                spark.table(tbl), band_state_long(lsh_doc_band_keys(b3)),
+                ND_BAND_CAP,
+            ).collect()
+        )
+        want = probe()
+        compact_band_state(spark, tbl, p2)
+        assert probe() == want
+        assert spark.table(tbl).count() == 2 * (40 + 31)
+        assert parquet_files(p2) < before_files
+        # layout survived: a further append still lands bucketed
+        append_band_state(spark, tbl, band_state_long(lsh_doc_band_keys(b3)))
+        assert spark.table(tbl).count() == 2 * (40 + 31 + 1)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
