@@ -75,9 +75,14 @@ def _write(spark, rows, factor: int):
     return paths
 
 
-def _gated_median(fn, base_ms: float, reps: int = 3) -> tuple:
-    """Median of ``reps`` canary-clean timings (each rep re-tried up to 3x
-    when a surrounding canary exceeds 1.2x the quiet baseline)."""
+def _gated_stats(fn, base_ms: float, reps: int) -> dict:
+    """Median + min of ``reps`` canary-clean timings (each rep re-tried up
+    to 3x when a surrounding canary exceeds 1.2x the quiet baseline). The
+    MIN is the better point estimate for a sub-second job: the base-scale
+    count runs ~0.5 s, where scheduler jitter is a third of the reading —
+    three same-session runs put the blown median at 2.04/2.12/2.16 (+-3%)
+    while the base median wandered 0.48-0.68 (+-30%), which is the whole
+    historic x7.4-x67 ratio drift in miniature (division by noise)."""
     times, dirty = [], 0
     for _ in range(reps):
         for attempt in range(3):
@@ -90,7 +95,12 @@ def _gated_median(fn, base_ms: float, reps: int = 3) -> tuple:
                 break
             dirty += 1
         times.append(dt)
-    return round(statistics.median(times), 2), [round(t, 2) for t in times], dirty
+    return {
+        "median_sec": round(statistics.median(times), 2),
+        "min_sec": round(min(times), 2),
+        "rep_secs": [round(t, 2) for t in times],
+        "reps_dirty": dirty,
+    }
 
 
 def main() -> None:
@@ -102,16 +112,23 @@ def main() -> None:
 
     out = {"seed": SEED, "n_docs": n_docs, "factor": factor,
            "canary_base_ms": round(base_ms, 1)}
-    for tag in ("base", "blown"):
+    # base gets 5 reps: it runs near the scheduler noise floor (~0.5 s),
+    # blown is long enough that 3 suffice
+    for tag, reps in (("base", 5), ("blown", 3)):
         docs = spark.read.parquet(paths[tag])
         pairs = _ngram_jaccard_pairs(docs)
         n_pairs = pairs.count()  # warm JIT/codegen + page cache, untimed
-        med, reps, dirty = _gated_median(lambda: pairs.count(), base_ms)
-        out[tag] = {"pairs": n_pairs, "median_sec": med, "rep_secs": reps,
-                    "reps_dirty": dirty}
+        out[tag] = {"pairs": n_pairs,
+                    **_gated_stats(lambda: pairs.count(), base_ms, reps)}
     out["pair_ratio"] = round(out["blown"]["pairs"] / max(out["base"]["pairs"], 1), 2)
-    out["time_ratio"] = round(
-        out["blown"]["median_sec"] / max(out["base"]["median_sec"], 1e-9), 2
+    out["time_ratio_min"] = round(
+        out["blown"]["min_sec"] / max(out["base"]["min_sec"], 1e-9), 2
+    )
+    # the cross-round pinned metric: blown-side per-pair cost — its median
+    # held +-3% across three same-session runs where the ratio moved +-30%
+    # on the noisy sub-second base denominator
+    out["blown_ns_per_pair"] = round(
+        out["blown"]["median_sec"] * 1e9 / max(out["blown"]["pairs"], 1), 1
     )
     print(json.dumps(out))
 
