@@ -63,7 +63,8 @@ def stress_vocab(spark, sf_dir: str):
     return bpe_vocab_from_words(tri)
 
 
-def run(spark, sf_dir: str, n_merges: int, stress: bool) -> dict:
+def run(spark, sf_dir: str, n_merges: int, stress: bool,
+        ckpt_every: int = BPE_CKPT_EVERY) -> dict:
     vocab = (
         stress_vocab(spark, sf_dir)
         if stress
@@ -83,11 +84,12 @@ def run(spark, sf_dir: str, n_merges: int, stress: bool) -> dict:
         if not rows:
             break  # exhaustion contract: fewer rows than n_merges
         merges.append(rows[0]["merged"])
-        if it % BPE_CKPT_EVERY == 0 and it < n_merges:
+        if ckpt_every and it % ckpt_every == 0 and it < n_merges:
             v = v.localCheckpoint(eager=False)
     half = len(round_secs) // 2
     return {
         "n_merges": n_merges,
+        "ckpt_every": ckpt_every,
         "n_vocab": n_vocab,
         "vocab_sec": vocab_sec,
         "round_secs": round_secs,
@@ -100,19 +102,25 @@ def run(spark, sf_dir: str, n_merges: int, stress: bool) -> dict:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--stress"]
-    stress = "--stress" in sys.argv[1:]
-    sf_dir = args[0] if args else "/root/testdata/sf0.1"
-    counts = [int(x) for x in args[1:]] or [16, 32]
+    argv = sys.argv[1:]
+    stress = "--stress" in argv
+    argv = [a for a in argv if a != "--stress"]
+    ckpt_every = BPE_CKPT_EVERY
+    if "--ckpt" in argv:
+        i = argv.index("--ckpt")
+        ckpt_every = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
+    counts = [int(x) for x in argv[1:]] or [16, 32]
     spark = get_spark("bpe_scale_ab")
     out = {
         "sf_dir": sf_dir,
         "stress_trigram_vocab": stress,
-        "ckpt_every": BPE_CKPT_EVERY,
+        "ckpt_every": ckpt_every,
         "runs": [],
     }
     for n in counts:
-        out["runs"].append(run(spark, sf_dir, n, stress))
+        out["runs"].append(run(spark, sf_dir, n, stress, ckpt_every))
     print(json.dumps(out))
 
 
