@@ -217,3 +217,72 @@ def run_week_feed_merge(
         .start()
     )
     q.awaitTermination()
+
+
+# --- streaming vector ingestion against the persisted band-key state --------
+# The stream-driven form of the incremental near-dup deployment loop
+# (operators/incremental_state.py, round 9): vectors arrive as parquet files,
+# each micro-batch probes the PERSISTED bucketed state table for near-dup
+# candidates, the candidates land in a per-batch parquet (append), and the
+# batch's own band keys are folded into the state — so micro-batch N+1 sees
+# micro-batch N as corpus. The embedding-side twin of streaming_dedup
+# (streaming/stateful.py), using the table as state instead of the state
+# store: band keys must outlive the query and serve OFFLINE probes too, so
+# they belong in the shared bucketed table, not in per-query checkpoint
+# state.
+
+VEC_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def run_neardup_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    state_table: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    cap: int | None = None,
+) -> None:
+    """Drain available vector files (Trigger.AvailableNow), per micro-batch:
+    probe -> emit candidates -> append keys to the state table.
+
+    Exactly-once caveat, documented not hidden: the candidate output is
+    idempotent (overwritten per batch_id path), but append_band_state is
+    NOT — a crash between the append and the checkpoint commit would
+    re-append the batch's keys on replay. Duplicate state rows only widen
+    candidate sets (probe_band_state distincts pairs), so correctness
+    degrades to at-least-once state with exact candidate emission; a
+    deployment needing exact state uses a batch_id-versioned staging dir
+    and the same atomic-rename publish as run_available_now's merge."""
+    from fpl_data_pipeline_spark.operators.incremental_state import (
+        append_band_state,
+        band_state_long,
+        probe_band_state,
+    )
+    from fpl_data_pipeline_spark.operators.similarity import (
+        ND_BAND_CAP,
+        lsh_doc_band_keys,
+    )
+
+    eff_cap = ND_BAND_CAP if cap is None else cap
+    stream = spark.readStream.schema(VEC_SCHEMA).parquet(source_dir)
+
+    def probe_and_fold(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        keys = band_state_long(lsh_doc_band_keys(batch_df)).localCheckpoint()
+        cands = probe_band_state(sp.table(state_table), keys, eff_cap)
+        cands.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        append_band_state(sp, state_table, keys)
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(probe_and_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

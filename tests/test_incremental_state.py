@@ -206,3 +206,43 @@ def test_compact_band_state_preserves_probe_and_shrinks_files(
         assert spark.table(tbl).count() == 2 * (40 + 31 + 1)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_streaming_neardup_ingest_two_microbatches(spark, three_batches, tmp_path):
+    """The stream-driven deployment loop (streaming/incremental.py::
+    run_neardup_ingest): micro-batch 1 (b2's vectors) probes the b1-built
+    state and emits the planted b2~b1 candidate; its keys fold into the
+    state table, so micro-batch 2 (b3, a near-copy of a B2 vector) hits —
+    the two-batch sequencing contract, now across Structured Streaming
+    micro-batches with a shared checkpoint."""
+    from fpl_data_pipeline_spark.streaming.incremental import run_neardup_ingest
+
+    b1, b2, b3 = three_batches
+    tbl = "inc_band_state_stream_t"
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    try:
+        write_band_state(
+            band_state_long(lsh_doc_band_keys(b1)), tbl, str(tmp_path / "state")
+        )
+        b2.coalesce(1).write.mode("append").parquet(src)
+        run_neardup_ingest(spark, src, tbl, out, ckpt)
+        got1 = {
+            (r["new_id"], r["dup_of"])
+            for r in spark.read.parquet(out + "/batch_id=0").collect()
+        }
+        assert (1099, 3) in got1
+        assert all(d < 1000 for _, d in got1)  # state was b1-only
+
+        b3.coalesce(1).write.mode("append").parquet(src)
+        run_neardup_ingest(spark, src, tbl, out, ckpt)  # drains ONLY new files
+        later = spark.read.option("basePath", out).parquet(out)
+        got2 = {
+            (r["new_id"], r["dup_of"])
+            for r in later.filter(F.col("batch_id") >= 1).collect()
+        }
+        assert (2000, 1005) in got2  # b2 is corpus now: the fold took
+        # state = bootstrap b1 + folded b2 + folded b3 (every drained
+        # micro-batch folds, including the last)
+        assert spark.table(tbl).count() == 2 * (40 + 31 + 1)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
