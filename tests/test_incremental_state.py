@@ -246,3 +246,64 @@ def test_streaming_neardup_ingest_two_microbatches(spark, three_batches, tmp_pat
         assert spark.table(tbl).count() == 2 * (40 + 31 + 1)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_minhash_band_state_rides_the_same_story(spark, tmp_path):
+    """The text-minhash family's deploy state is the SAME shape: its
+    (doc_id, band_id, band_key) band relation is already long-form, so a
+    rename feeds it through the shared persist/probe/append path — one
+    deploy-state story across text-minhash and embedding-LSH (round-8
+    verdict task #5, extended)."""
+    from fpl_data_pipeline_spark.operators.dedup import (
+        MH_BAND_CAP,
+        minhash_signatures,
+        N_BANDS,
+        ROWS_PER_BAND,
+    )
+
+    def band_keys(docs):
+        sigs = minhash_signatures(docs)
+        return sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[
+                                    F.element_at("sig", b * ROWS_PER_BAND + r + 1)
+                                    for r in range(ROWS_PER_BAND)
+                                ]
+                            ).alias("k"),
+                        )
+                        for b in range(N_BANDS)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(F.col("doc_id").alias("vec_id"), "bk.band", "bk.k")
+
+    base_text = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(1, base_text), (2, "completely different words in this second document here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        # near-copy of doc 1 (one word changed -> most shingle bands match)
+        [(100, base_text.replace("lazy", "sleepy")),
+         (101, "nothing shares any shingle with the corpus documents at all")],
+        "doc_id long, text string",
+    )
+    tbl = "inc_mh_band_state_t"
+    try:
+        write_band_state(band_keys(corpus), tbl, str(tmp_path / "mh"))
+        got = {
+            (r["new_id"], r["dup_of"])
+            for r in probe_band_state(
+                spark.table(tbl), band_keys(batch), MH_BAND_CAP
+            ).collect()
+        }
+        assert (100, 1) in got
+        assert not any(n == 101 for n, _ in got)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
