@@ -55,7 +55,8 @@ def test_logreg_empty_train_split_keeps_zero_weights(spark, eval_only_corpus):
     """ntr = 0 -> every step is the identity: 64 rows, weight 0.0,
     n_train_tokens 0 — not an empty frame (the pre-fix engine) and not
     NULL weights (the pre-fix oracle)."""
-    got = L.logreg_train_weights(spark, eval_only_corpus).collect()
+    with _narrow_shuffle(spark):
+        got = L.logreg_train_weights(spark, eval_only_corpus).collect()
     assert len(got) == L.LR_B
     assert all(r["weight"] == 0.0 for r in got)
     assert all(r["n_train_tokens"] == 0 for r in got)
@@ -75,7 +76,10 @@ def test_logreg_empty_train_split_oracle_parity(spark, eval_only_corpus):
     )
     for name in ("logreg_train_weights", "logreg_train_eval"):
         oracle = con.execute(ORACLE_SQL[name]).fetchall()
-        got = [tuple(r) for r in QUERIES[name](spark, eval_only_corpus).collect()]
+        with _narrow_shuffle(spark):
+            got = [
+                tuple(r) for r in QUERIES[name](spark, eval_only_corpus).collect()
+            ]
         assert got == [tuple(r) for r in oracle], name
 
 
@@ -147,14 +151,34 @@ def test_logreg_16_steps_crossing_ckpt_boundary_match_reference(spark, tmp_path)
     rows = _planted_corpus_rows()
     sf_dir = _write_corpus(spark, tmp_path, rows)
     d = table(spark, sf_dir, "documents")
-    got = {
-        r["bucket"]: r["w6"]
-        for r in L.lr_train_weights(d, 16, 2).collect()
-    }
+    with _narrow_shuffle(spark):
+        got = {
+            r["bucket"]: r["w6"]
+            for r in L.lr_train_weights(d, 16, 2).collect()
+        }
     want = _lr_reference(rows, 16)
     assert got == {b: w6 for b, w6 in enumerate(want)}
     # and the optimizer actually moved off w0 on this corpus
     assert any(w6 != 0 for w6 in want)
+
+
+def _narrow_shuffle(spark, n=2):
+    """60-doc corpora through a 16-step loop run ~50 sequential tiny
+    stages; 8 shuffle partitions of per-task overhead dominate the suite
+    wall. Results are partitioning-invariant (that's the engine contract),
+    so narrow the width for the loop-heavy tests only."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return cm()
 
 
 def test_logreg_ckpt_cadence_is_semantic_noop_small(spark, tmp_path):
@@ -163,6 +187,11 @@ def test_logreg_ckpt_cadence_is_semantic_noop_small(spark, tmp_path):
     rows = _planted_corpus_rows(n_docs=40, seed=7)
     sf_dir = _write_corpus(spark, tmp_path, rows)
     d = table(spark, sf_dir, "documents")
-    on = sorted((r["bucket"], r["w6"]) for r in L.lr_train_weights(d, 6, 2).collect())
-    off = sorted((r["bucket"], r["w6"]) for r in L.lr_train_weights(d, 6, 0).collect())
+    with _narrow_shuffle(spark):
+        on = sorted(
+            (r["bucket"], r["w6"]) for r in L.lr_train_weights(d, 6, 2).collect()
+        )
+        off = sorted(
+            (r["bucket"], r["w6"]) for r in L.lr_train_weights(d, 6, 0).collect()
+        )
     assert on == off
