@@ -206,6 +206,8 @@ def query_growth(spark, base_dir: str, blown_dir: str) -> dict:
         "bpe_encode_fertility",
         "logreg_train_weights",
         "dedup_cdc_chunks",
+        # round-9: the long-form persisted-state probe shape
+        "emb_incremental_neardup",
     ):
         fn = QUERIES[name]
         fn(spark, base_dir).count()  # warm JIT/codegen once
