@@ -307,3 +307,46 @@ def test_minhash_band_state_rides_the_same_story(spark, tmp_path):
         assert not any(n == 101 for n, _ in got)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_key_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),  # vec_id
+        st.integers(min_value=0, max_value=1),   # band
+        st.sampled_from(["a", "b", "c", "d"]),   # k
+    ),
+    min_size=0,
+    max_size=25,
+    unique=True,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(state_rows=_key_rows, batch_rows=_key_rows,
+       cap=st.integers(min_value=1, max_value=6))
+def test_probe_band_state_matches_bruteforce(spark, state_rows, batch_rows, cap):
+    """Property: probe_band_state == the brute-force definition — distinct
+    (new, dup_of) pairs sharing at least one (band, k) bucket whose STATE
+    membership is within the cap — for arbitrary key layouts, including
+    empty sides, over-cap buckets and batch ids colliding with state ids."""
+    from collections import Counter
+
+    schema = "vec_id long, band int, k string"
+    state = spark.createDataFrame(state_rows, schema) if state_rows else \
+        spark.createDataFrame([], schema)
+    batch = spark.createDataFrame(batch_rows, schema) if batch_rows else \
+        spark.createDataFrame([], schema)
+    got = {
+        (r["new_id"], r["dup_of"])
+        for r in probe_band_state(state, batch, cap).collect()
+    }
+    sizes = Counter((b, k) for _, b, k in state_rows)
+    want = {
+        (nv, sv)
+        for nv, nb, nk in batch_rows
+        for sv, sb, sk in state_rows
+        if (nb, nk) == (sb, sk) and sizes[(sb, sk)] <= cap
+    }
+    assert got == want
