@@ -128,16 +128,26 @@ def compact_band_state(spark: SparkSession, table_name: str,
     preserving the bucketed layout (bucket count and keys read from the
     catalog). N appends leave N file sets per bucket — correct but
     ever-smaller files; this is the OPTIMIZE step of the deployment loop.
-    ``path`` must be a NEW location: the rewrite is
-    read-all -> write-bucketed -> swap (the table name moves atomically at
-    the saveAsTable), never an in-place overwrite of files a concurrent
-    probe may be reading."""
+    ``path`` must be a NEW location: never an in-place overwrite of files
+    a concurrent probe may be reading.
+
+    Crash contract (honest, not atomic): the compacted copy is FULLY
+    written under ``{table_name}__compacting`` before the old table is
+    touched, so data is never at risk; the remaining window is two
+    metadata ops (DROP old, RENAME new). A crash inside it leaves the
+    catalog without ``table_name`` but with the complete ``__compacting``
+    table — recovery is the same RENAME. A leftover ``__compacting`` from
+    a prior crash is dropped first, making re-runs idempotent. (A real
+    lakehouse deployment gets true atomicity from a table format with a
+    transaction log; plain parquet + catalog cannot.)"""
     from fpl_data_pipeline_spark.sources.bucketing import (
         _bucket_count,
         write_bucketed,
     )
 
+    tmp = f"{table_name}__compacting"
     n = _bucket_count(spark, table_name)
-    snapshot = spark.table(table_name).localCheckpoint()  # read BEFORE drop
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    write_bucketed(spark.table(table_name), tmp, ["band", "k"], n, path)
     spark.sql(f"DROP TABLE {table_name}")
-    write_bucketed(snapshot, table_name, ["band", "k"], n, path)
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
