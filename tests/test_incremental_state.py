@@ -350,3 +350,46 @@ def test_probe_band_state_matches_bruteforce(spark, state_rows, batch_rows, cap)
         if (nb, nk) == (sb, sk) and sizes[(sb, sk)] <= cap
     }
     assert got == want
+
+
+def test_streaming_ingest_replay_degrades_to_at_least_once_state(
+    spark, three_batches, tmp_path
+):
+    """The documented crash contract of run_neardup_ingest: replaying a
+    drained batch (simulated by wiping the checkpoint) re-appends its keys
+    — state becomes at-least-once — but candidate EMISSION stays exact:
+    the per-batch output is overwritten by batch_id, and probe_band_state
+    distincts pairs, so duplicate state rows widen nothing."""
+    import shutil
+
+    from fpl_data_pipeline_spark.streaming.incremental import run_neardup_ingest
+
+    b1, b2, _ = three_batches
+    tbl = "inc_band_state_replay_t"
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    try:
+        write_band_state(
+            band_state_long(lsh_doc_band_keys(b1)), tbl, str(tmp_path / "state")
+        )
+        b2.coalesce(1).write.mode("append").parquet(src)
+        run_neardup_ingest(spark, src, tbl, out, ckpt)
+        first = {
+            (r["new_id"], r["dup_of"])
+            for r in spark.read.parquet(out + "/batch_id=0").collect()
+        }
+        shutil.rmtree(ckpt)  # lose the commit -> full replay on next drain
+        run_neardup_ingest(spark, src, tbl, out, ckpt)
+        replay = {
+            (r["new_id"], r["dup_of"])
+            for r in spark.read.parquet(out + "/batch_id=0").collect()
+        }
+        # state: b1 once + b2 twice (at-least-once, as documented)
+        assert spark.table(tbl).count() == 2 * (40 + 31 + 31)
+        # emission on replay is exact against the ORIGINAL corpus (the
+        # b1-side subset is unchanged) but additionally carries b2~b2
+        # pairs, because the replayed batch's own keys are already state
+        # — the precise shape of the documented degradation
+        assert (1099, 3) in replay
+        assert {p for p in replay if p[1] < 1000} == first
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
