@@ -32,6 +32,10 @@ and nothing collects.
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -55,23 +59,32 @@ def band_state_long(keys_wide: DataFrame, id_col: str = "vec_id",
 
 
 def probe_band_state(state: DataFrame, batch_keys: DataFrame,
-                     cap: int) -> DataFrame:
+                     cap: int, broadcast_alive: bool = True) -> DataFrame:
     """Distinct (new_id, dup_of) candidates: batch items sharing an ALIVE
     (band, k) bucket with a corpus item. ``state``/``batch_keys`` are
     long-form (vec_id, band, k) frames (state may come straight from the
     persisted bucketed table). The alive pre-pass drops buckets whose
     membership exceeds ``cap`` — a bucket that a boilerplate corpus fills
-    past the cap is non-discriminative, and its alive-set stays broadcast-
-    sized because the band-key space is fixed-width."""
+    past the cap is non-discriminative.
+
+    ``broadcast_alive`` (round-9 ADVICE): the default broadcast hint is
+    correct ONLY for fixed-width band-key spaces (the 8-bit embedding LSH
+    keys: alive <= n_bands x 2^8 rows regardless of corpus size). Callers
+    whose key space grows with the corpus — the minhash xxhash64 band
+    keys, where alive is O(corpus x bands) — MUST pass False at deploy
+    scale; the alive join then shuffles on (band, k), which the bucketed
+    state layout already co-locates."""
     alive = (
         state.groupBy("band", "k")
         .agg(F.count(F.lit(1)).alias("bs"))
         .filter(F.col("bs") <= cap)
         .drop("bs")
     )
+    if broadcast_alive:
+        alive = F.broadcast(alive)
     return (
         batch_keys.select(F.col("vec_id").alias("new_id"), "band", "k")
-        .join(F.broadcast(alive), ["band", "k"])
+        .join(alive, ["band", "k"])
         .join(state.select(F.col("vec_id").alias("dup_of"), "band", "k"),
               ["band", "k"])
         .select("new_id", "dup_of")
@@ -136,8 +149,14 @@ def compact_band_state(spark: SparkSession, table_name: str,
     touched, so data is never at risk; the remaining window is two
     metadata ops (DROP old, RENAME new). A crash inside it leaves the
     catalog without ``table_name`` but with the complete ``__compacting``
-    table — recovery is the same RENAME. A leftover ``__compacting`` from
-    a prior crash is dropped first, making re-runs idempotent. (A real
+    table, and a RE-RUN performs that recovery RENAME itself: the
+    missing-source + tmp-present state is unambiguous (tmp is only ever
+    written while the source still exists, and the source is only ever
+    dropped after tmp is complete), so re-runs are idempotent through
+    EVERY point of the window. A leftover ``__compacting`` is dropped
+    only when the source table is still present — i.e. when it is a
+    stale partial copy, never the sole survivor (round-9 ADVICE: the old
+    unconditional drop destroyed the documented recovery path). (A real
     lakehouse deployment gets true atomicity from a table format with a
     transaction log; plain parquet + catalog cannot.)"""
     from fpl_data_pipeline_spark.sources.bucketing import (
@@ -146,8 +165,226 @@ def compact_band_state(spark: SparkSession, table_name: str,
     )
 
     tmp = f"{table_name}__compacting"
+    if not spark.catalog.tableExists(table_name):
+        if spark.catalog.tableExists(tmp):
+            # crash happened between DROP and RENAME: tmp IS the table
+            spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
+            return
+        raise ValueError(
+            f"compact_band_state: neither {table_name} nor {tmp} exists"
+        )
     n = _bucket_count(spark, table_name)
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-    write_bucketed(spark.table(table_name), tmp, ["band", "k"], n, path)
+    with _forced_bucketed_scan(spark):
+        write_bucketed(_one_file_per_bucket(spark.table(table_name), n), tmp,
+                       ["band", "k"], n, path)
     spark.sql(f"DROP TABLE {table_name}")
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
+
+
+def _one_file_per_bucket(df: DataFrame, n: int) -> DataFrame:
+    """Align the rewrite's tasks with the bucket boundaries so the bucketed
+    write emits ONE file per bucket instead of one per (writer task x
+    bucket): repartition's HashPartitioning is the same murmur3-pmod
+    expression the writer uses for bucket ids, so each of the n tasks
+    holds exactly one whole bucket. Without this, a compaction reading a
+    many-append table (many input splits -> many tasks) writes nearly as
+    many files as it read — the round-10 soak measured 142 'compacted'
+    files from 168. Callers reading the BASE TABLE itself must pair this
+    with _forced_bucketed_scan: otherwise the planner removes this
+    repartition as redundant against the bucketed scan's advertised
+    partitioning AND then auto-disables that same bucketed scan, landing
+    on the many-files layout with no shuffle to fix it."""
+    return df.repartition(n, "band", "k")
+
+
+class _forced_bucketed_scan:
+    """Context manager pinning autoBucketedScan off, so a bucketed table
+    read really produces one partition per bucket for the duration of a
+    compaction/fold rewrite (see _one_file_per_bucket)."""
+
+    _KEY = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(self._KEY, "true")
+        self.spark.conf.set(self._KEY, "false")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set(self._KEY, self.prev)
+        return False
+
+
+# --- exactly-once delta publish for the streaming loop (round 10) -----------
+# append_band_state above is the OFFLINE loop's fold: a plain table append,
+# simple but NOT idempotent — the round-9 streaming loop that called it from
+# foreachBatch documented an at-least-once state degradation on micro-batch
+# replay. The streaming loop now publishes each micro-batch's keys as a
+# batch_id-versioned DELTA instead:
+#
+#   staging write (mode overwrite -> replay-idempotent)
+#     -> os.rename into published/batch={id}   (atomic; THE commit point)
+#
+# plus a durable applied-set (_applied.json, rewritten whole via tmp+rename)
+# so a batch whose delta was already folded into the base table can never
+# re-publish even when the stream checkpoint itself is lost. Probes read
+# base table UNION unfolded deltas (the union forfeits the bucketed
+# co-location until the next fold — the reason folds run on a cadence, not
+# never); fold_band_deltas rewrites base+deltas as the new base (one file
+# set per bucket: it subsumes compaction) under a manifest protocol whose
+# every crash point is recovered by simply re-running.
+
+_DELTA_PREFIX = "batch="
+
+
+def _applied_path(delta_root: str) -> str:
+    return os.path.join(delta_root, "_applied.json")
+
+
+def _applied_set(delta_root: str) -> set:
+    p = _applied_path(delta_root)
+    if not os.path.exists(p):
+        return set()
+    with open(p) as f:
+        return set(json.load(f))
+
+
+def _write_applied(delta_root: str, ids: set) -> None:
+    """Atomic whole-file rewrite: the applied-set is the durable 'this
+    batch is in the base table' record, so it must never be readable in a
+    torn state."""
+    p = _applied_path(delta_root)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(sorted(ids), f)
+    os.rename(tmp, p)
+
+
+def published_batches(delta_root: str) -> dict:
+    """{batch_id: dir} for every published, not-yet-removed delta."""
+    if not os.path.isdir(delta_root):
+        return {}
+    out = {}
+    for name in os.listdir(delta_root):
+        if name.startswith(_DELTA_PREFIX):
+            out[int(name[len(_DELTA_PREFIX):])] = os.path.join(delta_root, name)
+    return out
+
+
+def publish_band_delta(keys: DataFrame, delta_root: str, batch_id: int) -> bool:
+    """Exactly-once publish of one micro-batch's long-form band keys.
+    Returns False (no-op) when the batch is already published OR already
+    folded into the base table — the two replay shapes: a crash that lost
+    the stream checkpoint commit but not the publish rename, and a
+    checkpoint lost after a fold cleaned the delta away. The staging write
+    is mode=overwrite (a replayed crash-torn staging dir is simply
+    rewritten); the publish is one same-filesystem directory rename."""
+    published = os.path.join(delta_root, f"{_DELTA_PREFIX}{batch_id}")
+    if os.path.exists(published) or batch_id in _applied_set(delta_root):
+        return False
+    staging = os.path.join(delta_root, "_staging", f"{_DELTA_PREFIX}{batch_id}")
+    keys.select("vec_id", "band", "k").write.mode("overwrite").parquet(staging)
+    os.rename(staging, published)
+    return True
+
+
+def read_band_state(spark: SparkSession, table_name: str,
+                    delta_root: str | None = None,
+                    exclude_batch: int | None = None) -> DataFrame:
+    """The probe's view of the state: base bucketed table UNION published
+    deltas not yet folded. ``exclude_batch`` drops the probing batch's OWN
+    delta, so a replayed probe sees exactly the corpus the original saw
+    and candidate emission is byte-identical on replay (no self-pairs)."""
+    state = spark.table(table_name).select("vec_id", "band", "k")
+    applied = _applied_set(delta_root) if delta_root else set()
+    dirs = [
+        d for b, d in sorted(published_batches(delta_root or "").items())
+        if b != exclude_batch and b not in applied
+    ]
+    if not dirs:
+        return state
+    deltas = spark.read.parquet(*dirs).select("vec_id", "band", "k")
+    return state.unionByName(deltas)
+
+
+def _table_location_matches(spark: SparkSession, table_name: str,
+                            path: str) -> bool:
+    want = os.path.abspath(path).rstrip("/")
+    for row in spark.sql(f"DESCRIBE EXTENDED {table_name}").collect():
+        if row.col_name == "Location":
+            return row.data_type.replace("file:", "").rstrip("/") == want
+    return False
+
+
+def fold_band_deltas(spark: SparkSession, table_name: str, delta_root: str,
+                     path: str) -> None:
+    """Fold every published delta into the base table by REWRITE (one file
+    set per bucket — this is also the OPTIMIZE step), exactly once.
+
+    Protocol (every crash point recovered by re-running):
+      1. write base UNION deltas bucketed under ``{table}__folding`` at the
+         NEW ``path``;
+      2. write the manifest (folded batch ids + path) atomically;
+      3. DROP base; RENAME __folding -> base;       <- the 2-metadata-op window
+      4. add the ids to _applied.json (atomic rewrite), remove the delta
+         dirs, remove the manifest.
+    Recovery on entry: a manifest whose path matches the CURRENT table
+    location proves step 3 completed — finish step 4; a manifest with a
+    mismatched location proves it did not — discard tmp+manifest and fold
+    fresh; a missing base with a live __folding is the mid-step-3 crash —
+    the RENAME is the recovery (tmp is only ever written while the base
+    still exists, so the state is unambiguous, same argument as
+    compact_band_state)."""
+    from fpl_data_pipeline_spark.sources.bucketing import _bucket_count
+
+    tmp = f"{table_name}__folding"
+    manifest = os.path.join(delta_root, "_fold_manifest.json")
+
+    if not spark.catalog.tableExists(table_name):
+        if spark.catalog.tableExists(tmp):
+            spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
+        else:
+            raise ValueError(
+                f"fold_band_deltas: neither {table_name} nor {tmp} exists"
+            )
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            m = json.load(f)
+        if _table_location_matches(spark, table_name, m["path"]):
+            # the swap committed: finish the cleanup step
+            _write_applied(delta_root, _applied_set(delta_root) | set(m["batches"]))
+            for b, d in published_batches(delta_root).items():
+                if b in set(m["batches"]):
+                    shutil.rmtree(d, ignore_errors=True)
+            os.remove(manifest)
+        else:
+            # the swap never happened: tmp (if any) is a stale partial copy
+            spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+            os.remove(manifest)
+
+    applied = _applied_set(delta_root)
+    pub = published_batches(delta_root)
+    for b in sorted(set(pub) & applied):
+        shutil.rmtree(pub[b], ignore_errors=True)  # folded leftovers
+    todo = {b: d for b, d in pub.items() if b not in applied}
+    if not todo:
+        return
+    n = _bucket_count(spark, table_name)
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    with _forced_bucketed_scan(spark):
+        merged = _one_file_per_bucket(
+            read_band_state(spark, table_name, delta_root), n
+        )
+        write_bucketed(merged, tmp, ["band", "k"], n, path)
+    mtmp = manifest + ".tmp"
+    with open(mtmp, "w") as f:
+        json.dump({"path": path, "batches": sorted(todo)}, f)
+    os.rename(mtmp, manifest)
+    spark.sql(f"DROP TABLE {table_name}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
+    _write_applied(delta_root, applied | set(todo))
+    for d in todo.values():
+        shutil.rmtree(d, ignore_errors=True)
+    os.remove(manifest)

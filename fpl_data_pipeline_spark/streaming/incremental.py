@@ -15,6 +15,8 @@ guaranteed by checkpoint + idempotent merge.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
@@ -246,22 +248,34 @@ def run_neardup_ingest(
     out_dir: str,
     checkpoint_dir: str,
     cap: int | None = None,
+    delta_dir: str | None = None,
+    fold: bool = True,
 ) -> None:
     """Drain available vector files (Trigger.AvailableNow), per micro-batch:
-    probe -> emit candidates -> append keys to the state table.
+    probe -> emit candidates -> publish the batch's band keys as an
+    exactly-once delta; after the drain, fold published deltas into the
+    bucketed base table (``fold=False`` defers that maintenance step to an
+    external cadence, e.g. sources/compaction.py's planner).
 
-    Exactly-once caveat, documented not hidden: the candidate output is
-    idempotent (overwritten per batch_id path), but append_band_state is
-    NOT — a crash between the append and the checkpoint commit would
-    re-append the batch's keys on replay. Duplicate state rows only widen
-    candidate sets (probe_band_state distincts pairs), so correctness
-    degrades to at-least-once state with exact candidate emission; a
-    deployment needing exact state uses a batch_id-versioned staging dir
-    and the same atomic-rename publish as run_available_now's merge."""
+    Exactly-once, both outputs (round-10, closing the round-9 at-least-once
+    caveat): the candidate parquet is overwritten per batch_id path, and
+    the probe reads base-table state UNION published deltas EXCLUDING the
+    batch's own — so a replayed micro-batch sees exactly the corpus the
+    original saw and emits byte-identical candidates (no self-pairs). The
+    state side replaces the non-idempotent table append with
+    publish_band_delta: staging write (overwrite) + atomic rename, skipped
+    when the delta is already published or already folded (the durable
+    applied-set in ``delta_dir`` survives even a lost stream checkpoint).
+    The fold itself runs OUTSIDE the replayable micro-batch path, under
+    fold_band_deltas' manifest protocol. Until a fold runs, the probe's
+    union side forfeits the bucketed co-location for the (small) delta
+    rows — the reason the fold is on-by-default here."""
     from fpl_data_pipeline_spark.operators.incremental_state import (
-        append_band_state,
         band_state_long,
+        fold_band_deltas,
         probe_band_state,
+        publish_band_delta,
+        read_band_state,
     )
     from fpl_data_pipeline_spark.operators.similarity import (
         ND_BAND_CAP,
@@ -269,20 +283,33 @@ def run_neardup_ingest(
     )
 
     eff_cap = ND_BAND_CAP if cap is None else cap
+    droot = delta_dir or os.path.join(out_dir, "_state_deltas")
     stream = spark.readStream.schema(VEC_SCHEMA).parquet(source_dir)
 
-    def probe_and_fold(batch_df: DataFrame, batch_id: int) -> None:
+    def probe_and_publish(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
         keys = band_state_long(lsh_doc_band_keys(batch_df)).localCheckpoint()
-        cands = probe_band_state(sp.table(state_table), keys, eff_cap)
+        state = read_band_state(sp, state_table, droot, exclude_batch=batch_id)
+        cands = probe_band_state(state, keys, eff_cap)
         cands.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
-        append_band_state(sp, state_table, keys)
+        publish_band_delta(keys, droot, batch_id)
 
     q = (
         stream.writeStream.outputMode("append")
-        .foreachBatch(probe_and_fold)
+        .foreachBatch(probe_and_publish)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    if fold:
+        # every fold rewrites to a FRESH generation dir: never an in-place
+        # overwrite of the files the live table (or a concurrent probe) is
+        # reading; superseded gen dirs are the dropped external tables'
+        # files, reclaimable once no reader can hold the old snapshot
+        base = os.path.join(droot, "_folded_base")
+        gen = 0
+        while os.path.exists(os.path.join(base, f"gen-{gen}")):
+            gen += 1
+        fold_band_deltas(spark, state_table, droot,
+                         os.path.join(base, f"gen-{gen}"))

@@ -352,44 +352,380 @@ def test_probe_band_state_matches_bruteforce(spark, state_rows, batch_rows, cap)
     assert got == want
 
 
-def test_streaming_ingest_replay_degrades_to_at_least_once_state(
+def test_streaming_ingest_replay_is_exactly_once(spark, three_batches, tmp_path):
+    """Round-10 (replacing the round-9 at-least-once degradation test): a
+    replayed micro-batch — simulated by wiping the checkpoint BEFORE the
+    fold ran, the only state a real crash can leave, since the fold runs
+    after every checkpoint commit — re-publishes nothing (the batch=0 delta
+    already exists) and emits BYTE-IDENTICAL candidates (the probe excludes
+    the batch's own delta, so no self-pairs appear). State row counts are
+    exact through the replay and through the eventual fold."""
+    import shutil
+
+    from fpl_data_pipeline_spark.operators.incremental_state import (
+        fold_band_deltas,
+        read_band_state,
+    )
+    from fpl_data_pipeline_spark.streaming.incremental import run_neardup_ingest
+
+    b1, b2, _ = three_batches
+    tbl = "inc_band_state_replay_t"
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    droot = out + "/_state_deltas"
+    try:
+        write_band_state(
+            band_state_long(lsh_doc_band_keys(b1)), tbl, str(tmp_path / "state")
+        )
+        b2.coalesce(1).write.mode("append").parquet(src)
+        # fold=False models the crash window: checkpoint lost, fold not run
+        run_neardup_ingest(spark, src, tbl, out, ckpt, fold=False)
+        first = {
+            (r["new_id"], r["dup_of"])
+            for r in spark.read.parquet(out + "/batch_id=0").collect()
+        }
+        assert (1099, 3) in first and all(d < 1000 for _, d in first)
+        shutil.rmtree(ckpt)  # lose the commit -> full replay on next drain
+        run_neardup_ingest(spark, src, tbl, out, ckpt, fold=False)
+        replay = {
+            (r["new_id"], r["dup_of"])
+            for r in spark.read.parquet(out + "/batch_id=0").collect()
+        }
+        assert replay == first  # byte-identical emission, no self-pairs
+        # state (base + published deltas) is exact: b1 + b2 ONCE
+        assert read_band_state(spark, tbl, droot).count() == 2 * (40 + 31)
+        fold_band_deltas(spark, tbl, droot, str(tmp_path / "gen0"))
+        assert spark.table(tbl).count() == 2 * (40 + 31)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_ingest_replay_after_fold_cannot_republish_state(
     spark, three_batches, tmp_path
 ):
-    """The documented crash contract of run_neardup_ingest: replaying a
-    drained batch (simulated by wiping the checkpoint) re-appends its keys
-    — state becomes at-least-once — but candidate EMISSION stays exact:
-    the per-batch output is overwritten by batch_id, and probe_band_state
-    distincts pairs, so duplicate state rows widen nothing."""
+    """Disaster shape beyond any real crash ordering (checkpoint LOST after
+    a completed fold cleaned the delta away): the durable applied-set still
+    refuses the re-publish, so state row counts stay exact. Candidate
+    emission in this shape may legitimately see the batch's own folded
+    keys — state exactness is the contract that survives everything."""
     import shutil
 
     from fpl_data_pipeline_spark.streaming.incremental import run_neardup_ingest
 
     b1, b2, _ = three_batches
-    tbl = "inc_band_state_replay_t"
+    tbl = "inc_band_state_dr_t"
     src, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
     try:
         write_band_state(
             band_state_long(lsh_doc_band_keys(b1)), tbl, str(tmp_path / "state")
         )
         b2.coalesce(1).write.mode("append").parquet(src)
-        run_neardup_ingest(spark, src, tbl, out, ckpt)
-        first = {
+        run_neardup_ingest(spark, src, tbl, out, ckpt)  # fold=True: delta cleaned
+        assert spark.table(tbl).count() == 2 * (40 + 31)
+        shutil.rmtree(ckpt)
+        run_neardup_ingest(spark, src, tbl, out, ckpt)  # full replay
+        assert spark.table(tbl).count() == 2 * (40 + 31)  # NOT 40+31+31
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def _fold_fixture(spark, three_batches, tmp_path, tbl):
+    """Base table from b1, one published delta from b2; returns (droot,
+    delta batch id, expected probe closure over b3)."""
+    from fpl_data_pipeline_spark.operators.incremental_state import (
+        publish_band_delta,
+    )
+
+    b1, b2, _ = three_batches
+    droot = str(tmp_path / "deltas")
+    write_band_state(
+        band_state_long(lsh_doc_band_keys(b1)), tbl, str(tmp_path / "state")
+    )
+    publish_band_delta(band_state_long(lsh_doc_band_keys(b2)), droot, 0)
+    return droot
+
+
+def test_fold_band_deltas_folds_and_cleans(spark, three_batches, tmp_path):
+    """Happy path: fold moves the published delta into the bucketed base
+    (probe parity with the pre-fold union view), records it applied,
+    removes the delta dir and manifest, and a second fold is a no-op."""
+    import os
+
+    from fpl_data_pipeline_spark.operators.incremental_state import (
+        _applied_set,
+        fold_band_deltas,
+        published_batches,
+        read_band_state,
+    )
+
+    b1, b2, b3 = three_batches
+    tbl = "inc_fold_happy_t"
+    try:
+        droot = _fold_fixture(spark, three_batches, tmp_path, tbl)
+        probe = lambda st: sorted(  # noqa: E731
             (r["new_id"], r["dup_of"])
-            for r in spark.read.parquet(out + "/batch_id=0").collect()
-        }
-        shutil.rmtree(ckpt)  # lose the commit -> full replay on next drain
-        run_neardup_ingest(spark, src, tbl, out, ckpt)
-        replay = {
+            for r in probe_band_state(
+                st, band_state_long(lsh_doc_band_keys(b3)), ND_BAND_CAP
+            ).collect()
+        )
+        want = probe(read_band_state(spark, tbl, droot))
+        assert (2000, 1005) in set(want)  # the delta participates pre-fold
+        fold_band_deltas(spark, tbl, droot, str(tmp_path / "gen0"))
+        assert spark.table(tbl).count() == 2 * (40 + 31)
+        assert probe(spark.table(tbl)) == want
+        assert published_batches(droot) == {}
+        assert _applied_set(droot) == {0}
+        assert not os.path.exists(os.path.join(droot, "_fold_manifest.json"))
+        fold_band_deltas(spark, tbl, droot, str(tmp_path / "gen1"))  # no-op
+        assert spark.table(tbl).count() == 2 * (40 + 31)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_fold_recovery_mid_swap_and_post_swap(spark, three_batches, tmp_path):
+    """Crash-point injection for fold_band_deltas' manifest protocol,
+    replicated by hand up to the crash: (a) tmp written + manifest written
+    + base DROPPED, rename pending — re-run performs the recovery RENAME
+    then the cleanup; (b) swap fully done, cleanup pending — re-run
+    finishes cleanup only. Both end bit-identical to the happy path."""
+    import json
+    import os
+
+    from fpl_data_pipeline_spark.operators.incremental_state import (
+        _applied_set,
+        fold_band_deltas,
+        published_batches,
+        read_band_state,
+    )
+    from fpl_data_pipeline_spark.sources.bucketing import (
+        _bucket_count,
+        write_bucketed,
+    )
+
+    for crash_after_rename in (False, True):
+        tbl = f"inc_fold_crash_{int(crash_after_rename)}_t"
+        tmp = f"{tbl}__folding"
+        sub = tmp_path / f"c{int(crash_after_rename)}"
+        sub.mkdir()
+        try:
+            droot = _fold_fixture(spark, three_batches, sub, tbl)
+            gen = str(sub / "gen0")
+            # replicate the protocol up to the injected crash point
+            n = _bucket_count(spark, tbl)
+            write_bucketed(read_band_state(spark, tbl, droot), tmp,
+                           ["band", "k"], n, gen)
+            with open(os.path.join(droot, "_fold_manifest.json"), "w") as f:
+                json.dump({"path": gen, "batches": [0]}, f)
+            spark.sql(f"DROP TABLE {tbl}")
+            if crash_after_rename:
+                spark.sql(f"ALTER TABLE {tmp} RENAME TO {tbl}")
+            # --- crash here; the re-run must recover ---
+            fold_band_deltas(spark, tbl, droot, str(sub / "gen1"))
+            assert spark.table(tbl).count() == 2 * (40 + 31)
+            assert published_batches(droot) == {}
+            assert _applied_set(droot) == {0}
+            assert not os.path.exists(os.path.join(droot, "_fold_manifest.json"))
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+
+
+def test_fold_recovery_manifest_without_swap_refolds(
+    spark, three_batches, tmp_path
+):
+    """Crash between the manifest write and the DROP: the manifest's path
+    does not match the live table location, so the re-run discards the
+    stale tmp + manifest and folds fresh — no rows lost, none doubled."""
+    import json
+    import os
+
+    from fpl_data_pipeline_spark.operators.incremental_state import (
+        _applied_set,
+        fold_band_deltas,
+        read_band_state,
+    )
+    from fpl_data_pipeline_spark.sources.bucketing import (
+        _bucket_count,
+        write_bucketed,
+    )
+
+    tbl = "inc_fold_noswap_t"
+    tmp = f"{tbl}__folding"
+    try:
+        droot = _fold_fixture(spark, three_batches, tmp_path, tbl)
+        gen = str(tmp_path / "gen0")
+        n = _bucket_count(spark, tbl)
+        write_bucketed(read_band_state(spark, tbl, droot), tmp,
+                       ["band", "k"], n, gen)
+        with open(os.path.join(droot, "_fold_manifest.json"), "w") as f:
+            json.dump({"path": gen, "batches": [0]}, f)
+        # --- crash here (base never dropped); the re-run must refold ---
+        fold_band_deltas(spark, tbl, droot, str(tmp_path / "gen1"))
+        assert spark.table(tbl).count() == 2 * (40 + 31)
+        assert _applied_set(droot) == {0}
+        assert not spark.catalog.tableExists(tmp)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+
+
+def test_compact_band_state_rerun_recovers_mid_swap(
+    spark, three_batches, tmp_path
+):
+    """Round-9 ADVICE: a re-run landing in compact_band_state's documented
+    crash window (old table dropped, rename pending) must perform the
+    recovery RENAME, not drop the sole surviving copy's catalog entry."""
+    from fpl_data_pipeline_spark.operators.incremental_state import (
+        compact_band_state,
+    )
+    from fpl_data_pipeline_spark.sources.bucketing import (
+        _bucket_count,
+        write_bucketed,
+    )
+
+    b1, b2, b3 = three_batches
+    tbl = "inc_compact_crash_t"
+    tmp = f"{tbl}__compacting"
+    try:
+        write_band_state(
+            band_state_long(lsh_doc_band_keys(b1)), tbl, str(tmp_path / "s1")
+        )
+        append_band_state(spark, tbl, band_state_long(lsh_doc_band_keys(b2)))
+        want = sorted(
             (r["new_id"], r["dup_of"])
-            for r in spark.read.parquet(out + "/batch_id=0").collect()
+            for r in probe_band_state(
+                spark.table(tbl), band_state_long(lsh_doc_band_keys(b3)),
+                ND_BAND_CAP,
+            ).collect()
+        )
+        # replicate the compact protocol up to the crash point: tmp fully
+        # written, old table dropped, rename pending
+        n = _bucket_count(spark, tbl)
+        write_bucketed(spark.table(tbl), tmp, ["band", "k"], n,
+                       str(tmp_path / "s2"))
+        spark.sql(f"DROP TABLE {tbl}")
+        # --- crash here; the re-run is the recovery ---
+        compact_band_state(spark, tbl, str(tmp_path / "s3"))
+        assert spark.table(tbl).count() == 2 * (40 + 31)
+        got = sorted(
+            (r["new_id"], r["dup_of"])
+            for r in probe_band_state(
+                spark.table(tbl), band_state_long(lsh_doc_band_keys(b3)),
+                ND_BAND_CAP,
+            ).collect()
+        )
+        assert got == want
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+
+
+def test_compact_band_state_raises_when_nothing_exists(spark):
+    from fpl_data_pipeline_spark.operators.incremental_state import (
+        compact_band_state,
+    )
+
+    with pytest.raises(ValueError, match="neither"):
+        compact_band_state(spark, "inc_never_existed_t", "/tmp/unused")
+
+
+def test_probe_band_state_unbroadcast_alive_same_result(spark):
+    """Round-9 ADVICE: callers with corpus-growing band-key spaces (the
+    minhash xxhash64 keys) must be able to opt out of the alive-set
+    broadcast hint. The gated path is result-identical and its plan
+    carries no broadcast of the alive side."""
+    state = spark.createDataFrame(
+        [(1, 0, "hot"), (2, 0, "hot"), (3, 0, "hot"), (4, 1, "cold"), (5, 1, "cold")],
+        "vec_id long, band int, k string",
+    )
+    batch = spark.createDataFrame(
+        [(100, 0, "hot"), (100, 1, "cold")], "vec_id long, band int, k string"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        gated = probe_band_state(state, batch, cap=2, broadcast_alive=False)
+        assert "BroadcastExchange" not in (
+            gated._jdf.queryExecution().executedPlan().toString()
+        )
+        assert {(r["new_id"], r["dup_of"]) for r in gated.collect()} == {
+            (100, 4), (100, 5),
         }
-        # state: b1 once + b2 twice (at-least-once, as documented)
-        assert spark.table(tbl).count() == 2 * (40 + 31 + 31)
-        # emission on replay is exact against the ORIGINAL corpus (the
-        # b1-side subset is unchanged) but additionally carries b2~b2
-        # pairs, because the replayed batch's own keys are already state
-        # — the precise shape of the documented degradation
-        assert (1099, 3) in replay
-        assert {p for p in replay if p[1] < 1000} == first
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+
+
+def test_band_state_append_soak_then_compact(spark, tmp_path):
+    """Round-9 verdict task #6: 20 append cycles, the compaction planner's
+    binpack deciding the rewrite is due, then ONE compact — probe parity
+    bit-for-bit and the promised file-count collapse. The planner is wired
+    to the REAL table layout: its input is the per-parquet-file row count
+    of the band-state table itself."""
+    import os
+
+    from fpl_data_pipeline_spark.operators.incremental_state import (
+        compact_band_state,
+    )
+    from fpl_data_pipeline_spark.sources.compaction import compaction_bins
+
+    tbl = "inc_band_soak_t"
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    rng = np.random.RandomState(7)
+    mk = lambda lo: _emb_frame(  # noqa: E731
+        spark, [(lo + i, rng.randn(DIM) * 3) for i in range(5)]
+    )
+    try:
+        write_band_state(band_state_long(lsh_doc_band_keys(mk(0))), tbl, p1)
+        for cycle in range(1, 21):
+            append_band_state(
+                spark, tbl, band_state_long(lsh_doc_band_keys(mk(cycle * 100)))
+            )
+        files = [
+            (os.path.getsize(os.path.join(root, f)), os.path.join(root, f))
+            for root, _, fs in os.walk(p1)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        before_files = len(files)
+        assert before_files >= 21  # >= one file set per append
+
+        # wire the planner to the real table: one row per parquet file,
+        # packed toward one ~full output per bucket-equivalent
+        fdf = spark.createDataFrame(
+            [(0, i, sz) for i, (sz, _) in enumerate(files)],
+            "part int, file_id int, size long",
+        )
+        target = sum(sz for sz, _ in files)  # pack everything -> 1 bin
+        plan = compaction_bins(fdf, "part", "file_id", "size", target)
+        n_bins = plan.select("bin_id").distinct().count()
+        assert n_bins < before_files  # the planner says: compaction is due
+
+        probe_batch = band_state_long(lsh_doc_band_keys(mk(9000)))
+        want = sorted(
+            (r["new_id"], r["dup_of"])
+            for r in probe_band_state(
+                spark.table(tbl), probe_batch, ND_BAND_CAP
+            ).collect()
+        )
+        n_rows = spark.table(tbl).count()
+        compact_band_state(spark, tbl, p2)
+        after_files = sum(
+            1 for root, _, fs in os.walk(p2) for f in fs if f.endswith(".parquet")
+        )
+        assert spark.table(tbl).count() == n_rows
+        got = sorted(
+            (r["new_id"], r["dup_of"])
+            for r in probe_band_state(
+                spark.table(tbl), probe_batch, ND_BAND_CAP
+            ).collect()
+        )
+        assert got == want
+        assert after_files < before_files
+        # one file set per bucket: at most STATE_BUCKETS parquet files
+        from fpl_data_pipeline_spark.operators.incremental_state import (
+            STATE_BUCKETS,
+        )
+
+        assert after_files <= STATE_BUCKETS
+        print(f"SOAK before_files={before_files} after_files={after_files}")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
