@@ -63,74 +63,75 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # driver rows-only check adds nothing over the planted-pair VALUE checks
 # in tests/test_cap_guards.py, which pin them to oracle-checked md5 twins.
 #
-# Round-9 window (3 changed + anchor + 46 staleness-fillers = 50):
-# logreg_train_weights / logreg_train_eval changed (the empty-train-split
-# guard on BOTH engine and oracle — the round-8 ADVICE divergence — plus
-# the LR_CKPT_EVERY cadence parameter, inert at LR_STEPS=3) and
-# emb_incremental_neardup changed (the probe now goes through the
-# long-form persisted-state shape of operators/incremental_state.py: one
-# (band, k) equi-join for both bands). dedup_incremental_batch was
-# refactored onto the same shared probe but its optimized plan is
-# byte-identical (verified by plan diff), so it is NOT re-windowed. Zero
-# new names this round (verdict task #8: growth <= what tasks #1/#5
-# need). The remaining 46 slots drain the staleness tail COMPLETELY: the
-# 11 names last-green in round 1, then the 35 last-green in round 2
-# (oldest-green-first, ties alphabetical) — after this window no name's
-# last green is older than round 3.
+# Round-10 window (2 changed + anchor + 47 staleness-fillers = 50):
+# logreg_train_weights / logreg_train_eval changed — the LR_CKPT_EVERY
+# cadence now engages only past LR_STEPS (round-9 ADVICE medium: the old
+# guard fired once at t=2 while docstring and this comment claimed it was
+# inert), so the registered 3-step plans dropped their lazy checkpoint
+# barrier; values are untouched (cadence is plan-only, pinned by the
+# on-vs-off twin test) but plan-changed names re-window by policy.
+# emb_incremental_neardup is NOT re-windowed: probe_band_state grew a
+# broadcast_alive parameter whose default leaves the registered plan
+# byte-identical. Zero new names (round-9 verdict task #8). The 47 filler
+# slots take the ENTIRE oldest cohort — all 38 names last-green in round
+# 3 — plus the 9 alphabetically-first of the 36 last-green in round 4;
+# after this window no name's last green is older than round 4
+# (recomputed over CORRECTNESS_r01-r09: r3 38, r4 36, r5 38, r6 38,
+# r7 40, r8 46, r9 50).
 DRIVER_WINDOW_PRIORITY = [
     "flagship_customer_activity",
-    # --- plans/behavior changed in round 9 -> driver-proven this round ---
+    # --- plans changed in round 10 -> driver-proven this round ---
     "logreg_train_weights",
     "logreg_train_eval",
-    "emb_incremental_neardup",
-    # --- staleness rotation: the 11 last-green-r1 names ---
-    "topk_order_revenue",
-    "topk_part_revenue",
-    "topk_supplier_volume",
-    "topk_value_ratio",
-    "union_all_frames",
-    "window_lag_delta",
-    "window_moving_sum",
-    "window_range_30d_spend",
-    "window_rank_per_customer",
-    "window_rank_periods",
-    "window_value_functions",
-    # --- staleness rotation: the 35 last-green-r2 names ---
-    "ann_batch_topk",
-    "ann_cosine_topk",
-    "ann_ivf_probe",
-    "ann_lsh_bucketed",
-    "approx_distinct_customers",
-    "approx_quantiles_price",
-    "collect_sorted_orderkeys",
-    "conditional_funcs_lineitem",
-    "date_funcs_orders",
-    "doc_fingerprints",
-    "emb_cluster_centroids",
-    "emb_vector_stats",
-    "events_hourly_stats",
-    "events_incremental_rollup",
-    "events_session_window",
-    "events_sessions",
-    "exists_high_value_customers",
-    "fk_integrity_summary",
-    "gap_fill_monthly_revenue",
-    "json_parse_aggregate",
-    "math_funcs_lineitem",
-    "multimodal_frame_sample",
-    "null_profile_orders",
-    "pivot_docs_source_lang",
-    "pk_uniqueness_summary",
-    "profile_documents",
-    "quality_filter_funnel",
-    "regex_funcs_part",
-    "sample_hash_bucket",
-    "split_train_test",
-    "stratified_sample_counts",
-    "string_funcs_part",
-    "text_lang_id",
-    "text_token_counts",
-    "unpivot_part_measures",
+    # --- staleness rotation: all 38 last-green-r3 names ---
+    "ann_recall_eval",
+    "corpus_release_summary",
+    "datasource_bootstrap_top_scorers",
+    "dedup_incremental_batch",
+    "doc_chunking",
+    "doc_length_histogram",
+    "domain_mixture_weights",
+    "emb_dimension_znorm",
+    "emb_quantize_stats",
+    "events_dau_wau",
+    "events_error_spikes",
+    "events_funnel",
+    "events_gap_percentiles",
+    "events_retention_cohorts",
+    "events_sliding_windows",
+    "events_user_ewma",
+    "flagship_sql",
+    "fpl_basic_ply_data",
+    "fpl_detailed_week",
+    "fpl_fuzzy_name_candidates",
+    "fpl_stats_key_pass",
+    "fpl_stats_shots",
+    "fpl_value_per_points",
+    "full_outer_reconciliation",
+    "incremental_state_merge",
+    "json_variant_extract",
+    "lang_stats_grouped_map",
+    "ltv_cohort_revenue",
+    "outlier_mad_prices",
+    "pii_scrub_summary",
+    "pivot_multi_agg_source_lang",
+    "salted_join_user_spend",
+    "sample_quality_weighted",
+    "scalar_subquery_share",
+    "source_token_divergence",
+    "tfidf_top_terms",
+    "typed_fact_view",
+    "upsert_merged_state",
+    # --- staleness rotation: the 9 alphabetically-first last-green-r4 ---
+    "agg_pricing_summary",
+    "ann_ivf_rebalance",
+    "binary_ingest_summary",
+    "bitext_margin_pairs",
+    "bloom_blocklist_summary",
+    "bpe_pair_stats",
+    "cdc_apply_state",
+    "cms_heavy_hitters",
+    "cms_join_size_estimate",
 ]
 
 
