@@ -472,6 +472,18 @@ def test_fold_band_deltas_folds_and_cleans(spark, three_batches, tmp_path):
         fold_band_deltas(spark, tbl, droot, str(tmp_path / "gen0"))
         assert spark.table(tbl).count() == 2 * (40 + 31)
         assert probe(spark.table(tbl)) == want
+        # the fold is also the OPTIMIZE step: one file set per bucket
+        from fpl_data_pipeline_spark.operators.incremental_state import (
+            STATE_BUCKETS,
+        )
+
+        n_files = sum(
+            1
+            for root, _, fs in os.walk(str(tmp_path / "gen0"))
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        assert 0 < n_files <= STATE_BUCKETS
         assert published_batches(droot) == {}
         assert _applied_set(droot) == {0}
         assert not os.path.exists(os.path.join(droot, "_fold_manifest.json"))
