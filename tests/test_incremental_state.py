@@ -297,10 +297,14 @@ def test_minhash_band_state_rides_the_same_story(spark, tmp_path):
     tbl = "inc_mh_band_state_t"
     try:
         write_band_state(band_keys(corpus), tbl, str(tmp_path / "mh"))
+        # broadcast_alive=False: the xxhash64 band-key space grows with the
+        # corpus, so minhash callers must not force-broadcast the alive set
+        # at deploy scale (probe_band_state's documented contract)
         got = {
             (r["new_id"], r["dup_of"])
             for r in probe_band_state(
-                spark.table(tbl), band_keys(batch), MH_BAND_CAP
+                spark.table(tbl), band_keys(batch), MH_BAND_CAP,
+                broadcast_alive=False,
             ).collect()
         }
         assert (100, 1) in got
@@ -325,12 +329,15 @@ _key_rows = st.lists(
 
 @settings(max_examples=8, deadline=None)
 @given(state_rows=_key_rows, batch_rows=_key_rows,
-       cap=st.integers(min_value=1, max_value=6))
-def test_probe_band_state_matches_bruteforce(spark, state_rows, batch_rows, cap):
+       cap=st.integers(min_value=1, max_value=6),
+       broadcast_alive=st.booleans())
+def test_probe_band_state_matches_bruteforce(spark, state_rows, batch_rows,
+                                             cap, broadcast_alive):
     """Property: probe_band_state == the brute-force definition — distinct
     (new, dup_of) pairs sharing at least one (band, k) bucket whose STATE
     membership is within the cap — for arbitrary key layouts, including
-    empty sides, over-cap buckets and batch ids colliding with state ids."""
+    empty sides, over-cap buckets and batch ids colliding with state ids,
+    on BOTH alive-join strategies (broadcast hint and shuffled)."""
     from collections import Counter
 
     schema = "vec_id long, band int, k string"
@@ -340,7 +347,8 @@ def test_probe_band_state_matches_bruteforce(spark, state_rows, batch_rows, cap)
         spark.createDataFrame([], schema)
     got = {
         (r["new_id"], r["dup_of"])
-        for r in probe_band_state(state, batch, cap).collect()
+        for r in probe_band_state(state, batch, cap,
+                                  broadcast_alive=broadcast_alive).collect()
     }
     sizes = Counter((b, k) for _, b, k in state_rows)
     want = {
