@@ -352,11 +352,22 @@ def main() -> None:
         # steady-state cluster never re-pays those either.
         for name in t10:
             QUERIES[name](spark, blown).count()
+        # the sf1 reps go through the same canary+steal gate as the
+        # headline loop (round-10: the unattributed r9 sf1_equiv x1.7 —
+        # cf_item_similarity 23.8->51.5 s on an untouched plan — rode a
+        # steal_pct-5.15 session that only the report, not the reps, saw)
+        sf1_budget = [max(10, (3 * len(t10)) * 6 // 10)]
+        sf1_discarded = sf1_suspect = 0
         for _ in range(3):
             for name in t10:
-                t0 = time.perf_counter()
-                QUERIES[name](spark, blown).count()
-                t10[name].append(time.perf_counter() - t0)
+                dt, disc, sus = _gated_rep(
+                    lambda n=name: QUERIES[n](spark, blown).count(),
+                    base_ms,
+                    sf1_budget,
+                )
+                t10[name].append(dt)
+                sf1_discarded += disc
+                sf1_suspect += int(sus)
         warm = {n: round(statistics.median(ts), 3) for n, ts in t10.items()}
         rep_totals = [round(sum(ts[i] for ts in t10.values()), 3) for i in range(3)]
         detail["sf1_equiv"] = {
@@ -371,6 +382,8 @@ def main() -> None:
                 "warm-up pass before timing"
             ),
             "primed_mb": primed_mb,
+            "reps_discarded": sf1_discarded,
+            "reps_suspect": sf1_suspect,
             "rep_totals": rep_totals,
             "rep_total_spread_frac": round(
                 (max(rep_totals) - min(rep_totals)) / max(min(rep_totals), 1e-9), 3
