@@ -103,15 +103,39 @@ def _gated_stats(fn, base_ms: float, reps: int) -> dict:
     }
 
 
+def _parallel_canary_sec(spark) -> float:
+    """Median of 3 timings of a FIXED 32-thread shuffle+agg job — the
+    machine-state probe the single-thread canary cannot be (round-10: a
+    zero-steal, canary-flat session still read the blown side ~50% slower
+    right after a heavy sweep drained; only parallel workloads see that
+    state). DIAGNOSTIC, not a normalizer: at ~0.6-0.9 s the canary
+    carries its own jitter (two back-to-back quiet runs read 0.587 vs
+    0.854 s), so dividing by it would re-introduce the division-by-noise
+    failure the ns/pair pin exists to avoid. Read it qualitatively — a
+    slow parallel canary says the raw ns/pair is inflated and the run
+    should wait for a quieter window."""
+    def run():
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("id % 4096 AS k").groupBy(
+            "k"
+        ).count().count()
+        return time.perf_counter() - t0
+
+    run()  # untimed warm-up (JIT/codegen)
+    return statistics.median(run() for _ in range(3))
+
+
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     spark = get_spark("ngram_probe")
     base_ms = min(_short_canary_ms() for _ in range(5))
+    pcanary = _parallel_canary_sec(spark)
     paths = _write(spark, _corpus_rows(n_docs), factor)
 
     out = {"seed": SEED, "n_docs": n_docs, "factor": factor,
-           "canary_base_ms": round(base_ms, 1)}
+           "canary_base_ms": round(base_ms, 1),
+           "parallel_canary_sec": round(pcanary, 3)}
     # base gets 5 reps: it runs near the scheduler noise floor (~0.5 s),
     # blown is long enough that 3 suffice
     for tag, reps in (("base", 5), ("blown", 3)):
@@ -129,6 +153,12 @@ def main() -> None:
     # on the noisy sub-second base denominator
     out["blown_ns_per_pair"] = round(
         out["blown"]["median_sec"] * 1e9 / max(out["blown"]["pairs"], 1), 1
+    )
+    # context ratio (round-10): blown median over the parallel canary —
+    # diagnostic only (see _parallel_canary_sec), the gate stays the raw
+    # blown_ns_per_pair in a quiet window
+    out["blown_per_parallel_canary"] = round(
+        out["blown"]["median_sec"] / max(pcanary, 1e-9), 2
     )
     print(json.dumps(out))
 
