@@ -309,13 +309,42 @@ def read_band_state(spark: SparkSession, table_name: str,
     return state.unionByName(deltas)
 
 
+def _table_location(spark: SparkSession, table_name: str) -> str:
+    for row in spark.sql(f"DESCRIBE EXTENDED {table_name}").collect():
+        if row.col_name == "Location":
+            return row.data_type.replace("file:", "").rstrip("/")
+    return ""
+
+
 def _table_location_matches(spark: SparkSession, table_name: str,
                             path: str) -> bool:
     want = os.path.abspath(path).rstrip("/")
-    for row in spark.sql(f"DESCRIBE EXTENDED {table_name}").collect():
-        if row.col_name == "Location":
-            return row.data_type.replace("file:", "").rstrip("/") == want
-    return False
+    return _table_location(spark, table_name) == want
+
+
+def gc_band_state_generations(spark: SparkSession, table_name: str,
+                              gen_base: str) -> list:
+    """Remove superseded generation dirs under ``gen_base``, NEVER the live
+    one (each fold/compact rewrites the state to a fresh dir and DROPs the
+    old external table, whose files linger — a full state copy leaked per
+    fold; at deploy scale that is real storage). Returns the removed
+    paths. Retention is the caller's contract: run this only once no
+    reader can still hold a snapshot over the old generations (a probe
+    that began before a swap keeps reading the old gen's files — exactly
+    why the swap never deletes them itself), and NEVER concurrently with
+    a fold/compact (an in-flight rewrite's tmp generation is not the
+    live location yet and would be swept; same single-maintainer rule
+    the manifest protocol already assumes)."""
+    live = _table_location(spark, table_name)
+    removed = []
+    if not os.path.isdir(gen_base):
+        return removed
+    for name in sorted(os.listdir(gen_base)):
+        p = os.path.join(gen_base, name)
+        if os.path.isdir(p) and os.path.abspath(p).rstrip("/") != live:
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(p)
+    return removed
 
 
 def fold_band_deltas(spark: SparkSession, table_name: str, delta_root: str,

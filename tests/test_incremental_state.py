@@ -749,3 +749,52 @@ def test_band_state_append_soak_then_compact(spark, tmp_path):
         print(f"SOAK before_files={before_files} after_files={after_files}")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_gc_band_state_generations_keeps_live_only(
+    spark, three_batches, tmp_path
+):
+    """Two folds leave two superseded generation dirs (the bootstrap copy
+    and gen-0); gc removes exactly those, never the live generation, and
+    probes over the surviving table are bit-identical."""
+    import os
+
+    from fpl_data_pipeline_spark.operators.incremental_state import (
+        fold_band_deltas,
+        gc_band_state_generations,
+        publish_band_delta,
+    )
+
+    b1, b2, b3 = three_batches
+    tbl = "inc_gc_gens_t"
+    gen_base = str(tmp_path / "gens")
+    try:
+        droot = _fold_fixture(spark, three_batches, tmp_path, tbl)
+        fold_band_deltas(spark, tbl, droot, os.path.join(gen_base, "gen-0"))
+        publish_band_delta(band_state_long(lsh_doc_band_keys(b3)), droot, 1)
+        fold_band_deltas(spark, tbl, droot, os.path.join(gen_base, "gen-1"))
+        assert spark.table(tbl).count() == 2 * (40 + 31 + 1)
+        want = sorted(
+            (r["new_id"], r["dup_of"])
+            for r in probe_band_state(
+                spark.table(tbl),
+                band_state_long(lsh_doc_band_keys(b2)),
+                ND_BAND_CAP,
+            ).collect()
+        )
+        removed = gc_band_state_generations(spark, tbl, gen_base)
+        assert removed == [os.path.join(gen_base, "gen-0")]
+        assert sorted(os.listdir(gen_base)) == ["gen-1"]
+        got = sorted(
+            (r["new_id"], r["dup_of"])
+            for r in probe_band_state(
+                spark.table(tbl),
+                band_state_long(lsh_doc_band_keys(b2)),
+                ND_BAND_CAP,
+            ).collect()
+        )
+        assert got == want
+        # idempotent: nothing left to sweep
+        assert gc_band_state_generations(spark, tbl, gen_base) == []
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
