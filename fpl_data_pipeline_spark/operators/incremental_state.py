@@ -302,6 +302,10 @@ def read_band_state(spark: SparkSession, table_name: str,
     dirs = [
         d for b, d in sorted(published_batches(delta_root or "").items())
         if b != exclude_batch and b not in applied
+        # an EMPTY micro-batch publishes a delta with a _SUCCESS marker but
+        # no part files — contributing nothing, and breaking parquet schema
+        # inference if it were the only dir read
+        and any(f.endswith(".parquet") for f in os.listdir(d))
     ]
     if not dirs:
         return state

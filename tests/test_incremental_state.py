@@ -798,3 +798,30 @@ def test_gc_band_state_generations_keeps_live_only(
         assert gc_band_state_generations(spark, tbl, gen_base) == []
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_read_band_state_tolerates_empty_delta(spark, three_batches, tmp_path):
+    """An empty micro-batch publishes a delta dir with a _SUCCESS marker
+    and no part files; read_band_state must skip it (it contributes
+    nothing) instead of failing parquet schema inference, and fold must
+    mark it applied without changing the table."""
+    from fpl_data_pipeline_spark.operators.incremental_state import (
+        fold_band_deltas,
+        publish_band_delta,
+        read_band_state,
+    )
+
+    b1, _, _ = three_batches
+    tbl = "inc_empty_delta_t"
+    droot = str(tmp_path / "deltas")
+    try:
+        write_band_state(
+            band_state_long(lsh_doc_band_keys(b1)), tbl, str(tmp_path / "state")
+        )
+        empty = spark.createDataFrame([], "vec_id long, band int, k int")
+        assert publish_band_delta(empty, droot, 0) is True
+        assert read_band_state(spark, tbl, droot).count() == 2 * 40
+        fold_band_deltas(spark, tbl, droot, str(tmp_path / "gen0"))
+        assert spark.table(tbl).count() == 2 * 40
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
