@@ -239,6 +239,19 @@ class _forced_bucketed_scan:
 _DELTA_PREFIX = "batch="
 
 
+class _InjectedCrash(RuntimeError):
+    """Raised by the _fail_after test seams below — never in production."""
+
+
+def _maybe_crash(step: str, fail_after: str | None) -> None:
+    """Crash-injection seam (the week-feed torn-publish template,
+    generalized): tests pass ``_fail_after=<step>`` to kill the protocol
+    right after that step and then assert a re-run recovers. Production
+    callers never set it."""
+    if fail_after == step:
+        raise _InjectedCrash(f"injected crash after {step}")
+
+
 def _applied_path(delta_root: str) -> str:
     return os.path.join(delta_root, "_applied.json")
 
@@ -273,7 +286,8 @@ def published_batches(delta_root: str) -> dict:
     return out
 
 
-def publish_band_delta(keys: DataFrame, delta_root: str, batch_id: int) -> bool:
+def publish_band_delta(keys: DataFrame, delta_root: str, batch_id: int,
+                       _fail_after: str | None = None) -> bool:
     """Exactly-once publish of one micro-batch's long-form band keys.
     Returns False (no-op) when the batch is already published OR already
     folded into the base table — the two replay shapes: a crash that lost
@@ -286,6 +300,7 @@ def publish_band_delta(keys: DataFrame, delta_root: str, batch_id: int) -> bool:
         return False
     staging = os.path.join(delta_root, "_staging", f"{_DELTA_PREFIX}{batch_id}")
     keys.select("vec_id", "band", "k").write.mode("overwrite").parquet(staging)
+    _maybe_crash("staging", _fail_after)
     os.rename(staging, published)
     return True
 
@@ -352,7 +367,7 @@ def gc_band_state_generations(spark: SparkSession, table_name: str,
 
 
 def fold_band_deltas(spark: SparkSession, table_name: str, delta_root: str,
-                     path: str) -> None:
+                     path: str, _fail_after: str | None = None) -> None:
     """Fold every published delta into the base table by REWRITE (one file
     set per bucket — this is also the OPTIMIZE step), exactly once.
 
@@ -411,13 +426,19 @@ def fold_band_deltas(spark: SparkSession, table_name: str, delta_root: str,
             read_band_state(spark, table_name, delta_root), n
         )
         write_bucketed(merged, tmp, ["band", "k"], n, path)
+    _maybe_crash("write_tmp", _fail_after)
     mtmp = manifest + ".tmp"
     with open(mtmp, "w") as f:
         json.dump({"path": path, "batches": sorted(todo)}, f)
     os.rename(mtmp, manifest)
+    _maybe_crash("manifest", _fail_after)
     spark.sql(f"DROP TABLE {table_name}")
+    _maybe_crash("drop", _fail_after)
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
+    _maybe_crash("rename", _fail_after)
     _write_applied(delta_root, applied | set(todo))
+    _maybe_crash("applied", _fail_after)
     for d in todo.values():
         shutil.rmtree(d, ignore_errors=True)
+    _maybe_crash("rm_deltas", _fail_after)
     os.remove(manifest)

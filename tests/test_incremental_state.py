@@ -825,3 +825,95 @@ def test_read_band_state_tolerates_empty_delta(spark, three_batches, tmp_path):
         assert spark.table(tbl).count() == 2 * 40
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+_fold_prop_seq = [0]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("publish"), st.booleans()),
+            st.tuples(
+                st.just("fold"),
+                st.sampled_from(
+                    [None, "write_tmp", "manifest", "drop", "rename",
+                     "applied", "rm_deltas"]
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_fold_protocol_random_crash_interleavings(
+    spark, tmp_path_factory, ops
+):
+    """Property over the WHOLE publish/fold protocol: any interleaving of
+    publishes (optionally crashing between the staging write and the
+    rename — the stream replays those) and folds crashing after ANY
+    protocol step, with recovery deferred to whenever the next fold
+    happens to run, converges after one final clean fold to: every batch
+    folded exactly once (row multiset == bootstrap + each batch's rows,
+    no duplicates), no published deltas, no manifest, applied-set
+    complete."""
+    import os
+
+    from fpl_data_pipeline_spark.operators.incremental_state import (
+        _applied_set,
+        _InjectedCrash,
+        fold_band_deltas,
+        publish_band_delta,
+        published_batches,
+    )
+
+    _fold_prop_seq[0] += 1
+    tbl = f"inc_fold_prop_{_fold_prop_seq[0]}_t"
+    base = tmp_path_factory.mktemp(f"foldprop{_fold_prop_seq[0]}")
+    droot = str(base / "deltas")
+    gen_n = [0]
+
+    def gen():
+        gen_n[0] += 1
+        return str(base / f"gen-{gen_n[0]}")
+
+    def rows_of(b):
+        return [(b * 100 + i, i % 2, f"k{b}_{i}") for i in range(3)]
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "vec_id long, band int, k string")
+
+    boot = [(10_000 + i, i % 2, f"boot{i}") for i in range(4)]
+    try:
+        write_band_state(frame(boot), tbl, str(base / "state"), num_buckets=2)
+        next_id = 0
+        for kind, arg in ops:
+            if kind == "publish":
+                b, next_id = next_id, next_id + 1
+                if arg:  # crash between staging write and publish rename
+                    with pytest.raises(_InjectedCrash):
+                        publish_band_delta(frame(rows_of(b)), droot, b,
+                                           _fail_after="staging")
+                # the (re)play — must succeed exactly once
+                assert publish_band_delta(frame(rows_of(b)), droot, b) is True
+            else:
+                # a fold with nothing unfolded returns before the seam, so
+                # the crash is conditional; convergence is the property
+                try:
+                    fold_band_deltas(spark, tbl, droot, gen(), _fail_after=arg)
+                except _InjectedCrash:
+                    pass
+        fold_band_deltas(spark, tbl, droot, gen())  # final clean fold
+        got = sorted(
+            (r["vec_id"], r["band"], r["k"])
+            for r in spark.table(tbl).collect()
+        )
+        want = sorted(boot + [r for b in range(next_id) for r in rows_of(b)])
+        assert got == want  # exactly once: no loss, no duplication
+        assert published_batches(droot) == {}
+        assert _applied_set(droot) == set(range(next_id))
+        assert not os.path.exists(os.path.join(droot, "_fold_manifest.json"))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__folding")
