@@ -299,7 +299,13 @@ def publish_band_delta(keys: DataFrame, delta_root: str, batch_id: int,
     if os.path.exists(published) or batch_id in _applied_set(delta_root):
         return False
     staging = os.path.join(delta_root, "_staging", f"{_DELTA_PREFIX}{batch_id}")
-    keys.select("vec_id", "band", "k").write.mode("overwrite").parquet(staging)
+    # a delta inherits the batch frame's partitioning — tens of part files
+    # for what is by definition a small increment; cap the file count so
+    # the probe's delta-side listing/scan stays cheap until the next fold
+    # (coalesce: no shuffle, a micro-batch needs none)
+    keys.select("vec_id", "band", "k").coalesce(
+        STATE_BUCKETS
+    ).write.mode("overwrite").parquet(staging)
     _maybe_crash("staging", _fail_after)
     os.rename(staging, published)
     return True
