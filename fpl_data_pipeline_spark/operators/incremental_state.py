@@ -407,15 +407,20 @@ def fold_band_deltas(spark: SparkSession, table_name: str, delta_root: str,
         with open(manifest) as f:
             m = json.load(f)
         if _table_location_matches(spark, table_name, m["path"]):
-            # the swap committed: finish the cleanup step
+            # the swap committed: finish the cleanup step (every op below
+            # is idempotent, so a crash anywhere in here re-enters this
+            # same branch — the manifest is removed last)
             _write_applied(delta_root, _applied_set(delta_root) | set(m["batches"]))
+            _maybe_crash("recover_applied", _fail_after)
             for b, d in published_batches(delta_root).items():
                 if b in set(m["batches"]):
                     shutil.rmtree(d, ignore_errors=True)
+            _maybe_crash("recover_rm_deltas", _fail_after)
             os.remove(manifest)
         else:
             # the swap never happened: tmp (if any) is a stale partial copy
             spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+            _maybe_crash("recover_drop_tmp", _fail_after)
             os.remove(manifest)
 
     applied = _applied_set(delta_root)

@@ -588,6 +588,53 @@ def test_fold_recovery_manifest_without_swap_refolds(
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
 
 
+def test_fold_recovery_branch_crash_seams(spark, three_batches, tmp_path):
+    """A crash INSIDE fold recovery is itself recoverable: every recovery
+    step is idempotent and the manifest is removed LAST, so the next fold
+    re-enters the same branch and finishes.  Drives all three recovery
+    seams deterministically (the random property test reaches them only
+    when the sampler happens to compose a late forward crash with a
+    recovery crash): the two cleanup steps of the swap-committed branch,
+    and the tmp-discard of the swap-never-happened branch."""
+    import os
+
+    from fpl_data_pipeline_spark.operators.incremental_state import (
+        _applied_set,
+        _InjectedCrash,
+        fold_band_deltas,
+        published_batches,
+    )
+
+    cases = [
+        # (forward seam that strands the manifest, recovery seam to kill)
+        ("rename", "recover_applied"),    # swap committed, cleanup step 1
+        ("rename", "recover_rm_deltas"),  # swap committed, cleanup step 2
+        ("manifest", "recover_drop_tmp"),  # swap never happened
+    ]
+    for i, (setup_seam, recovery_seam) in enumerate(cases):
+        tbl = f"inc_fold_recseam_{i}_t"
+        sub = tmp_path / f"r{i}"
+        sub.mkdir()
+        try:
+            droot = _fold_fixture(spark, three_batches, sub, tbl)
+            with pytest.raises(_InjectedCrash):
+                fold_band_deltas(spark, tbl, droot, str(sub / "gen0"),
+                                 _fail_after=setup_seam)
+            with pytest.raises(_InjectedCrash):
+                fold_band_deltas(spark, tbl, droot, str(sub / "gen1"),
+                                 _fail_after=recovery_seam)
+            fold_band_deltas(spark, tbl, droot, str(sub / "gen2"))
+            assert spark.table(tbl).count() == 2 * (40 + 31)
+            assert published_batches(droot) == {}
+            assert _applied_set(droot) == {0}
+            assert not os.path.exists(
+                os.path.join(droot, "_fold_manifest.json")
+            )
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}__folding")
+
+
 def test_compact_band_state_rerun_recovers_mid_swap(
     spark, three_batches, tmp_path
 ):
@@ -839,7 +886,12 @@ _fold_prop_seq = [0]
                 st.just("fold"),
                 st.sampled_from(
                     [None, "write_tmp", "manifest", "drop", "rename",
-                     "applied", "rm_deltas"]
+                     "applied", "rm_deltas",
+                     # recovery-branch seams: fire only when THIS fold
+                     # enters recovery (a prior fold crashed late) — the
+                     # try/except below makes the crash conditional
+                     "recover_applied", "recover_rm_deltas",
+                     "recover_drop_tmp"]
                 ),
             ),
         ),
