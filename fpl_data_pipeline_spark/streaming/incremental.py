@@ -250,6 +250,7 @@ def run_neardup_ingest(
     cap: int | None = None,
     delta_dir: str | None = None,
     fold: bool = True,
+    gc: bool = False,
 ) -> None:
     """Drain available vector files (Trigger.AvailableNow), per micro-batch:
     probe -> emit candidates -> publish the batch's band keys as an
@@ -269,10 +270,19 @@ def run_neardup_ingest(
     The fold itself runs OUTSIDE the replayable micro-batch path, under
     fold_band_deltas' manifest protocol. Until a fold runs, the probe's
     union side forfeits the bucketed co-location for the (small) delta
-    rows — the reason the fold is on-by-default here."""
+    rows — the reason the fold is on-by-default here.
+
+    ``gc=True`` reclaims superseded generation dirs right after the fold
+    (gc_band_state_generations). Off by default because its safety
+    contract is the CALLER's: this drain's own probes are finished by
+    then, but any external reader still holding a snapshot over an older
+    generation would lose its files mid-scan — enable it only when this
+    loop is the state's sole reader, otherwise run the gc on the
+    retention cadence the operator's docstring describes."""
     from fpl_data_pipeline_spark.operators.incremental_state import (
         band_state_long,
         fold_band_deltas,
+        gc_band_state_generations,
         probe_band_state,
         publish_band_delta,
         read_band_state,
@@ -313,3 +323,5 @@ def run_neardup_ingest(
             gen += 1
         fold_band_deltas(spark, state_table, droot,
                          os.path.join(base, f"gen-{gen}"))
+        if gc:
+            gc_band_state_generations(spark, state_table, base)

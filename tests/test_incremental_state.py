@@ -248,6 +248,44 @@ def test_streaming_neardup_ingest_two_microbatches(spark, three_batches, tmp_pat
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
+def test_streaming_neardup_ingest_gc_reclaims_superseded_gens(
+    spark, three_batches, tmp_path
+):
+    """gc=True completes the storage lifecycle inside the loop: after each
+    drain's fold, superseded generation dirs under the loop's gen base are
+    reclaimed and ONLY the live generation survives — with probe results
+    and the state table identical to the gc=False run (gc never touches
+    the live files)."""
+    import os
+
+    from fpl_data_pipeline_spark.streaming.incremental import run_neardup_ingest
+
+    b1, b2, b3 = three_batches
+    tbl = "inc_band_state_stream_gc_t"
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    try:
+        write_band_state(
+            band_state_long(lsh_doc_band_keys(b1)), tbl, str(tmp_path / "state")
+        )
+        b2.coalesce(1).write.mode("append").parquet(src)
+        run_neardup_ingest(spark, src, tbl, out, ckpt, gc=True)
+        b3.coalesce(1).write.mode("append").parquet(src)
+        run_neardup_ingest(spark, src, tbl, out, ckpt, gc=True)
+
+        got = {
+            (r["new_id"], r["dup_of"])
+            for r in spark.read.option("basePath", out).parquet(out).collect()
+        }
+        assert (1099, 3) in got and (2000, 1005) in got
+        assert spark.table(tbl).count() == 2 * (40 + 31 + 1)
+        # two drains folded -> two generations written; gc left only the
+        # live one (gen-1), and the live table reads from it
+        base = os.path.join(out, "_state_deltas", "_folded_base")
+        assert sorted(os.listdir(base)) == ["gen-1"]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_minhash_band_state_rides_the_same_story(spark, tmp_path):
     """The text-minhash family's deploy state is the SAME shape: its
     (doc_id, band_id, band_key) band relation is already long-form, so a
