@@ -136,7 +136,7 @@ def append_band_state(spark: SparkSession, table_name: str,
 
 
 def compact_band_state(spark: SparkSession, table_name: str,
-                       path: str) -> None:
+                       path: str, _fail_after: str | None = None) -> None:
     """Rewrite the appended state table as one file set per bucket,
     preserving the bucketed layout (bucket count and keys read from the
     catalog). N appends leave N file sets per bucket — correct but
@@ -158,13 +158,27 @@ def compact_band_state(spark: SparkSession, table_name: str,
     stale partial copy, never the sole survivor (round-9 ADVICE: the old
     unconditional drop destroyed the documented recovery path). (A real
     lakehouse deployment gets true atomicity from a table format with a
-    transaction log; plain parquet + catalog cannot.)"""
+    transaction log; plain parquet + catalog cannot.)
+
+    One maintenance style per table: compact is the OFFLINE loop's
+    optimizer; a table maintained by the streaming publish/fold loop is
+    compacted by the fold itself. The two crash protocols do not compose
+    — recovering a missing table from the wrong tmp copy can resurrect a
+    state whose deltas then refold as duplicates — so this refuses to
+    run while a fold's ``__folding`` table exists (in-flight or crashed):
+    re-run fold_band_deltas to recover, then compact."""
     from fpl_data_pipeline_spark.sources.bucketing import (
         _bucket_count,
         write_bucketed,
     )
 
     tmp = f"{table_name}__compacting"
+    if spark.catalog.tableExists(f"{table_name}__folding"):
+        raise ValueError(
+            f"compact_band_state: {table_name}__folding exists — a fold is "
+            "in flight or crashed; re-run fold_band_deltas to recover it "
+            "before compacting"
+        )
     if not spark.catalog.tableExists(table_name):
         if spark.catalog.tableExists(tmp):
             # crash happened between DROP and RENAME: tmp IS the table
@@ -178,7 +192,9 @@ def compact_band_state(spark: SparkSession, table_name: str,
     with _forced_bucketed_scan(spark):
         write_bucketed(_one_file_per_bucket(spark.table(table_name), n), tmp,
                        ["band", "k"], n, path)
+    _maybe_crash("write_tmp", _fail_after)
     spark.sql(f"DROP TABLE {table_name}")
+    _maybe_crash("drop", _fail_after)
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
 
 
@@ -396,6 +412,16 @@ def fold_band_deltas(spark: SparkSession, table_name: str, delta_root: str,
     tmp = f"{table_name}__folding"
     manifest = os.path.join(delta_root, "_fold_manifest.json")
 
+    if spark.catalog.tableExists(f"{table_name}__compacting"):
+        # the mirror of compact_band_state's guard: the two crash
+        # protocols do not compose (recovering a missing table from the
+        # wrong tmp copy can resurrect a pre-compact state, or a folded
+        # copy whose deltas then refold as duplicates)
+        raise ValueError(
+            f"fold_band_deltas: {table_name}__compacting exists — a "
+            "compaction is in flight or crashed; re-run "
+            "compact_band_state to recover it before folding"
+        )
     if not spark.catalog.tableExists(table_name):
         if spark.catalog.tableExists(tmp):
             spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")

@@ -733,6 +733,101 @@ def test_compact_band_state_raises_when_nothing_exists(spark):
         compact_band_state(spark, "inc_never_existed_t", "/tmp/unused")
 
 
+def test_compact_crash_seams_rerun_recovers(spark, three_batches, tmp_path):
+    """Drive compact_band_state's own crash seams through the REAL code
+    path (the mid-swap test above hand-replicates the state): a crash
+    after the tmp write re-runs as a fresh rewrite; a crash after the
+    DROP re-runs as the recovery RENAME. Both end with exact rows and
+    the one-file-per-bucket layout."""
+    import glob
+    import os
+
+    from fpl_data_pipeline_spark.operators.incremental_state import (
+        _InjectedCrash,
+        _table_location,
+        compact_band_state,
+    )
+    from fpl_data_pipeline_spark.sources.bucketing import _bucket_count
+
+    b1, b2, _ = three_batches
+    for i, seam in enumerate(("write_tmp", "drop")):
+        tbl = f"inc_compact_seam_{i}_t"
+        sub = tmp_path / f"s{i}"
+        sub.mkdir()
+        try:
+            write_band_state(
+                band_state_long(lsh_doc_band_keys(b1)), tbl, str(sub / "g0")
+            )
+            append_band_state(
+                spark, tbl, band_state_long(lsh_doc_band_keys(b2))
+            )
+            with pytest.raises(_InjectedCrash):
+                compact_band_state(spark, tbl, str(sub / "g1"),
+                                   _fail_after=seam)
+            compact_band_state(spark, tbl, str(sub / "g2"))
+            assert spark.table(tbl).count() == 2 * (40 + 31)
+            live = _table_location(spark, tbl)
+            n_files = len(glob.glob(os.path.join(live, "*.parquet")))
+            assert n_files == _bucket_count(spark, tbl)  # one per bucket
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}__compacting")
+
+
+def test_fold_and_compact_refuse_to_cross_crash_windows(
+    spark, three_batches, tmp_path
+):
+    """The two maintenance protocols do not compose across a crash: a
+    missing table is recoverable only from its OWN protocol's tmp copy
+    (recovering from the other's can resurrect a pre-compact state, or a
+    folded copy whose deltas then refold as duplicates). Each operator
+    therefore refuses to run while the other's tmp table exists, naming
+    the recovery — and after that recovery re-run, proceeds cleanly."""
+    from fpl_data_pipeline_spark.operators.incremental_state import (
+        _InjectedCrash,
+        compact_band_state,
+        fold_band_deltas,
+    )
+
+    b1, b2, _ = three_batches
+
+    # compact crashed mid-swap -> fold must refuse until compact re-runs
+    tbl = "inc_cross_compact_t"
+    try:
+        droot = _fold_fixture(spark, three_batches, tmp_path, tbl)
+        with pytest.raises(_InjectedCrash):
+            compact_band_state(spark, tbl, str(tmp_path / "cg1"),
+                               _fail_after="drop")
+        with pytest.raises(ValueError, match="compact_band_state to recover"):
+            fold_band_deltas(spark, tbl, droot, str(tmp_path / "cg2"))
+        compact_band_state(spark, tbl, str(tmp_path / "cg3"))  # recovery
+        fold_band_deltas(spark, tbl, droot, str(tmp_path / "cg4"))
+        assert spark.table(tbl).count() == 2 * (40 + 31)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__compacting")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__folding")
+
+    # fold crashed mid-swap -> compact must refuse until fold re-runs
+    tbl = "inc_cross_fold_t"
+    sub = tmp_path / "f"
+    sub.mkdir()
+    try:
+        droot = _fold_fixture(spark, three_batches, sub, tbl)
+        with pytest.raises(_InjectedCrash):
+            fold_band_deltas(spark, tbl, droot, str(sub / "fg1"),
+                             _fail_after="drop")
+        with pytest.raises(ValueError, match="fold_band_deltas to recover"):
+            compact_band_state(spark, tbl, str(sub / "fg2"))
+        fold_band_deltas(spark, tbl, droot, str(sub / "fg3"))  # recovery
+        compact_band_state(spark, tbl, str(sub / "fg4"))
+        assert spark.table(tbl).count() == 2 * (40 + 31)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__compacting")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__folding")
+
+
 def test_probe_band_state_unbroadcast_alive_same_result(spark):
     """Round-9 ADVICE: callers with corpus-growing band-key spaces (the
     minhash xxhash64 keys) must be able to opt out of the alive-set
