@@ -136,7 +136,8 @@ def append_band_state(spark: SparkSession, table_name: str,
 
 
 def compact_band_state(spark: SparkSession, table_name: str,
-                       path: str, _fail_after: str | None = None) -> None:
+                       path: str, delta_root: str | None = None,
+                       _fail_after: str | None = None) -> None:
     """Rewrite the appended state table as one file set per bucket,
     preserving the bucketed layout (bucket count and keys read from the
     catalog). N appends leave N file sets per bucket — correct but
@@ -166,7 +167,17 @@ def compact_band_state(spark: SparkSession, table_name: str,
     — recovering a missing table from the wrong tmp copy can resurrect a
     state whose deltas then refold as duplicates — so this refuses to
     run while a fold's ``__folding`` table exists (in-flight or crashed):
-    re-run fold_band_deltas to recover, then compact."""
+    re-run fold_band_deltas to recover, then compact.
+
+    The tmp-table guard cannot see one fold crash window: after the
+    fold's RENAME but before its cleanup, ``__folding`` is gone and the
+    only evidence is the pending manifest in the fold's delta_root. A
+    compact there would MOVE the table, the next fold would read the
+    manifest's path as a mismatch ("swap never happened") and refold the
+    already-folded deltas — duplicates. If the table ever runs under the
+    publish/fold loop, pass that loop's ``delta_root`` here so the guard
+    can also refuse on a pending fold manifest; without it, the
+    one-style-per-table rule is the only protection for that window."""
     from fpl_data_pipeline_spark.sources.bucketing import (
         _bucket_count,
         write_bucketed,
@@ -178,6 +189,14 @@ def compact_band_state(spark: SparkSession, table_name: str,
             f"compact_band_state: {table_name}__folding exists — a fold is "
             "in flight or crashed; re-run fold_band_deltas to recover it "
             "before compacting"
+        )
+    if delta_root and os.path.exists(
+        os.path.join(delta_root, "_fold_manifest.json")
+    ):
+        raise ValueError(
+            f"compact_band_state: a fold manifest is pending in "
+            f"{delta_root} — a fold crashed between its swap and cleanup; "
+            "re-run fold_band_deltas to recover it before compacting"
         )
     if not spark.catalog.tableExists(table_name):
         if spark.catalog.tableExists(tmp):

@@ -827,6 +827,29 @@ def test_fold_and_compact_refuse_to_cross_crash_windows(
         spark.sql(f"DROP TABLE IF EXISTS {tbl}__compacting")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}__folding")
 
+    # the window the tmp-table guard cannot see: fold crashed AFTER its
+    # rename (no __folding left, manifest pending). A delta_root-less
+    # compact would move the table and make the next fold refold those
+    # deltas as duplicates; with delta_root the guard refuses.
+    tbl = "inc_cross_fold_renamed_t"
+    sub = tmp_path / "fr"
+    sub.mkdir()
+    try:
+        droot = _fold_fixture(spark, three_batches, sub, tbl)
+        with pytest.raises(_InjectedCrash):
+            fold_band_deltas(spark, tbl, droot, str(sub / "rg1"),
+                             _fail_after="rename")
+        with pytest.raises(ValueError, match="manifest is pending"):
+            compact_band_state(spark, tbl, str(sub / "rg2"),
+                               delta_root=droot)
+        fold_band_deltas(spark, tbl, droot, str(sub / "rg3"))  # recovery
+        compact_band_state(spark, tbl, str(sub / "rg4"), delta_root=droot)
+        assert spark.table(tbl).count() == 2 * (40 + 31)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__compacting")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__folding")
+
 
 def test_probe_band_state_unbroadcast_alive_same_result(spark):
     """Round-9 ADVICE: callers with corpus-growing band-key spaces (the
@@ -1102,3 +1125,127 @@ def test_fold_protocol_random_crash_interleavings(
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}__folding")
+
+
+_maint_prop_seq = [0]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.just(("publish", None)),
+            st.tuples(
+                st.just("fold"),
+                st.sampled_from(
+                    [None, "write_tmp", "manifest", "drop", "rename",
+                     "applied", "rm_deltas"]
+                ),
+            ),
+            st.tuples(
+                st.just("compact"),
+                st.sampled_from([None, "write_tmp", "drop"]),
+            ),
+        ),
+        min_size=2,
+        max_size=4,
+    )
+)
+def test_maintenance_state_machine_random_interleavings(
+    spark, tmp_path_factory, ops
+):
+    """Property over the WHOLE maintenance state machine — publishes,
+    folds, AND compacts, any order, crashing at any protocol step — under
+    the documented recovery discipline (a guard refusal means: re-run the
+    BLOCKING protocol's op to recover, then retry). Invariants: (a) the
+    two tmp tables never coexist (each guard refuses before creating its
+    own tmp while the other's exists — what makes missing-table recovery
+    unambiguous); (b) after recovery + one clean fold, rows are exact
+    (compaction never changes rows, folding applies every batch exactly
+    once), deltas and manifest are gone, applied-set complete."""
+    import os
+
+    from fpl_data_pipeline_spark.operators.incremental_state import (
+        _applied_set,
+        _InjectedCrash,
+        compact_band_state,
+        fold_band_deltas,
+        publish_band_delta,
+        published_batches,
+    )
+
+    _maint_prop_seq[0] += 1
+    tbl = f"inc_maint_prop_{_maint_prop_seq[0]}_t"
+    base = tmp_path_factory.mktemp(f"maintprop{_maint_prop_seq[0]}")
+    droot = str(base / "deltas")
+    gen_n = [0]
+
+    def gen():
+        gen_n[0] += 1
+        return str(base / f"gen-{gen_n[0]}")
+
+    def rows_of(b):
+        return [(b * 100 + i, i % 2, f"k{b}_{i}") for i in range(3)]
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "vec_id long, band int, k string")
+
+    def never_both_tmps():
+        assert not (
+            spark.catalog.tableExists(f"{tbl}__folding")
+            and spark.catalog.tableExists(f"{tbl}__compacting")
+        )
+
+    def recover_and_run(kind, fail=None):
+        """One attempt + the documented discipline on a guard refusal:
+        clean-run the blocking protocol's op, then retry once."""
+        fns = {
+            "fold": lambda f: fold_band_deltas(spark, tbl, droot, gen(),
+                                               _fail_after=f),
+            # delta_root lets the guard see the post-rename fold crash
+            # window (pending manifest, no __folding table) — without it
+            # a compact there moves the table and the next fold refolds
+            "compact": lambda f: compact_band_state(spark, tbl, gen(),
+                                                    delta_root=droot,
+                                                    _fail_after=f),
+        }
+        other = {"fold": "compact", "compact": "fold"}
+        try:
+            fns[kind](fail)
+        except _InjectedCrash:
+            pass
+        except ValueError:
+            fns[other[kind]](None)  # recover the blocking protocol
+            try:
+                fns[kind](fail)  # retry the requested op
+            except _InjectedCrash:
+                pass
+        never_both_tmps()
+
+    boot = [(10_000 + i, i % 2, f"boot{i}") for i in range(4)]
+    try:
+        write_band_state(frame(boot), tbl, str(base / "state"), num_buckets=2)
+        next_id = 0
+        for kind, arg in ops:
+            if kind == "publish":
+                b, next_id = next_id, next_id + 1
+                assert publish_band_delta(frame(rows_of(b)), droot, b) is True
+            else:
+                recover_and_run(kind, arg)
+        # final recovery + clean fold: whichever protocol's crash window
+        # is open, re-run it first (the discipline), then fold
+        recover_and_run("fold", None)
+        recover_and_run("fold", None)  # idempotent if already clean
+        got = sorted(
+            (r["vec_id"], r["band"], r["k"])
+            for r in spark.table(tbl).collect()
+        )
+        want = sorted(boot + [r for b in range(next_id) for r in rows_of(b)])
+        assert got == want
+        assert published_batches(droot) == {}
+        assert _applied_set(droot) == set(range(next_id))
+        assert not os.path.exists(os.path.join(droot, "_fold_manifest.json"))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__folding")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__compacting")
