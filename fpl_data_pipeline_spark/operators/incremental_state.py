@@ -383,7 +383,8 @@ def _table_location_matches(spark: SparkSession, table_name: str,
 
 
 def gc_band_state_generations(spark: SparkSession, table_name: str,
-                              gen_base: str) -> list:
+                              gen_base: str,
+                              delta_root: str | None = None) -> list:
     """Remove superseded generation dirs under ``gen_base``, NEVER the live
     one (each fold/compact rewrites the state to a fresh dir and DROPs the
     old external table, whose files linger — a full state copy leaked per
@@ -394,7 +395,37 @@ def gc_band_state_generations(spark: SparkSession, table_name: str,
     why the swap never deletes them itself), and NEVER concurrently with
     a fold/compact (an in-flight rewrite's tmp generation is not the
     live location yet and would be swept; same single-maintainer rule
-    the manifest protocol already assumes)."""
+    the manifest protocol already assumes).
+
+    The concurrency half of that contract is tripwired like the
+    fold/compact cross-guards: gc refuses while either tmp table exists
+    (in-flight or crashed rewrite — its not-yet-live generation would be
+    swept), while the table is missing (mid-swap crash: the sole copy's
+    generation is not the catalog's live location), and — when the
+    caller passes the fold loop's ``delta_root`` — while a fold manifest
+    is pending (post-rename crash window). Re-run the crashed op first;
+    gc is then safe."""
+    for tmp_suffix in ("__folding", "__compacting"):
+        if spark.catalog.tableExists(f"{table_name}{tmp_suffix}"):
+            raise ValueError(
+                f"gc_band_state_generations: {table_name}{tmp_suffix} "
+                "exists — a rewrite is in flight or crashed and its tmp "
+                "generation is not the live location yet; recover it "
+                "first"
+            )
+    if not spark.catalog.tableExists(table_name):
+        raise ValueError(
+            f"gc_band_state_generations: {table_name} is missing — a "
+            "rewrite crashed mid-swap; re-run the crashed op to recover "
+            "before gc"
+        )
+    if delta_root and os.path.exists(
+        os.path.join(delta_root, "_fold_manifest.json")
+    ):
+        raise ValueError(
+            f"gc_band_state_generations: a fold manifest is pending in "
+            f"{delta_root}; re-run fold_band_deltas before gc"
+        )
     live = _table_location(spark, table_name)
     removed = []
     if not os.path.isdir(gen_base):

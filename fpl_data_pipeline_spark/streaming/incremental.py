@@ -324,4 +324,5 @@ def run_neardup_ingest(
         fold_band_deltas(spark, state_table, droot,
                          os.path.join(base, f"gen-{gen}"))
         if gc:
-            gc_band_state_generations(spark, state_table, base)
+            gc_band_state_generations(spark, state_table, base,
+                                      delta_root=droot)

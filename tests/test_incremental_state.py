@@ -851,6 +851,71 @@ def test_fold_and_compact_refuse_to_cross_crash_windows(
         spark.sql(f"DROP TABLE IF EXISTS {tbl}__folding")
 
 
+def test_gc_refuses_inside_rewrite_crash_windows(
+    spark, three_batches, tmp_path
+):
+    """gc's 'never concurrently with a fold/compact' contract is now a
+    tripwire, not just prose: with a crashed rewrite's tmp table present
+    (its complete not-yet-live generation would be swept), with the
+    table missing mid-swap, or with a fold manifest pending, gc refuses
+    and names the recovery; after the crashed op re-runs, gc proceeds
+    and removes only superseded generations."""
+    import os
+
+    from fpl_data_pipeline_spark.operators.incremental_state import (
+        _InjectedCrash,
+        _table_location,
+        fold_band_deltas,
+        gc_band_state_generations,
+    )
+
+    tbl = "inc_gc_guard_t"
+    gen_base = str(tmp_path / "gens")
+    os.makedirs(gen_base)
+
+    def gen(n):
+        return os.path.join(gen_base, f"gen-{n}")
+
+    try:
+        droot = _fold_fixture(spark, three_batches, tmp_path, tbl)
+
+        # tmp table present (fold crashed right after its tmp write)
+        with pytest.raises(_InjectedCrash):
+            fold_band_deltas(spark, tbl, droot, gen(0),
+                             _fail_after="write_tmp")
+        with pytest.raises(ValueError, match="__folding"):
+            gc_band_state_generations(spark, tbl, gen_base, delta_root=droot)
+
+        # table missing (fold crashed between DROP and RENAME): the
+        # __folding tripwire is what fires — the sole copy is its tmp
+        with pytest.raises(_InjectedCrash):
+            fold_band_deltas(spark, tbl, droot, gen(1), _fail_after="drop")
+        with pytest.raises(ValueError, match="__folding"):
+            gc_band_state_generations(spark, tbl, gen_base, delta_root=droot)
+
+        # recover; manifest pending is unreachable here (the recovery
+        # completes cleanup), so plant one to drive that tripwire
+        fold_band_deltas(spark, tbl, droot, gen(2))
+        manifest = os.path.join(droot, "_fold_manifest.json")
+        with open(manifest, "w") as f:
+            f.write("{}")
+        with pytest.raises(ValueError, match="manifest is pending"):
+            gc_band_state_generations(spark, tbl, gen_base, delta_root=droot)
+        os.remove(manifest)
+
+        # clean state: gc removes every superseded generation, never the
+        # live one
+        removed = gc_band_state_generations(spark, tbl, gen_base,
+                                            delta_root=droot)
+        live = _table_location(spark, tbl)
+        assert live not in [os.path.abspath(p) for p in removed]
+        assert sorted(os.listdir(gen_base)) == [os.path.basename(live)]
+        assert spark.table(tbl).count() == 2 * (40 + 31)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__folding")
+
+
 def test_probe_band_state_unbroadcast_alive_same_result(spark):
     """Round-9 ADVICE: callers with corpus-growing band-key spaces (the
     minhash xxhash64 keys) must be able to opt out of the alive-set
