@@ -71,6 +71,18 @@ def _bucket_count(spark: SparkSession, table_name: str) -> int:
     raise ValueError(f"{table_name} is not bucketed")
 
 
+def _bucket_cols(spark: SparkSession, table_name: str) -> list[str]:
+    """The table's bucket columns, read from the catalog (the DESCRIBE
+    EXTENDED row renders them as "[`band`, `k`]") — what lets a layout
+    rewrite preserve the bucketing of ANY state relation without the
+    caller re-stating the keys."""
+    for row in spark.sql(f"DESCRIBE EXTENDED {table_name}").collect():
+        if row.col_name == "Bucket Columns":
+            return [c.strip().strip("`") for c in
+                    row.data_type.strip("[]").split(",")]
+    raise ValueError(f"{table_name} is not bucketed")
+
+
 def assert_no_shuffle(df: DataFrame) -> None:
     """Raise if the physical plan contains any Exchange (shuffle or
     broadcast-exchange is allowed only when it's a broadcast): the

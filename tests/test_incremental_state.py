@@ -777,12 +777,12 @@ def test_compact_crash_seams_rerun_recovers(spark, three_batches, tmp_path):
 def test_fold_and_compact_refuse_to_cross_crash_windows(
     spark, three_batches, tmp_path
 ):
-    """The two maintenance protocols do not compose across a crash: a
-    missing table is recoverable only from its OWN protocol's tmp copy
-    (recovering from the other's can resurrect a pre-compact state, or a
-    folded copy whose deltas then refold as duplicates). Each operator
-    therefore refuses to run while the other's tmp table exists, naming
-    the recovery — and after that recovery re-run, proceeds cleanly."""
+    """Round 11: the one-style-per-table rule is mechanism-enforced. The
+    first fold/compact to run claims the table's maintenance style in the
+    location marker; from then on the OTHER style refuses unconditionally
+    — in crash windows (each operator still refuses while the other's tmp
+    table exists, naming the recovery) AND on a clean table (the marker,
+    with no arguments needed)."""
     from fpl_data_pipeline_spark.operators.incremental_state import (
         _InjectedCrash,
         compact_band_state,
@@ -791,24 +791,36 @@ def test_fold_and_compact_refuse_to_cross_crash_windows(
 
     b1, b2, _ = three_batches
 
-    # compact crashed mid-swap -> fold must refuse until compact re-runs
+    # compact claimed the table (and crashed mid-swap): fold refuses on
+    # the crash window first, then — after compact's recovery — on the
+    # marker, forever; the published delta never folds into it
     tbl = "inc_cross_compact_t"
     try:
-        droot = _fold_fixture(spark, three_batches, tmp_path, tbl)
+        write_band_state(
+            band_state_long(lsh_doc_band_keys(b1)), tbl, str(tmp_path / "cs")
+        )
+        droot = str(tmp_path / "cdeltas")
+        from fpl_data_pipeline_spark.operators.incremental_state import (
+            publish_band_delta,
+        )
+
+        publish_band_delta(band_state_long(lsh_doc_band_keys(b2)), droot, 0)
         with pytest.raises(_InjectedCrash):
             compact_band_state(spark, tbl, str(tmp_path / "cg1"),
                                _fail_after="drop")
         with pytest.raises(ValueError, match="compact_band_state to recover"):
             fold_band_deltas(spark, tbl, droot, str(tmp_path / "cg2"))
         compact_band_state(spark, tbl, str(tmp_path / "cg3"))  # recovery
-        fold_band_deltas(spark, tbl, droot, str(tmp_path / "cg4"))
-        assert spark.table(tbl).count() == 2 * (40 + 31)
+        with pytest.raises(ValueError, match="maintained by the 'compact'"):
+            fold_band_deltas(spark, tbl, droot, str(tmp_path / "cg4"))
+        assert spark.table(tbl).count() == 2 * 40  # delta never applied
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}__compacting")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}__folding")
 
-    # fold crashed mid-swap -> compact must refuse until fold re-runs
+    # fold claimed the table (and crashed mid-swap): compact refuses on
+    # the crash window first, then on the marker after fold's recovery
     tbl = "inc_cross_fold_t"
     sub = tmp_path / "f"
     sub.mkdir()
@@ -820,17 +832,19 @@ def test_fold_and_compact_refuse_to_cross_crash_windows(
         with pytest.raises(ValueError, match="fold_band_deltas to recover"):
             compact_band_state(spark, tbl, str(sub / "fg2"))
         fold_band_deltas(spark, tbl, droot, str(sub / "fg3"))  # recovery
-        compact_band_state(spark, tbl, str(sub / "fg4"))
+        with pytest.raises(ValueError, match="maintained by the 'fold'"):
+            compact_band_state(spark, tbl, str(sub / "fg4"))
         assert spark.table(tbl).count() == 2 * (40 + 31)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}__compacting")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}__folding")
 
-    # the window the tmp-table guard cannot see: fold crashed AFTER its
-    # rename (no __folding left, manifest pending). A delta_root-less
-    # compact would move the table and make the next fold refold those
-    # deltas as duplicates; with delta_root the guard refuses.
+    # THE round-10 live-demonstrated hazard, now unreachable WITHOUT any
+    # argument: fold crashed AFTER its rename (no __folding left, manifest
+    # pending — the window the tmp-table guard cannot see). A compact here
+    # used to need delta_root to be refused; the marker the fold stamped
+    # into the renamed generation refuses it argument-free.
     tbl = "inc_cross_fold_renamed_t"
     sub = tmp_path / "fr"
     sub.mkdir()
@@ -839,12 +853,10 @@ def test_fold_and_compact_refuse_to_cross_crash_windows(
         with pytest.raises(_InjectedCrash):
             fold_band_deltas(spark, tbl, droot, str(sub / "rg1"),
                              _fail_after="rename")
-        with pytest.raises(ValueError, match="manifest is pending"):
-            compact_band_state(spark, tbl, str(sub / "rg2"),
-                               delta_root=droot)
+        with pytest.raises(ValueError, match="maintained by the 'fold'"):
+            compact_band_state(spark, tbl, str(sub / "rg2"))  # NO delta_root
         fold_band_deltas(spark, tbl, droot, str(sub / "rg3"))  # recovery
-        compact_band_state(spark, tbl, str(sub / "rg4"), delta_root=droot)
-        assert spark.table(tbl).count() == 2 * (40 + 31)
+        assert spark.table(tbl).count() == 2 * (40 + 31)  # no refold dups
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}__compacting")
@@ -1221,13 +1233,16 @@ def test_maintenance_state_machine_random_interleavings(
 ):
     """Property over the WHOLE maintenance state machine — publishes,
     folds, AND compacts, any order, crashing at any protocol step — under
-    the documented recovery discipline (a guard refusal means: re-run the
-    BLOCKING protocol's op to recover, then retry). Invariants: (a) the
-    two tmp tables never coexist (each guard refuses before creating its
-    own tmp while the other's exists — what makes missing-table recovery
-    unambiguous); (b) after recovery + one clean fold, rows are exact
-    (compaction never changes rows, folding applies every batch exactly
-    once), deltas and manifest are gone, applied-set complete."""
+    the round-11 rule: the FIRST fold/compact to run claims the table's
+    maintenance style in the location marker; the other style is refused
+    from then on (argument-free), including across every crash window.
+    Invariants: (a) the two tmp tables never coexist; (b) cross-style
+    attempts are pure refusals — they never change rows, deltas, or the
+    applied-set (the only side effect the discipline allows is the style
+    owner's own recovery run); (c) convergence by claimed style: a
+    fold-claimed (or never-claimed) table folds every batch exactly once;
+    a compact-claimed table keeps its bootstrap rows exactly and its
+    published deltas forever unapplied — never silently refolded."""
     import os
 
     from fpl_data_pipeline_spark.operators.incremental_state import (
@@ -1261,31 +1276,37 @@ def test_maintenance_state_machine_random_interleavings(
             and spark.catalog.tableExists(f"{tbl}__compacting")
         )
 
-    def recover_and_run(kind, fail=None):
-        """One attempt + the documented discipline on a guard refusal:
-        clean-run the blocking protocol's op, then retry once."""
-        fns = {
-            "fold": lambda f: fold_band_deltas(spark, tbl, droot, gen(),
-                                               _fail_after=f),
-            # delta_root lets the guard see the post-rename fold crash
-            # window (pending manifest, no __folding table) — without it
-            # a compact there moves the table and the next fold refolds
-            "compact": lambda f: compact_band_state(spark, tbl, gen(),
-                                                    delta_root=droot,
-                                                    _fail_after=f),
-        }
-        other = {"fold": "compact", "compact": "fold"}
-        try:
-            fns[kind](fail)
-        except _InjectedCrash:
-            pass
-        except ValueError:
-            fns[other[kind]](None)  # recover the blocking protocol
+    claimed = [None]
+    fns = {
+        "fold": lambda f: fold_band_deltas(spark, tbl, droot, gen(),
+                                           _fail_after=f),
+        # NO delta_root: the marker alone must keep compact out of the
+        # fold loop's crash windows (the round-10 hazard)
+        "compact": lambda f: compact_band_state(spark, tbl, gen(),
+                                                _fail_after=f),
+    }
+    other = {"fold": "compact", "compact": "fold"}
+
+    def attempt(kind, fail=None):
+        """One attempt under the recovery discipline. A tmp-guard refusal
+        means the OTHER style crashed mid-protocol: clean-run that style's
+        own op to recover, then retry — which the marker then refuses
+        (terminal) unless this table is ours. Returns 'ran' | 'refused'."""
+        for is_retry in (False, True):
             try:
-                fns[kind](fail)  # retry the requested op
+                fns[kind](fail)
             except _InjectedCrash:
-                pass
-        never_both_tmps()
+                pass  # claim happened at entry, before any seam
+            except ValueError as e:
+                if "maintained by" in str(e):
+                    never_both_tmps()
+                    return "refused"
+                assert not is_retry, f"unexpected second refusal: {e}"
+                fns[other[kind]](None)  # recover the blocking protocol
+                continue
+            claimed[0] = claimed[0] or kind
+            never_both_tmps()
+            return "ran"
 
     boot = [(10_000 + i, i % 2, f"boot{i}") for i in range(4)]
     try:
@@ -1296,21 +1317,37 @@ def test_maintenance_state_machine_random_interleavings(
                 b, next_id = next_id, next_id + 1
                 assert publish_band_delta(frame(rows_of(b)), droot, b) is True
             else:
-                recover_and_run(kind, arg)
-        # final recovery + clean fold: whichever protocol's crash window
-        # is open, re-run it first (the discipline), then fold
-        recover_and_run("fold", None)
-        recover_and_run("fold", None)  # idempotent if already clean
-        got = sorted(
-            (r["vec_id"], r["band"], r["k"])
-            for r in spark.table(tbl).collect()
-        )
-        want = sorted(boot + [r for b in range(next_id) for r in rows_of(b)])
-        assert got == want
-        assert published_batches(droot) == {}
-        assert _applied_set(droot) == set(range(next_id))
-        assert not os.path.exists(os.path.join(droot, "_fold_manifest.json"))
+                attempt(kind, arg)
+        if claimed[0] in (None, "fold"):
+            assert attempt("fold", None) == "ran"
+            assert attempt("fold", None) == "ran"  # idempotent when clean
+            got = sorted(
+                (r["vec_id"], r["band"], r["k"])
+                for r in spark.table(tbl).collect()
+            )
+            want = sorted(
+                boot + [r for b in range(next_id) for r in rows_of(b)]
+            )
+            assert got == want  # every batch exactly once
+            assert published_batches(droot) == {}
+            assert _applied_set(droot) == set(range(next_id))
+            assert not os.path.exists(
+                os.path.join(droot, "_fold_manifest.json")
+            )
+        else:
+            assert attempt("compact", None) == "ran"  # close any open window
+            got = sorted(
+                (r["vec_id"], r["band"], r["k"])
+                for r in spark.table(tbl).collect()
+            )
+            assert got == sorted(boot)  # compaction never changes rows
+            # the deltas are stranded, honestly: still published, never
+            # applied — a refold-as-duplicates can never happen here
+            assert set(published_batches(droot)) == set(range(next_id))
+            assert _applied_set(droot) == set()
+            assert attempt("fold", None) == "refused"
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}__folding")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__compacting")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}__compacting")
