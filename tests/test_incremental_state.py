@@ -1350,4 +1350,130 @@ def test_maintenance_state_machine_random_interleavings(
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}__folding")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}__compacting")
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}__compacting")
+
+
+def test_streaming_lifecycle_soak_with_crashes(spark, tmp_path):
+    """Round-11 task #5: the WHOLE deployment loop, run the way a
+    deployment runs it — 20 micro-batch drains through run_neardup_ingest
+    (fold=False: maintenance on a cadence, not per-batch), folds triggered
+    by a small-file criterion over the published deltas (the
+    sources/compaction.py streaming-pack rule degenerates to a delta-count
+    threshold here because every delta is one uniform micro-batch), gc
+    after every successful fold, and CRASH INJECTION at seeded-random
+    batches (a fold killed at a random protocol seam; the next cadence
+    fold is the recovery). Round 10 tested each piece; this test pins the
+    composition: bounded file counts throughout, only-live-generation
+    storage at the end, exact state rows, and probe parity with a
+    from-scratch offline rebuild."""
+    import os
+
+    from fpl_data_pipeline_spark.operators.incremental_state import (
+        STATE_BUCKETS,
+        _applied_set,
+        _InjectedCrash,
+        fold_band_deltas,
+        gc_band_state_generations,
+        published_batches,
+    )
+    from fpl_data_pipeline_spark.streaming.incremental import run_neardup_ingest
+
+    N_BATCHES, PER_BATCH, CADENCE = 20, 5, 4
+    SEAMS = ["write_tmp", "manifest", "drop", "rename", "applied",
+             "rm_deltas"]
+    tbl, off = "inc_lifecycle_soak_t", "inc_lifecycle_soak_off_t"
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    droot = os.path.join(out, "_state_deltas")
+    gen_base = os.path.join(droot, "_folded_base")
+    rng = np.random.RandomState(11)
+
+    def nfiles(root):
+        return sum(
+            1 for r, _, fs in os.walk(root) for f in fs
+            if f.endswith(".parquet")
+        )
+
+    def next_gen():
+        g = 0
+        while os.path.exists(os.path.join(gen_base, f"gen-{g}")):
+            g += 1
+        return os.path.join(gen_base, f"gen-{g}")
+
+    history = []
+    try:
+        raw = [[(g * 100 + i, rng.randn(DIM) * 3) for i in range(PER_BATCH)]
+               for g in range(N_BATCHES + 1)]
+        boot = _emb_frame(spark, raw[0])
+        write_band_state(band_state_long(lsh_doc_band_keys(boot)), tbl,
+                         str(tmp_path / "state"))
+        batches = [_emb_frame(spark, r) for r in raw[1:]]
+        for c, b in enumerate(batches):
+            b.coalesce(1).write.mode("append").parquet(src)
+            run_neardup_ingest(spark, src, tbl, out, ckpt, fold=False)
+            if rng.rand() < 0.25:  # a maintenance fold dies mid-protocol
+                with pytest.raises(_InjectedCrash):
+                    fold_band_deltas(
+                        spark, tbl, droot, next_gen(),
+                        _fail_after=SEAMS[rng.randint(len(SEAMS))],
+                    )
+                if not spark.catalog.tableExists(tbl):
+                    # the mid-swap window: the next drain's probe needs the
+                    # table, so the operator re-runs the fold NOW (exactly
+                    # what a failing drain would page a deployment to do)
+                    fold_band_deltas(spark, tbl, droot, next_gen())
+            # cadence: the planner criterion — enough published deltas to
+            # make the rewrite pay — then fold (doubles as crash recovery)
+            if len(published_batches(droot)) >= CADENCE:
+                fold_band_deltas(spark, tbl, droot, next_gen())
+                gc_band_state_generations(spark, tbl, gen_base,
+                                          delta_root=droot)
+            history.append(
+                (c, len(published_batches(droot)), nfiles(droot))
+            )
+            # bounded at every step: deltas never exceed cadence+1 dirs
+            # (one may arrive mid-window), state+delta files stay O(buckets
+            # + cadence), never O(total batches)
+            assert len(published_batches(droot)) <= CADENCE + 1
+        fold_band_deltas(spark, tbl, droot, next_gen())  # final fold
+        gc_band_state_generations(spark, tbl, gen_base, delta_root=droot)
+
+        total = (N_BATCHES + 1) * PER_BATCH
+        assert spark.table(tbl).count() == 2 * total  # exact, no dup rows
+        assert published_batches(droot) == {}
+        assert _applied_set(droot) == set(range(N_BATCHES))
+        # only-live-generation storage, one file per bucket
+        gens = [d for d in os.listdir(gen_base)
+                if os.path.isdir(os.path.join(gen_base, d))]
+        assert len(gens) == 1
+        assert nfiles(os.path.join(gen_base, gens[0])) <= STATE_BUCKETS
+        # probe parity with a from-scratch offline rebuild of the state
+        all_vecs = boot
+        for b in batches:
+            all_vecs = all_vecs.unionByName(b)
+        write_band_state(band_state_long(lsh_doc_band_keys(all_vecs)), off,
+                         str(tmp_path / "off"))
+        # random probes + one planted near-copy of a mid-soak vector (id
+        # 99999 ~ batch 7's id 702) so the parity check provably has a hit
+        probe_raw = [(90000 + i, rng.randn(DIM) * 3) for i in range(PER_BATCH)]
+        probe_raw.append((99999, raw[7][2][1] + 0.001 * rng.randn(DIM)))
+        probe_keys = band_state_long(
+            lsh_doc_band_keys(_emb_frame(spark, probe_raw))
+        )
+        res = lambda t: sorted(  # noqa: E731
+            (r["new_id"], r["dup_of"])
+            for r in probe_band_state(
+                spark.table(t), probe_keys, ND_BAND_CAP
+            ).collect()
+        )
+        parity = res(tbl)
+        assert parity == res(off)
+        assert (99999, 702) in set(parity)  # the planted hit survives both
+        max_deltas = max(h[1] for h in history)
+        max_files = max(h[2] for h in history)
+        print(f"LIFECYCLE_SOAK batches={N_BATCHES} max_delta_dirs={max_deltas} "
+              f"max_files_under_droot={max_files} "
+              f"final_state_files={nfiles(os.path.join(gen_base, gens[0]))} "
+              f"history={history}")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {off}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__folding")
