@@ -63,75 +63,70 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # driver rows-only check adds nothing over the planted-pair VALUE checks
 # in tests/test_cap_guards.py, which pin them to oracle-checked md5 twins.
 #
-# Round-10 window (2 changed + anchor + 47 staleness-fillers = 50):
-# logreg_train_weights / logreg_train_eval changed — the LR_CKPT_EVERY
-# cadence now engages only past LR_STEPS (round-9 ADVICE medium: the old
-# guard fired once at t=2 while docstring and this comment claimed it was
-# inert), so the registered 3-step plans dropped their lazy checkpoint
-# barrier; values are untouched (cadence is plan-only, pinned by the
-# on-vs-off twin test) but plan-changed names re-window by policy.
-# emb_incremental_neardup is NOT re-windowed: probe_band_state grew a
-# broadcast_alive parameter whose default leaves the registered plan
-# byte-identical. Zero new names (round-9 verdict task #8). The 47 filler
-# slots take the ENTIRE oldest cohort — all 38 names last-green in round
-# 3 — plus the 9 alphabetically-first of the 36 last-green in round 4;
-# after this window no name's last green is older than round 4
-# (recomputed over CORRECTNESS_r01-r09: r3 38, r4 36, r5 38, r6 38,
-# r7 40, r8 46, r9 50).
+# Round-11 window (0 changed + anchor + 49 staleness-fillers = 50): ZERO
+# registered plans changed this round — the round-11 work (key-shape
+# generalization of the publish/fold/gc protocol, the maintenance-style
+# marker, the fp streaming lifecycle) lives entirely in deploy-surface
+# functions no registered query calls; probe_band_state and
+# probe_fingerprint_state, which registered queries DO call, are
+# byte-untouched. Zero new names (carry honestly). The 49 filler slots
+# take the ENTIRE oldest cohort — all 27 names last-green in round 4 —
+# plus the 22 alphabetically-first of the 38 last-green in round 5; after
+# this window no name's last green is older than round 5 (recomputed over
+# CORRECTNESS_r01-r10: r4 27, r5 38, r6 38, r7 40, r8 46, r9 47, r10 50).
 DRIVER_WINDOW_PRIORITY = [
     "flagship_customer_activity",
-    # --- plans changed in round 10 -> driver-proven this round ---
-    "logreg_train_weights",
-    "logreg_train_eval",
-    # --- staleness rotation: all 38 last-green-r3 names ---
-    "ann_recall_eval",
-    "corpus_release_summary",
-    "datasource_bootstrap_top_scorers",
-    "dedup_incremental_batch",
-    "doc_chunking",
-    "doc_length_histogram",
-    "domain_mixture_weights",
-    "emb_dimension_znorm",
-    "emb_quantize_stats",
-    "events_dau_wau",
-    "events_error_spikes",
-    "events_funnel",
-    "events_gap_percentiles",
-    "events_retention_cohorts",
-    "events_sliding_windows",
-    "events_user_ewma",
-    "flagship_sql",
-    "fpl_basic_ply_data",
-    "fpl_detailed_week",
-    "fpl_fuzzy_name_candidates",
-    "fpl_stats_key_pass",
-    "fpl_stats_shots",
-    "fpl_value_per_points",
-    "full_outer_reconciliation",
-    "incremental_state_merge",
-    "json_variant_extract",
-    "lang_stats_grouped_map",
-    "ltv_cohort_revenue",
-    "outlier_mad_prices",
-    "pii_scrub_summary",
-    "pivot_multi_agg_source_lang",
-    "salted_join_user_spend",
-    "sample_quality_weighted",
-    "scalar_subquery_share",
-    "source_token_divergence",
-    "tfidf_top_terms",
-    "typed_fact_view",
-    "upsert_merged_state",
-    # --- staleness rotation: the 9 alphabetically-first last-green-r4 ---
-    "agg_pricing_summary",
-    "ann_ivf_rebalance",
-    "binary_ingest_summary",
-    "bitext_margin_pairs",
-    "bloom_blocklist_summary",
-    "bpe_pair_stats",
-    "cdc_apply_state",
-    "cms_heavy_hitters",
-    "cms_join_size_estimate",
+    # --- staleness rotation: all 27 last-green-r4 names ---
+    "contrastive_hard_negatives",
+    "corpus_snapshot_diff",
+    "emb_batch_drift",
+    "emb_pq_codebook_stats",
+    "events_cusum_changepoints",
+    "events_type_transitions",
+    "events_watermark_lateness",
+    "gdpr_erasure_audit",
+    "hash_sample_quantiles",
+    "kanonymity_audit",
+    "kmv_distinct_union",
+    "lang_id_confusion",
+    "length_bucket_padding",
+    "modal_alignment_summary",
+    "quality_model_scores",
+    "quality_threshold_calibration",
+    "revenue_forecast_eval",
+    "scd2_customer_history",
+    "source_trend_slopes",
+    "split_leakage_safe",
+    "stratified_neyman_allocation",
+    "table_histogram_price",
+    "table_stats_orders",
+    "token_budget_plan",
+    "training_order_shuffle",
+    "vocab_oov_rates",
+    "zorder_layout_stats",
+    # --- staleness rotation: the 22 alphabetically-first last-green-r5 ---
+    "ann_ranking_metrics",
+    "asof_join_forward_tolerance",
+    "basket_part_pairs",
+    "cf_holdout_hitrate",
+    "cf_negative_samples",
+    "customer_rfm_segments",
+    "customer_spend_deciles",
+    "doc_packing_summary",
+    "emb_covariance_stats",
+    "emb_health_audit",
+    "emb_label_outliers",
+    "emb_matryoshka_recall",
+    "emb_pq_adc_topk",
+    "events_conversion_latency",
+    "events_peak_concurrency",
+    "events_sliding_distinct_kmv",
+    "histogram_quantile_sketch",
+    "join_skew_report",
+    "kfold_group_assignment",
+    "layout_rle_advisor",
+    "order_cycle_time_percentiles",
+    "ordered_set_aggs",
 ]
 
 
