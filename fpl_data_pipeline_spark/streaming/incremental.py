@@ -380,9 +380,10 @@ def run_fingerprint_ingest(
     """The text-dedup twin of run_neardup_ingest (round-11, closing the
     round-10 verdict's gap #1): documents arrive as parquet (doc_id, text)
     files; each micro-batch fingerprints its docs, labels them against the
-    PERSISTED corpus fingerprint state ('dup_of_corpus' | 'new', via the
-    same probe_fingerprint_state operator the registered offline query
-    uses), lands the labels in out_dir/batch_id=N, and publishes the
+    PERSISTED corpus fingerprint state ('dup_of_corpus' | 'new' — the same
+    labeling probe_fingerprint_state and the registered offline query
+    compute, from one shared join), lands the labels in
+    out_dir/batch_id=N, and publishes the
     batch's NEW distinct fingerprints as an exactly-once delta. After the
     drain, published deltas fold into the fp-bucketed base table under the
     manifest protocol (``fold=False`` defers to an external cadence — the
@@ -401,14 +402,16 @@ def run_fingerprint_ingest(
     fold itself never dedups.
 
     Scale shape: state is O(distinct corpus fingerprints) rows of 32-char
-    md5, bucketed on fp; each micro-batch costs two O(batch) probe joins
-    (label + anti-join for the delta) against the pre-shuffled state and
-    one O(batch) delta write. The fold is the only state-sized rewrite and
+    md5, bucketed on fp; each micro-batch costs ONE O(batch) probe join
+    against the pre-shuffled state — the joined batch (O(batch) rows) is
+    pinned with localCheckpoint and BOTH outputs derive from it: the
+    labels (probe_fingerprint_state's exact when-expression, pinned equal
+    to the operator by the offline-parity test) and the 'new' delta
+    (hit-is-null filter). The fold is the only state-sized rewrite and
     runs on a cadence."""
     from fpl_data_pipeline_spark.operators.incremental_state import (
         fold_fingerprint_deltas,
         gc_band_state_generations,
-        probe_fingerprint_state,
         publish_fingerprint_delta,
         read_fingerprint_state,
     )
@@ -418,15 +421,20 @@ def run_fingerprint_ingest(
 
     def probe_and_publish(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        fps = batch_df.select(
-            "doc_id", F.expr(_FP).alias("fp")
-        ).localCheckpoint()
+        fps = batch_df.select("doc_id", F.expr(_FP).alias("fp"))
         state = read_fingerprint_state(sp, state_table, droot,
                                        exclude_batch=batch_id)
-        labels = probe_fingerprint_state(state, fps)
+        hit = fps.join(
+            state.select("fp").withColumn("hit", F.lit(1)), "fp", "left"
+        ).localCheckpoint()
+        labels = hit.select(
+            "doc_id",
+            F.when(F.col("hit").isNotNull(), "dup_of_corpus")
+            .otherwise("new")
+            .alias("status"),
+        )
         labels.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
-        new_fps = fps.join(state.select("fp"), "fp", "left_anti") \
-                     .select("fp").distinct()
+        new_fps = hit.filter(F.col("hit").isNull()).select("fp").distinct()
         publish_fingerprint_delta(new_fps, droot, batch_id)
 
     q = (
