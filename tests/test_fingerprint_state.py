@@ -185,6 +185,79 @@ def test_fp_streamed_state_matches_offline_rebuild(spark, doc_batches,
         spark.sql(f"DROP TABLE IF EXISTS {off}")
 
 
+def test_fp_streaming_ingest_gc_reclaims_superseded_gens(
+    spark, doc_batches, tmp_path
+):
+    """gc=True completes the fp storage lifecycle inside the loop (the fp
+    twin of the vector gc test): after each drain's fold, superseded
+    generations are reclaimed, only the live one survives, and the state
+    table still reads exactly."""
+    from fpl_data_pipeline_spark.streaming.incremental import (
+        run_fingerprint_ingest,
+    )
+
+    b1, b2, b3 = doc_batches
+    tbl = "fp_state_stream_gc_t"
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    try:
+        write_fingerprint_state(
+            _fps(b1).select("fp").distinct(), tbl, str(tmp_path / "state")
+        )
+        b2.coalesce(1).write.mode("append").parquet(src)
+        run_fingerprint_ingest(spark, src, tbl, out, ckpt, gc=True)
+        b3.coalesce(1).write.mode("append").parquet(src)
+        run_fingerprint_ingest(spark, src, tbl, out, ckpt, gc=True)
+        base = os.path.join(out, "_state_deltas", "_folded_base")
+        assert sorted(os.listdir(base)) == ["gen-1"]
+        assert spark.table(tbl).count() == 5  # 3 boot + 2 new, exactly
+        assert _labels(spark, out, 1) == {(21, "dup_of_corpus")}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_fp_gc_reads_fold_delta_root_from_marker(spark, doc_batches,
+                                                 tmp_path):
+    """Round-11 marker mechanics on the fp shape: after one fold, gc run
+    WITHOUT delta_root still refuses while a fold manifest is pending
+    (the marker names the loop's delta_root), and a mismatched explicit
+    delta_root is rejected rather than silently trusted."""
+    from fpl_data_pipeline_spark.operators.incremental_state import (
+        fold_fingerprint_deltas,
+        gc_band_state_generations,
+        publish_fingerprint_delta,
+    )
+
+    b1, b2, _ = doc_batches
+    tbl = "fp_state_marker_gc_t"
+    droot = str(tmp_path / "deltas")
+    gen_base = str(tmp_path / "gens")
+    try:
+        write_fingerprint_state(
+            _fps(b1).select("fp").distinct(), tbl, str(tmp_path / "state")
+        )
+        new_fps = (  # only the fps that probe 'new', as the loop publishes
+            _fps(b2).join(spark.table(tbl), "fp", "left_anti")
+            .select("fp").distinct()
+        )
+        publish_fingerprint_delta(new_fps, droot, 0)
+        fold_fingerprint_deltas(spark, tbl, droot,
+                                os.path.join(gen_base, "gen-0"))
+        manifest = os.path.join(droot, "_fold_manifest.json")
+        with open(manifest, "w") as f:
+            f.write("{}")  # plant the post-rename crash evidence
+        with pytest.raises(ValueError, match="manifest is pending"):
+            gc_band_state_generations(spark, tbl, gen_base)  # NO delta_root
+        with pytest.raises(ValueError, match="bound to delta_root"):
+            gc_band_state_generations(spark, tbl, gen_base,
+                                      delta_root=str(tmp_path / "other"))
+        os.remove(manifest)
+        removed = gc_band_state_generations(spark, tbl, gen_base)
+        assert removed == []  # only the live generation exists
+        assert spark.table(tbl).count() == 5
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 _fp_prop_seq = [0]
 _fp_rows = st.lists(
     st.integers(min_value=0, max_value=99), min_size=1, max_size=3
