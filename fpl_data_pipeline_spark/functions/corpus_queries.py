@@ -12,7 +12,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from fpl_data_pipeline_spark.functions.text_queries import doc_bigrams
-from fpl_data_pipeline_spark.operators.dedup import shingles
+from fpl_data_pipeline_spark.operators.dedup import _ensure_parallel, shingles
 from fpl_data_pipeline_spark.registry import register
 from fpl_data_pipeline_spark.tables import table
 
@@ -33,6 +33,35 @@ def _toks(df: DataFrame) -> DataFrame:
 
 
 # --- repetition signals (Gopher quality rules, §MassiveText C.2 analog) -----
+def _max_multiplicity(arr):
+    """Largest multiplicity of any element of ``arr`` (array<string>,
+    NULL-free by construction), computed MAP-SIDE: sort the array, then one
+    aggregate pass tracks the longest equal-element run. O(n log n) CPU per
+    row instead of a corpus-wide (doc, gram) shuffle."""
+    srt = F.sort_array(arr)
+
+    def _step(acc, x):
+        run = (
+            F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .cast("long")
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(
+        srt,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        _step,
+        lambda acc: acc["best"],
+    )
+
+
 @register(
     "quality_repetition_signals",
     f"""
@@ -69,22 +98,53 @@ def quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition signals — the filters that catch boilerplate
     and degenerate (stuck-token) documents before training: distinct-token
     ratio, most-frequent-word fraction, most-frequent-bigram fraction.
-    Two explodes + hash aggregates on (doc_id, gram); fractions are exact
-    int/int double divisions (identical on both engines). At 100 TB this is
-    the same one-pass shape as any token-level aggregate: shuffle bytes
-    track token count, never document-pair count."""
+
+    Round-11 shape (guide §2.4, first-principles): every output is a
+    per-document statistic, so NO shuffle is fundamentally required — the
+    old two-explode + four-hash-aggregate + join plan (6 exchanges, the
+    whole token stream shuffled twice) is replaced by map-side array
+    expressions over the projected word list: n_tokens = size(ws),
+    distinct_ratio via array_distinct, top fractions via the sorted-run
+    maximum (_max_multiplicity). Fractions stay exact int/int double
+    divisions; a doc with no tokens emits no row (the old wc relation was
+    empty for it) and a doc with <2 words gets a NULL bigram fraction (the
+    old left join's missing row). At 100 TB the shuffle-bytes term of this
+    query is now ZERO — it scans, computes, and emits."""
     d = table(spark, sf_dir, "documents")
-    wc = _toks(d).groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
-    per_doc = wc.groupBy("doc_id").agg(
-        F.sum("c").alias("n_tokens"),
-        (F.count(F.lit(1)).cast("double") / F.sum("c")).alias("distinct_ratio"),
-        (F.max("c").cast("double") / F.sum("c")).alias("top_word_frac"),
+    words = _ensure_parallel(d).select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "),
+            lambda w: w != "",
+        ).alias("ws"),
     )
-    bgc = doc_bigrams(d).groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
-    bg_doc = bgc.groupBy("doc_id").agg(
-        (F.max("c").cast("double") / F.sum("c")).alias("top_bigram_frac")
+    bigrams = F.when(
+        F.size("ws") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("ws"), i), F.element_at(F.col("ws"), i + 1)
+            ),
+        ),
     )
-    return per_doc.join(bg_doc, "doc_id", "left")
+    staged = words.filter(F.size("ws") >= 1).select(
+        "doc_id", "ws", bigrams.alias("bg")
+    )
+    return staged.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_tokens"),
+        (
+            F.size(F.array_distinct("ws")).cast("double")
+            / F.size("ws").cast("long")
+        ).alias("distinct_ratio"),
+        (_max_multiplicity(F.col("ws")).cast("double") / F.size("ws").cast("long")).alias(
+            "top_word_frac"
+        ),
+        F.when(
+            F.col("bg").isNotNull(),
+            _max_multiplicity(F.col("bg")).cast("double") / F.size("bg").cast("long"),
+        ).alias("top_bigram_frac"),
+    )
 
 
 # --- context-window packing (concat-and-chunk) ------------------------------
@@ -709,7 +769,17 @@ def source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tok"),
     )
-    src = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c_s"))
+    # round-11 pin: ``src`` feeds FOUR consumers (src_tot, corpus — and
+    # through them corpus_tot — plus the terms join), so without pinning the
+    # tokenize-explode + (source, tok) aggregation compiled and ran once per
+    # consumer (5 parquet scans of documents in the r11 before-plan). The
+    # pinned relation is vocabulary-sized per source — far smaller than the
+    # token stream it replaces.
+    src = (
+        toks.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c_s"))
+        .localCheckpoint(eager=False)
+    )
     src_tot = src.groupBy("source").agg(
         F.sum("c_s").alias("n_s"), F.count(F.lit(1)).alias("n_distinct_toks")
     )
@@ -1023,39 +1093,75 @@ def hybrid_search(
     so double accumulation order cannot flip the candidate cut."""
     if (query_vec is None) == (query_vec_id is None):
         raise ValueError("provide exactly one of query_vec / query_vec_id")
+    # dedupe the injected keyword list (the old groupBy(doc_id, tok) shape
+    # collapsed duplicates implicitly; the per-term columns below must not
+    # double-count one)
+    terms = list(dict.fromkeys(terms))
     toks = _toks(docs)
-    dls = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dls.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_toks")
+    # Round-11 single-pass BM25 (guide §2.3/§2.4): the old shape tokenized
+    # the corpus FOUR times (dls, stats-via-dls, tf, and scored's dls join —
+    # 6 parquet scans in the r11 before-plan) and paid a (doc, term) shuffle
+    # plus a df shuffle plus a dls join. The keyword query is a SMALL FIXED
+    # list, so per-doc length and one conditional count per term fit in ONE
+    # groupBy(doc_id) over one tokenized scan; corpus stats and per-term
+    # document frequencies then come from one scalar aggregation of that
+    # per-doc frame (broadcast back as a 1-row cross join). Per-term scores
+    # are the same expressions over the same integers, summed in fixed term
+    # order instead of arbitrary row order — inside the 6-dp round that
+    # already absorbs double accumulation-order noise (a term with tf = 0
+    # contributes exactly +0.0: idf > 0 always, 0/(0 + k1·norm) = +0.0).
+    # Docs matching no term are filtered out, mirroring the old inner tf
+    # relation; docs with no tokens never appear, as before.
+    per_doc = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("dl"),
+            *[
+                F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).alias(f"tf_{i}")
+                for i in range(len(terms))
+                for t in [terms[i]]
+            ],
+        )
+        # feeds the scalar stats agg AND the scoring pass below
+        .localCheckpoint(eager=False)
     )
-    tf = (
-        toks.filter(F.col("tok").isin(*terms))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_toks"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
     )
-    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     avgdl = F.col("total_toks").cast("double") / F.col("n_docs")
-    idf = F.log(
-        (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-        + F.lit(1.0)
-    )
-    term_score = (
-        idf
-        * (F.col("tf") * F.lit(k1 + 1.0))
-        / (
-            F.col("tf")
-            + F.lit(k1)
-            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+
+    def _term_score(i: int):
+        tf = F.col(f"tf_{i}")
+        idf = F.log(
+            (F.col("n_docs").cast("double") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        return (
+            idf
+            * (tf * F.lit(k1 + 1.0))
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl))
+        )
+
+    any_term = None
+    for i in range(len(terms)):
+        c = F.col(f"tf_{i}") > 0
+        any_term = c if any_term is None else (any_term | c)
+    bm25 = (
+        per_doc.crossJoin(F.broadcast(stats))
+        .filter(any_term)
+        .select(
+            "doc_id",
+            F.round(
+                sum((_term_score(i) for i in range(len(terms))), F.lit(0.0)), 6
+            ).alias("bm25"),
         )
     )
-    scored = (
-        tf.join(F.broadcast(df), "tok")
-        .join(dls, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", term_score.alias("term_score"))
-    )
-    bm25 = scored.groupBy("doc_id").agg(F.round(F.sum("term_score"), 6).alias("bm25"))
     # TakeOrderedAndProject, not a global row_number window: per-partition
     # heaps + a k-row driver merge, no single-task global sort at scale
     lex = bm25.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(lex_topn)

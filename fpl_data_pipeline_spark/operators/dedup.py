@@ -322,6 +322,17 @@ def _set_overlap_stats(
     # localCheckpoint (not cache): the grouped relation feeds two consumers
     # (sizes + the pair expansion); checkpoint materialization stops
     # Catalyst compiling the explode-heavy key subtree once per consumer.
+    #
+    # Round-11: ``sh`` itself ALSO has two consumers inside
+    # _capped_key_groups (the count pre-pass and the member-collect join),
+    # so the tokenize + gram-explode pipeline under it compiled and ran
+    # twice (2 parquet scans in the r11 before-plan of every
+    # _ngram_jaccard_pairs consumer — pagerank_dupgraph, threshold sweep,
+    # clusters, consensus). Pin the exploded (doc_id, key) relation once —
+    # linear in the corpus, the same trade winnowing's round-8 pin made.
+    # Pinned HERE (not in _capped_key_groups) so the cap-guard plan-shape
+    # test still sees the raw aggregate subtree.
+    sh = sh.localCheckpoint(eager=False)
     groups0 = _capped_key_groups(sh, key_col, df_cap).localCheckpoint(eager=False)
     sizes = (
         groups0.select(F.explode("docs").alias("doc_id"))
@@ -431,7 +442,17 @@ def _minhash_pair_estimates(sigs: DataFrame) -> DataFrame:
     non-discriminative). Bands over the cap are dropped by the standard
     count-agg PRE-pass on BOTH engines; the cap is far above any band this
     corpus produces, so results here are unchanged, and candidate_cap_audit
-    reports when it fires."""
+    reports when it fires.
+
+    Round-11 pin: ``sigs`` (the shingle-explode + 32-min-agg pipeline, the
+    family's most expensive stage) feeds TWO consumers below — the alive
+    count-agg pre-pass and the member-collect join — and no ReusedExchange
+    bridges them, so without pinning the whole signature build compiled and
+    RAN twice (2 parquet scans in the r11 before-plan). The checkpointed
+    relation is ONE narrow row per doc (doc_id + 32 longs), the cheapest
+    point in the pipeline to materialize — bands re-derive from it map-side
+    per consumer. Same rationale as winnowing's round-8 pin."""
+    sigs = sigs.localCheckpoint(eager=False)
     bands = sigs.select(
         "doc_id",
         "sig",

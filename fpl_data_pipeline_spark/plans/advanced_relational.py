@@ -721,6 +721,12 @@ def _cf_capped_baskets(li: DataFrame, o: DataFrame) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("item"))
         .distinct()
+        # round-11 pin: the distinct (cust, item) relation feeds BOTH the
+        # cap pre-pass and the basket collect below; without pinning the
+        # scan + broadcast-join + distinct subtree compiled and ran twice
+        # (no ReusedExchange bridges separate consumers). Narrow 2-long
+        # rows — the cheapest point in this pipeline to materialize.
+        .localCheckpoint(eager=False)
     )
     ok_cust = (
         inter.groupBy("cust")

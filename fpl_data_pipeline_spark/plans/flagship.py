@@ -55,12 +55,6 @@ def customer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
     )
 
-    # ct_stats_totals — lifetime totals per customer.
-    totals = orders.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("total_spend"),
-        F.count(F.lit(1)).alias("order_cnt"),
-    )
-
     # Rank the distinct periods once (tiny: <= #months rows), broadcast it.
     periods = (
         orders.select("period")
@@ -69,24 +63,34 @@ def customer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     last4 = F.broadcast(periods.filter(F.col("rn") <= 4))
 
-    # Semi-join fact to the last 4 periods, then pivot rn 1..3 via filtered
-    # max (reference A3: MAX(total_points) FILTER (WHERE round_gw = k-th)) and
-    # compute the last-4 average with the reference's constant ÷4 semantics.
-    recent = orders.join(last4, "period")
-    recent_agg = recent.groupBy("o_custkey").agg(
+    # Lifetime totals AND the last-4 pivot in ONE pass over the fact
+    # (round-11, guide §2.4: two aggregations keyed on o_custkey shared one
+    # exchange's worth of work but ran as two shuffles + an extra join).
+    # LEFT-joining the broadcast rank attaches rn only to last-4 rows
+    # (NULL elsewhere), so the lifetime sums see every row while the
+    # rn-conditional aggregates reproduce the old inner-join semantics
+    # exactly: a customer with no last-4 orders gets NULL gw_*/avg_4 — the
+    # same NULLs the old left join produced for a missing recent_agg row.
+    # Pivot rn 1..3 via filtered max (reference A3) and the reference's
+    # constant ÷4 last-4 average.
+    fact = orders.join(last4, "period", "left")
+    merged = fact.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("total_spend"),
+        F.count(F.lit(1)).alias("order_cnt"),
         F.max(F.when(F.col("rn") == 1, F.col("o_totalprice"))).alias("gw_1"),
         F.max(F.when(F.col("rn") == 2, F.col("o_totalprice"))).alias("gw_2"),
         F.max(F.when(F.col("rn") == 3, F.col("o_totalprice"))).alias("gw_3"),
         (
-            F.sum(F.col("o_totalprice").cast(_DEC)).cast("double") / F.lit(4.0)
+            F.sum(
+                F.when(F.col("rn").isNotNull(), F.col("o_totalprice").cast(_DEC))
+            ).cast("double")
+            / F.lit(4.0)
         ).alias("avg_4"),
     )
 
-    # Final 4-way left join + coalesce + deterministic top-15.
+    # Final left join + coalesce + deterministic top-15.
     out = (
-        ct_gen.join(totals, ct_gen.c_custkey == totals.o_custkey, "left")
-        .drop("o_custkey")
-        .join(recent_agg, ct_gen.c_custkey == recent_agg.o_custkey, "left")
+        ct_gen.join(merged, ct_gen.c_custkey == merged.o_custkey, "left")
         .drop("o_custkey")
         .select(
             "c_custkey",
