@@ -2429,22 +2429,30 @@ def prefix_filter_pairs(d: DataFrame) -> DataFrame:
     measures the candidate-set reduction on a planted corpus.
     """
     sh = _hashed_shingles(shingles(d)).localCheckpoint(eager=False)
-    # NOT checkpointed despite three consumers (candidate build + both
-    # verify join sides): measured at sf0.1, materializing the per-doc
-    # shingle ARRAYS costs more than recomputing the agg from the
-    # checkpointed shingle rows (5.3 s vs 3.3 s warm) — the arrays
-    # serialize the whole corpus, the recompute is two hash shuffles
-    docs = _prefix_docs(sh)
-    cand = _candidates_from_docs(docs)
+    # Round-11 split of the doc-level frame: _prefix_docs (df count-agg +
+    # df join + sorted-struct collect, the family's most expensive agg)
+    # used to be recompiled FOUR times — once per self-join side of the
+    # candidate build and once per verify join side. But only the
+    # candidate stage needs the rarity ranking; pin the (doc_id, n,
+    # prefix) projection ONCE (the prefix arrays are the ~30% rarity tail,
+    # far smaller than the full gs arrays whose materialization measured
+    # worse in round 8: 5.3 s vs 3.3 s warm), and give the verify sides a
+    # PLAIN unranked collect each — array_intersect is order-insensitive
+    # and sh is (doc_id, shingle)-distinct, so the unsorted lists verify
+    # identically while skipping the df join and the struct sort entirely.
+    docs_pref = _prefix_docs(sh).select("doc_id", "n", "prefix").localCheckpoint(
+        eager=False
+    )
+    cand = _candidates_from_docs(docs_pref)
     # Verification via per-doc shingle ARRAYS + array_intersect instead of
     # exploded-row joins: one row per document enters the candidate joins
     # (not n_shingles rows), intersection size is computed map-side inside
     # codegen, and the shuffle volume of the verify phase drops by the
-    # average document length. The doc-level frame (arrays + sizes +
-    # prefixes) is ONE aggregation, checkpointed and shared by the
-    # candidate and verify phases; at 100 TB its join shuffles one array
-    # row per doc instead of hundreds of shingle rows.
-    doc_sets = docs.select("doc_id", "gs", "n")
+    # average document length. At 100 TB its join shuffles one array row
+    # per doc instead of hundreds of shingle rows.
+    doc_sets = sh.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("gs"), F.count(F.lit(1)).alias("n")
+    )
     da_sets = doc_sets.select(
         F.col("doc_id").alias("da"), F.col("gs").alias("ga"), F.col("n").alias("na")
     )
