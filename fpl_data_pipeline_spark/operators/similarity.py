@@ -129,6 +129,35 @@ def _plane_bit(vec_col, plane: list[float]):
     return F.when(_dot(F.col(vec_col) if isinstance(vec_col, str) else vec_col, h) >= 0, 1).otherwise(0)
 
 
+def _plane_dot_spark_sql(col: str, plane: list[float]) -> str:
+    """Spark-SQL string twin of ``_dot(col, array(<plane lits>))``: the same
+    zip_with/aggregate double fold over the same literal doubles (``repr``
+    round-trips every float64 and the ``D`` suffix parses as DOUBLE), but
+    built as ONE ``F.expr`` parse on the JVM instead of ~65 py4j round trips
+    per plane — the round-11 profile charged ~1.4 s of emb_neardup_pairs'
+    construction to exactly this chatter (guide §7.3: don't generate giant
+    expression trees in driver loops)."""
+    arr = "array(" + ",".join(f"{float(x)!r}D" for x in plane) + ")"
+    return (
+        f"aggregate(zip_with(`{col}`, {arr}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _band_key_spark_sql(col: str, planes: list[list[float]], lo: int, n: int) -> str:
+    """Packed sign-bit key over ``planes[lo:lo+n]`` as a Spark-SQL string —
+    bit j = sign(v . plane[lo+j]), identical CASE/int arithmetic to the
+    Column-built fold it replaces (integer ops are exact, so emission order
+    is irrelevant to the value)."""
+    terms = [
+        f"(CASE WHEN {_plane_dot_spark_sql(col, planes[lo + j])} >= 0"
+        f" THEN 1 ELSE 0 END) * {2 ** j}"
+        for j in range(n)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def _plane_dot_sql(col: str, plane: list[float]) -> str:
     """DuckDB dot product of ``col`` with a literal plane as an explicit
     left-associated sum — the same accumulation order as the Spark fold, so
@@ -147,13 +176,12 @@ def _bucket_sql(col: str, planes: list[list[float]]) -> str:
 
 def lsh_bucket(df: DataFrame, vec_col: str = "embedding", n_planes: int = 8):
     """Append a sign-bit LSH bucket id: bit p = sign(v . h_p). Pure column
-    expressions over literal hyperplane arrays — JVM-side, no UDF."""
+    expressions over literal hyperplane arrays — JVM-side, no UDF; built as
+    one SQL parse (see _plane_dot_spark_sql)."""
     planes = _hyperplanes(n_planes)
-    bucket = None
-    for p, plane in enumerate(planes):
-        term = _plane_bit(vec_col, plane) * (2**p)
-        bucket = term if bucket is None else bucket + term
-    return df.withColumn("bucket", bucket)
+    return df.withColumn(
+        "bucket", F.expr(_band_key_spark_sql(vec_col, planes, 0, n_planes))
+    )
 
 
 @register(
@@ -229,13 +257,12 @@ def lsh_doc_band_keys(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     for consumers that reason about a doc's full band-key tuple at once
     (the lowest-shared-band pair emission below)."""
     planes = _hyperplanes(N_ND_PLANES)
-    keys = []
-    for band in range(N_ND_BANDS):
-        key = None
-        for j in range(ND_BITS_PER_BAND):
-            term = _plane_bit(vec_col, planes[band * ND_BITS_PER_BAND + j]) * (2**j)
-            key = term if key is None else key + term
-        keys.append(key.alias(f"k{band}"))
+    keys = [
+        F.expr(
+            _band_key_spark_sql(vec_col, planes, band * ND_BITS_PER_BAND, ND_BITS_PER_BAND)
+        ).alias(f"k{band}")
+        for band in range(N_ND_BANDS)
+    ]
     return df.select("vec_id", *keys)
 
 
@@ -338,10 +365,9 @@ def lsh_band_keys(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     planes = _hyperplanes(N_ND_PLANES)
     band_cols = []
     for band in range(N_ND_BANDS):
-        key = None
-        for j in range(ND_BITS_PER_BAND):
-            term = _plane_bit(vec_col, planes[band * ND_BITS_PER_BAND + j]) * (2**j)
-            key = term if key is None else key + term
+        key = F.expr(
+            _band_key_spark_sql(vec_col, planes, band * ND_BITS_PER_BAND, ND_BITS_PER_BAND)
+        )
         band_cols.append(
             F.struct(F.lit(band).alias("band_id"), key.alias("band_key"))
         )
