@@ -720,6 +720,15 @@ def _cf_capped_baskets(li: DataFrame, o: DataFrame) -> DataFrame:
     inter = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("item"))
+        # round-11: ONE exchange for the whole basket phase. Hash
+        # partitioning on cust alone satisfies every downstream clustering
+        # requirement by the subset rule — the (cust, item) distinct, the
+        # cap pre-pass groupBy(cust), the alive-customer join, and the
+        # basket collect_list all execute without further exchanges,
+        # where the previous shape (distinct on (cust, item), then
+        # regroup by cust) paid three. collect_list's order is partition-
+        # dependent either way; array_sort pins the output.
+        .repartition("cust")
         .distinct()
         # round-11 pin: the distinct (cust, item) relation feeds BOTH the
         # cap pre-pass and the basket collect below; without pinning the
@@ -802,6 +811,12 @@ def cf_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         baskets_arr.select(F.explode("items").alias("item"))
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("n_users"))
+        # round-11 pin: pop feeds BOTH popularity join sides (pa on item_a,
+        # pb on item_b); unpinned, the explode + partial agg over the
+        # basket checkpoint compiled and ran twice (before-plan exchanges
+        # 19 and 31). One row per distinct item — tiny at any scale
+        # relative to the pair stream it decorates.
+        .localCheckpoint(eager=False)
     )
     # streaming two-Generate expansion (round 7): a power-buyer basket under
     # the one-Generate shape materializes its whole C(s, 2) struct array in
