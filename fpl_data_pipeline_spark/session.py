@@ -39,7 +39,13 @@ def get_spark(app_name: str = "fpl-engine", shuffle_partitions: int | None = Non
         # 100 TB that is tens of TB of storage and shuffle-read bytes
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # 16g: in local mode this one JVM is driver AND all 32 task slots —
+        # 8g gave ~250 MB per concurrent task, far under any production
+        # core:memory ratio (2-8 GB/core), and the 10x blowup A/B showed
+        # GC-bound queries (GCLocker retry warnings): prefix-filter 15.6 ->
+        # 9.0 s, winnowing 7.4 -> 4.5 s at 16g, sf0.1 unchanged. Still
+        # env-overridable; a real cluster sizes executors independently.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         # no carriage-return stage bars: they corrupt line-oriented captures
