@@ -1275,7 +1275,11 @@ def cf_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("idx", F.col("global_rn") - 1)
     # NOTE: catalog here = items with >= 1 sale == lineitem's distinct
     # parts, matching the oracle's catalog CTE
-    nc = catalog.count()
+    # Round-11: |catalog| == |distinct items| — count the distinct relation
+    # directly instead of executing the whole range-partitioned numbering
+    # pipeline just to count its rows (the numbering still runs, once, for
+    # the candidate join below)
+    nc = owned.select("item").distinct().count()
     users = owned.select("cust").distinct()
     slots = users.sparkSession.range(NEG_PER_USER).select(
         F.col("id").cast("int").alias("slot")
@@ -1302,26 +1306,42 @@ def cf_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(nc),
         ).alias("idx"),
     )
-    candidates = draws.join(catalog, "idx").select("cust", "slot", "item")
-    n_drawn = candidates.count()
+    # Round-11 (guide §5 — the driver should do almost no data work): the
+    # old shape ran THREE extra driver actions (catalog.count, n_drawn,
+    # n_users) before the stats job. The three scalars become 1-row
+    # broadcast-crossJoined aggregates inside ONE action; candidates is
+    # lazily pinned so its two consumers (the drawn count and the
+    # anti-join) share one materialization. Arithmetic is unchanged: the
+    # same double expressions over the same exact counts.
+    candidates = (
+        draws.join(catalog, "idx")
+        .select("cust", "slot", "item")
+        .localCheckpoint(eager=False)
+    )
     kept = candidates.join(owned, ["cust", "item"], "left_anti")
     pop = owned.groupBy("item").agg(F.count(F.lit(1)).alias("n_buyers"))
     stats = kept.join(pop, "item", "left").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum(F.coalesce("n_buyers", F.lit(0))).alias("pop_sum"),
     )
-    n_users = users.count()
+    users_cnt = users.agg(F.count(F.lit(1)).alias("n_users"))
+    drawn_cnt = candidates.agg(F.count(F.lit(1)).alias("n_drawn"))
     q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
-    return stats.select(
-        F.lit(n_users).cast("long").alias("n_users"),
-        F.lit(n_drawn).cast("long").alias("n_drawn"),
-        F.col("n_kept").cast("long").alias("n_kept"),
-        q6(
-            (F.lit(n_drawn) - F.col("n_kept")).cast("double") / F.lit(float(n_drawn))
-        ).alias("accidental_positive_rate"),
-        q6(F.col("pop_sum").cast("double") / F.col("n_kept")).alias(
-            "mean_negative_popularity"
-        ),
+    return (
+        stats.crossJoin(F.broadcast(users_cnt))
+        .crossJoin(F.broadcast(drawn_cnt))
+        .select(
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("n_drawn").cast("long").alias("n_drawn"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            q6(
+                (F.col("n_drawn") - F.col("n_kept")).cast("double")
+                / F.col("n_drawn").cast("double")
+            ).alias("accidental_positive_rate"),
+            q6(F.col("pop_sum").cast("double") / F.col("n_kept")).alias(
+                "mean_negative_popularity"
+            ),
+        )
     )
 
 

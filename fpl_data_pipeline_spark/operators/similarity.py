@@ -601,42 +601,62 @@ def kmeans_fit(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS) -> DataFram
         (int(r["vec_id"]), list(r["embedding"]))
         for r in emb.orderBy("vec_id").limit(k).collect()
     ]
-    spark = emb.sparkSession
+    dim = len(cents[0][1]) if cents else 0
+
+    def best_of(cents_list):
+        # Round-11 (guide §2.4): map-side argmin against an inlined
+        # centroid literal replaces the crossJoin + per-vec_id window
+        # (an Exchange + Sort of the k-fold-expanded relation per
+        # iteration). Each d2 is the same fixed-order _sq_dist fold on
+        # the same values, and array_min's (d2, c_id) struct comparison
+        # reproduces the (d2 ASC, c_id ASC) window tiebreak — identical
+        # assignment, zero shuffle.
+        carr = F.array(
+            *[F.array(*[F.lit(float(v)) for v in cv]) for _, cv in cents_list]
+        )
+        return F.array_min(
+            F.transform(
+                carr,
+                lambda c, i: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            "embedding", c, lambda x, y: (x - y) * (x - y)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("d2"),
+                    i.alias("c_id"),
+                ),
+            )
+        )
+
     for _ in range(iters):
-        cdf = spark.createDataFrame(
-            [(i, v) for i, (_, v) in enumerate(cents)], "c_id int, cv array<double>"
+        assigned = emb.withColumn("_best", best_of(cents)).select(
+            "vec_id", "embedding", F.col("_best.c_id").alias("c_id")
         )
-        scored = emb.crossJoin(F.broadcast(cdf)).select(
-            "vec_id", "embedding", "c_id", _sq_dist("embedding", "cv").alias("d2")
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("c_id").asc())
-        assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "embedding", "c_id")
-        )
+        # per-dimension avg partial-aggregates map-side (k rows of dim
+        # means cross the exchange) instead of shuffling the n·dim
+        # posexplode per iteration
         means = (
-            assigned.select("c_id", F.posexplode("embedding").alias("pos", "val"))
-            .groupBy("c_id", "pos")
-            .agg(F.avg("val").alias("m"))
-            .groupBy("c_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("c_id", F.transform("pm", lambda s: s["m"]).alias("cv"))
+            assigned.groupBy("c_id")
+            .agg(
+                *[
+                    F.avg(F.element_at("embedding", j + 1)).alias(f"m{j}")
+                    for j in range(dim)
+                ]
+            )
+            .select(
+                "c_id",
+                F.array(*[F.col(f"m{j}") for j in range(dim)]).alias("cv"),
+            )
             .collect()
         )
         new = {int(r["c_id"]): list(r["cv"]) for r in means}
         cents = [(i, new.get(i, v)) for i, (_, v) in enumerate(cents)]
-    cdf = spark.createDataFrame(
-        [(i, v) for i, (_, v) in enumerate(cents)], "c_id int, cv array<double>"
-    )
-    scored = emb.crossJoin(F.broadcast(cdf)).select(
-        "vec_id", "c_id", _sq_dist("embedding", "cv").alias("d2")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("c_id").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("c_id").alias("cluster_id"), F.col("d2").alias("sq_dist"))
+    return emb.withColumn("_best", best_of(cents)).select(
+        "vec_id",
+        F.col("_best.c_id").alias("cluster_id"),
+        F.col("_best.d2").alias("sq_dist"),
     )
 
 
@@ -658,6 +678,12 @@ KMP_ITERS = 3
 # proportional around n ~ 2e9 vectors. At the clamp the collect is ~2 MB;
 # past it, population exceeds the target and the cap tripwire reports.
 KMP_K_MAX = 4096
+# Largest k the Lloyd argmin inlines as a centroid array literal (k·dim
+# literal leaves per iteration — cheap to plan at 64·64, runaway past a few
+# hundred); derived-k clusterings above it use the crossJoin +
+# partial-aggregated min(struct) fallback instead (one narrow exchange,
+# no window sort). Both paths are exact-integer and value-identical.
+KMP_ARGMIN_LITERAL_K = 64
 _KMP_D2_SQL = (
     "list_sum(list_transform(range(1, {dim}+1),"
     " i -> (v.v6[i] - c.c6[i]) * (v.v6[i] - c.c6[i])))"
@@ -772,7 +798,55 @@ def kmp_assign(emb: DataFrame, target_pop: int | None = None) -> DataFrame:
         k = min(max(KMP_K, (n + target_pop - 1) // target_pop), KMP_K_MAX)
     cents = [list(r["v6"]) for r in vecs.orderBy("vec_id").limit(k).collect()]
 
-    def score(cdf):
+    dim = len(cents[0]) if cents else 0
+
+    def score(cents_list):
+        # Round-11 (guide §2.4 "remove shuffles outright"): the old shape
+        # crossJoined every vector with the broadcast centroid block (k
+        # rows per vector) and took rn = 1 of a per-vec_id window — a full
+        # Exchange + Sort of the k-fold-expanded relation PER ITERATION.
+        # The argmin against a k-row broadcast block needs no shuffle at
+        # all: inline the centroids as an array literal, evaluate the k
+        # exact-integer distances per row, and take array_min of
+        # (d2, c_id) structs — struct comparison is field-order
+        # lexicographic, reproducing the (d2 ASC, c_id ASC) window
+        # tiebreak exactly. Zero Exchange, zero Sort, identical values.
+        # Above KMP_ARGMIN_LITERAL_K the inlined expression tree would
+        # grow past what Catalyst plans cheaply (k·dim literals), so the
+        # derived-k path falls back to the crossJoin with a partial-
+        # aggregated min(struct) — one narrow n-row exchange, still no
+        # Sort (same lexicographic struct order, same values).
+        if len(cents_list) <= KMP_ARGMIN_LITERAL_K:
+            carr = F.array(
+                *[
+                    F.array(*[F.lit(int(x)).cast("long") for x in c])
+                    for c in cents_list
+                ]
+            )
+            best = F.array_min(
+                F.transform(
+                    carr,
+                    lambda c, i: F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                "v6", c, lambda x, y: (x - y) * (x - y)
+                            ),
+                            F.lit(0).cast("long"),
+                            lambda acc, val: acc + val,
+                        ).alias("d2"),
+                        i.alias("c_id"),
+                    ),
+                )
+            )
+            return vecs.withColumn("_best", best).select(
+                "vec_id",
+                "v6",
+                F.col("_best.c_id").alias("c_id"),
+                F.col("_best.d2").alias("d2"),
+            )
+        cdf = spark.createDataFrame(
+            list(enumerate(cents_list)), "c_id int, c6 array<long>"
+        )
         d2 = F.aggregate(
             F.zip_with("v6", "c6", lambda x, y: (x - y) * (x - y)),
             F.lit(0).cast("long"),
@@ -781,43 +855,53 @@ def kmp_assign(emb: DataFrame, target_pop: int | None = None) -> DataFrame:
         scored = vecs.crossJoin(F.broadcast(cdf)).select(
             "vec_id", "v6", "c_id", d2.alias("d2")
         )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("d2").asc(), F.col("c_id").asc()
-        )
-        return scored.withColumn("rn", F.row_number().over(w)).filter(
-            F.col("rn") == 1
+        best = F.min(F.struct("d2", "c_id", "v6")).alias("b")
+        return scored.groupBy("vec_id").agg(best).select(
+            "vec_id",
+            F.col("b.v6").alias("v6"),
+            F.col("b.c_id").alias("c_id"),
+            F.col("b.d2").alias("d2"),
         )
 
     for _ in range(KMP_ITERS):
-        cdf = spark.createDataFrame(
-            list(enumerate(cents)), "c_id int, c6 array<long>"
-        )
-        assigned = score(cdf)
+        assigned = score(cents)
+        # Round-11: per-(c_id, pos) means via posexplode shuffled n·dim
+        # rows per iteration; dim per-element sums partial-aggregate
+        # map-side instead, so the exchange carries k rows of dim sums.
+        # The floor(sum/count + 0.5) arithmetic is the same double
+        # expression on the same exact-integer sums — bit-identical.
         means = (
-            assigned.select("c_id", F.posexplode("v6").alias("pos", "val"))
-            .groupBy("c_id", "pos")
+            assigned.groupBy("c_id")
             .agg(
-                F.floor(
-                    F.sum("val").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
-                )
-                .cast("long")
-                .alias("m")
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("v6", j + 1)).alias(f"s{j}")
+                    for j in range(dim)
+                ],
             )
-            .groupBy("c_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("c_id", F.transform("pm", lambda s: s["m"]).alias("c6"))
+            .select(
+                "c_id",
+                F.array(
+                    *[
+                        F.floor(
+                            F.col(f"s{j}").cast("double") / F.col("n")
+                            + F.lit(0.5)
+                        ).cast("long")
+                        for j in range(dim)
+                    ]
+                ).alias("c6"),
+            )
             .collect()
         )
         new = {int(r["c_id"]): list(r["c6"]) for r in means}
         cents = [new.get(i, c) for i, c in enumerate(cents)]
 
-    cdf = spark.createDataFrame(list(enumerate(cents)), "c_id int, c6 array<long>")
     # pin the final assignment and release the iteration cache: without the
     # unpersist every kmp_assign caller leaks one full-corpus cached
     # quantized-embedding copy for the session lifetime (the refactor gave
     # this helper multiple consumers); the eager checkpoint keeps the
     # returned relation one-pass for them all
-    out = score(cdf).select("vec_id", "v6", "c_id", "d2").localCheckpoint()
+    out = score(cents).select("vec_id", "v6", "c_id", "d2").localCheckpoint()
     vecs.unpersist()
     return out
 
@@ -2745,11 +2829,26 @@ def _pca_gram(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     centered = vecs.crossJoin(F.broadcast(marr)).select(
         F.zip_with("v3", "marr", lambda x, m: x - m).alias("c")
     )
-    gram = (
+    # Round-11 (guide §2.3): the double posexplode generated n·dim² rows
+    # into the (i, j) hash aggregate. One posexplode (n·dim rows) with the
+    # row's centered array carried alongside, then dim per-element sums
+    # per i — the same exact-integer products, partial-aggregated map-side
+    # into a dim × dim block, dim× fewer generated/hashed rows. stack()
+    # restores the (i, j, g) cell interface consumers collect.
+    dim_ = DIM
+    wide = (
         centered.select(F.posexplode("c").alias("i", "xi"), "c")
-        .select("i", "xi", F.posexplode("c").alias("j", "xj"))
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("xi") * F.col("xj")).alias("g"))
+        .groupBy("i")
+        .agg(
+            *[
+                F.sum(F.col("xi") * F.element_at("c", j + 1)).alias(f"g{j}")
+                for j in range(dim_)
+            ]
+        )
+    )
+    stack_args = ", ".join(f"{j}, g{j}" for j in range(dim_))
+    gram = wide.selectExpr(
+        "i", f"stack({dim_}, {stack_args}) AS (j, g)"
     )
     nrow = emb.agg(F.count(F.lit(1)).alias("n"))
     return gram, nrow

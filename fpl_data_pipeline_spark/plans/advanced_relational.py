@@ -1259,19 +1259,31 @@ def cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_set("item")).alias("items"))
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    co_full = (
-        train_arr.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(items, x -> "
-                    "transform(filter(items, y -> y != x), "
-                    "y -> struct(x AS ia, y AS ib))))"
-                )
-            ).alias("p")
+    # Round-11 (guide §2.3 "aggregate before you shuffle"): co-occurrence
+    # counts are SYMMETRIC — s(ia, ib) == s(ib, ia) — so the ordered
+    # s(s-1) expansion computed every count twice AND did it through the
+    # one-Generate flatten shape that materializes the full pair array per
+    # basket row (the GC hazard _expand_member_pairs_streaming exists to
+    # avoid). Generate each unordered pair ONCE (i < j over the sorted
+    # basket, streaming two-Generate shape), aggregate, then mirror the
+    # aggregated counts: half the generated rows and half the
+    # pre-aggregation hash work; the union doubles only the already-tiny
+    # (ia, ib, s) relation.
+    from fpl_data_pipeline_spark.operators.dedup import (
+        _expand_member_pairs_streaming,
+    )
+
+    co_half = (
+        _expand_member_pairs_streaming(
+            train_arr.select(F.col("items").alias("members"))
         )
-        .select("p.ia", "p.ib")
-        .groupBy("ia", "ib")
+        .groupBy(F.col("a").alias("ia"), F.col("b").alias("ib"))
         .agg(F.count(F.lit(1)).alias("s"))
+    )
+    co_full = co_half.unionByName(
+        co_half.select(
+            F.col("ib").alias("ia"), F.col("ia").alias("ib"), F.col("s")
+        )
     )
     # item-kNN truncation: keep each item's top-NEIGH_M neighbors (per-item
     # window — partitioned by ia, never global) so the candidate join below

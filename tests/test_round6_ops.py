@@ -1160,3 +1160,46 @@ def test_cycle_time_percentiles_ordered(spark):
     assert rows
     for r in rows:
         assert 0 <= r["p50_days"] <= r["p90_days"] <= r["max_days"]
+
+
+def test_halved_pair_mirror_matches_directed_self_join(spark):
+    """Round-11: cf_holdout_hitrate now generates each unordered basket
+    pair once (i < j streaming expansion) and mirrors the aggregated
+    counts. The mirrored relation must equal the ordered (ia != ib)
+    self-join multiset exactly."""
+    import pyspark.sql.functions as F
+
+    from fpl_data_pipeline_spark.operators.dedup import (
+        _expand_member_pairs_streaming,
+    )
+
+    rows = [
+        (1, 10), (1, 20), (1, 30),
+        (2, 10), (2, 20),
+        (3, 40),          # singleton basket -> no pairs
+        (4, 10), (4, 20), (4, 30), (4, 50),
+    ]
+    df = spark.createDataFrame(rows, "cust int, item int")
+    a = df.select(F.col("cust").alias("c2"), F.col("item").alias("ia"))
+    b = df.select(F.col("cust").alias("c2"), F.col("item").alias("ib"))
+    via_join = (
+        a.join(b, "c2")
+        .filter(F.col("ia") != F.col("ib"))
+        .groupBy("ia", "ib")
+        .count()
+    )
+    arr = df.groupBy("cust").agg(
+        F.array_sort(F.collect_set("item")).alias("members")
+    )
+    half = (
+        _expand_member_pairs_streaming(arr.select("members"))
+        .groupBy(F.col("a").alias("ia"), F.col("b").alias("ib"))
+        .count()
+    )
+    mirrored = half.unionByName(
+        half.select(
+            F.col("ib").alias("ia"), F.col("ia").alias("ib"), F.col("count")
+        )
+    )
+    assert via_join.exceptAll(mirrored).count() == 0
+    assert mirrored.exceptAll(via_join).count() == 0

@@ -525,3 +525,19 @@ def test_emb_incremental_neardup_finds_planted_arrival(spark, tmp_path):
     top = got[0]
     assert (top["new_id"], top["dup_of"]) == (dst, src)
     assert top["cosine"] > 0.999
+
+
+def test_kmp_argmin_fallback_matches_literal_path(spark, monkeypatch):
+    """Round-11: kmp_assign's Lloyd argmin has two value-identical shapes —
+    the inlined centroid-literal array_min (k <= KMP_ARGMIN_LITERAL_K, zero
+    shuffle) and the crossJoin + partial-aggregated min(struct) fallback for
+    derived k past the literal bound. Forcing the fallback must reproduce
+    the literal path's assignment byte-for-byte (same exact-integer d2,
+    same (d2, c_id) tiebreak)."""
+    from fpl_data_pipeline_spark.tables import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    lit = S.kmp_assign(emb).orderBy("vec_id").collect()
+    monkeypatch.setattr(S, "KMP_ARGMIN_LITERAL_K", 0)
+    fb = S.kmp_assign(emb).orderBy("vec_id").collect()
+    assert [tuple(r) for r in lit] == [tuple(r) for r in fb]
