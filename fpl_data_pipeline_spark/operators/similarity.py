@@ -816,6 +816,18 @@ def kmp_assign(emb: DataFrame, target_pop: int | None = None) -> DataFrame:
         # derived-k path falls back to the crossJoin with a partial-
         # aggregated min(struct) — one narrow n-row exchange, still no
         # Sort (same lexicographic struct order, same values).
+        if not cents_list:
+            # empty corpus -> no centroids: an empty F.array() literal is
+            # VOID-typed and zip_with fails analysis (the round-7b
+            # empty-corpus guard test). Emit the empty assignment with the
+            # same column types the non-empty paths produce; ``vecs`` has
+            # zero rows here so no values are fabricated.
+            return vecs.select(
+                "vec_id",
+                "v6",
+                F.lit(None).cast("int").alias("c_id"),
+                F.lit(None).cast("long").alias("d2"),
+            )
         if len(cents_list) <= KMP_ARGMIN_LITERAL_K:
             carr = F.array(
                 *[
