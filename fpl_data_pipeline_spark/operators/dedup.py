@@ -90,7 +90,7 @@ def _expand_member_pairs(groups: DataFrame, members_col: str = "members") -> Dat
 
 
 def _expand_member_pairs_streaming(
-    groups: DataFrame, members_col: str = "members"
+    groups: DataFrame, members_col: str = "members", carry: tuple = ()
 ) -> DataFrame:
     """Same i<j pair expansion as :func:`_expand_member_pairs`, but as two
     chained Generates (posexplode the anchor, then explode its tail slice)
@@ -111,12 +111,16 @@ def _expand_member_pairs_streaming(
     allocation, and cf baskets are uncapped. At small m the two shapes
     measure identically (span/winnowing A/B at sf0.1); at mixed sizes the
     streaming shape won the charngram A/B outright (12.2 s flat vs
-    17.7-31 s GC-noisy)."""
+    17.7-31 s GC-noisy). ``carry`` columns ride through unchanged onto
+    every emitted pair row (the weighted-docset expansion's multiplicity
+    column)."""
     anchored = groups.select(
+        *carry,
         F.col(members_col).alias("_ms"),
         F.posexplode(members_col).alias("_i", "a"),
     )
     return anchored.select(
+        *carry,
         "a",
         F.explode(F.expr("slice(_ms, _i + 2, size(_ms))")).alias("b"),
     )
@@ -333,16 +337,31 @@ def _set_overlap_stats(
     # Pinned HERE (not in _capped_key_groups) so the cap-guard plan-shape
     # test still sees the raw aggregate subtree.
     sh = sh.localCheckpoint(eager=False)
-    groups0 = _capped_key_groups(sh, key_col, df_cap).localCheckpoint(eager=False)
+    # Round-11: collapse identical per-key doc arrays into ONE weighted row
+    # before the pair expansion. Near-duplicate docs co-occur in hundreds
+    # of keys, and every one of those keys used to re-emit the same
+    # C(m, 2) pairs — the charngram profile read 962 MB of pair shuffle,
+    # 30 of 32 wall-seconds in that one stage. Grouping the (small,
+    # post-collect) group relation by its docs array replaces those
+    # repeats with a multiplicity column: n_common(a, b) = number of
+    # shared keys = sum of w over the distinct doc sets containing both.
+    # Exact by construction — no hashing, no sampling — and the extra
+    # exchange moves only the group relation (MBs), not the pairs (GBs).
+    wgroups = (
+        _capped_key_groups(sh, key_col, df_cap)
+        .groupBy("docs")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=False)
+    )
     sizes = (
-        groups0.select(F.explode("docs").alias("doc_id"))
+        wgroups.select(F.explode("docs").alias("doc_id"), "w")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .agg(F.sum("w").alias("n_keys"))
     )
     pair_groups = (
-        groups0.filter(F.size("docs") >= 2)
+        wgroups.filter(F.size("docs") >= 2)
         .repartition(sh.sparkSession.sparkContext.defaultParallelism)
-        .select(F.col("docs").alias("members"))
+        .select(F.col("docs").alias("members"), "w")
     )
     # streaming two-Generate expansion (round 7): a df_cap-sized group under
     # the one-Generate shape materializes C(1000, 2) = 500k pair structs in
@@ -350,10 +369,10 @@ def _set_overlap_stats(
     # interleaved A/B on that consumer measured 17.7-31 s (GC-noisy) vs a
     # flat 12.2 s for the streaming shape at identical output.
     pair_inter = (
-        _expand_member_pairs_streaming(pair_groups)
-        .select(F.col("a").alias("doc_id_a"), F.col("b").alias("doc_id_b"))
+        _expand_member_pairs_streaming(pair_groups, carry=("w",))
+        .select(F.col("a").alias("doc_id_a"), F.col("b").alias("doc_id_b"), "w")
         .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(F.sum("w").alias("n_common"))
     )
     if directed:
         pair_inter = pair_inter.unionByName(

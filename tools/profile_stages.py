@@ -43,6 +43,8 @@ def build_session(app_name: str):
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", EVDIR)
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
         .getOrCreate()
     )
 
@@ -50,9 +52,10 @@ def build_session(app_name: str):
 def main() -> None:
     name = sys.argv[1]
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    import shutil
+
+    shutil.rmtree(EVDIR, ignore_errors=True)
     os.makedirs(EVDIR, exist_ok=True)
-    for f in glob.glob(os.path.join(EVDIR, "*")):
-        os.remove(f)
 
     os.environ.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_dir = os.environ["SPARK_GRAFT_SF_DIR"]
@@ -63,7 +66,8 @@ def main() -> None:
     spark = build_session(f"profile_{name}")
     spark.sparkContext.setLogLevel("ERROR")
     QUERIES["topk_basic"](spark, sf_dir).count()  # warm-up
-    warm_end_job = spark.sparkContext._jsc.sc().dagScheduler().nextJobId().get()
+    # py4j auto-unboxes the AtomicInteger to a plain int
+    warm_end_job = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
 
     for i in range(reps):
         spark.sparkContext.setJobDescription(f"profile {name} rep{i}")
@@ -73,7 +77,15 @@ def main() -> None:
     spark.stop()
 
     # parse the event log (all post-warm-up stages)
-    logs = sorted(glob.glob(os.path.join(EVDIR, "*")), key=os.path.getmtime)
+    logs = sorted(
+        (
+            p
+            for pat in ("*", "*/*")
+            for p in glob.glob(os.path.join(EVDIR, pat))
+            if os.path.isfile(p) and "appstatus" not in os.path.basename(p)
+        ),
+        key=os.path.getmtime,
+    )
     stages: dict = {}
     warm_stages: set = set()
     for path in logs:
