@@ -585,6 +585,19 @@ def _sq_dist(a, b):
     )
 
 
+def _double_sql(v: float) -> str:
+    """SQL double literal that parses back to exactly ``v`` — repr() is the
+    shortest round-trip decimal for finite doubles; the non-finite cases
+    (unparseable as ``nanD``) go through an explicit cast."""
+    import math
+
+    if math.isnan(v):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(v):
+        return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+    return f"{v!r}D"
+
+
 def kmeans_fit(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS) -> DataFrame:
     """Lloyd's k-means: the engine's representative *iterative* algorithm
     (SURVEY.md driver contract: genuinely non-SQL-expressible, rows-only).
@@ -611,23 +624,19 @@ def kmeans_fit(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS) -> DataFram
         # the same values, and array_min's (d2, c_id) struct comparison
         # reproduces the (d2 ASC, c_id ASC) window tiebreak — identical
         # assignment, zero shuffle.
-        carr = F.array(
-            *[F.array(*[F.lit(float(v)) for v in cv]) for _, cv in cents_list]
+        # One parsed SQL string instead of k*dim F.lit() Columns: the lit
+        # path cost 2 py4j round-trips per element and put the whole
+        # centroid block's construction on the driver socket (the
+        # kmeans_portable profile read 19 of 25 wall-seconds in py4j
+        # recv). Identical expression tree, identical values.
+        carr_sql = ",".join(
+            "array(" + ",".join(_double_sql(float(v)) for v in cv) + ")"
+            for _, cv in cents_list
         )
-        return F.array_min(
-            F.transform(
-                carr,
-                lambda c, i: F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            "embedding", c, lambda x, y: (x - y) * (x - y)
-                        ),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    ).alias("d2"),
-                    i.alias("c_id"),
-                ),
-            )
+        return F.expr(
+            f"array_min(transform(array({carr_sql}), (c, i) -> struct("
+            "aggregate(zip_with(embedding, c, (x, y) -> (x - y) * (x - y)),"
+            " 0.0D, (acc, v) -> acc + v) AS d2, i AS c_id)))"
         )
 
     for _ in range(iters):
@@ -637,19 +646,13 @@ def kmeans_fit(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS) -> DataFram
         # per-dimension avg partial-aggregates map-side (k rows of dim
         # means cross the exchange) instead of shuffling the n·dim
         # posexplode per iteration
+        # one parsed aggregate string (same py4j-fan-out fix as best_of);
+        # SQL [] is 0-based so embedding[j] == element_at(embedding, j+1)
+        avg_sql = (
+            "array(" + ",".join(f"avg(embedding[{j}])" for j in range(dim)) + ")"
+        )
         means = (
-            assigned.groupBy("c_id")
-            .agg(
-                *[
-                    F.avg(F.element_at("embedding", j + 1)).alias(f"m{j}")
-                    for j in range(dim)
-                ]
-            )
-            .select(
-                "c_id",
-                F.array(*[F.col(f"m{j}") for j in range(dim)]).alias("cv"),
-            )
-            .collect()
+            assigned.groupBy("c_id").agg(F.expr(avg_sql).alias("cv")).collect()
         )
         new = {int(r["c_id"]): list(r["cv"]) for r in means}
         cents = [(i, new.get(i, v)) for i, (_, v) in enumerate(cents)]
@@ -829,26 +832,21 @@ def kmp_assign(emb: DataFrame, target_pop: int | None = None) -> DataFrame:
                 F.lit(None).cast("long").alias("d2"),
             )
         if len(cents_list) <= KMP_ARGMIN_LITERAL_K:
-            carr = F.array(
-                *[
-                    F.array(*[F.lit(int(x)).cast("long") for x in c])
-                    for c in cents_list
-                ]
+            # Round-11 driver fix: the centroid block used to be built as
+            # k*dim F.lit(...).cast(...) Columns — 2 py4j round-trips per
+            # element, 51k gateway commands and 19 of 25 wall-seconds for
+            # kmeans_portable spent in socket recv on the DRIVER (guide
+            # §7.3 "nothing seems to be happening"). One SQL string parses
+            # the whole literal argmin in a single gateway call; the
+            # resulting expression tree (and every value) is identical.
+            carr_sql = ",".join(
+                "array(" + ",".join(f"{int(x)}L" for x in c) + ")"
+                for c in cents_list
             )
-            best = F.array_min(
-                F.transform(
-                    carr,
-                    lambda c, i: F.struct(
-                        F.aggregate(
-                            F.zip_with(
-                                "v6", c, lambda x, y: (x - y) * (x - y)
-                            ),
-                            F.lit(0).cast("long"),
-                            lambda acc, val: acc + val,
-                        ).alias("d2"),
-                        i.alias("c_id"),
-                    ),
-                )
+            best = F.expr(
+                f"array_min(transform(array({carr_sql}), (c, i) -> struct("
+                "aggregate(zip_with(v6, c, (x, y) -> (x - y) * (x - y)), 0L,"
+                " (acc, val) -> acc + val) AS d2, i AS c_id)))"
             )
             return vecs.withColumn("_best", best).select(
                 "vec_id",
@@ -882,26 +880,23 @@ def kmp_assign(emb: DataFrame, target_pop: int | None = None) -> DataFrame:
         # map-side instead, so the exchange carries k rows of dim sums.
         # The floor(sum/count + 0.5) arithmetic is the same double
         # expression on the same exact-integer sums — bit-identical.
+        # Same driver fix as the literal argmin: the dim per-element sums
+        # and the floor(sum/count + 0.5) array were dim*~10 py4j calls per
+        # iteration; two parsed expression strings build the identical
+        # aggregate (sum(v6[j]) == element_at(v6, j+1): SQL [] is 0-based)
+        # and the identical per-element double arithmetic in two gateway
+        # calls.
+        sums_sql = "array(" + ",".join(f"sum(v6[{j}])" for j in range(dim)) + ")"
         means = (
             assigned.groupBy("c_id")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(F.element_at("v6", j + 1)).alias(f"s{j}")
-                    for j in range(dim)
-                ],
+                F.expr(sums_sql).alias("s"),
             )
-            .select(
+            .selectExpr(
                 "c_id",
-                F.array(
-                    *[
-                        F.floor(
-                            F.col(f"s{j}").cast("double") / F.col("n")
-                            + F.lit(0.5)
-                        ).cast("long")
-                        for j in range(dim)
-                    ]
-                ).alias("c6"),
+                "transform(s, sj -> cast(floor(cast(sj AS double) / n + 0.5D)"
+                " AS bigint)) AS c6",
             )
             .collect()
         )
