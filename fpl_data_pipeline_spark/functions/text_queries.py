@@ -340,7 +340,14 @@ def feature_vectors(
     'md5' (portable: every md5 implementation agrees, so results are
     reproducible across engines — the choice the oracle-checked query
     makes, at ~2-3x the per-token hash cost)."""
-    toks = df.select(
+    from fpl_data_pipeline_spark.operators.dedup import _ensure_parallel
+
+    # Round-11: the sf0.1 documents scan is one 118 MB split, so the
+    # tokenize + per-token md5 ran single-threaded (a 2.4 s 1-task stage in
+    # the text_hash_vector_dups profile); the same conditional fan-out the
+    # shingle pipelines use parallelizes it without adding an Exchange to
+    # an already-parallel scan.
+    toks = _ensure_parallel(df).select(
         "doc_id",
         F.explode(
             F.filter(
@@ -360,10 +367,21 @@ def feature_vectors(
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    sparse = counts.groupBy("doc_id").agg(
-        F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("bucket", "n")))
-        ).alias("m")
+    # The explicit doc_id repartition pins the densify stage at session
+    # parallelism: the sparse maps are small in BYTES, so AQE's byte-based
+    # partition coalescing was folding the post-agg stage to ONE task and
+    # the dim-wide densify (plus everything fused after it) serialized —
+    # two 3 s single-task stages in the text_hash_vector_dups profile.
+    # User-specified repartitions are exempt from AQE coalescing, and the
+    # exchange moves one map row per doc, not the token explode.
+    sparse = (
+        counts.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("bucket", "n")))
+            ).alias("m")
+        )
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "doc_id")
     )
     dense = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
