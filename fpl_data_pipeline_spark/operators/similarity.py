@@ -2842,20 +2842,19 @@ def _pca_gram(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     # per i — the same exact-integer products, partial-aggregated map-side
     # into a dim × dim block, dim× fewer generated/hashed rows. stack()
     # restores the (i, j, g) cell interface consumers collect.
+    # one parsed aggregate string (the kmeans py4j fix): dim individual
+    # F.sum(...) Columns cost ~6 gateway round-trips each; posexplode of
+    # the per-i sum array replaces the equivalent stack() unpivot with the
+    # same 0-based j.
     dim_ = DIM
-    wide = (
+    sums_sql = (
+        "array(" + ",".join(f"sum(xi * c[{j}])" for j in range(dim_)) + ")"
+    )
+    gram = (
         centered.select(F.posexplode("c").alias("i", "xi"), "c")
         .groupBy("i")
-        .agg(
-            *[
-                F.sum(F.col("xi") * F.element_at("c", j + 1)).alias(f"g{j}")
-                for j in range(dim_)
-            ]
-        )
-    )
-    stack_args = ", ".join(f"{j}, g{j}" for j in range(dim_))
-    gram = wide.selectExpr(
-        "i", f"stack({dim_}, {stack_args}) AS (j, g)"
+        .agg(F.expr(sums_sql).alias("gs"))
+        .select("i", F.posexplode("gs").alias("j", "g"))
     )
     nrow = emb.agg(F.count(F.lit(1)).alias("n"))
     return gram, nrow
@@ -3370,7 +3369,8 @@ def emb_abtt_query_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n == 0:
         return spark.createDataFrame([], schema)
     u, _num, den = _pca_power_iterate(gm)
-    lit_u = F.array(*[F.lit(int(x)).cast("long") for x in u])
+    # one parsed literal array (the kmeans py4j fix)
+    lit_u = F.expr("array(" + ",".join(f"{int(x)}L" for x in u) + ")")
     den_d = float(den)
     v3 = F.transform(
         "embedding",
@@ -3378,19 +3378,30 @@ def emb_abtt_query_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vecs = emb.select("vec_id", v3.alias("v3"))
     marr = _pca_marr(vecs)
-    base = (
-        vecs.crossJoin(F.broadcast(marr))
-        .select(
-            "vec_id", "v3", F.zip_with("v3", "marr", lambda x, m: x - m).alias("vc")
-        )
-        .withColumn("t", _dot_long("vc", lit_u))
+    base = vecs.crossJoin(F.broadcast(marr)).select(
+        "vec_id", "v3", F.zip_with("v3", "marr", lambda x, m: x - m).alias("vc")
     )
-    c3 = F.zip_with(
-        "vc",
-        lit_u,
-        lambda x, ui: F.floor(
-            x - F.col("t").cast("double") * ui / F.lit(den_d) + F.lit(0.5)
-        ).cast("long"),
+    # Round-11: the projection t = <vc, u> used to be a separate withColumn
+    # referenced inside the per-element lambda below. CollapseProject
+    # inlines a textually-once alias regardless of its runtime cost, and
+    # higher-order functions run interpreted — so the 64-mult dot product
+    # re-evaluated for EVERY array element (64 x 192 interpreted evals per
+    # row; the corr noop read 2.8 s for 2000 rows on one task). Binding t
+    # as a lambda variable through a 1-element struct array makes it
+    # once-per-row by construction while keeping the identical per-element
+    # floor(vc_i - t * u_i / den + 0.5) arithmetic.
+    c3 = F.element_at(
+        F.transform(
+            F.array(F.struct(_dot_long("vc", lit_u).alias("t"))),
+            lambda s: F.zip_with(
+                "vc",
+                lit_u,
+                lambda x, ui: F.floor(
+                    x - s["t"].cast("double") * ui / F.lit(den_d) + F.lit(0.5)
+                ).cast("long"),
+            ),
+        ),
+        1,
     )
     corr = base.select("vec_id", "v3", c3.alias("c3"))
     q = corr.filter(F.col("vec_id") == 0).select(
