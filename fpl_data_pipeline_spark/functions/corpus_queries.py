@@ -25,7 +25,7 @@ def _toks(df: DataFrame) -> DataFrame:
         "doc_id",
         F.explode(
             F.filter(
-                F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "),
+                F.split(F.lower("text"), r"\s+"),
                 lambda w: w != "",
             )
         ).alias("tok"),
@@ -114,7 +114,7 @@ def quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = _ensure_parallel(d).select(
         "doc_id",
         F.filter(
-            F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "),
+            F.split(F.lower("text"), r"\s+"),
             lambda w: w != "",
         ).alias("ws"),
     )
@@ -188,7 +188,7 @@ def doc_packing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(
             F.filter(
-                F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "),
+                F.split(F.lower("text"), r"\s+"),
                 lambda w: w != "",
             )
         ).alias("n_tokens"),
@@ -364,7 +364,7 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact int/int doubles."""
     d = table(spark, sf_dir, "documents")
     ws = F.filter(
-        F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "),
+        F.split(F.lower("text"), r"\s+"),
         lambda w: w != "",
     )
     feat = d.select(
@@ -670,7 +670,7 @@ def corpus_release_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup and split at scale (see dedup_apply_summary)."""
     d = table(spark, sf_dir, "documents")
     ws = F.filter(
-        F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "),
+        F.split(F.lower("text"), r"\s+"),
         lambda w: w != "",
     )
     feat = d.select(
@@ -764,7 +764,7 @@ def source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(
             F.filter(
-                F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "),
+                F.split(F.lower("text"), r"\s+"),
                 lambda w: w != "",
             )
         ).alias("tok"),
@@ -867,7 +867,7 @@ def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.size(
             F.filter(
-                F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "),
+                F.split(F.lower("text"), r"\s+"),
                 lambda w: w != "",
             )
         ).alias("n_tokens"),
@@ -1875,7 +1875,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(
             F.filter(
-                F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "),
+                F.split(F.lower("text"), r"\s+"),
                 lambda w: w != "",
             )
         ).alias("tok"),

@@ -25,6 +25,10 @@ def _words(col):
     return F.filter(F.split(col, " "), lambda w: w != "")
 
 
+# one-regex-pass twin of _words(_norm_text(col)) — see operators/dedup.py
+from fpl_data_pipeline_spark.operators.dedup import _norm_words  # noqa: E402
+
+
 # --- token counting: whitespace + BPE-ish regex tokens ----------------------
 @register(
     "text_token_counts",
@@ -40,7 +44,7 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(_words(_norm_text(F.col("text")))).alias("n_ws_tokens"),
+        F.size(_norm_words(F.col("text"))).alias("n_ws_tokens"),
         F.regexp_count("text", F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")).alias(
             "n_bpeish_tokens"
         ),
@@ -82,7 +86,7 @@ _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    ws = _words(_norm_text(F.col("text")))
+    ws = _norm_words(F.col("text"))
     feat = d.select(
         "doc_id",
         F.length("text").alias("n_chars_actual"),
@@ -218,7 +222,7 @@ def predict_lang_trigrams(col) -> "F.Column":
 
 def predict_lang_markers(col) -> "F.Column":
     """text column -> predicted-language column (stopword-marker baseline)."""
-    ws = _words(_norm_text(col))
+    ws = _norm_words(col)
     return _argmax_lang(
         {lang: _marker_score(ws, m) for lang, m in _LANG_MARKERS.items()}
     )
@@ -269,7 +273,7 @@ def doc_bigrams(d: DataFrame, text_col: str = "text") -> DataFrame:
     scans fan out to session parallelism first — the shingles() pattern at
     operators/dedup.py."""
     words = _ensure_parallel(d).select(
-        "doc_id", _words(_norm_text(F.col(text_col))).alias("ws")
+        "doc_id", _norm_words(F.col(text_col)).alias("ws")
     )
     bigrams = F.when(
         F.size("ws") >= 2,
@@ -734,7 +738,7 @@ def quality_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
         "doc_id",
         "lang",
         (
-            F.size(_words(_norm_text(F.col("text")))).cast("double")
+            F.size(_norm_words(F.col("text"))).cast("double")
             / F.length("text")
         ).alias("density"),
     )
@@ -875,7 +879,7 @@ def quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL so the per-cell mean is order-independent.
     """
     d = table(spark, sf_dir, "documents")
-    ws = _words(_norm_text(F.col("text")))
+    ws = _norm_words(F.col("text"))
     feat = d.select(
         "doc_id",
         "source",
@@ -974,7 +978,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable across corpus shards by cell-wise addition.
     """
     d = table(spark, sf_dir, "documents")
-    words = d.select(F.explode(_words(_norm_text(F.col("text")))).alias("word"))
+    words = d.select(F.explode(_norm_words(F.col("text"))).alias("word"))
     exact = words.groupBy("word").agg(F.count(F.lit(1)).alias("exact_count"))
     hashed = exact.select(
         "word",
@@ -1059,7 +1063,7 @@ def vocab_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     toks = d.select(
-        "source", F.explode(_words(_norm_text(F.col("text")))).alias("word")
+        "source", F.explode(_norm_words(F.col("text"))).alias("word")
     )
     cnt = toks.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
     # top-k via orderBy+limit -> TakeOrderedAndProject (per-partition heaps
@@ -1195,7 +1199,7 @@ def source_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     floating point, portable-rounded."""
     d = table(spark, sf_dir, "documents")
     cnt = (
-        d.select("source", F.explode(_words(_norm_text(F.col("text")))).alias("word"))
+        d.select("source", F.explode(_norm_words(F.col("text"))).alias("word"))
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -1281,7 +1285,7 @@ def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-bin mean prediction goes through the 6-dp-quantized exact-decimal
     convention; pass rate is a ratio of exact integers."""
     d = table(spark, sf_dir, "documents")
-    ws = _words(_norm_text(F.col("text")))
+    ws = _norm_words(F.col("text"))
     feat = d.select(
         "doc_id",
         F.length("text").alias("n_chars_actual"),
@@ -1490,7 +1494,7 @@ def source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     TF-IDF for corpus composition reporting."""
     d = table(spark, sf_dir, "documents")
     toks = d.select(
-        "source", F.explode(_words(_norm_text(F.col("text")))).alias("word")
+        "source", F.explode(_norm_words(F.col("text"))).alias("word")
     )
     sw = toks.groupBy("source", "word").agg(F.count(F.lit(1)).alias("y"))
     wtot = sw.groupBy("word").agg(F.sum("y").cast("long").alias("yc"))
@@ -1589,7 +1593,7 @@ def zipf_alpha_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the top-k words, plus the token mass that head covers."""
     d = table(spark, sf_dir, "documents")
     counts = (
-        d.select(F.explode(_words(_norm_text(F.col("text")))).alias("word"))
+        d.select(F.explode(_norm_words(F.col("text"))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("f"))
     )

@@ -771,10 +771,10 @@ def length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic is integer-exact; the bucketed ranking window partitions by
     length bucket (bounded, never global)."""
     d = table(spark, sf_dir, "documents")
-    from fpl_data_pipeline_spark.operators.dedup import _norm_text, _words
+    from fpl_data_pipeline_spark.operators.dedup import _norm_words
 
     toks = d.select(
-        "doc_id", F.size(_words(_norm_text(F.col("text")))).alias("n")
+        "doc_id", F.size(_norm_words(F.col("text"))).alias("n")
     )
     unb = toks.select(
         F.lit("arrival_order").alias("strategy"),
@@ -1406,7 +1406,7 @@ def mixture_temperature_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     n_toks = F.size(
         F.filter(
-            F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "),
+            F.split(F.lower("text"), r"\s+"),
             lambda w: w != "",
         )
     )

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from fpl_data_pipeline_spark.registry import register
 from fpl_data_pipeline_spark.tables import table
-from fpl_data_pipeline_spark.operators.dedup import _ensure_parallel, _norm_text, _words
+from fpl_data_pipeline_spark.operators.dedup import _ensure_parallel, _norm_words
 
 
 def build_positional_index(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -36,7 +36,7 @@ def build_positional_index(docs: DataFrame, text_col: str = "text") -> DataFrame
     first (the shingles/_ensure_parallel conditional): sf0.1 documents read
     as ONE split, serializing the tokenize on one core."""
     words = _ensure_parallel(docs).select(
-        "doc_id", F.posexplode(_words(_norm_text(F.col(text_col)))).alias("pos", "term")
+        "doc_id", F.posexplode(_norm_words(F.col(text_col))).alias("pos", "term")
     )
     return words.select("term", "doc_id", "pos")
 
@@ -112,7 +112,7 @@ def phrase_search_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # element_at — 2x(len-1) splits per doc (the shingles lesson; profiled
     # at 7.4 s of the query's 9.2 s before this round-6 fix). Fan the
     # single-split scan out first so the transform parallelizes.
-    wsd = _ensure_parallel(d).select(_words(_norm_text(F.col("text"))).alias("ws"))
+    wsd = _ensure_parallel(d).select(_norm_words(F.col("text")).alias("ws"))
     bigram = F.when(
         F.size("ws") >= 2,
         F.transform(

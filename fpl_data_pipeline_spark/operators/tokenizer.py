@@ -303,7 +303,7 @@ def bpe_vocab(d: DataFrame) -> DataFrame:
     words = d.select(
         F.explode(
             F.filter(
-                F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "),
+                F.split(F.lower("text"), r"\s+"),
                 lambda w: w != "",
             )
         ).alias("word")
@@ -491,7 +491,7 @@ def bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(
             F.filter(
-                F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "),
+                F.split(F.lower("text"), r"\s+"),
                 lambda w: w != "",
             )
         ).alias("word"),
