@@ -497,15 +497,30 @@ def table_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-column reshape is a zero-shuffle 1-row stack. String renderings
     are pinned (decimal for money, explicit timestamp format) so both
     engines print identical values."""
-    o = table(spark, sf_dir, "orders")
-    a = o.agg(
+    from fpl_data_pipeline_spark.operators.dedup import _ensure_parallel
+
+    # Round-11: the sf0.1 orders scan is one split, so the 6-way
+    # COUNT(DISTINCT) Expand (7x row multiplication) and every partial agg
+    # ran on one task (3.6 of 3.6 stage-seconds single-threaded); the
+    # conditional fan-out costs one small exchange of the projected
+    # columns and parallelizes the whole pass.
+    o = _ensure_parallel(table(spark, sf_dir, "orders"))
+    # Round-11: min/max over the two STRING columns used to sit in the same
+    # aggregate as the six COUNT(DISTINCT)s — a string aggregation buffer is
+    # not hash-aggregable, so EVERY level of the distinct rewrite fell back
+    # to SortAggregate and the 7x Expand output (1M rows at sf0.1) was
+    # sorted twice (66 stage-CPU-seconds). Splitting the two string min/max
+    # pairs into their own buffer-cheap global pass restores HashAggregate
+    # for the heavy Expand side; the extra pass scans only the two pruned
+    # string columns (columnar read, no Expand, no sort).
+    a_num = o.agg(
         F.count(F.lit(1)).alias("n_rows"),
         *[
             x
             for c, mn, mx in (
                 ("o_orderkey", F.min("o_orderkey").cast("string"), F.max("o_orderkey").cast("string")),
                 ("o_custkey", F.min("o_custkey").cast("string"), F.max("o_custkey").cast("string")),
-                ("o_orderstatus", F.min("o_orderstatus"), F.max("o_orderstatus")),
+                ("o_orderstatus", None, None),
                 (
                     "o_totalprice",
                     F.min("o_totalprice").cast("decimal(18,2)").cast("string"),
@@ -516,16 +531,24 @@ def table_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
                     F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
                 ),
-                ("o_orderpriority", F.min("o_orderpriority"), F.max("o_orderpriority")),
+                ("o_orderpriority", None, None),
             )
             for x in (
-                F.count(c).alias(f"nn_{c}"),
-                F.countDistinct(c).alias(f"ndv_{c}"),
-                mn.alias(f"min_{c}"),
-                mx.alias(f"max_{c}"),
+                [
+                    F.count(c).alias(f"nn_{c}"),
+                    F.countDistinct(c).alias(f"ndv_{c}"),
+                ]
+                + ([mn.alias(f"min_{c}"), mx.alias(f"max_{c}")] if mn is not None else [])
             )
         ],
     )
+    a_str = o.select("o_orderstatus", "o_orderpriority").agg(
+        F.min("o_orderstatus").alias("min_o_orderstatus"),
+        F.max("o_orderstatus").alias("max_o_orderstatus"),
+        F.min("o_orderpriority").alias("min_o_orderpriority"),
+        F.max("o_orderpriority").alias("max_o_orderpriority"),
+    )
+    a = a_num.crossJoin(F.broadcast(a_str))
     cols = [
         "o_orderkey",
         "o_custkey",
