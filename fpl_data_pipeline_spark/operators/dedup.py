@@ -2132,26 +2132,34 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     cand = _portable_minhash_candidates(d)
     sh = shingles(d).localCheckpoint(eager=False)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
-    inter = (
-        cand.select("doc_id_a", "doc_id_b")
-        .join(
-            sh.select(F.col("doc_id").alias("doc_id_a"), "shingle"), "doc_id_a"
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("doc_id_b"), "shingle"),
-            ["doc_id_b", "shingle"],
-        )
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # Round-11: exact verification via per-doc shingle ARRAYS +
+    # array_intersect (the prefix-filter round-8 shape) instead of joining
+    # the candidate list against the exploded (doc_id, shingle) relation
+    # twice — one row per doc enters the joins, the intersection size is
+    # computed map-side, and the pair left-join disappears (an empty
+    # intersect IS the n_common = 0 case). sh is (doc_id, shingle)-distinct
+    # so |array_intersect| == the old per-pair row count.
+    doc_sets = sh.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("gs"), F.count(F.lit(1)).alias("ns")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("ns").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("ns").alias("nb"))
-    n_common = F.coalesce(F.col("n_common"), F.lit(0))
+    n_common = F.size(F.array_intersect("ga", "gb"))
     return (
-        cand.join(inter, ["doc_id_a", "doc_id_b"], "left")
-        .join(sa, "doc_id_a")
-        .join(sb, "doc_id_b")
+        cand.join(
+            doc_sets.select(
+                F.col("doc_id").alias("doc_id_a"),
+                F.col("gs").alias("ga"),
+                F.col("ns").alias("na"),
+            ),
+            "doc_id_a",
+        )
+        .join(
+            doc_sets.select(
+                F.col("doc_id").alias("doc_id_b"),
+                F.col("gs").alias("gb"),
+                F.col("ns").alias("nb"),
+            ),
+            "doc_id_b",
+        )
         .select(
             "doc_id_a",
             "doc_id_b",
