@@ -1299,23 +1299,20 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000
         ).alias("est_q"),
     )
-    exact = li.agg(
-        *[
-            (F.floor(F.percentile("l_extendedprice", F.lit(q)) * 1000 + F.lit(0.5)) / 1000).alias(
-                f"ex_{int(q * 100)}"
-            )
-            for q in HQ_QS
-        ]
-    )
+    # Round-11: one array-percentile aggregate instead of one percentile()
+    # per q — each separate aggregate buffered the whole column again (5x
+    # the ObjectHashAggregate state for identical per-q values).
+    qarr = F.array(*[F.lit(float(q)) for q in HQ_QS])
+    exact = li.agg(F.percentile("l_extendedprice", qarr).alias("ps"))
     ex = exact.select(
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(q).alias("q"), F.col(f"ex_{int(q * 100)}").alias("exact_q")
-                    )
-                    for q in HQ_QS
-                ]
+            F.zip_with(
+                qarr,
+                "ps",
+                lambda q, v: F.struct(
+                    q.alias("q"),
+                    (F.floor(v * 1000 + F.lit(0.5)) / 1000).alias("exact_q"),
+                ),
             )
         ).alias("s")
     ).select("s.q", "s.exact_q")
