@@ -612,11 +612,16 @@ def _lr_features(d: DataFrame):
     nested-loop join, and the pre-round-9 least(1, ntr) went to 0 on an
     empty train split, silently dropping all LR_B weight rows where the
     oracle kept them — the round-8 ADVICE divergence)."""
-    toks = d.select(
+    from fpl_data_pipeline_spark.operators.dedup import _ensure_parallel
+
+    # Round-11: one-pass tokenizer (token-identical, see dedup._norm_words)
+    # + conditional fan-out — the 1-split sf0.1 scan ran the tokenize +
+    # per-token md5 single-threaded (a 2.7 s 1-task stage in the profile).
+    toks = _ensure_parallel(d).select(
         "doc_id",
         F.explode(
             F.filter(
-                F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "),
+                F.split(F.lower("text"), r"\s+"),
                 lambda w: w != "",
             )
         ).alias("tok"),
@@ -814,11 +819,13 @@ def logreg_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     class), so the readout cannot flip on float accumulation."""
     d = table(spark, sf_dir, "documents")
     w = lr_train_weights(d).localCheckpoint(eager=False)
-    toks = d.select(
+    from fpl_data_pipeline_spark.operators.dedup import _ensure_parallel
+
+    toks = _ensure_parallel(d).select(
         "doc_id",
         F.explode(
             F.filter(
-                F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "),
+                F.split(F.lower("text"), r"\s+"),
                 lambda w_: w_ != "",
             )
         ).alias("tok"),
