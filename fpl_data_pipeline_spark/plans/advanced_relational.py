@@ -329,11 +329,22 @@ def percentile_prices_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered separately. Rounded to 3 dp on both sides: the linear
     interpolation arithmetic differs in the last float bit between engines."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        *[
-            F.round(F.percentile("l_extendedprice", F.lit(q)), 3).alias(f"p{int(q * 100)}")
-            for q in (0.25, 0.50, 0.75)
-        ]
+    # Round-11: one array-percentile per group instead of three separate
+    # percentile() aggregates — each buffered the group's values again in
+    # ObjectHashAggregate state for identical per-q results (the
+    # histogram_quantile_sketch fix, per-group edition).
+    qs = (0.25, 0.50, 0.75)
+    ps = F.percentile("l_extendedprice", F.array(*[F.lit(q) for q in qs]))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(ps.alias("ps"))
+        .select(
+            "l_returnflag",
+            *[
+                F.round(F.element_at("ps", i + 1), 3).alias(f"p{int(q * 100)}")
+                for i, q in enumerate(qs)
+            ],
+        )
     )
 
 
