@@ -31,6 +31,9 @@ INTENTIONAL_CROSS = {
     "kmeans_portable",
     # final 1-row x 1-row summary combine
     "contamination_overlap",
+    # final 1-row x 1-row combine of the hash-agg stats pass with the
+    # buffer-cheap string-min/max pass (round-11 SortAggregate fix)
+    "table_stats_orders",
     # broadcast 1-row totals scalar
     "domain_mixture_weights",
     "events_error_spikes",
