@@ -35,6 +35,7 @@ import json
 import os
 import statistics
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -140,6 +141,59 @@ def _gated_rep(fn, base_ms: float, budget: list, max_attempts: int = 3):
             return dt, discarded, True
         budget[0] -= 1
         discarded += 1
+
+
+class _TaskSampler:
+    """Polls the Spark status tracker on a side thread while a rep runs and
+    records the PEAK number of concurrently-active tasks (sum of
+    numActiveTasks over active stages).
+
+    Round-11 verdict task #2: the driver's low-core scaling probe read all
+    ratios ~1 and flagged ``suspect_cpus_ignored`` — the $SPARK_GRAFT_CPUS
+    env IS honored (session.py builds local[$SPARK_GRAFT_CPUS]), but
+    nothing in the artifact could PROVE task-level parallelism. The per-
+    query peak makes core usage visible inside the artifact itself: a
+    32-core run shows peaks near 32 on the parallel queries, an 8-core run
+    caps at 8. Polling is a couple of py4j calls every ~20 ms from a
+    thread that sleeps otherwise — negligible next to 32 task slots, and
+    identical overhead across rounds/core-counts so comparisons hold."""
+
+    def __init__(self, sc) -> None:
+        self._tracker = sc.statusTracker()
+        self._lock = threading.Lock()
+        self.peaks: dict = {}
+        self._stop = threading.Event()
+        self._name: str | None = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            name = self._name
+            if name is not None:
+                try:
+                    active = 0
+                    for sid in self._tracker.getActiveStageIds():
+                        info = self._tracker.getStageInfo(sid)
+                        if info is not None:
+                            active += info.numActiveTasks
+                    if active:
+                        with self._lock:
+                            if active > self.peaks.get(name, 0):
+                                self.peaks[name] = active
+                except Exception:
+                    pass  # tracker races with stage completion; skip sample
+            time.sleep(0.02)
+
+    def watch(self, name: str) -> None:
+        self._name = name
+
+    def pause(self) -> None:
+        self._name = None
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=1)
 
 
 def _cpu_jiffies() -> tuple:
@@ -260,16 +314,20 @@ def main() -> None:
     suspect: dict[str, int] = {n: 0 for n in runs}
     # global re-run allowance: at most ~60% extra reps across the run
     retry_budget = [max(10, (reps * len(runs)) * 6 // 10)]
+    sampler = _TaskSampler(spark.sparkContext)
     for _ in range(reps):
         for name in runs:
+            sampler.watch(name)
             dt, disc, sus = _gated_rep(
                 lambda n=name: QUERIES[n](spark, sf_dir).count(),
                 base_ms,
                 retry_budget,
             )
+            sampler.pause()
             runs[name].append(dt)
             discarded[name] += disc
             suspect[name] += int(sus)
+    sampler.close()
 
     timings = {n: round(statistics.median(ts), 3) for n, ts in runs.items()}
     total = round(sum(timings.values()), 3)
@@ -318,9 +376,21 @@ def main() -> None:
             "steal_pct": run_steal,
         },
         "contended": contended,
+        # round-11 verdict task #2: prove the core-count contract from the
+        # artifact itself — the session's defaultParallelism (local[N] => N)
+        # and the per-query PEAK concurrently-active task count sampled
+        # while each rep ran (see _TaskSampler). An 8-core driver probe
+        # shows peaks capped at 8 here; 32-core runs reach ~32 on the
+        # parallel queries (overhead-bound sub-second queries legitimately
+        # peak lower at sf0.1 — few input splits, AQE-coalesced shuffles).
+        "parallelism": {
+            "default_parallelism": spark.sparkContext.defaultParallelism,
+            "peak_tasks": {n: sampler.peaks.get(n, 0) for n in runs},
+        },
     }
 
     detail: dict = {
+        "peak_tasks": dict(sampler.peaks),
         "raw_runs": {n: [round(t, 3) for t in ts] for n, ts in runs.items()},
         "spread": {n: round(max(ts) - min(ts), 3) for n, ts in runs.items()},
         "loadavg_before": load_before,
@@ -439,10 +509,13 @@ def main() -> None:
 
     line = json.dumps(out, separators=(",", ":"))
     # Hard guarantee for the driver's tail capture: if the compact line ever
-    # exceeds 2 KB, shed the per-query map (value + load still parse).
+    # exceeds 2 KB, shed the per-query maps (value + load still parse).
     if len(line) > 2048:
         slim = {k: v for k, v in out.items() if k != "queries"}
         slim["queries_in"] = detail_path
+        slim["parallelism"] = {
+            "default_parallelism": out["parallelism"]["default_parallelism"]
+        }
         line = json.dumps(slim, separators=(",", ":"))
     sys.stdout.flush()
     print(line)

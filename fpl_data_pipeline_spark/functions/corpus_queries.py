@@ -1676,9 +1676,14 @@ def lm_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _words_col(col):
-    """normalized word array (module-local mirror of the dedup helper)."""
-    norm = F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
-    return F.filter(F.split(norm, " "), lambda w: w != "")
+    """normalized word array (module-local mirror of the dedup helper).
+
+    Round-12: delegates to the one-pass tokenizer (dedup._norm_words) —
+    token-identical to the collapse-then-split it mirrored (round-11
+    A/B-verified corpus-wide), one regex pass per doc."""
+    from fpl_data_pipeline_spark.operators.dedup import _norm_words
+
+    return _norm_words(col)
 
 
 # --- source-pair Jensen-Shannon matrix (feed-sibling detector) --------------

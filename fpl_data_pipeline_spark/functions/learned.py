@@ -604,14 +604,21 @@ def _lr_cte() -> str:
     return ",".join(parts)
 
 
-def _lr_features(d: DataFrame):
-    """(docfeat, lab, ntr_frame): hashed train-split features (pinned — six
-    consumers across the unrolled steps), labels, and the 1-row train count
-    carrying a data-derived join key (least(1, ntr + 1) == 1 for every
+def _lr_features(d: DataFrame, with_eval: bool = False):
+    """(docfeat, lab, ntr_frame[, ev]): hashed train-split features (pinned —
+    six consumers across the unrolled steps), labels, and the 1-row train
+    count carrying a data-derived join key (least(1, ntr + 1) == 1 for every
     ntr >= 0: a literal key would be constant-folded back into a
     nested-loop join, and the pre-round-9 least(1, ntr) went to 0 on an
     empty train split, silently dropping all LR_B weight rows where the
-    oracle kept them — the round-8 ADVICE divergence)."""
+    oracle kept them — the round-8 ADVICE divergence).
+
+    ``with_eval=True`` additionally returns the EVAL split's (doc_id,
+    bucket, n) relation from the SAME tokenize + md5-bucket pass: the split
+    key is a function of doc_id alone, so filtering the per-(doc, bucket)
+    counts after the groupBy is row-identical to filtering the tokens
+    before it — logreg_train_eval used to re-tokenize the whole corpus for
+    its eval half (round-12, guide §2.4)."""
     from fpl_data_pipeline_spark.operators.dedup import _ensure_parallel
 
     # Round-11: one-pass tokenizer (token-identical, see dedup._norm_words)
@@ -630,11 +637,21 @@ def _lr_features(d: DataFrame):
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"), F.lit(LR_B)
     )
     split = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    docn = (
-        toks.filter(split < LR_TRAIN_CUT)
-        .groupBy("doc_id", bucket.alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    ev = None
+    if with_eval:
+        allcnt = (
+            toks.groupBy("doc_id", bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=False)
+        )
+        docn = allcnt.filter(split < LR_TRAIN_CUT)
+        ev = allcnt.filter(split >= LR_TRAIN_CUT)
+    else:
+        docn = (
+            toks.filter(split < LR_TRAIN_CUT)
+            .groupBy("doc_id", bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
     x6 = F.floor(
         F.col("n").cast("double")
         / F.sum("n").over(Window.partitionBy("doc_id"))
@@ -653,6 +670,8 @@ def _lr_features(d: DataFrame):
         .agg(F.count(F.lit(1)).alias("ntr"))
         .select("ntr", F.least(F.lit(1), F.col("ntr") + 1).alias("k"))
     )
+    if with_eval:
+        return docfeat, lab, ntr, ev
     return docfeat, lab, ntr
 
 
@@ -710,7 +729,10 @@ def _lr_step(docfeat: DataFrame, lab: DataFrame, ntr: DataFrame, w: DataFrame):
 
 
 def lr_train_weights(
-    d: DataFrame, steps: int = LR_STEPS, ckpt_every: int = LR_CKPT_EVERY
+    d: DataFrame,
+    steps: int = LR_STEPS,
+    ckpt_every: int = LR_CKPT_EVERY,
+    features: tuple | None = None,
 ) -> DataFrame:
     """(bucket, w6) after ``steps`` unrolled gradient steps from w0 = 0 —
     the engine half shared by logreg_train_weights and logreg_train_eval
@@ -726,7 +748,10 @@ def lr_train_weights(
     (round-9 ADVICE: the old guard fired once at t=2 while the docstring
     claimed it never did)."""
     spark = d.sparkSession
-    docfeat, lab, ntr = _lr_features(d)
+    # Round-12: callers that also consume the feature relation (the
+    # n_train_tokens readout, the eval half) pass it in so the tokenize +
+    # md5-bucket pipeline materializes ONCE per query, not once per use.
+    docfeat, lab, ntr = features if features is not None else _lr_features(d)
     w = spark.range(LR_B).select(
         F.col("id").alias("bucket"), F.lit(0).cast("long").alias("w6")
     )
@@ -763,8 +788,12 @@ def logreg_train_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     gradient information (guarded CASE/when on both sides), not a
     dropped-rows/NULL-weights divergence."""
     d = table(spark, sf_dir, "documents")
-    w = lr_train_weights(d)
-    docfeat, _, _ = _lr_features(d)
+    # Round-12: the n_train_tokens readout used to call _lr_features a
+    # SECOND time — two independent pins, two materializations of the
+    # tokenize + md5 + per-doc-window pipeline. Share one feature build.
+    feats = _lr_features(d)
+    w = lr_train_weights(d, features=feats)
+    docfeat = feats[0]
     bn = docfeat.groupBy("bucket").agg(F.sum("n").cast("long").alias("n_toks"))
     return (
         w.join(bn, "bucket", "left")
@@ -818,27 +847,15 @@ def logreg_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-integer sign test dot6 > 0 (a tokenless doc scores 0 -> negative
     class), so the readout cannot flip on float accumulation."""
     d = table(spark, sf_dir, "documents")
-    w = lr_train_weights(d).localCheckpoint(eager=False)
-    from fpl_data_pipeline_spark.operators.dedup import _ensure_parallel
-
-    toks = _ensure_parallel(d).select(
-        "doc_id",
-        F.explode(
-            F.filter(
-                F.split(F.lower("text"), r"\s+"),
-                lambda w_: w_ != "",
-            )
-        ).alias("tok"),
-    )
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"), F.lit(LR_B)
-    )
+    # Round-12 (guide §2.4): ONE tokenize + md5-bucket pass feeds both the
+    # train features and the eval counts (with_eval shares the pinned
+    # per-(doc, bucket) relation) — the eval half used to re-tokenize the
+    # whole corpus in its own second pass.
+    docfeat, lab_feats, ntr, ev = _lr_features(d, with_eval=True)
+    w = lr_train_weights(
+        d, features=(docfeat, lab_feats, ntr)
+    ).localCheckpoint(eager=False)
     split = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    ev = (
-        toks.filter(split >= LR_TRAIN_CUT)
-        .groupBy("doc_id", bucket.alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
     sc = (
         ev.join(F.broadcast(w), "bucket")
         .groupBy("doc_id")

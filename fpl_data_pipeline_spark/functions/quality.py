@@ -307,10 +307,11 @@ def quality_threshold_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
-    ws = F.filter(
-        F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "),
-        lambda w: w != "",
-    )
+    # Round-12: one-pass tokenizer (see dedup._norm_words) — token-identical,
+    # one regex pass; only size(ws) is consumed here.
+    from fpl_data_pipeline_spark.operators.dedup import _norm_words
+
+    ws = _norm_words(F.col("text"))
     score = (
         F.when(F.size(ws) >= 10, 0.4).otherwise(0.0)
         + F.when(

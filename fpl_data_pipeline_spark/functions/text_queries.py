@@ -331,7 +331,11 @@ HV_BLOCK_CAP = 1000
 
 
 def feature_vectors(
-    df: DataFrame, text_col: str = "text", dim: int = FH_DIM, hash_fn: str = "xxhash64"
+    df: DataFrame,
+    text_col: str = "text",
+    dim: int = FH_DIM,
+    hash_fn: str = "xxhash64",
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """doc_id -> dense int count vector of hashed tokens (the HashingTF
     trick, built-ins only): token -> bucket = hash mod dim, count per
@@ -351,15 +355,17 @@ def feature_vectors(
     # the text_hash_vector_dups profile); the same conditional fan-out the
     # shingle pipelines use parallelizes it without adding an Exchange to
     # an already-parallel scan.
-    toks = _ensure_parallel(df).select(
-        "doc_id",
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " "),
-                lambda w: w != "",
-            )
-        ).alias("tok"),
-    )
+    # Round-12: one-pass tokenizer (see dedup._norm_words) — token-identical
+    # to the collapse-then-split it replaces, one regex pass per doc.
+    # ``words`` optionally supplies a precomputed doc_words(df) relation
+    # (the multi-family-consumer tokenize-once path).
+    if words is None:
+        toks = _ensure_parallel(df).select(
+            "doc_id",
+            F.explode(_norm_words(F.col(text_col))).alias("tok"),
+        )
+    else:
+        toks = words.select("doc_id", F.explode("ws").alias("tok"))
     if hash_fn == "md5":
         bucket = F.pmod(
             F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"), F.lit(dim)
@@ -394,7 +400,7 @@ def feature_vectors(
     return sparse.select("doc_id", dense.alias("fv"))
 
 
-def hv_block_keyed_vectors(d: DataFrame) -> DataFrame:
+def hv_block_keyed_vectors(d: DataFrame, words: DataFrame | None = None) -> DataFrame:
     """(doc_id, fv, k1, k2): portable hashed count vectors plus the
     unordered two-dominant-bucket blocking key — the keyed relation under
     text_hash_vector_dups, split out so candidate_cap_audit can report
@@ -406,7 +412,7 @@ def hv_block_keyed_vectors(d: DataFrame) -> DataFrame:
     single nonzero bucket (oracle uses -1 — both sides are a uniform +1
     shift, so least/greatest induce the same partition of docs)."""
     return (
-        feature_vectors(d, hash_fn="md5")
+        feature_vectors(d, hash_fn="md5", words=words)
         .withColumn("vh1", F.array_position(F.col("fv"), F.array_max("fv")))
         .withColumn(
             "fvm",

@@ -127,6 +127,11 @@ def _expand_member_pairs_streaming(
     17.7-31 s GC-noisy). ``carry`` columns ride through unchanged onto
     every emitted pair row (the weighted-docset expansion's multiplicity
     column)."""
+    reserved = {"a", "b", "_ms", "_i"} & set(carry)
+    if reserved:
+        # a carried column named like an internal alias would silently
+        # shadow/duplicate in the selects below (round-11 ADVICE)
+        raise ValueError(f"carry columns collide with internal aliases: {reserved}")
     anchored = groups.select(
         *carry,
         F.col(members_col).alias("_ms"),
@@ -139,7 +144,24 @@ def _expand_member_pairs_streaming(
     )
 
 
-def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+def doc_words(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, ws): the shared tokenize prelude of every word-granular
+    family (one-pass tokenizer over the conditionally fanned-out scan).
+
+    Round-12 (guide §2.4 "remove shuffles/passes outright"): split out so
+    consumers that fan over SEVERAL families at once (candidate_cap_audit
+    runs six of them over the same corpus) can tokenize ONCE, pin the
+    (doc_id, ws) relation, and hand it to each helper's ``words=``
+    parameter — the helpers' gram/hash/key logic is unchanged, so the
+    audit still exercises the exact code its monitored queries run."""
+    return _ensure_parallel(df).select(
+        "doc_id", _norm_words(F.col(text_col)).alias("ws")
+    )
+
+
+def shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3, words: DataFrame | None = None
+) -> DataFrame:
     """doc_id -> exploded distinct word-n-gram shingles (engine operator).
 
     Perf notes: the tokenization is projected into a real column first —
@@ -148,10 +170,11 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     (small files at test scale) is fanned out so the gram/hash work
     parallelizes; an input already at/above session parallelism (a 100 TB
     scan yields thousands of splits) keeps its partitioning — no blanket
-    corpus-wide Exchange (same conditional as ordered_shingles)."""
-    words = _ensure_parallel(df).select(
-        "doc_id", _norm_words(F.col(text_col)).alias("ws")
-    )
+    corpus-wide Exchange (same conditional as ordered_shingles).
+    ``words`` optionally supplies a precomputed doc_words(df) relation
+    (the multi-family-consumer tokenize-once path)."""
+    if words is None:
+        words = doc_words(df, text_col)
     # Guard short docs: Spark's sequence(1, 0) is DESCENDING ([1, 0]), so an
     # unguarded transform would evaluate element_at(ws, 0) and abort the job
     # for any doc with fewer than n words. CASE WHEN short-circuits per row,
@@ -847,7 +870,9 @@ WINNOW_W = 4  # window size: guarantees detection of matches >= w+n-1 tokens
 WINNOW_FP_CAP = 1000
 
 
-def ordered_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+def ordered_shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3, words: DataFrame | None = None
+) -> DataFrame:
     """doc_id -> (pos, shingle) keeping ORDER and DUPLICATES — winnowing
     samples positionally, unlike the set-semantics shingles().
 
@@ -856,10 +881,10 @@ def ordered_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataF
     out first. The repartition is CONDITIONAL: an input already at or above
     the session's parallelism (a 100 TB scan yields thousands of splits)
     keeps its partitioning — a blanket repartition here was a corpus-wide
-    extra Exchange for nothing (round-3 verdict nit #1)."""
-    words = _ensure_parallel(df).select(
-        "doc_id", _norm_words(F.col(text_col)).alias("ws")
-    )
+    extra Exchange for nothing (round-3 verdict nit #1). ``words``
+    optionally supplies a precomputed doc_words(df) relation."""
+    if words is None:
+        words = doc_words(df, text_col)
     grams = F.when(
         F.size("ws") >= n,
         F.transform(
@@ -936,7 +961,7 @@ def winnowing_pairs(d: DataFrame, fp_cap: int = WINNOW_FP_CAP) -> DataFrame:
     ).limit(20)
 
 
-def winnow_doc_fingerprints(d: DataFrame) -> DataFrame:
+def winnow_doc_fingerprints(d: DataFrame, words: DataFrame | None = None) -> DataFrame:
     """(doc_id, fp) distinct winnowing fingerprints per document — the
     keyed relation under winnowing_candidate_pairs, split out so
     candidate_cap_audit can report WINNOW_FP_CAP drops from the same code.
@@ -952,10 +977,10 @@ def winnow_doc_fingerprints(d: DataFrame) -> DataFrame:
     it. A doc shorter than n words carries a NULL hash array whose
     window-min yields NULL fingerprints; the old equi-join dropped them by
     SQL null semantics, but a groupBy would collect every short doc into
-    one giant NULL group — filter them explicitly."""
-    words = _ensure_parallel(d).select(
-        "doc_id", _norm_words(F.col("text")).alias("ws")
-    )
+    one giant NULL group — filter them explicitly. ``words`` optionally
+    supplies a precomputed doc_words(d) relation."""
+    if words is None:
+        words = doc_words(d)
     hashes = words.select(
         "doc_id",
         F.when(
@@ -1328,13 +1353,14 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _portable_simhash_chunks(d: DataFrame) -> DataFrame:
+def _portable_simhash_chunks(d: DataFrame, words: DataFrame | None = None) -> DataFrame:
     """(doc_id, simhash, chunk_id, chunk_val) — the portable-SimHash keyed
     chunk relation (md5 family), shared by _portable_simhash_pairs and
-    similarity.candidate_cap_audit (mirrored in SQL by PSH_KEYED_SQL)."""
-    toks = _ensure_parallel(d).select(
-        "doc_id", F.explode(_norm_words(F.col("text"))).alias("tok")
-    )
+    similarity.candidate_cap_audit (mirrored in SQL by PSH_KEYED_SQL).
+    ``words`` optionally supplies a precomputed doc_words(d) relation."""
+    if words is None:
+        words = doc_words(d)
+    toks = words.select("doc_id", F.explode("ws").alias("tok"))
     h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
     agg_bits = toks.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
         *[
@@ -1427,12 +1453,12 @@ _PMH_DOT_BB = (
 )
 
 
-def portable_minhash_bands(d: DataFrame) -> DataFrame:
+def portable_minhash_bands(d: DataFrame, words: DataFrame | None = None) -> DataFrame:
     """(doc_id, ms, band_id, band_key): portable md5-MinHash signatures +
     exploded band keys — the keyed relation under the portable candidate
     generator, split out so candidate_cap_audit can report MH_BAND_CAP
     drops from the same code."""
-    sh = shingles(d)
+    sh = shingles(d, words=words)
     h0 = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
     hashed = sh.select("doc_id", h0.alias("h0"))
     perm = lambda i: F.conv(  # noqa: E731
@@ -2130,7 +2156,9 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     so every stage is value-checked by the oracle.
     """
     d = table(spark, sf_dir, "documents")
-    cand = _portable_minhash_candidates(d)
+    # pinned: the candidate relation now feeds the semi-join bound below
+    # AND the est/exact join — one banding pass, not two
+    cand = _portable_minhash_candidates(d).localCheckpoint(eager=False)
     sh = shingles(d).localCheckpoint(eager=False)
     # Round-11: exact verification via per-doc shingle ARRAYS +
     # array_intersect (the prefix-filter round-8 shape) instead of joining
@@ -2139,8 +2167,22 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     # computed map-side, and the pair left-join disappears (an empty
     # intersect IS the n_common = 0 case). sh is (doc_id, shingle)-distinct
     # so |array_intersect| == the old per-pair row count.
-    doc_sets = sh.groupBy("doc_id").agg(
-        F.collect_list("shingle").alias("gs"), F.count(F.lit(1)).alias("ns")
+    #
+    # Round-12 (round-11 ADVICE): semi-join the shingle relation to the
+    # docs that actually appear in a candidate pair BEFORE the collect_list
+    # groupBy — the old shape buffered a full per-doc shingle array for
+    # EVERY corpus doc, where the candidate set (and therefore every array
+    # the joins can consume) is bounded by the banding. Docs outside the
+    # candidate set never survive the inner joins, so results are
+    # unchanged; aggregation state is now bounded by the candidate set.
+    cand_docs = (
+        cand.select(F.col("doc_id_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_id_b").alias("doc_id")))
+    )
+    doc_sets = (
+        sh.join(cand_docs, "doc_id", "leftsemi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("gs"), F.count(F.lit(1)).alias("ns"))
     )
     n_common = F.size(F.array_intersect("ga", "gb"))
     return (
@@ -2256,11 +2298,11 @@ def span_matches(d: DataFrame, df_cap: int = SPAN_DF_CAP) -> DataFrame:
     ).limit(20)
 
 
-def span_positional_hashes(d: DataFrame) -> DataFrame:
+def span_positional_hashes(d: DataFrame, words: DataFrame | None = None) -> DataFrame:
     """(doc_id, pos, h) positional SPAN_N-gram hashes — the keyed relation
     under span_pair_spans, split out so candidate_cap_audit can report
     SPAN_DF_CAP drops from the same code."""
-    return ordered_shingles(d, n=SPAN_N).select(
+    return ordered_shingles(d, n=SPAN_N, words=words).select(
         "doc_id", "pos", F.substring(F.md5("shingle"), 1, 16).alias("h")
     )
 
@@ -2974,42 +3016,38 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     insertion-robustness property (edit one word, later chunks survive)
     is pinned by tests/test_round8_ops.py against a planted edit."""
     d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.posexplode(
-            F.filter(
-                F.split(_norm_text(F.col("text")), " "), lambda w: w != ""
-            )
-        ).alias("pos", "word"),
+    # Round-12 (guide §2.4 "remove shuffles outright"): chunk assembly is
+    # now fully MAP-SIDE. The old shape posexploded every token, shuffled
+    # and sorted the whole token relation per doc for a cumulative-sum
+    # window, then re-assembled chunks with a collect_list aggregate — an
+    # Exchange + Sort of the corpus's entire token stream whose only
+    # purpose was to regroup words that were already adjacent in the
+    # per-doc array. Here the boundary positions, chunk slices and chunk
+    # hashes are computed inside the words array (whole-stage codegen, no
+    # per-token row ever leaves the scan stage), and only the ~tokens/G
+    # chunk-hash rows are exploded. Chunk strings are identical: a chunk
+    # is the run of words ENDING at each boundary word (the old
+    # cumsum-minus-own-flag id), plus the trailing partial chunk; the
+    # zip_with's s <= e filter drops exactly the empty trailing chunk a
+    # doc ending on a boundary word would produce. Tokenization is the
+    # one-pass form (token-identical, see _norm_words); the boundary
+    # decision pmod(conv(md5[..8]), G) = 0 is byte-for-byte the old one.
+    docs = _ensure_parallel(d).select(
+        "doc_id", _norm_words(F.col("text")).alias("ws")
     )
-    bf = (
-        F.pmod(
-            F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long"),
-            F.lit(CDC_G),
-        )
-        == 0
-    ).cast("int")
-    w_cum = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bp = (
+        f"filter(transform(ws, (w, i) -> IF(pmod(CAST(conv(substring(md5(w), 1, 8),"
+        f" 16, 10) AS BIGINT), {CDC_G}) = 0, i + 1, -1)), p -> p > 0)"
     )
-    cids = toks.select(
-        "doc_id",
-        "pos",
-        "word",
-        (F.sum(bf).over(w_cum) - bf).alias("chunk_id"),
+    chashes = (
+        f"filter(zip_with(concat(array(1), transform(bp, p -> p + 1)),"
+        f" concat(bp, array(size(ws))),"
+        f" (s, e) -> IF(s <= e, md5(array_join(slice(ws, s, e - s + 1), ' ')),"
+        f" CAST(NULL AS STRING))), x -> x IS NOT NULL)"
     )
-    chunks = cids.groupBy("doc_id", "chunk_id").agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
-                    lambda s: s["word"],
-                ),
-                " ",
-            )
-        ).alias("chash")
+    chunks = (
+        docs.withColumn("bp", F.expr(bp))
+        .select("doc_id", F.explode(F.expr(chashes)).alias("chash"))
     )
     cdf = chunks.groupBy("chash").agg(F.countDistinct("doc_id").alias("ddf"))
     per_doc = (

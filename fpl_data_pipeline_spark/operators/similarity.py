@@ -615,6 +615,17 @@ def kmeans_fit(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS) -> DataFram
         for r in emb.orderBy("vec_id").limit(k).collect()
     ]
     dim = len(cents[0][1]) if cents else 0
+    if not cents:
+        # empty corpus -> no centroids: best_of would emit SQL 'array()'
+        # (VOID element type) and zip_with fails analysis — the same
+        # hazard kmp_assign's score() guards (round-11 ADVICE). Emit the
+        # zero-row assignment with the non-empty path's column types;
+        # ``emb`` has no rows here so no values are fabricated.
+        return emb.select(
+            "vec_id",
+            F.lit(None).cast("int").alias("cluster_id"),
+            F.lit(None).cast("double").alias("sq_dist"),
+        )
 
     def best_of(cents_list):
         # Round-11 (guide §2.4): map-side argmin against an inlined
@@ -2444,6 +2455,7 @@ from fpl_data_pipeline_spark.operators.dedup import (  # noqa: E402
     WINNOW_W,
     _pmh_perm_sql,
     _portable_simhash_chunks,
+    doc_words,
     portable_minhash_bands,
     shingles,
     span_positional_hashes,
@@ -2742,8 +2754,16 @@ def candidate_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     ids = lsh_doc_band_keys(emb)
+    # Round-12 (guide §2.4): the six document-keyed families each ran their
+    # own tokenize of the same corpus (6 scan+regex-split passes inside ONE
+    # query). Tokenize once, pin the (doc_id, ws) relation, and hand it to
+    # every family through the helpers' ``words=`` parameter — the keying
+    # logic still lives in (and is exercised from) the exact helper each
+    # monitored query uses, so the audit's code-sharing contract holds.
+    # (The oracle already shares its audit_words CTE the same way.)
+    words = doc_words(docs).localCheckpoint(eager=False)
     gspan = (
-        span_positional_hashes(docs)
+        span_positional_hashes(docs, words=words)
         .groupBy("h")
         .agg(F.countDistinct("doc_id").alias("gs"))
         .filter(F.col("gs") >= 2)
@@ -2758,15 +2778,23 @@ def candidate_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("nd_band1", sizes(ids, "k1"), ND_BAND_CAP),
         (
             "simhash_chunk",
-            sizes(_portable_simhash_chunks(docs), "chunk_id", "chunk_val"),
+            sizes(_portable_simhash_chunks(docs, words=words), "chunk_id", "chunk_val"),
             SIMHASH_CHUNK_CAP,
         ),
-        ("shingle_df", sizes(shingles(docs), "shingle"), SHINGLE_DF_CAP),
-        ("winnow_fp", sizes(winnow_doc_fingerprints(docs), "fp"), WINNOW_FP_CAP),
+        ("shingle_df", sizes(shingles(docs, words=words), "shingle"), SHINGLE_DF_CAP),
+        (
+            "winnow_fp",
+            sizes(winnow_doc_fingerprints(docs, words=words), "fp"),
+            WINNOW_FP_CAP,
+        ),
         ("span_df", gspan, SPAN_DF_CAP),
         (
             "hv_block",
-            sizes(hv_block_keyed_vectors(docs).select("doc_id", "k1", "k2"), "k1", "k2"),
+            sizes(
+                hv_block_keyed_vectors(docs, words=words).select("doc_id", "k1", "k2"),
+                "k1",
+                "k2",
+            ),
             HV_BLOCK_CAP,
         ),
         ("fs_block", sizes(linkage_blocked_records(cust), "block_key"), FS_BLOCK_CAP),
@@ -2775,7 +2803,9 @@ def candidate_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             "mh_band",
             sizes(
-                portable_minhash_bands(docs).select("doc_id", "band_id", "band_key"),
+                portable_minhash_bands(docs, words=words).select(
+                    "doc_id", "band_id", "band_key"
+                ),
                 "band_id",
                 "band_key",
             ),

@@ -147,9 +147,14 @@ def wordpiece_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     and <unk> volume per source — the serving-cost audit run before a
     tokenizer change ships."""
     d = table(spark, sf_dir, "documents")
-    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    # Round-12: the last collapse-then-split site joins the one-pass
+    # tokenizer (dedup._norm_words, round-11: token-identical by the
+    # split-on-runs == collapse-then-split-on-space argument, A/B-verified
+    # corpus-wide) — one regex pass, no materialized collapsed string.
+    from fpl_data_pipeline_spark.operators.dedup import _norm_words
+
     toks = d.select(
-        "source", F.explode(F.filter(F.split(norm, " "), lambda w: w != "")).alias("word")
+        "source", F.explode(_norm_words(F.col("text"))).alias("word")
     )
     word_freq = toks.groupBy("source", "word").agg(F.count(F.lit(1)).alias("cnt"))
     encoded = encode_words(word_freq.select("word").distinct())

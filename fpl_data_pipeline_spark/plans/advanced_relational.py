@@ -1140,6 +1140,24 @@ def revenue_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bounds candidates at |train| x NEIGH_M on any engine.
 REC_K = 10
 NEIGH_M = 20
+# Broadcast guard for the truncated co-model (round-12, guide §3.1): the
+# item-kNN truncation bounds ``co`` at n_items x NEIGH_M rows of three
+# longs, so up to this many ROWS it broadcasts (removing the shuffle of
+# the |train|-sized candidate side); past it the plan falls back to the
+# shuffle join unchanged. 5M rows ~ 120 MB built — comfortably inside the
+# 8 GB / 512M-row broadcast cap and this box's driver heap; env-tunable
+# for bigger drivers. n_items is bounded by the part table's row count
+# (items are l_partkey FKs), a footer-metadata count.
+CF_CO_BROADCAST_ROWS = 5_000_000
+
+
+def _co_broadcast_ok(n_items_bound: int) -> bool:
+    """True when the truncated co-model's row bound fits the broadcast
+    budget — split out so the boundary is unit-testable."""
+    import os
+
+    budget = int(os.environ.get("SPARK_GRAFT_CF_BCAST_ROWS", CF_CO_BROADCAST_ROWS))
+    return n_items_bound * NEIGH_M <= budget
 
 
 @register(
@@ -1230,7 +1248,10 @@ def cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("item"),
         )
         .distinct()
-        .localCheckpoint()  # feeds the order list AND the split base
+        # feeds the order list AND the split base; lazy since round 12 —
+        # the query is now ONE DataFrame action, so the pin materializes
+        # on first use instead of at construction time
+        .localCheckpoint(eager=False)
     )
     orders_per_cust = inter.select("cust", "ok", "od").distinct()
     w = Window.partitionBy("cust").orderBy(F.col("od").desc(), F.col("ok").desc())
@@ -1253,7 +1274,7 @@ def cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.filter(F.col("ok") != F.col("test_ok"))
         .select("cust", "item")
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     test = (
         base.filter(F.col("ok") == F.col("test_ok")).select("cust", "item").distinct()
@@ -1305,6 +1326,15 @@ def cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nrn") <= NEIGH_M)
         .drop("nrn")
     )
+    # Round-12 (guide §3.1): the candidate expansion shuffled BOTH the
+    # |train| relation and co on the item key. co is bounded at
+    # n_items x NEIGH_M rows by the truncation — broadcast it (with the
+    # explicit row-bound guard; size ESTIMATES after two aggs + a window
+    # are unreliable, so auto-broadcast never fired) and the train side is
+    # not shuffled for this join at all. Past the bound the original
+    # shuffle plan stands.
+    if _co_broadcast_ok(table(spark, sf_dir, "part").count()):
+        co = F.broadcast(co)
     cand = (
         train.join(co, train.item == co.ia)
         .groupBy("cust", "ib")
@@ -1336,14 +1366,24 @@ def cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cust")
         .distinct()
     )
-    n_eligible = eligible.count()
-    n_hits = hits.count()
+    # Round-12 (guide §5 "the driver should do no data work"): the two
+    # driver-side .count() actions are now 1-row aggregates crossJoined in
+    # the SAME DataFrame — identical counts, identical IEEE double ratio
+    # arithmetic (cast-to-double division == the float literals it
+    # replaces), but the whole pipeline lives in ONE lazily-executed plan:
+    # the bench times it as a unit and the committed explain dump shows
+    # the join strategy (the broadcast above) instead of two literals.
+    n_eligible = eligible.agg(F.count(F.lit(1)).alias("n_eval_customers"))
+    n_hits = hits.agg(F.count(F.lit(1)).alias("n_hits"))
     q6 = F.floor(
-        F.lit(float(n_hits)) / F.lit(float(n_eligible)) * 1000000 + F.lit(0.5)
+        F.col("n_hits").cast("double")
+        / F.col("n_eval_customers").cast("double")
+        * 1000000
+        + F.lit(0.5)
     ) / 1000000
-    return spark.range(1).select(
-        F.lit(n_eligible).cast("long").alias("n_eval_customers"),
-        F.lit(n_hits).cast("long").alias("n_hits"),
+    return n_eligible.crossJoin(n_hits).select(
+        F.col("n_eval_customers").cast("long").alias("n_eval_customers"),
+        F.col("n_hits").cast("long").alias("n_hits"),
         q6.alias(f"hit_rate_at_{REC_K}"),
     )
 

@@ -49,7 +49,13 @@ CONSTRUCTION_LAZY = {
     "dedup_winnowing_pairs": 2,
     "dedup_span_matches": 1,  # pin-free
     "dedup_segment_boilerplate": 1,  # segs pin is scan-only
-    "candidate_cap_audit": 5,  # pin-free; documents/embeddings/customer/lineitem/orders
+    # round 12: the shared doc_words pin (tokenize once for the six
+    # document-keyed families) sits above _ensure_parallel's conditional
+    # repartition, so on a BELOW-PARALLEL input like sf0.001 the lazy
+    # checkpoint's toRdd finalizes that exchange (+1 job — the
+    # exchange-bearing-pin class documented above); scan-only elsewhere.
+    # Base budget: documents/embeddings/customer/lineitem/orders footers.
+    "candidate_cap_audit": 6,
 }
 
 
