@@ -331,8 +331,26 @@ def _capped_key_groups(sh: DataFrame, key_col: str, df_cap: int) -> DataFrame:
     )
 
 
+def _pair_pack_ok(ids: DataFrame | None, id_col: str = "doc_id") -> bool:
+    """True when every id in ``ids[id_col]`` fits the 31-bit half of a
+    packed (a << 31 | b) pair key — the round-12 pair-aggregation fast
+    path. One pruned-single-column min/max job decides at plan-build time;
+    None (caller has no cheap id relation) or an empty/out-of-range corpus
+    keeps the exact two-column aggregation. The check is data-driven, not
+    a local[32] constant: a 100 TB corpus with 64-bit ids falls back
+    automatically and computes the identical result."""
+    if ids is None:
+        return False
+    r = ids.agg(F.min(id_col).alias("mn"), F.max(id_col).alias("mx")).first()
+    return r["mx"] is not None and r["mn"] >= 0 and r["mx"] < (1 << 31)
+
+
 def _set_overlap_stats(
-    sh: DataFrame, key_col: str, df_cap: int = SHINGLE_DF_CAP, directed: bool = False
+    sh: DataFrame,
+    key_col: str,
+    df_cap: int = SHINGLE_DF_CAP,
+    directed: bool = False,
+    ids: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id_a, doc_id_b, n_common, na, nb) for every doc pair sharing at
     least one df-capped key in the (doc_id, key) relation ``sh`` — the
@@ -404,12 +422,55 @@ def _set_overlap_stats(
     # one row — char-8-gram corpora hit near-cap groups routinely, and the
     # interleaved A/B on that consumer measured 17.7-31 s (GC-noisy) vs a
     # flat 12.2 s for the streaming shape at identical output.
-    pair_inter = (
-        _expand_member_pairs_streaming(pair_groups, carry=("w",))
-        .select(F.col("a").alias("doc_id_a"), F.col("b").alias("doc_id_b"), "w")
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.sum("w").alias("n_common"))
-    )
+    pairs = _expand_member_pairs_streaming(pair_groups, carry=("w",))
+    # Round-12, two coordinated changes to the 10^8-row pair aggregation —
+    # the registry's single largest stage (tools/pair_ab_r12.py A/B at
+    # sf0.1: 128.5M emissions, 11.4M distinct pairs; value-hash-identical
+    # across all variants):
+    #
+    # 1. PACKED KEY (guide §2.3 "narrower types"): when the caller's id
+    #    relation proves both pair halves fit in 31 bits, group on ONE
+    #    packed long (a << 31 | b — injective there, a < b by
+    #    construction) instead of two columns: narrower rows, single-word
+    #    hash key. Out-of-range/unknown ids keep two columns — the check
+    #    is data-driven, never a local[32] assumption.
+    # 2. SHUFFLE RAW, AGGREGATE ONCE (guide §2.1/§1.2): a pair recurs once
+    #    per shared key (~11x here) but its occurrences are scattered
+    #    across map tasks by the round-robin group placement, so map-side
+    #    partial aggregation built a multi-million-entry hash map per task
+    #    for ~zero reduction (final-agg shuffle read equalled the raw pair
+    #    volume) — pure CPU + GC. The explicit hash repartition on the
+    #    pair key moves BOTH aggregation passes after the exchange (the
+    #    planner keeps partial+final back to back there — the partial's
+    #    second pass over the 11.4M already-distinct-per-partition rows is
+    #    noise); the explicit partition count pins the CPU-heavy post-agg
+    #    stage at session parallelism (AQE would byte-coalesce ~700 MB to
+    #    a handful of tasks). Scattering only grows with scale (more
+    #    groups per task), so the no-reduction premise holds at 100 TB.
+    #
+    # A/B medians (one window): two-col+partial 11.1 s, packed+partial
+    # 9.4 s, packed+raw-shuffle 5.5 s (tightest rep spread of all five
+    # variants — the dropped hash map was also the GC noise source).
+    par = sh.sparkSession.sparkContext.defaultParallelism
+    if _pair_pack_ok(ids):
+        pair_inter = (
+            pairs.select(F.expr("shiftleft(a, 31) | b").alias("ab"), "w")
+            .repartition(par, "ab")
+            .groupBy("ab")
+            .agg(F.sum("w").alias("n_common"))
+            .select(
+                F.shiftright("ab", 31).alias("doc_id_a"),
+                F.col("ab").bitwiseAND(F.lit((1 << 31) - 1)).alias("doc_id_b"),
+                "n_common",
+            )
+        )
+    else:
+        pair_inter = (
+            pairs.select(F.col("a").alias("doc_id_a"), F.col("b").alias("doc_id_b"), "w")
+            .repartition(par, "doc_id_a", "doc_id_b")
+            .groupBy("doc_id_a", "doc_id_b")
+            .agg(F.sum("w").alias("n_common"))
+        )
     if directed:
         pair_inter = pair_inter.unionByName(
             pair_inter.select(
@@ -418,9 +479,23 @@ def _set_overlap_stats(
                 "n_common",
             )
         )
-    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_keys").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_keys").alias("nb"))
-    return pair_inter.join(sa, "doc_id_a").join(sb, "doc_id_b")
+    # Round-12: sa/sb as ALIASES of one sizes relation (projection above
+    # the join, not inside the build subtree) so the two broadcast builds
+    # are the same subtree and the second becomes a ReusedExchange instead
+    # of recomputing the explode + per-doc aggregation.
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        pair_inter.join(sa, F.col("doc_id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_id_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "n_common",
+            F.col("sa.n_keys").alias("na"),
+            F.col("sb.n_keys").alias("nb"),
+        )
+    )
 
 
 def _ngram_jaccard_pairs(d: DataFrame) -> DataFrame:
@@ -428,7 +503,7 @@ def _ngram_jaccard_pairs(d: DataFrame) -> DataFrame:
     df-capped word-3-gram shingle — shared by dedup_ngram_jaccard,
     dedup_clusters_exact, dedup_consensus_pairs and dedup_threshold_sweep
     (see _set_overlap_stats for the plan shape)."""
-    return _set_overlap_stats(shingles(d), "shingle").select(
+    return _set_overlap_stats(shingles(d), "shingle", ids=d).select(
         "doc_id_a",
         "doc_id_b",
         (
@@ -1687,7 +1762,7 @@ def dedup_charngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = base.select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
     return (
-        _set_overlap_stats(sh, "g")
+        _set_overlap_stats(sh, "g", ids=d)
         .select(
             "doc_id_a",
             "doc_id_b",
@@ -1750,7 +1825,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard rides along to show the two scores separate."""
     d = table(spark, sf_dir, "documents")
     return (
-        _set_overlap_stats(shingles(d), "shingle", directed=True)
+        _set_overlap_stats(shingles(d), "shingle", directed=True, ids=d)
         .filter(F.col("na") <= F.col("nb"))
         .select(
             F.col("doc_id_a").alias("contained_doc"),
@@ -2890,7 +2965,7 @@ def lsh_operating_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch's uncapped view exists only where the df caps fire, which
     candidate_cap_audit reports separately)."""
     d = table(spark, sf_dir, "documents")
-    stats = _set_overlap_stats(shingles(d), "shingle")
+    stats = _set_overlap_stats(shingles(d), "shingle", ids=d)
     cand = (
         _portable_minhash_candidates(d)
         .select("doc_id_a", "doc_id_b")

@@ -854,15 +854,36 @@ def cf_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # property test).
     from fpl_data_pipeline_spark.operators.dedup import (
         _expand_member_pairs_streaming,
+        _pair_pack_ok,
     )
 
-    co = (
-        _expand_member_pairs_streaming(baskets_arr, "items")
-        .select(F.col("a").alias("item_a"), F.col("b").alias("item_b"))
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .filter(F.col("n_common") >= 3)
-    )
+    pairs = _expand_member_pairs_streaming(baskets_arr, "items")
+    # Round-12 (guide §2.3, the dedup pair engine's packed-key fast path):
+    # when every item id provably fits 31 bits (one min/max over the part
+    # table — the FK target bounds l_partkey), the co-occurrence count
+    # groups on ONE packed long instead of two — narrower shuffle rows and
+    # a single-word hash key for the C(basket, 2) pair stream, the query's
+    # dominant stage. Out-of-range catalogs fall back to the exact
+    # two-column aggregation unchanged.
+    if _pair_pack_ok(table(spark, sf_dir, "part"), "p_partkey"):
+        co = (
+            pairs.select(F.expr("shiftleft(a, 31) | b").alias("ab"))
+            .groupBy("ab")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            .filter(F.col("n_common") >= 3)
+            .select(
+                F.shiftright("ab", 31).alias("item_a"),
+                F.col("ab").bitwiseAND(F.lit((1 << 31) - 1)).alias("item_b"),
+                "n_common",
+            )
+        )
+    else:
+        co = (
+            pairs.select(F.col("a").alias("item_a"), F.col("b").alias("item_b"))
+            .groupBy("item_a", "item_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            .filter(F.col("n_common") >= 3)
+        )
     pa = pop.select(F.col("item").alias("item_a"), F.col("n_users").alias("na"))
     pb = pop.select(F.col("item").alias("item_b"), F.col("n_users").alias("nb"))
     sim = F.floor(
@@ -1275,6 +1296,18 @@ def cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cust", "item")
         .distinct()
         .localCheckpoint(eager=False)
+        # Round-12: keyed fan-out of the pinned train relation. The
+        # distinct's output is byte-small, so AQE coalesces it (the
+        # checkpoint materializes into ~1 partition) and the broadcast
+        # candidate join below — having no exchange of its own any more —
+        # inherited that layout: a 10 s single-task stage in the profile.
+        # Partitioning by cust at session parallelism fixes that AND is
+        # the distribution every downstream consumer needs: the basket
+        # groupBy(cust), the candidate groupBy(cust, ib) (subset rule),
+        # the owned-item anti-join on (cust, ib) (both sides ride it) and
+        # the per-cust top-K window all reuse this ONE exchange instead
+        # of exchanging again.
+        .repartition(spark.sparkContext.defaultParallelism, "cust")
     )
     test = (
         base.filter(F.col("ok") == F.col("test_ok")).select("cust", "item").distinct()
@@ -1303,15 +1336,30 @@ def cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (ia, ib, s) relation.
     from fpl_data_pipeline_spark.operators.dedup import (
         _expand_member_pairs_streaming,
+        _pair_pack_ok,
     )
 
-    co_half = (
-        _expand_member_pairs_streaming(
-            train_arr.select(F.col("items").alias("members"))
-        )
-        .groupBy(F.col("a").alias("ia"), F.col("b").alias("ib"))
-        .agg(F.count(F.lit(1)).alias("s"))
+    half_pairs = _expand_member_pairs_streaming(
+        train_arr.select(F.col("items").alias("members"))
     )
+    # Round-12: packed single-long pair key for the co-occurrence count
+    # (same fast path and part-table range guard as cf_item_similarity).
+    if _pair_pack_ok(table(spark, sf_dir, "part"), "p_partkey"):
+        co_half = (
+            half_pairs.select(F.expr("shiftleft(a, 31) | b").alias("ab"))
+            .groupBy("ab")
+            .agg(F.count(F.lit(1)).alias("s"))
+            .select(
+                F.shiftright("ab", 31).alias("ia"),
+                F.col("ab").bitwiseAND(F.lit((1 << 31) - 1)).alias("ib"),
+                "s",
+            )
+        )
+    else:
+        co_half = (
+            half_pairs.groupBy(F.col("a").alias("ia"), F.col("b").alias("ib"))
+            .agg(F.count(F.lit(1)).alias("s"))
+        )
     co_full = co_half.unionByName(
         co_half.select(
             F.col("ib").alias("ia"), F.col("ia").alias("ib"), F.col("s")

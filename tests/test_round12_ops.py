@@ -127,6 +127,38 @@ def test_lr_features_with_eval_matches_two_pass(spark):
     assert a == b and len(a) > 0
 
 
+def test_pair_pack_guard_boundary(spark):
+    """_pair_pack_ok: packing only when every id provably fits 31 bits —
+    unknown, empty, negative or >= 2^31 ids keep the exact two-column
+    aggregation."""
+    from fpl_data_pipeline_spark.operators.dedup import _pair_pack_ok
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long")  # noqa: E731
+    assert _pair_pack_ok(None) is False
+    assert _pair_pack_ok(mk([])) is False
+    assert _pair_pack_ok(mk([(0,), ((1 << 31) - 1,)])) is True
+    assert _pair_pack_ok(mk([(0,), (1 << 31,)])) is False
+    assert _pair_pack_ok(mk([(-1,), (5,)])) is False
+
+
+def test_pair_packed_agg_matches_two_column(spark):
+    """The packed (a << 31 | b) pair aggregation returns exactly the
+    two-column aggregation's rows (ids, n_common, na, nb) on a real
+    corpus — the round-12 fast path is value-invisible."""
+    from fpl_data_pipeline_spark.operators.dedup import (
+        _set_overlap_stats,
+        shingles,
+    )
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    packed = _set_overlap_stats(shingles(d), "shingle", ids=d)
+    plain = _set_overlap_stats(shingles(d), "shingle", ids=None)
+    key = lambda r: (r["doc_id_a"], r["doc_id_b"], r["n_common"], r["na"], r["nb"])  # noqa: E731
+    a = sorted(key(r) for r in packed.collect())
+    b = sorted(key(r) for r in plain.collect())
+    assert a == b and len(a) > 0
+
+
 def test_audit_shared_words_matches_per_family_tokenize(spark):
     """candidate_cap_audit's shared doc_words pin yields the same rows as
     helpers tokenizing independently (the audit's code-sharing contract:

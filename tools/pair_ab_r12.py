@@ -102,11 +102,31 @@ def agg_packed(pairs):
     )
 
 
+def agg_packed_repart(pairs):
+    """Packed key, but hash-repartition the RAW pair rows first so the
+    (near-useless here — same pair lands in many map tasks) map-side
+    partial aggregation runs post-shuffle instead of building a 4M-entry
+    hash map per map task for ~no reduction."""
+    packed = pairs.select(F.expr("shiftleft(a, 31) | b").alias("ab"), "w")
+    par = pairs.sparkSession.sparkContext.defaultParallelism
+    return (
+        packed.repartition(par, "ab")
+        .groupBy("ab")
+        .agg(F.sum("w").alias("n_common"))
+        .select(
+            F.shiftright("ab", 31).alias("doc_id_a"),
+            F.col("ab").bitwiseAND(F.lit((1 << 31) - 1)).alias("doc_id_b"),
+            "n_common",
+        )
+    )
+
+
 VARIANTS = {
     "v0_slice_twocol": lambda pg: agg_two_col(expansion_slice(pg)),
     "v1_slice_packed": lambda pg: agg_packed(expansion_slice(pg)),
     "v2_noslice_twocol": lambda pg: agg_two_col(expansion_noslice(pg)),
     "v3_noslice_packed": lambda pg: agg_packed(expansion_noslice(pg)),
+    "v4_slice_packed_repart": lambda pg: agg_packed_repart(expansion_slice(pg)),
 }
 
 
