@@ -859,13 +859,13 @@ def cf_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = _expand_member_pairs_streaming(baskets_arr, "items")
     # Round-12 (guide §2.3, the dedup pair engine's packed-key fast path):
-    # when every item id provably fits 31 bits (one min/max over the part
-    # table — the FK target bounds l_partkey), the co-occurrence count
-    # groups on ONE packed long instead of two — narrower shuffle rows and
-    # a single-word hash key for the C(basket, 2) pair stream, the query's
-    # dominant stage. Out-of-range catalogs fall back to the exact
-    # two-column aggregation unchanged.
-    if _pair_pack_ok(table(spark, sf_dir, "part"), "p_partkey"):
+    # when every item id provably fits 31 bits (one pruned-single-column
+    # min/max over the item FK column itself — no reliance on a catalog
+    # table being present), the co-occurrence count groups on ONE packed
+    # long instead of two — narrower shuffle rows and a single-word hash
+    # key for the C(basket, 2) pair stream, the query's dominant stage.
+    # Out-of-range catalogs fall back to the exact two-column aggregation.
+    if _pair_pack_ok(li, "l_partkey"):
         co = (
             pairs.select(F.expr("shiftleft(a, 31) | b").alias("ab"))
             .groupBy("ab")
@@ -1343,8 +1343,8 @@ def cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_arr.select(F.col("items").alias("members"))
     )
     # Round-12: packed single-long pair key for the co-occurrence count
-    # (same fast path and part-table range guard as cf_item_similarity).
-    if _pair_pack_ok(table(spark, sf_dir, "part"), "p_partkey"):
+    # (same fast path and item-column range guard as cf_item_similarity).
+    if _pair_pack_ok(li, "l_partkey"):
         co_half = (
             half_pairs.select(F.expr("shiftleft(a, 31) | b").alias("ab"))
             .groupBy("ab")
