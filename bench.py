@@ -183,7 +183,7 @@ class _TaskSampler:
                                 self.peaks[name] = active
                 except Exception:
                     pass  # tracker races with stage completion; skip sample
-            time.sleep(0.02)
+            time.sleep(0.01)
 
     def watch(self, name: str) -> None:
         self._name = name

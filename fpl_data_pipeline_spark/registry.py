@@ -63,70 +63,75 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # driver rows-only check adds nothing over the planted-pair VALUE checks
 # in tests/test_cap_guards.py, which pin them to oracle-checked md5 twins.
 #
-# Round-11 window (0 changed + anchor + 49 staleness-fillers = 50): ZERO
-# registered plans changed this round — the round-11 work (key-shape
-# generalization of the publish/fold/gc protocol, the maintenance-style
-# marker, the fp streaming lifecycle) lives entirely in deploy-surface
-# functions no registered query calls; probe_band_state and
-# probe_fingerprint_state, which registered queries DO call, are
-# byte-untouched. Zero new names (carry honestly). The 49 filler slots
-# take the ENTIRE oldest cohort — all 27 names last-green in round 4 —
-# plus the 22 alphabetically-first of the 38 last-green in round 5; after
-# this window no name's last green is older than round 5 (recomputed over
-# CORRECTNESS_r01-r10: r4 27, r5 38, r6 38, r7 40, r8 46, r9 47, r10 50).
+# Round-12 window (anchor + 38 changed + 11 staleness-fillers = 50): the
+# round-11 verdict's task #1 — of the ~30 plans round 11 changed, only 3
+# got driver-side re-verification (the r11 window froze before most
+# optimization commits landed) — plus every plan round 12 itself changed.
+# Slots 2-26: the r11 plan-changed set (tokenizer one-pass, weighted pair
+# expansion, kmeans/abtt/pca driver fixes, percentile arrays, logreg
+# one-pass, CF basket build...). Slots 27-39: the r12 plan-changed set
+# (packed+raw-shuffle pair engine and every consumer, shared-words audit,
+# cf_holdout broadcast/single-DAG, map-side CDC, shared logreg features,
+# the last one-pass tokenizer sites). The 4 rows-only-by-design names
+# stay out as always. The 11 filler slots take the 11 alphabetically-
+# first of the 16 names still last-green in round 5 (histogram over
+# CORRECTNESS_r01-r11: r5 16, r6 38, r7 40, r8 46, r9 47, r10 49,
+# r11 50); the 5 remaining r5 names (source_template_spans,
+# sources_*, ...) lead the next window's fillers.
 DRIVER_WINDOW_PRIORITY = [
     "flagship_customer_activity",
-    # --- staleness rotation: all 27 last-green-r4 names ---
-    "contrastive_hard_negatives",
-    "corpus_snapshot_diff",
-    "emb_batch_drift",
-    "emb_pq_codebook_stats",
-    "events_cusum_changepoints",
-    "events_type_transitions",
-    "events_watermark_lateness",
-    "gdpr_erasure_audit",
-    "hash_sample_quantiles",
-    "kanonymity_audit",
-    "kmv_distinct_union",
-    "lang_id_confusion",
-    "length_bucket_padding",
-    "modal_alignment_summary",
-    "quality_model_scores",
-    "quality_threshold_calibration",
-    "revenue_forecast_eval",
-    "scd2_customer_history",
-    "source_trend_slopes",
-    "split_leakage_safe",
-    "stratified_neyman_allocation",
-    "table_histogram_price",
-    "table_stats_orders",
-    "token_budget_plan",
-    "training_order_shuffle",
-    "vocab_oov_rates",
-    "zorder_layout_stats",
-    # --- staleness rotation: the 22 alphabetically-first last-green-r5 ---
-    "ann_ranking_metrics",
-    "asof_join_forward_tolerance",
-    "basket_part_pairs",
+    # --- r11 plan-changed, not driver-re-verified in the r11 window ---
+    "dedup_minhash_portable",
+    "minhash_estimate_error",
+    "dedup_charngram_jaccard",
+    "dedup_ngram_jaccard",
+    "dedup_consensus_pairs",
+    "dedup_containment_pairs",
+    "dedup_span_matches",
+    "dedup_threshold_sweep",
+    "dedup_prefix_filter_pairs",
+    "dedup_winnowing_pairs",
+    "emb_neardup_pairs",
+    "kmeans_portable",
+    "semdedup_prune",
+    "emb_abtt_query_shift",
+    "emb_pca_top_component",
+    "logreg_train_weights",
+    "logreg_train_eval",
+    "percentile_prices_by_flag",
+    "text_hash_vector_dups",
+    "cf_item_similarity",
+    "hybrid_search_topk",
+    "quality_repetition_signals",
+    "text_quality_scores",
+    "source_token_divergence",
+    "bpe_pair_stats",
+    # --- r12 plan-changed (beyond the overlap above) ---
+    "wordpiece_encode_stats",
+    "lm_heldout_perplexity",
+    "source_js_matrix",
+    "quality_threshold_bias",
+    "candidate_cap_audit",
     "cf_holdout_hitrate",
-    "cf_negative_samples",
-    "customer_rfm_segments",
-    "customer_spend_deciles",
-    "doc_packing_summary",
-    "emb_covariance_stats",
-    "emb_health_audit",
-    "emb_label_outliers",
-    "emb_matryoshka_recall",
-    "emb_pq_adc_topk",
-    "events_conversion_latency",
-    "events_peak_concurrency",
-    "events_sliding_distinct_kmv",
-    "histogram_quantile_sketch",
-    "join_skew_report",
-    "kfold_group_assignment",
-    "layout_rle_advisor",
-    "order_cycle_time_percentiles",
-    "ordered_set_aggs",
+    "dedup_cdc_chunks",
+    "dedup_clusters_exact",
+    "dupgraph_degree_stats",
+    "lsh_operating_point",
+    "pagerank_dupgraph",
+    "dupgraph_triangle_stats",
+    "dupgraph_kcore_peel",
+    # --- staleness rotation: 11 alphabetically-first last-green-r5 ---
+    "part_supply_hhi",
+    "poisson_bootstrap_ci",
+    "psi_price_drift",
+    "quality_calibration_bins",
+    "rag_mmr_rerank",
+    "revenue_mix_shift",
+    "revenue_seasonality_index",
+    "sample_weighted_ares",
+    "sequence_gap_audit",
+    "source_distinctive_terms",
+    "source_lexical_diversity",
 ]
 
 
