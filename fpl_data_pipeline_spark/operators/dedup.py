@@ -28,6 +28,8 @@ so the result is non-trivial on any corpus and stable under ties.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -377,6 +379,20 @@ def _set_overlap_stats(
     containment convention, where (contained, container) is an ordered
     role); n_common is symmetric so the reverse rows are emitted map-side
     from the same expansion, not re-counted."""
+    # Round-12 (guide §2.3 "narrower types" — the _hashed_shingles trade,
+    # r11): the key column only ever decides GROUPING here — it never
+    # reaches the output (doc pairs + counts) — so a string key is swapped
+    # for its xxhash64 before anything is materialized or shuffled. The
+    # df-count aggregation, the cap join and the member-collect groupBy
+    # then exchange 8-byte longs instead of ~10-30-byte strings, and the
+    # pinned relation below shrinks the same way. A 2^-64 collision would
+    # merge two keys corpus-wide, symmetrically for every pair — the value
+    # oracle stays exact on every tested corpus (same argument, same
+    # precedent as the prefix-filter family's _hashed_shingles).
+    if os.environ.get("SPARK_GRAFT_HASH_OVERLAP_KEYS", "1") != "0" and (
+        dict(sh.dtypes).get(key_col) == "string"
+    ):
+        sh = sh.select("doc_id", F.xxhash64(key_col).alias(key_col))
     # localCheckpoint (not cache): the grouped relation feeds two consumers
     # (sizes + the pair expansion); checkpoint materialization stops
     # Catalyst compiling the explode-heavy key subtree once per consumer.
@@ -498,12 +514,14 @@ def _set_overlap_stats(
     )
 
 
-def _ngram_jaccard_pairs(d: DataFrame) -> DataFrame:
+def _ngram_jaccard_pairs(d: DataFrame, words: DataFrame | None = None) -> DataFrame:
     """(doc_id_a, doc_id_b, jaccard) for every pair sharing at least one
     df-capped word-3-gram shingle — shared by dedup_ngram_jaccard,
     dedup_clusters_exact, dedup_consensus_pairs and dedup_threshold_sweep
-    (see _set_overlap_stats for the plan shape)."""
-    return _set_overlap_stats(shingles(d), "shingle", ids=d).select(
+    (see _set_overlap_stats for the plan shape). ``words`` optionally
+    supplies a precomputed doc_words(d) relation (the multi-family
+    tokenize-once path)."""
+    return _set_overlap_stats(shingles(d, words=words), "shingle", ids=d).select(
         "doc_id_a",
         "doc_id_b",
         (
@@ -1477,13 +1495,14 @@ def _portable_simhash_chunks(d: DataFrame, words: DataFrame | None = None) -> Da
     return chunks
 
 
-def _portable_simhash_pairs(d: DataFrame) -> DataFrame:
+def _portable_simhash_pairs(d: DataFrame, words: DataFrame | None = None) -> DataFrame:
     """(doc_id_a, doc_id_b, hamming) for every chunk-banded candidate pair —
     the portable-SimHash engine half shared by dedup_simhash_portable and
-    dedup_consensus_pairs."""
+    dedup_consensus_pairs. ``words`` optionally supplies a precomputed
+    doc_words(d) relation (the multi-family tokenize-once path)."""
     # localCheckpoint: same two-consumer pinning rationale as the
     # production pipeline above (pre-pass + join both read chunks)
-    chunks = _portable_simhash_chunks(d).localCheckpoint(eager=False)
+    chunks = _portable_simhash_chunks(d, words=words).localCheckpoint(eager=False)
     # in-array group expansion (ARCHITECTURE.md §7) — same shape as the
     # production dedup_simhash_pairs, including the SIMHASH_CHUNK_CAP
     # count-agg pre-pass (mirrored in the oracle's sizes CTE) and the
@@ -1560,15 +1579,18 @@ def portable_minhash_bands(d: DataFrame, words: DataFrame | None = None) -> Data
     ).select("doc_id", "ms", "band.band_id", "band.band_key")
 
 
-def _portable_minhash_candidates(d: DataFrame) -> DataFrame:
+def _portable_minhash_candidates(
+    d: DataFrame, words: DataFrame | None = None
+) -> DataFrame:
     """(doc_id_a, doc_id_b, est_jaccard) candidate pairs via the portable
     md5 MinHash family — the shared engine half of dedup_minhash_portable /
-    dedup_hybrid_verify."""
+    dedup_hybrid_verify. ``words`` optionally supplies a precomputed
+    doc_words(d) relation (the multi-family tokenize-once path)."""
     # NOT pinned: the pre-pass count and the member-collect join share the
     # same exchange on (band_id, band_key), which AQE's ReusedExchange
     # dedups at runtime — an interleaved A/B of none/sigs-pin/bands-pin at
     # sf0.1 measured all three identical (~1.8-2.0 s on the prod twin).
-    bands = portable_minhash_bands(d)
+    bands = portable_minhash_bands(d, words=words)
     # in-array group expansion (ARCHITECTURE.md §7) — same shape as the
     # production _minhash_pair_estimates; the signature vector rides the
     # group array once and the match count is computed map-side, so only
@@ -1983,18 +2005,27 @@ def dedup_consensus_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is three near-dup edge lists (tiny relative to the corpus). The oracle
     replays all three pipelines and the vote in one WITH tree."""
     d = table(spark, sf_dir, "documents")
+    # Round-12 (guide §2.4 "remove passes outright"): the three families
+    # each re-scanned + re-tokenized the corpus up to their first pinned
+    # relation (3 parquet scans + 3 regex-split passes in the before-plan),
+    # while the oracle's WITH tree always shared one ``words`` CTE.
+    # Tokenize ONCE, pin the (doc_id, ws) relation, and hand it to each
+    # family's ``words=`` parameter — the same tokenize-once pattern
+    # candidate_cap_audit uses across its monitored families; each family's
+    # gram/hash/band logic is byte-identical.
+    words = doc_words(d).localCheckpoint(eager=False)
     mh = (
-        _portable_minhash_candidates(d)
+        _portable_minhash_candidates(d, words=words)
         .filter(F.col("est_jaccard") >= CONSENSUS_EST_JACCARD)
         .select("doc_id_a", "doc_id_b", F.lit("minhash").alias("signal"))
     )
     ng = (
-        _ngram_jaccard_pairs(d)
+        _ngram_jaccard_pairs(d, words=words)
         .filter(F.col("jaccard") >= CONSENSUS_EXACT_JACCARD)
         .select("doc_id_a", "doc_id_b", F.lit("ngram").alias("signal"))
     )
     sh = (
-        _portable_simhash_pairs(d)
+        _portable_simhash_pairs(d, words=words)
         .filter(F.col("hamming") <= CONSENSUS_MAX_HAMMING)
         .select("doc_id_a", "doc_id_b", F.lit("simhash").alias("signal"))
     )

@@ -363,13 +363,22 @@ def dupgraph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _dup_edges(d).localCheckpoint()
 
     def node_edge_counts(e: DataFrame) -> tuple:
-        nodes = (
+        # Round-12 (guide §1.2 "don't compute things twice"): node and
+        # edge counts fused into ONE aggregation job over the endpoint
+        # union — each edge contributes exactly 2 endpoint rows, so
+        # n_edges == union rows / 2 and n_nodes == distinct endpoints.
+        # Was two actions (distinct().count() + e.count()) per peel round:
+        # 8 passes over the checkpointed edge list became 4.
+        r = (
             e.select(F.col("doc_id_a").alias("v"))
             .unionAll(e.select(F.col("doc_id_b").alias("v")))
-            .distinct()
-            .count()
+            .agg(
+                F.count_distinct(F.col("v")).alias("n"),
+                (F.count(F.lit(1)) / 2).cast("long").alias("m"),
+            )
+            .first()
         )
-        return nodes, e.count()
+        return r["n"], r["m"]
 
     rows = []
     cur = edges
