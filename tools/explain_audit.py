@@ -34,6 +34,10 @@ INTENTIONAL_CROSS = {
     # final 1-row x 1-row combine of the hash-agg stats pass with the
     # buffer-cheap string-min/max pass (round-11 SortAggregate fix)
     "table_stats_orders",
+    # final 1-row x 1-row combine of n_eligible with n_hits (round-12
+    # single-DAG restructure: the two driver-side counts became lazy
+    # 1-row aggregates crossJoined so the whole query is ONE plan)
+    "cf_holdout_hitrate",
     # broadcast 1-row totals scalar
     "domain_mixture_weights",
     "events_error_spikes",
